@@ -1,13 +1,432 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.CosineSimilarity
+import graft.operators._
+
+/** Driver contract (SURVEY §7.7): one named query per implemented operator
+  * from SURVEY §2 (+ the §7.6 LLM-pipeline extensions), each with equivalent
+  * DuckDB SQL in `oracleSql` over the same parquet tables.
+  *
+  * Determinism rules shared by both sides (see functions.Exact):
+  *  - every query ends in a total ORDER BY over non-null keys;
+  *  - double sums go through DECIMAL(18,4) and back (bit-identical);
+  *  - hashes are md5-hex-derived 60/32-bit ints (reproducible in SQL);
+  *  - similarity outputs carry ids/ranks, never raw doubles;
+  *  - counts/sizes are always BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def cust(s: SparkSession, dir: String) = Tables.customer(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = {
+    CosineSimilarity.register(s)
+    Tables.embeddings(s, dir)
+  }
+
+  /** Flagship: the reference's core business question — which users have
+    * completed which questions (A6 + J2 + completion). Driver smoke-checks
+    * rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Questions.completion(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      Tables.part(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- P: per-record transforms ----
+    "p1_branch" -> ((s, d) =>
+      Ingest.branchTagged(ev(s, d))
+        .select("event_id", "user_id", "event_type", "anonymous")
+        .orderBy("event_id")),
+    "p2_filter" -> ((s, d) =>
+      Ingest.filterByEventType(ev(s, d), "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id")),
+    "p6_composite_key" -> ((s, d) =>
+      Relational.compositeKeyRoundtrip(ev(s, d)).orderBy("composite_key")),
+
+    // ---- A/J: the reference's stateful topology, batch-verified ----
+    "a1_latest_user" -> ((s, d) => Enrich.latestUser(ev(s, d)).orderBy("user_id")),
+    "j1_enrich" -> ((s, d) =>
+      Enrich.enriched(ev(s, d), cust(s, d))
+        .select("event_id", "user_id", "event_type", "ts", "value", "user_role", "user_nation")
+        .orderBy("event_id")),
+    "a2_last_seen" -> ((s, d) => Stats.lastSeen(ev(s, d)).orderBy("user_id", "event_type")),
+    "a3_event_counts" -> ((s, d) => Stats.eventTypeCounts(ev(s, d)).orderBy("event_type")),
+    "a4_daily_role_counts" -> ((s, d) =>
+      Stats.dailyRoleCounts(ev(s, d), cust(s, d)).orderBy("day", "user_role", "event_type")),
+    "a5_streaks" -> ((s, d) => Streaks.sessions(ev(s, d)).orderBy("user_id", "streak_start")),
+    "a6_part_rollup" -> ((s, d) =>
+      Questions.partRollup(ev(s, d)).orderBy("user_id", "q_page", "q_part")),
+    "a6_completion" -> ((s, d) =>
+      Questions.completion(ev(s, d), Tables.part(s, d)).orderBy("user_id", "q_page")),
+    "a7_achievements" -> ((s, d) => Achievements.answerCounts(ev(s, d)).orderBy("user_id")),
+    "a7_crossings" -> ((s, d) =>
+      Achievements.crossings(ev(s, d)).orderBy("user_id", "threshold")),
+
+    // ---- added analytic surface ----
+    "w1_top_spenders" -> ((s, d) =>
+      Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
+    "q1_pricing" -> ((s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d)).orderBy("l_returnflag", "l_linestatus")),
+    "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
+    "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d).orderBy("n_name")),
+
+    // ---- ext: text analysis ----
+    "ext_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
+    "ext_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "ext_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+
+    // ---- ext: dedup ----
+    "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
+    "ext_minhash_bands" -> ((s, d) =>
+      Dedup.lshBands(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id", "band_idx")),
+    "ext_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(Dedup.withPerturbedCopies(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+    "ext_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+    "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+
+    // ---- ext: similarity search ----
+    "ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
+    "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    "ext_dedup_embed" -> ((s, d) =>
+      Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
+        .orderBy("vec_id_a", "vec_id_b")),
+
+    // ---- ext: multimodal ----
+    "ext_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d))).orderBy("doc_id")),
+    "ext_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(docs(s, d))).orderBy("doc_id", "frame_idx"))
+  )
+
+  // ======================= oracle SQL (DuckDB) =======================
+
+  /** normalized text, matching TextAnalysis.normalized */
+  private val NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private def h60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+  private def h32(s: String) = s"('0x' || substr(md5($s), 1, 8))::BIGINT"
+
+  /** attempts view, matching Ingest.questionAttempts */
+  private val ATTEMPTS =
+    """SELECT user_id, ts, value, event_id,
+      |  CAST(props->>'$.k' AS BIGINT) // 10 AS q_page,
+      |  CAST(props->>'$.k' AS BIGINT) % 10 AS q_part,
+      |  value > 50 AS correct
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
+  private def moneySumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** doc corpus -> normalized -> 3-shingle CTE chain (TextAnalysis.shingles) */
+  private def shingleCtes(corpus: String) =
+    s"""ncte AS (SELECT doc_id, $NORM AS norm FROM ($corpus) corpus),
+       |wcte AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM ncte),
+       |scte AS (SELECT doc_id, norm,
+       |  CASE WHEN len(words) < 3 THEN [norm]
+       |       ELSE list_transform(range(1, len(words) - 1),
+       |              j -> words[j] || ' ' || words[j+1] || ' ' || words[j+2]) END AS sh
+       |  FROM wcte)""".stripMargin
+
+  private val PERTURBED_CORPUS =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, substr(text, position(' ' IN text) + 1) AS text
+      |FROM documents""".stripMargin
+
+  /** MinHash signature + LSH band CTEs (Dedup.minhashSignature/lshBands) */
+  private def minhashCtes(corpus: String): String = {
+    val sigCols = (0 until Dedup.NumPerms).map { i =>
+      s"list_min(list_transform(sh, x -> ${h60(s"'$i:' || x")})) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Dedup.NumBands).map { b =>
+      val ms = (0 until Dedup.BandSize).map(r => s"mh_${b * Dedup.BandSize + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${shingleCtes(corpus)},
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM scte),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** 64-dim double cosine, matching functions.CosineSimilarity */
+  private def cos64(a: String, b: String) =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |    * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
+  /** sign-pattern LSH bucket, matching Similarity.signBucket */
+  private def bucketSql(e: String) =
+    (0 until Similarity.SignBits)
+      .map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val SCALED_EMB =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS vec_id,
+      |  list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+      |FROM embeddings""".stripMargin
+
+  private val thresholdCase =
+    "CAST(CASE " + Achievements.Thresholds.reverse
+      .map(t => s"WHEN cnt >= $t THEN $t")
+      .mkString(" ") + " ELSE 0 END AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_branch" ->
+      """SELECT event_id, user_id, event_type, event_type = 'view' AS anonymous
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p2_filter" ->
+      """SELECT event_id, user_id, ts, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "p6_composite_key" ->
+      """WITH a AS (SELECT user_id::VARCHAR || '-' || (CAST(props->>'$.k' AS BIGINT) // 10)::VARCHAR AS composite_key
+        |  FROM events WHERE event_type = 'click')
+        |SELECT composite_key,
+        |  CAST(split_part(composite_key, '-', 1) AS BIGINT) AS user_id_back,
+        |  CAST(split_part(composite_key, '-', 2) AS BIGINT) AS q_page_back,
+        |  count(*) AS n
+        |FROM a GROUP BY composite_key ORDER BY composite_key""".stripMargin,
+    "a1_latest_user" ->
+      """SELECT user_id, ts AS last_update_ts, value AS last_value
+        |FROM (SELECT user_id, ts, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE event_type = 'signup')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "j1_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+        |  c.c_mktsegment AS user_role, c.c_nationkey AS user_nation
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "a2_last_seen" ->
+      """SELECT user_id, event_type, max(ts) AS last_seen FROM events GROUP BY 1, 2
+        |UNION ALL
+        |SELECT user_id, 'OVERALL' AS event_type, max(ts) AS last_seen FROM events GROUP BY 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "a3_event_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type",
+    "a4_daily_role_counts" ->
+      """SELECT date_trunc('day', e.ts)::TIMESTAMP AS day, c.c_mktsegment AS user_role,
+        |  e.event_type, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY day, user_role, event_type""".stripMargin,
+    "a5_streaks" ->
+      """WITH d AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS streak_start, max(ts) AS streak_end,
+        |  count(*) AS n_events,
+        |  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000) // 7 AS streak_units
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, streak_start""".stripMargin,
+    "a6_part_rollup" ->
+      s"""SELECT user_id, q_page, q_part, count(*) AS n_attempts,
+         |  count(CASE WHEN correct THEN 1 END) AS n_correct,
+         |  max(CASE WHEN correct THEN ts END) AS latest_correct,
+         |  max(ts) AS latest_attempt
+         |FROM ($ATTEMPTS) a GROUP BY 1, 2, 3 ORDER BY user_id, q_page, q_part""".stripMargin,
+    "a6_completion" ->
+      s"""WITH pr AS (
+         |  SELECT user_id, q_page, q_part,
+         |    count(*) AS n_attempts, count(CASE WHEN correct THEN 1 END) AS n_correct,
+         |    max(ts) AS latest_attempt
+         |  FROM ($ATTEMPTS) a GROUP BY 1, 2, 3),
+         |pg AS (
+         |  SELECT user_id, q_page, count(*) AS parts_attempted,
+         |    count(CASE WHEN n_correct > 0 THEN 1 END) AS parts_correct,
+         |    CAST(sum(n_attempts) AS BIGINT) AS total_attempts,
+         |    max(latest_attempt) AS latest_attempt
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT pg.user_id, pg.q_page, pg.parts_attempted, pg.parts_correct,
+         |  pg.total_attempts, pg.latest_attempt,
+         |  coalesce(CAST(least(p.p_size, 10) AS BIGINT), 0) AS question_part_count,
+         |  coalesce(CAST(least(p.p_size, 10) AS BIGINT), 0) > 0
+         |    AND pg.parts_correct = coalesce(CAST(least(p.p_size, 10) AS BIGINT), 0) AS complete
+         |FROM pg LEFT JOIN part p ON pg.q_page = p.p_partkey
+         |ORDER BY user_id, q_page""".stripMargin,
+    "a7_achievements" ->
+      s"""SELECT user_id, 'QUESTIONS_ANSWERED_CORRECTLY' AS achievement_type,
+         |  cnt AS n_correct, latest_attempt, $thresholdCase AS threshold_achieved
+         |FROM (SELECT user_id, count(*) AS cnt, max(ts) AS latest_attempt
+         |      FROM events WHERE event_type = 'click' AND value > 50 GROUP BY 1)
+         |ORDER BY user_id""".stripMargin,
+    "a7_crossings" ->
+      s"""SELECT a.user_id, CAST(t.threshold AS BIGINT) AS threshold, a.latest_attempt
+         |FROM (SELECT user_id, count(*) AS cnt, max(ts) AS latest_attempt
+         |      FROM events WHERE event_type = 'click' AND value > 50 GROUP BY 1) a
+         |JOIN (VALUES ${Achievements.Thresholds.map(t => s"($t)").mkString(", ")}) t(threshold)
+         |  ON a.cnt >= t.threshold
+         |ORDER BY user_id, threshold""".stripMargin,
+    "w1_top_spenders" ->
+      s"""WITH s AS (
+         |  SELECT c.c_mktsegment AS user_role, e.user_id,
+         |    ${moneySumSql("e.value")} AS total_spend, count(*) AS n_purchases
+         |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT user_role, rank, user_id, total_spend, n_purchases
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_role
+         |        ORDER BY total_spend DESC, user_id ASC) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY user_role, rank""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT n_name,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "ext_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_obs,
+         |  len(string_split($NORM, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split($NORM, ' '))) AS n_distinct_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+         |  len(list_filter(string_split($NORM, ' '),
+         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS n_stopwords,
+         |  length(replace($NORM, ' ', '')) AS n_chars_tokens,
+         |  len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000
+         |    AND len(list_filter(string_split($NORM, ' '),
+         |          w -> list_contains(['the','a','of','and','to','in','is'], w))) > 0
+         |    AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_lang_id" -> langIdSql,
+    "ext_fingerprint" ->
+      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id,
+         |  list_min(list_transform(sh, x -> ${h60("x")})) AS fp_min,
+         |  list_max(list_transform(sh, x -> ${h60("x")})) AS fp_max,
+         |  ${h60("norm")} AS fp_exact
+         |FROM scte ORDER BY doc_id""".stripMargin,
+    "ext_dedup_exact" ->
+      s"""WITH h AS (SELECT doc_id, ${h60(NORM)} AS content_hash FROM documents),
+         |g AS (SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS group_size
+         |      FROM h GROUP BY 1)
+         |SELECT h.doc_id, h.content_hash, g.keep_doc_id, g.group_size,
+         |  h.doc_id != g.keep_doc_id AS is_duplicate
+         |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
+    "ext_minhash_bands" ->
+      s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
+         |SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""".stripMargin,
+    "ext_dedup_minhash" ->
+      s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
+         |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "ext_ngram_jaccard" ->
+      s"""WITH ${minhashCtes(PERTURBED_CORPUS)},
+         |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS tok FROM scte),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |com AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc_id_a
+         |  JOIN ex b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_id_a, c.doc_id_b,
+         |  coalesce(m.n_common, 0) AS n_common,
+         |  sa.n + sb.n - coalesce(m.n_common, 0) AS n_union,
+         |  (100 * coalesce(m.n_common, 0)) // (sa.n + sb.n - coalesce(m.n_common, 0)) AS jaccard_pct
+         |FROM cand c
+         |LEFT JOIN com m ON m.doc_id_a = c.doc_id_a AND m.doc_id_b = c.doc_id_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_id_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_id_b
+         |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin,
+    "ext_simhash" ->
+      s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),
+         |t AS (SELECT doc_id, list_transform(string_split(norm, ' '),
+         |        x -> ${h32("x")}) AS th FROM n),
+         |v AS (SELECT doc_id, list_transform(range(0, ${Dedup.SimHashBits}),
+         |        i -> list_sum(list_transform(th,
+         |          h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END))) AS votes
+         |      FROM t)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimHashBits}),
+         |  i -> CASE WHEN votes[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cos64("q.q_emb", "c.embedding")} AS sim
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.query_id)
+         |SELECT query_id, rank, neighbor_id
+         |FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_top1" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |pairs AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id)
+         |SELECT vec_id, neighbor_id
+         |FROM (SELECT vec_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ext_dedup_embed" ->
+      s"""WITH corpus AS ($SCALED_EMB),
+         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+         |SELECT l.vec_id AS vec_id_a, r.vec_id AS vec_id_b
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE ${cos64("l.embedding", "r.embedding")} > 0.95
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "ext_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  md5(text) AS content_hash,
+         |  160 + (${h32("text")} % 8) * 80 AS width,
+         |  120 + ((${h32("text")} // 8) % 8) * 60 AS height,
+         |  1 + (${h32("text")} % 16) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_frame_sample" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx,
+        |    text FROM documents)
+        |SELECT doc_id, frame_idx, md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
+  private def langIdSql: String = {
+    def markerSql(w: String) =
+      s"(length(' ' || $NORM || ' ') - length(regexp_replace(' ' || $NORM || ' ', ' $w ', ' ', 'g'))) // ${w.length + 1}"
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      s"(${ws.map(markerSql).mkString(" + ")}) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val pred = "CASE " + langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ") + " ELSE 'und' END"
+    s"""WITH s AS (SELECT doc_id, lang AS labeled_lang,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, labeled_lang, $pred AS predicted_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

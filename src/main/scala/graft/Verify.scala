@@ -11,14 +11,26 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micros (not INT96) so the driver's parquet readers see the same
+      // timestamp physical type DuckDB produces for the oracle results
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Emit timestamps as NTZ so the parquet physical type matches what
+        // DuckDB writes for the oracle side (session tz is UTC, so the cast
+        // preserves the wall-clock value exactly).
+        val norm = out.schema.fields.foldLeft(out) { (df, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            df.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+          else df
+        }
+        norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (embedding near-dup lives in Similarity).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash-aggregate on a 60-bit content hash — the
+  *    shuffle carries (hash, min_id), not documents.
+  *  - Near-dup NEVER does O(n²): MinHash signatures are computed per-doc with
+  *    higher-order functions (no explode — one row in, one row out), then LSH
+  *    banding turns candidate generation into an equi-join on (band, key),
+  *    which Spark executes as a shuffled hash join whose cost is bounded by
+  *    bucket sizes, not n².
+  *  - All hashes derive from md5 hex (Exact.md5Hash60) so the DuckDB oracle
+  *    reproduces signatures exactly.
+  */
+object Dedup {
+
+  // ---- exact dedup ----
+
+  /** Per-doc verdict: content hash of normalized text, the canonical doc to
+    * keep for the hash group (min doc_id), and a duplicate flag.
+    */
+  def exact(documents: DataFrame): DataFrame = {
+    val hashed = documents.select(
+      col("doc_id"),
+      Exact.md5Hash60(TextAnalysis.normalized(col("text"))).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("content_hash"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("keep_doc_id"))
+      .select("doc_id", "content_hash", "keep_doc_id", "group_size", "is_duplicate")
+  }
+
+  // ---- MinHash + LSH ----
+
+  val NumPerms = 16
+  val BandSize = 4
+  val NumBands: Int = NumPerms / BandSize
+
+  /** MinHash signature, one column per permutation: min over shingles of a
+    * seeded 60-bit hash. Computed with transform/array_min — stays inside
+    * whole-stage codegen, no shuffle, no explode.
+    */
+  def minhashSignature(documents: DataFrame): DataFrame = {
+    val withShingles = documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("shingle_arr", TextAnalysis.shingles(col("text")))
+    (0 until NumPerms).foldLeft(withShingles) { (df, i) =>
+      df.withColumn(s"mh_$i", array_min(expr(
+        s"transform(shingle_arr, s -> cast(conv(substring(md5(concat('$i:', s)), 1, 15), 16, 10) as long))")))
+    }.drop("text", "shingle_arr")
+  }
+
+  /** LSH bands: NumBands rows per doc, band key = the band's signature slice
+    * joined as a string. Docs sharing any (band_idx, band_key) are
+    * candidates.
+    */
+  def lshBands(documents: DataFrame): DataFrame = {
+    val sig = minhashSignature(documents)
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"mh_${b * BandSize + r}"))
+      sig.select(
+        col("doc_id"),
+        lit(b).as("band_idx"),
+        concat_ws("_", cols: _*).as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-duplicate pairs from LSH (a < b, distinct). The join key
+    * (band_idx, band_key) bounds the blow-up to per-bucket sizes.
+    */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val bands = lshBands(documents)
+    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_id_a"))
+    val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_id_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard verification on the LSH candidates:
+    * intersection/union sizes of distinct shingle sets, as exact integers.
+    * `jaccard_pct` = floor(100 * |∩| / |∪|) keeps the output integral.
+    */
+  def ngramJaccard(documents: DataFrame): DataFrame = {
+    val cands = minhashCandidates(documents)
+    val sh = documents.select(
+      col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
+      .withColumn("jaccard_pct", expr("(100 * n_common) div n_union"))
+      .select("doc_id_a", "doc_id_b", "n_common", "n_union", "jaccard_pct")
+  }
+
+  // ---- SimHash ----
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash over tokens: per-bit ±1 votes from each token's 32-bit
+    * hash, sign-aggregated. Pure higher-order functions — narrow, codegen'd.
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("tok", TextAnalysis.tokens(col("text")))
+      .withColumn("th", expr(
+        "transform(tok, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as long))"))
+      .withColumn("votes", expr(
+        s"""transform(sequence(0, ${SimHashBits - 1}),
+           |  i -> aggregate(th, 0L, (acc, h) ->
+           |    acc + CASE WHEN (h div shiftleft(1L, i)) % 2 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SimHashBits - 1}), 0L,
+           |  (acc, i) -> acc + CASE WHEN element_at(votes, i + 1) > 0
+           |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select("doc_id", "simhash")
+
+  /** A corpus with synthetic near-duplicates: each doc re-appears (id +
+    * idOffset) with its first token dropped. The testdata has no natural
+    * near-dups, so dedup behavior is exercised against this construction —
+    * the oracle applies the same perturbation.
+    */
+  def withPerturbedCopies(documents: DataFrame, idOffset: Long = 1000000L): DataFrame =
+    documents.select(col("doc_id"), col("text")).unionByName(
+      documents.select(
+        (col("doc_id") + lit(idOffset)).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed partition-wise through a typed Dataset (the Scala
+  * analog of mapInPandas batch UDFs).
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): `FakeDecoder` derives deterministic "decoded" properties
+  * from the payload's md5, so the Spark-side plumbing — binary schema,
+  * partition-wise batching, typed output schema — is real and testable, and
+  * the DuckDB oracle can reproduce the stub arithmetic exactly. Swapping
+  * `FakeDecoder.decode` for a real JNI/library call is the only change needed
+  * in production.
+  *
+  * Scale notes: decode is a narrow mapPartitions (no shuffle); payloads never
+  * pass through an aggregation, and metadata extraction keeps only small
+  * typed columns so downstream pruning drops the heavy binary column early.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, content_hash: String,
+                       width: Long, height: Long, n_frames: Long)
+
+  /** Deterministic stand-in for an image/video decoder. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val width = 160L + (h % 8) * 80L
+      val height = 120L + ((h / 8) % 8) * 60L
+      val frames = 1L + (h % 16)
+      (hex, width, height, frames)
+    }
+  }
+
+  /** Documents → media table: text bytes standing in for media payloads. */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-wise decode: one decoder instance per partition (the
+    * expensive-initialization pattern real decoders need), rows streamed
+    * through it in batch.
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (hex, w, h, f) = FakeDecoder.decode(r.payload)
+        MediaMeta(r.doc_id, r.payload.length.toLong, hex, w, h, f)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling stub: every `stride`-th "frame" of the payload (fixed
+    * 64-byte frames), as (doc_id, frame_idx, frame_hash) — the shape a video
+    * pipeline fans out to, kept fully deterministic.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val md = MessageDigest.getInstance("MD5")
+      val frames = r.payload.grouped(64).toArray
+      frames.indices.by(stride).map { i =>
+        val hex = md.digest(frames(i)).map("%02x".format(_)).mkString
+        (r.doc_id, i.toLong, hex)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_hash")
+  }
+}

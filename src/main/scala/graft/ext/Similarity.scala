@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+
+/** Similarity search over an embedding column (Array[Float], 64-dim in the
+  * testdata): brute-force cosine top-k as the correctness baseline and an
+  * LSH-bucketed (sign-random-hyperplane) variant as the scale path, plus
+  * embedding-cosine near-duplicate detection.
+  *
+  * Scale design:
+  *  - Brute force is only ever (small query set) × corpus: the query side is
+  *    broadcast, the corpus is scanned once, top-k is a per-query ranking
+  *    window over Q×N rows — never N×N.
+  *  - The LSH variant buckets vectors by the sign pattern of `SignBits`
+  *    coordinates (sign-hyperplane LSH with axis-aligned planes — fully
+  *    deterministic, oracle-reproducible) and joins only within buckets:
+  *    expected pair count N²/2^SignBits per band. At 100 TB this is the
+  *    standard banded-LSH shuffle join; recall is tuned by SignBits.
+  *  - Cosine itself is the codegen'd native expression (CosineSimilarity);
+  *    accumulation in double, ascending index — the oracle reproduces it
+  *    term-for-term. Output rows carry ids/ranks, never raw doubles.
+  */
+object Similarity {
+
+  /** Cosine via the registered native expression; callers must have called
+    * `CosineSimilarity.register(spark)` (SparkEntry does).
+    */
+  def cos(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+
+  /** Compose-built-ins baseline for the same cosine (HOF zip_with/aggregate),
+    * kept as the reference implementation for differential tests.
+    */
+  def cosHof(a: String, b: String): Column = expr(
+    s"""CASE WHEN aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0.0D, (s, v) -> s + v) IS NULL THEN NULL
+       |ELSE aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0.0D, (s, v) -> s + v)
+       |  / (sqrt(aggregate($a, 0.0D, (s, x) -> s + double(x) * double(x)))
+       |     * sqrt(aggregate($b, 0.0D, (s, x) -> s + double(x) * double(x)))) END""".stripMargin)
+
+  /** Brute-force top-k: for each query vector (vec_id < numQueries), the k
+    * nearest corpus vectors by cosine, self excluded. Output (query_id, rank,
+    * neighbor_id) — deterministic tie-break on neighbor id.
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cos("q_emb", "c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  val SignBits = 8
+
+  /** Sign-pattern LSH bucket id from the first `SignBits` coordinates. */
+  def signBucket(emb: Column): Column =
+    (0 until SignBits).map { i =>
+      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's
+    * sign bucket. Output (vec_id, neighbor_id); vectors whose bucket holds no
+    * other vector are absent (approximate by design).
+    */
+  def lshTopNeighbor(embeddings: DataFrame): DataFrame = {
+    val b = embeddings.select(
+      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id"), col("embedding").as("l_emb"))
+    val r = b.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("r_emb"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos("l_emb", "r_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("vec_id", "neighbor_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same-bucket pairs (a < b) with
+    * cosine above `threshold`. Run over a corpus unioned with exactly-scaled
+    * copies (scale-by-2 preserves direction and sign buckets, and doubling is
+    * exact in IEEE float, so cos(v, 2v) is bit-reproducible) because the
+    * testdata has no natural near-dups — see Dedup.withPerturbedCopies.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val b = embeddings.select(
+      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_id_a"), col("embedding").as("a_emb"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_id_b"), col("embedding").as("b_emb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(cos("a_emb", "b_emb") > threshold)
+      .select("vec_id_a", "vec_id_b")
+  }
+
+  /** The scaled-copy corpus for near-dup exercises (ids offset by 1e6). */
+  def withScaledCopies(embeddings: DataFrame, idOffset: Long = 1000000L): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding")).unionByName(
+      embeddings.select(
+        (col("vec_id") + lit(idOffset)).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 2))").as("embedding")))
+}

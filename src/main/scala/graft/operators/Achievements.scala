@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A7 + S6 — per-user answer counter and achievement-threshold detection
+  * (QuestionAnswerCounter.java:33-45, QuestionAnswerInitializer.java:37-48,
+  * ThresholdAchievedProcessor.java:68-99, thresholds config.properties:17).
+  *
+  * The reference declares this pipeline but never wires it (SURVEY §0); here
+  * it is a first-class operator. Batch shape: one hash aggregation per user,
+  * then a threshold lookup expressed as a Catalyst CASE chain (no join, no
+  * extra shuffle). Streaming shape: the same aggregate in Update mode +
+  * `foreachBatch` sink (`sinkToParquet` stands in for the reference's JDBC
+  * upsert — no JDBC driver ships in this environment).
+  */
+object Achievements {
+
+  /** config.properties:17 — ACHIEVEMENT_THRESHOLDS=1,5,10,20,30,50,75,100 */
+  val Thresholds: Seq[Long] = Seq(1L, 5L, 10L, 20L, 30L, 50L, 75L, 100L)
+
+  /** Highest threshold reached for a count column (0 if none). Folded in
+    * ascending order so the largest threshold ends up as the outermost
+    * (highest-priority) branch of the CASE chain.
+    */
+  def thresholdReached(count: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Thresholds.foldLeft(lit(0L)) { (acc, t) =>
+      when(count >= t, lit(t)).otherwise(acc)
+    }
+
+  /** A7 — per-user correct-answer counter with the reference's achievement
+    * record shape {userId, type, count, latestAttempt}.
+    */
+  def answerCounts(events: DataFrame): DataFrame =
+    Ingest.questionAttempts(events)
+      .filter(col("correct"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_correct"), max("ts").as("latest_attempt"))
+      .withColumn("achievement_type", lit("QUESTIONS_ANSWERED_CORRECTLY"))
+      .withColumn("threshold_achieved", thresholdReached(col("n_correct")))
+      .select("user_id", "achievement_type", "n_correct", "latest_attempt", "threshold_achieved")
+
+  /** One row per threshold actually crossed (the reference inserts a row per
+    * crossing into user_achievements — ThresholdAchievedProcessor.java:80-88).
+    */
+  def crossings(events: DataFrame): DataFrame = {
+    val counts = answerCounts(events)
+    val th = counts.sparkSession.createDataFrame(
+      Thresholds.map(Tuple1.apply)).toDF("threshold")
+    counts.join(broadcast(th), col("n_correct") >= col("threshold"))
+      .select("user_id", "threshold", "latest_attempt")
+  }
+
+  /** S6 — micro-batch sink in the reference's Processor shape; parquet
+    * stands in for the JDBC upsert target.
+    */
+  def sinkToParquet(spark: SparkSession, df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}

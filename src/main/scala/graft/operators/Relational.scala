@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** General relational/analytics surface over the star schema — the added
+  * capabilities (§2.6 "Spark provides natively") proven at scale-shape:
+  * scan→filter→agg, multi-way joins with broadcast dimensions, top-k.
+  *
+  * These are also the bench workhorses: filters/projections push to parquet,
+  * dimensions broadcast, and each query is a single shuffle on its group key.
+  */
+object Relational {
+
+  /** Pricing-summary style aggregate over lineitem (exact decimal sums). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Exact.moneySum(col("l_quantity")).as("sum_qty"),
+        Exact.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Top-N orders by discounted revenue (join + agg + global top-k). */
+  def topRevenueOrders(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(n)
+  }
+
+  /** Revenue per nation through the full join chain
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation with the
+    * local-supplier condition — exercises multi-join planning; all
+    * dimensions broadcast, facts shuffle once.
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** P6/P7 — composite-key build and split-back
+    * (DerivedStreams.java:139-149, 240-242): concat user and page into
+    * `{user}-{page}`, then recover both halves with substring_index. The
+    * preferred form keeps separate grouping columns (SURVEY §2.2 P6); this
+    * operator exists to prove the literal key algebra.
+    */
+  def compositeKeyRoundtrip(events: DataFrame): DataFrame =
+    Ingest.questionAttempts(events)
+      .withColumn("composite_key", concat(col("user_id"), lit("-"), col("q_page")))
+      .groupBy("composite_key")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("user_id_back", expr("substring_index(composite_key, '-', 1)").cast("long"))
+      .withColumn("q_page_back", expr("substring_index(composite_key, '-', -1)").cast("long"))
+      .select("composite_key", "user_id_back", "q_page_back", "n")
+}

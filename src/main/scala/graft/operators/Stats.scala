@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Continuous keyed aggregations (reference §2.4: A2 last-seen, A3 global
+  * event-type counts, A4 daily per-role per-type counts —
+  * LoggedEventsListener.java:138-224).
+  *
+  * All are single-shuffle hash aggregations with map-side partial
+  * aggregation; at 100 TB the shuffle carries only (key, partial) pairs whose
+  * cardinality is bounded by |users| × |event types|, not by row count.
+  */
+object Stats {
+
+  /** A2 — per-user last-seen time per event type, plus the reference's
+    * synthetic "OVERALL" row (LoggedEventsListener.java:148-156). Emitted
+    * flat (one row per user × type); `lastSeenMap` reshapes to the
+    * reference's map form.
+    */
+  def lastSeen(events: DataFrame): DataFrame = {
+    val perType = events
+      .groupBy("user_id", "event_type")
+      .agg(max("ts").as("last_seen"))
+    val overall = events
+      .groupBy("user_id")
+      .agg(max("ts").as("last_seen"))
+      .withColumn("event_type", lit("OVERALL"))
+      .select("user_id", "event_type", "last_seen")
+    perType.unionByName(overall)
+  }
+
+  /** A2 (map shape) — event_type -> last-seen epoch-micros map per user,
+    * the literal reference state-store layout. Map column ordering is
+    * engine-dependent, so this shape is test-only (oracle uses the flat
+    * shape above).
+    */
+  def lastSeenMap(events: DataFrame): DataFrame =
+    lastSeen(events)
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), Exact.epochUs(col("last_seen")).as("us")))))
+        .as("last_seen_by_type"))
+
+  /** A3 — global running count per event type
+    * (LoggedEventsListener.java:165-172). The re-key `map` of the reference
+    * is just the groupBy key here; Spark shuffles on it implicitly.
+    */
+  def eventTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  /** A4 — daily per-role per-event-type counts
+    * (LoggedEventsListener.java:177-224). P5's manual Calendar truncation
+    * becomes `date_trunc`; the nested map reshape is left to the sink —
+    * the flat (day, role, type, n) relation is the scalable form.
+    */
+  def dailyRoleCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    Enrich.enriched(events, customer)
+      .groupBy(
+        date_trunc("day", col("ts")).as("day"),
+        col("user_role"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Added analytic surface (reference has none — SURVEY §2.6): top-k per
+    * group via ranking window. Top spenders per market segment by exact
+    * purchase total.
+    */
+  def topSpendersPerSegment(events: DataFrame, customer: DataFrame, k: Int): DataFrame = {
+    val spend = Enrich.enriched(Ingest.filterByEventType(events, "purchase"), customer)
+      .groupBy("user_role", "user_id")
+      .agg(Exact.moneySum(col("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
+    val w = Window.partitionBy("user_role").orderBy(col("total_spend").desc, col("user_id").asc)
+    spend
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("user_role", "rank", "user_id", "total_spend", "n_purchases")
+  }
+}
