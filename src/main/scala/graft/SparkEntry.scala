@@ -226,7 +226,7 @@ object SparkEntry {
     "a5_streaks" ->
       """WITH d AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (SELECT user_id, ts,

@@ -18,6 +18,10 @@ import graft.functions.Exact
   * processed in event-time order. Gap and length divisor are parameters
   * (SURVEY §7.5.5): callers pick the literal 8s/÷7 for parity or sane values.
   *
+  * Boundary semantics: a session breaks only when the gap is STRICTLY greater
+  * than the threshold (Spark merges windows that touch at exactly the gap),
+  * which matches the reference's `convertedTime > STREAK_THRESHOLD` check.
+  *
   * Scale: one shuffle by user_id; session merging is per-key and streaming-
   * compatible (same code path works under `readStream` with a watermark).
   */
@@ -59,7 +63,7 @@ object Streaks {
         var st: Option[StreakState] = None
         times.foreach { t =>
           st = st match {
-            case Some(s) if t - s.endUs < gapUs => Some(StreakState(s.startUs, t, s.n + 1))
+            case Some(s) if t - s.endUs <= gapUs => Some(StreakState(s.startUs, t, s.n + 1))
             case Some(s) =>
               out += StreakOut(uid, s.startUs, s.endUs, s.n,
                 ((s.endUs - s.startUs) / 1000000L) / unitDivisor)
@@ -85,7 +89,7 @@ object Streaks {
     var s = state.getOption.getOrElse(StreakState(Long.MinValue, Long.MinValue, 0))
     times.foreach { t =>
       s = if (s.n == 0) StreakState(t, t, 1)
-          else if (t - s.endUs < gapUs) StreakState(s.startUs, math.max(s.endUs, t), s.n + 1)
+          else if (t - s.endUs <= gapUs) StreakState(s.startUs, math.max(s.endUs, t), s.n + 1)
           else StreakState(t, t, 1)
     }
     state.update(s)

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** The reference's streaming topology (LoggedEventsListener.java:81-231)
+  * re-expressed as Structured Streaming: one event source fanned out to the
+  * branch sink and the stateful aggregations, each in Update mode with a 10s
+  * trigger (the reference's commit interval, LoggedEventsListener.java:72).
+  *
+  * The same operator functions used for batch verification are applied to a
+  * streaming DataFrame unchanged — Spark's batch/streaming unification stands
+  * in for the reference's KStream/KTable duality (SURVEY §7.1).
+  *
+  * Sources are abstracted (SURVEY §7.5.6): files/MemoryStream here, Kafka in
+  * a deployment that ships the connector jar; the topology code is agnostic.
+  *
+  * Watermark policy (SURVEY §7.5.2): the reference keeps state forever; every
+  * stateful op here takes an optional watermark so a 100 TB deployment can
+  * bound state, with `None` reproducing reference semantics.
+  */
+object Topology {
+
+  /** Schema of the testdata event stream (FIXTURES.md §B). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source with the event schema (the offline stand-in
+    * for the Kafka source S1 — no Kafka connector jar ships here).
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  private def withOptionalWatermark(df: DataFrame, watermark: Option[String]): DataFrame =
+    watermark.fold(df)(w => df.withWatermark("ts", w))
+
+  /** The aggregation fan-out: store name -> streaming DataFrame, mirroring
+    * the reference's named state stores (SURVEY §1.1).
+    */
+  def stores(events: DataFrame, userDim: DataFrame,
+             watermark: Option[String] = None): Map[String, DataFrame] = {
+    val main = Ingest.mainBranch(events)
+    val wm = withOptionalWatermark(main, watermark)
+    Map(
+      "store_anonymous_events" -> Ingest.anonymousBranch(events),
+      "store_user_last_seen" -> Stats.lastSeen(main),
+      "store_log_event_counts" -> Stats.eventTypeCounts(main),
+      "store_daily_log_events" -> Stats.dailyRoleCounts(wm, userDim),
+      "store_user_streaks" -> Streaks.sessions(wm),
+      "store_question_attempts" -> Questions.partRollup(main),
+      "store_user_achievements" -> Achievements.answerCounts(main))
+  }
+
+  /** Start one store as an in-memory Update-mode sink (smoke/test harness);
+    * production would swap format("memory") for the real sink per store.
+    */
+  def startMemorySink(df: DataFrame, name: String,
+                      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val mode =
+      if (df.isStreaming && df.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined) OutputMode.Update()
+      else OutputMode.Append()
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** foreachBatch sink for the achievements path (S6): batch-mode JDBC/
+    * parquet write per micro-batch, the Spark analog of the reference's
+    * per-record Postgres processor.
+    */
+  def startAchievementsSink(df: DataFrame, path: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Achievements.sinkToParquet(batch.sparkSession, batch, path)
+      }
+      .start()
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.functions.CosineSimilarity
+
+/** Specs for the LLM-pipeline extensions: dedup, similarity, text analysis,
+  * multimodal plumbing.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup flags identical normalized text") {
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "different entirely")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_duplicate")).toSeq == Seq(false, true, false))
+    assert(out(1).getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash LSH finds perturbed near-duplicates") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val cands = Dedup.minhashCandidates(Dedup.withPerturbedCopies(docs))
+    val pairs = cands.as[(Long, Long)].collect().toSet
+    // every doc should be a candidate of its own perturbed copy (first token
+    // dropped barely changes the shingle set)
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(d => (d, d + 1000000L)).toSet
+    val hit = expected.intersect(pairs).size.toDouble / expected.size
+    assert(hit > 0.9, s"recall $hit too low")
+  }
+
+  test("ngram jaccard: identical docs score 100, disjoint score 0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (1000001L, "a b c d e f g h i j"), // forces a candidate pair via LSH
+      (2L, "k l m n o p q r s t"),
+      (1000002L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("jaccard_pct") == 100L))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "entirely unrelated vocabulary cluster zebra quantum flux harmonic")).toDF("doc_id", "text")
+    val h = Dedup.simhash(docs).orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0), h(1)) < hamming(h(0), h(2)))
+  }
+
+  test("native cosine expression matches HOF formulation bit-for-bit") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b")).limit(500)
+    val diff = pairs
+      .withColumn("c1", Similarity.cos("ea", "eb"))
+      .withColumn("c2", Similarity.cosHof("ea", "eb"))
+      .filter(col("c1") =!= col("c2"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine expression: null and length-mismatch inputs yield null, zero vector yields 0") {
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))),
+      (None, Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f)))).toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(out(1).isEmpty && out(2).isEmpty)
+    assert(out(3).contains(0.0))
+  }
+
+  test("brute-force top-k self-consistency: scaled twin ranks adjacent to original neighbor") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.bruteForceTopK(e, 5, 3)
+    assert(out.count() == 15)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
+  }
+
+  test("embedding near-dup finds every scaled copy pair") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val pairs = Similarity.nearDupPairs(Similarity.withScaledCopies(e), 0.95)
+      .as[(Long, Long)].collect().toSet
+    val expected = e.select("vec_id").as[Long].collect().map(v => (v, v + 1000000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("text stats: integer quality gates behave") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a hat and a bat plus more words here"),
+      (2L, "short"),
+      (3L, ("superlongtoken" * 10 + " ") * 12 + "end")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.stats(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_quality"))
+    assert(!out(1).getAs[Boolean]("is_quality")) // too few tokens
+    assert(!out(2).getAs[Boolean]("is_quality")) // no stopwords + long tokens
+  }
+
+  test("lang id is deterministic and covers all docs") {
+    val out = TextAnalysis.langId(Tables.documents(spark, sfDir))
+    assert(out.count() == 500)
+    assert(out.filter(col("predicted_lang") === "und").count() == 0)
+  }
+
+  test("multimodal decode meta is deterministic and bytes match text length (ascii corpus)") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val out = Multimodal.decodeMeta(spark, Multimodal.asMedia(docs))
+    val joined = out.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
+    assert(joined.count() == 0)
+    val w = out.select("width").as[Long].collect()
+    assert(w.forall(x => x >= 160 && x <= 720))
+  }
+
+  test("frame sampling covers every stride-th 64-byte frame") {
+    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(spark, Multimodal.asMedia(docs))
+      .select("frame_idx").as[Long].collect().toSet
+    assert(out == Set(0L, 4L)) // ceil(300/64)=5 frames -> idx 0 and 4
+  }
+}

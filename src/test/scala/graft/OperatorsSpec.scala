@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Unit specs for the reference-parity operators on tiny in-memory frames,
+  * covering the edge cases SURVEY §5.2 calls out.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkEvents(rows: (Long, String, Long, String, Double, String)*) =
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("P1 branch splits disjointly and exhaustively") {
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:00:01", 1L, "click", 1.0, "{}"))
+    assert(Ingest.mainBranch(e).count() + Ingest.anonymousBranch(e).count() == e.count())
+    assert(Ingest.anonymousBranch(e).select("event_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("P10 scrub coalesces null strings to empty and keeps allow-list only") {
+    val df = Seq((1L, null.asInstanceOf[String], "x")).toDF("id", "s", "secret")
+    val out = Ingest.scrubbed(df, Seq("id", "s"))
+    assert(out.columns.toSeq == Seq("id", "s"))
+    assert(out.as[(Long, String)].head() == ((1L, "")))
+  }
+
+  test("props parsing tolerates missing k (.path() tolerance)") {
+    val e = mkEvents((1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "{}"))
+    assert(Ingest.withPropsK(e).select("k").as[Long].head() == 0L)
+  }
+
+  test("A1 latest-user keeps the most recent signup per user with event_id tie-break") {
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 7L, "signup", 10.0, "{}"),
+      (2L, "2024-01-02 00:00:00", 7L, "signup", 20.0, "{}"),
+      (3L, "2024-01-02 00:00:00", 7L, "signup", 30.0, "{}"),
+      (4L, "2024-01-03 00:00:00", 7L, "click", 99.0, "{}"))
+    val out = Enrich.latestUser(e).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("last_value") == 30.0)
+  }
+
+  test("A2 last-seen adds OVERALL row equal to per-user max") {
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-05 00:00:00", 1L, "click", 1.0, "{}"))
+    val rows = Stats.lastSeen(e).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Timestamp]("last_seen"))).toMap
+    assert(rows("OVERALL") == ts("2024-01-05 00:00:00.0"))
+    assert(rows("view") == ts("2024-01-01 00:00:00.0"))
+    assert(rows.size == 3)
+  }
+
+  test("A3 counts sum to input size (property)") {
+    val e = Tables.events(spark, sfDir)
+    val total = Stats.eventTypeCounts(e).agg(sum("n")).as[Long].head()
+    assert(total == e.count())
+  }
+
+  test("A5 sessions: merge at exactly the gap, break strictly past it") {
+    // diff == gap merges (Spark session_window and the reference's
+    // `convertedTime > threshold` agree); diff > gap breaks
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 04:00:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-01-01 08:00:00.000001", 1L, "click", 1.0, "{}"))
+    val out = Streaks.sessions(e).orderBy("streak_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("A5 session_window formulation equals exact per-key fold (differential)") {
+    val e = Tables.events(spark, sfDir)
+    val a = Streaks.sessions(e)
+      .select(col("user_id"), unix_micros(col("streak_start")).as("s"),
+        unix_micros(col("streak_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Streaks.foldSessions(spark, e)
+      .select(col("user_id"), col("streak_start_us"), col("streak_end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("A6 completion: missing question dimension row means incomplete (J2 missing-key)") {
+    val e = mkEvents(
+      // q_page = 999 not in part dim; correct attempt on part 1
+      (1L, "2024-01-01 00:00:00", 1L, "click", 90.0, """{"k": 9991}"""))
+    val part = Seq((1L, 3)).toDF("p_partkey", "p_size")
+    val out = Questions.completion(e, part).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("question_part_count") == 0L)
+    assert(!out(0).getAs[Boolean]("complete"))
+  }
+
+  test("A6 completion true when all parts correct") {
+    val part = Seq((5L, 2)).toDF("p_partkey", "p_size")
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 90.0, """{"k": 50}"""),
+      (2L, "2024-01-01 00:00:01", 1L, "click", 91.0, """{"k": 51}"""))
+    val out = Questions.completion(e, part).collect()
+    assert(out.length == 1 && out(0).getAs[Boolean]("complete"))
+  }
+
+  test("A7 threshold chain picks the highest crossed threshold") {
+    val cnts = Seq(0L, 1L, 4L, 5L, 99L, 100L, 1000L).toDF("c")
+    val got = cnts.select(Achievements.thresholdReached(col("c"))).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 5L, 75L, 100L, 100L))
+  }
+
+  test("A7 crossings contains one row per crossed threshold") {
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 90.0, """{"k": 1}"""),
+      (2L, "2024-01-01 00:00:01", 1L, "click", 91.0, """{"k": 2}"""),
+      (3L, "2024-01-01 00:00:02", 1L, "click", 92.0, """{"k": 3}"""),
+      (4L, "2024-01-01 00:00:03", 1L, "click", 93.0, """{"k": 4}"""),
+      (5L, "2024-01-01 00:00:04", 1L, "click", 94.0, """{"k": 5}"""))
+    val th = Achievements.crossings(e).select("threshold").as[Long].collect().toSet
+    assert(th == Set(1L, 5L))
+  }
+
+  test("J1 enrichment is inner: events without a user record drop (containment)") {
+    val e = Tables.events(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val enriched = Enrich.enriched(e, c)
+    assert(enriched.count() <= e.count())
+    // all event users exist in this testdata, so it is actually equal
+    assert(enriched.count() == e.count())
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators._
+
+/** Property-based invariants (SURVEY §5.3) over generated event frames.
+  * Uses raw ScalaCheck generators with fixed seeds (the scalatest-scalacheck
+  * bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Ev = TestEv
+
+  private val evGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 1000000L)
+    sec <- Gen.choose(0L, 100000L)
+    uid <- Gen.choose(0L, 20L)
+    et <- Gen.oneOf("click", "view", "signup", "purchase", "error")
+    v <- Gen.choose(0.0, 200.0).map(x => math.round(x * 100) / 100.0)
+    k <- Gen.choose(0, 99)
+  } yield TestEv(id, new Timestamp(1704067200000L + sec * 1000), uid, et, v, s"""{"k": $k}""")
+
+  private def sampleFrames(n: Int): Seq[List[Ev]] =
+    (1 to n).map { i =>
+      Gen.listOfN(60, evGen)(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(sys.error("gen failed"))
+    }
+
+  test("streak invariants: counts partition the input; 0 <= units <= span/7") {
+    sampleFrames(5).foreach { evs =>
+      val sessions = Streaks.sessions(evs.toDF()).collect()
+      assert(sessions.map(_.getAs[Long]("n_events")).sum == evs.length)
+      sessions.foreach { r =>
+        val units = r.getAs[Long]("streak_units")
+        val span = (r.getAs[Timestamp]("streak_end").getTime -
+          r.getAs[Timestamp]("streak_start").getTime) / 1000 / 7
+        assert(units >= 0 && units <= span)
+      }
+    }
+  }
+
+  test("A3 count invariant: totals equal input rows") {
+    sampleFrames(5).foreach { evs =>
+      val total = Stats.eventTypeCounts(evs.toDF()).agg(sum("n")).as[Long].head()
+      assert(total == evs.length)
+    }
+  }
+
+  test("join containment: enriched equals events with known users") {
+    sampleFrames(5).foreach { evs =>
+      val dim = Seq((1L, "A", 1), (2L, "B", 2), (3L, "C", 3))
+        .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      val e = evs.toDF()
+      val out = Enrich.enriched(e, dim)
+      assert(out.count() == e.filter(col("user_id").isin(1L, 2L, 3L)).count())
+    }
+  }
+
+  test("A6 two-level rollup conserves attempts") {
+    sampleFrames(5).foreach { evs =>
+      val df = evs.toDF()
+      val clicks = evs.count(_.event_type == "click")
+      val level2 = Questions.pageRollup(df).agg(coalesce(sum("total_attempts"), lit(0L)))
+        .as[Long].head()
+      assert(level2 == clicks)
+    }
+  }
+}

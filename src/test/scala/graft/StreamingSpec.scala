@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.streaming.Topology
+
+/** Streaming-semantics tests (SURVEY §5.4): MemoryStream feeds the same
+  * operator functions used in batch; Update-mode emissions must converge to
+  * the batch recomputation (the KTable changelog equivalence), including
+  * out-of-order arrivals.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Ev = TestEv
+
+  private def ev(id: Long, t: String, u: Long, et: String): Ev =
+    TestEv(id, Timestamp.valueOf(t), u, et, 1.0, """{"k": 1}""")
+
+  /** Continuous trigger: AvailableNow would snapshot the (empty) source at
+    * start and terminate before addData calls land.
+    */
+  private val tick = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds")
+
+  test("A3 streaming counts converge to batch counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      Stats.eventTypeCounts(mem.toDF()), "counts_test", tick)
+
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:00:01", 1, "view"))
+    q.processAllAvailable()
+    mem.addData(ev(3, "2024-01-01 00:00:02", 2, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    // memory sink in Update mode appends updated rows; latest row per key wins
+    val got = spark.table("counts_test")
+      .groupBy("event_type").agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("click" -> 2L, "view" -> 1L))
+  }
+
+  test("A2 streaming last-seen handles out-of-order events (late data folds in)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      mem.toDF().groupBy("user_id", "event_type").agg(max("ts").as("last_seen")),
+      "lastseen_test", tick)
+
+    mem.addData(ev(1, "2024-01-05 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    // late event, earlier ts: must NOT regress last_seen
+    mem.addData(ev(2, "2024-01-01 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("lastseen_test")
+      .groupBy("user_id", "event_type").agg(max("last_seen").as("ls"))
+      .as[(Long, String, Timestamp)].collect()
+    assert(got.length == 1 && got(0)._3 == Timestamp.valueOf("2024-01-05 00:00:00"))
+  }
+
+  test("branch fan-out: anonymous branch mirrors to its own sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      Ingest.anonymousBranch(mem.toDF()), "anon_test", tick)
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "view"),
+      ev(2, "2024-01-01 00:00:01", 1, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("anon_test").select("event_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("streaming stream-static enrichment join (J1) works per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "SEG", 7)).toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val q = Topology.startMemorySink(
+      Enrich.enriched(mem.toDF(), dim), "enrich_test", tick)
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:00:00", 99, "click")) // no dim row -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test").select("event_id", "user_role")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "SEG")))
+  }
+
+  test("streaming sessionization (A5) with watermark emits sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = Streaks.sessions(mem.toDF().withWatermark("ts", "1 minute"))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("streaks_test")
+      .trigger(tick)
+      .start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:30:00", 1, "click"),
+      ev(3, "2024-01-01 09:00:00", 1, "click"))
+    q.processAllAvailable()
+    // advance watermark far past the sessions so they close and emit
+    mem.addData(ev(4, "2024-02-01 00:00:00", 2, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("streaks_test")
+      .filter(col("user_id") === 1L)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("achievements foreachBatch sink writes crossings to parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ach_sink").toString
+    val mem = MemoryStream[Ev]
+    val counts = Achievements.answerCounts(
+      mem.toDF().withColumn("value", lit(90.0)))
+    val q = Topology.startAchievementsSink(counts, s"$dir/out")
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() >= 1)
+    assert(written.columns.contains("threshold_achieved"))
+  }
+}
