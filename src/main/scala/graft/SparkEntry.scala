@@ -142,19 +142,24 @@ object SparkEntry {
       |SELECT doc_id + 1000000 AS doc_id, substr(text, position(' ' IN text) + 1) AS text
       |FROM documents""".stripMargin
 
-  /** MinHash signature + LSH band CTEs (Dedup.minhashSignature/lshBands) */
+  /** MinHash signature + LSH band CTEs (Dedup.minhashSignature/lshBands):
+    * one md5 base hash per shingle, then the linear permutation family over
+    * the Mersenne prime — exact BIGINT arithmetic on both engines.
+    */
   private def minhashCtes(corpus: String): String = {
+    val p = Dedup.MinhashP
     val sigCols = (0 until Dedup.NumPerms).map { i =>
-      s"list_min(list_transform(sh, x -> ${h60(s"'$i:' || x")})) AS mh_$i"
+      s"list_min(list_transform(ph, h -> (${Dedup.permA(i)} * (h % $p) + ${Dedup.permB(i)}) % $p)) AS mh_$i"
     }.mkString(",\n    ")
     val bandSelects = (0 until Dedup.NumBands).map { b =>
       val ms = (0 until Dedup.BandSize).map(r => s"mh_${b * Dedup.BandSize + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""${shingleCtes(corpus)},
+       |phcte AS (SELECT doc_id, sh, list_transform(sh, x -> ${h60("x")}) AS ph FROM scte),
        |sig AS (SELECT doc_id,
        |    $sigCols
-       |  FROM scte),
+       |  FROM phcte),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |  FROM bands a JOIN bands b

@@ -43,61 +43,87 @@ object Dedup {
   val BandSize = 4
   val NumBands: Int = NumPerms / BandSize
 
-  /** MinHash signature, one column per permutation: min over shingles of a
-    * seeded 60-bit hash. Computed with transform/array_min — stays inside
-    * whole-stage codegen, no shuffle, no explode.
+  /** Permutation family: one md5-derived base hash per shingle, then cheap
+    * linear hashing h_i = (a_i * (h mod P) + b_i) mod P over the Mersenne
+    * prime P = 2^31-1 (products stay < 2^62, so the same arithmetic is exact
+    * BIGINT math in the DuckDB oracle — no overflow divergence).
     */
-  def minhashSignature(documents: DataFrame): DataFrame = {
-    val withShingles = documents
-      .select(col("doc_id"), col("text"))
-      .withColumn("shingle_arr", TextAnalysis.shingles(col("text")))
-    (0 until NumPerms).foldLeft(withShingles) { (df, i) =>
+  val MinhashP = 2147483647L
+  def permA(i: Int): Long = ((i + 1).toLong * 1299709L) % MinhashP
+  def permB(i: Int): Long = i.toLong * 104729L
+
+  /** Shared base for the MinHash pipeline: shingles + their 60-bit base
+    * hashes, computed ONCE per doc (single md5 pass; the 16 permutations are
+    * arithmetic on top). Narrow, codegen'd, no explode.
+    */
+  def shingleHashes(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
+      .select(col("doc_id"), col("sh"))
+      .withColumn("ph", expr(
+        "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))"))
+
+  private def signatureFrom(base: DataFrame): DataFrame =
+    (0 until NumPerms).foldLeft(base) { (df, i) =>
       df.withColumn(s"mh_$i", array_min(expr(
-        s"transform(shingle_arr, s -> cast(conv(substring(md5(concat('$i:', s)), 1, 15), 16, 10) as long))")))
-    }.drop("text", "shingle_arr")
-  }
-
-  /** LSH bands: NumBands rows per doc, band key = the band's signature slice
-    * joined as a string. Docs sharing any (band_idx, band_key) are
-    * candidates.
-    */
-  def lshBands(documents: DataFrame): DataFrame = {
-    val sig = minhashSignature(documents)
-    val bands = (0 until NumBands).map { b =>
-      val cols = (0 until BandSize).map(r => col(s"mh_${b * BandSize + r}"))
-      sig.select(
-        col("doc_id"),
-        lit(b).as("band_idx"),
-        concat_ws("_", cols: _*).as("band_key"))
+        s"transform(ph, h -> (${permA(i)}L * (h % ${MinhashP}L) + ${permB(i)}L) % ${MinhashP}L)")))
     }
-    bands.reduce(_ unionByName _)
+
+  def minhashSignature(documents: DataFrame): DataFrame =
+    signatureFrom(shingleHashes(documents)).drop("sh", "ph")
+
+  /** LSH bands: NumBands rows per doc via a single explode (no union — a
+    * union would recompute the signature scan per branch). Band key = the
+    * band's signature slice joined as a string.
+    */
+  def lshBands(documents: DataFrame): DataFrame =
+    bandsFrom(signatureFrom(shingleHashes(documents)))
+
+  private def bandsFrom(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"mh_${b * BandSize + r}"))
+      struct(lit(b).as("band_idx"), concat_ws("_", cols: _*).as("band_key"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
   }
 
-  /** Candidate near-duplicate pairs from LSH (a < b, distinct). The join key
-    * (band_idx, band_key) bounds the blow-up to per-bucket sizes.
+  /** Candidate pairs from banded LSH (a < b, distinct) — generated
+    * bucket-locally: group docs per (band_idx, band_key), emit pairs with a
+    * higher-order function. One shuffle, no self-join (a self-join would
+    * recompute the MinHash pipeline on both sides), and the pair blow-up is
+    * bounded by bucket sizes.
     */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
-    val bands = lshBands(documents)
-    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_id_a"))
-    val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_id_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b")
+  def minhashCandidates(documents: DataFrame): DataFrame =
+    candidatesFrom(bandsFrom(signatureFrom(shingleHashes(documents))))
+
+  private def candidatesFrom(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> named_struct('doc_id_a', x, 'doc_id_b', y))))""".stripMargin)).as("p"))
+      .select("p.doc_id_a", "p.doc_id_b")
       .distinct()
-  }
 
   /** Exact n-gram (3-shingle) Jaccard verification on the LSH candidates:
     * intersection/union sizes of distinct shingle sets, as exact integers.
     * `jaccard_pct` = floor(100 * |∩| / |∪|) keeps the output integral.
+    * The shingle base is cached and shared between candidate generation and
+    * the per-pair set comparison.
     */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val cands = minhashCandidates(documents)
-    val sh = documents.select(
-      col("doc_id"),
-      array_distinct(TextAnalysis.shingles(col("text"))).as("sh"))
+    val base = shingleHashes(documents).persist()
+    val cands = candidatesFrom(bandsFrom(signatureFrom(base)))
+    val sh = base.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
     cands
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("shd").as("sh_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("shd").as("sh_b")), Seq("doc_id_b"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_union", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
       .withColumn("jaccard_pct", expr("(100 * n_common) div n_union"))

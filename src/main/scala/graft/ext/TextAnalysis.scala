@@ -21,19 +21,29 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(normalized(text), " ")
 
-  /** 3-token shingles; docs shorter than 3 tokens fall back to the whole
-    * normalized text as a single shingle.
+  /** 3-token shingles over a MATERIALIZED token-array column (`toksCol` must
+    * be an attribute, not an expression tree — otherwise the tokenization is
+    * re-evaluated per element inside the lambda, turning shingling into
+    * O(tokens²) regex work). Docs shorter than 3 tokens fall back to the
+    * whole normalized text (= tokens rejoined) as a single shingle.
     */
-  def shingles(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) < 3, array(normalized(text)))
+  def shinglesFromTokens(toksCol: String): Column =
+    when(size(col(toksCol)) < 3, array(concat_ws(" ", col(toksCol))))
       .otherwise(expr(
-        """transform(sequence(0, size(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) - 3),
-          |  j -> concat_ws(' ',
-          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 1),
-          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 2),
-          |    element_at(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), j + 3)))""".stripMargin))
-  }
+        s"""transform(sequence(0, size($toksCol) - 3),
+           |  j -> concat_ws(' ',
+           |    element_at($toksCol, j + 1),
+           |    element_at($toksCol, j + 2),
+           |    element_at($toksCol, j + 3)))""".stripMargin))
+
+  /** Convenience form over raw text (adds the token column itself); prefer
+    * `df.withColumn("toks", tokens(col("text")))` + `shinglesFromTokens`
+    * when the caller also needs the tokens.
+    */
+  def withShingles(df: DataFrame, out: String = "sh"): DataFrame =
+    df.withColumn("__toks", tokens(col("text")))
+      .withColumn(out, shinglesFromTokens("__toks"))
+      .drop("__toks")
 
   /** Token / length / quality statistics. `is_quality` uses the usual
     * training-data gates (length band, stopword presence, mean-token-length
@@ -98,15 +108,15 @@ object TextAnalysis {
     * winnowing-style). Two docs share a fingerprint iff they share extremal
     * shingles — a cheap pre-dedup signal.
     */
-  def fingerprints(documents: DataFrame): DataFrame = {
-    val hashes = expr("transform(shingle_arr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))")
+  def fingerprints(documents: DataFrame): DataFrame =
     documents
-      .withColumn("shingle_arr", shingles(col("text")))
-      .withColumn("hashes", hashes)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("shingle_arr", shinglesFromTokens("toks"))
+      .withColumn("hashes",
+        expr("transform(shingle_arr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))"))
       .select(
         col("doc_id"),
         array_min(col("hashes")).as("fp_min"),
         array_max(col("hashes")).as("fp_max"),
         Exact.md5Hash60(normalized(col("text"))).as("fp_exact"))
-  }
 }
