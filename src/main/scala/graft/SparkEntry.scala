@@ -69,7 +69,15 @@ object SparkEntry {
     "a7_crossings" -> ((s, d) =>
       Achievements.crossings(ev(s, d)).orderBy("user_id", "threshold")),
 
+    "a7_typed_counter" -> ((s, d) =>
+      Achievements.typedAnswerCounts(s, ev(s, d)).orderBy("user_id")),
+
     // ---- added analytic surface ----
+    "set_ops_engaged" -> ((s, d) => Relational.engagedUsers(ev(s, d)).orderBy("user_id")),
+    "w2_hopping" -> ((s, d) =>
+      Stats.hoppingCounts(ev(s, d)).orderBy("win_start", "event_type")),
+    "p10_scrub" -> ((s, d) =>
+      Relational.scrubbedSupplierEnrich(ev(s, d), Tables.supplier(s, d)).orderBy("event_id")),
     "w1_top_spenders" -> ((s, d) =>
       Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
     "q1_pricing" -> ((s, d) =>
@@ -279,6 +287,33 @@ object SparkEntry {
          |JOIN (VALUES ${Achievements.Thresholds.map(t => s"($t)").mkString(", ")}) t(threshold)
          |  ON a.cnt >= t.threshold
          |ORDER BY user_id, threshold""".stripMargin,
+    "a7_typed_counter" ->
+      """SELECT user_id, count(*) AS n_correct, max(ts) AS latest_attempt
+        |FROM events WHERE event_type = 'click' AND value > 50
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "set_ops_engaged" ->
+      """SELECT user_id FROM (
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |   UNION
+        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id HAVING count(*) > 10)
+        |ORDER BY user_id""".stripMargin,
+    "w2_hopping" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) // 43200000000) * 43200000000 AS w0, event_type FROM events
+        |  UNION ALL
+        |  SELECT ((epoch_us(ts) // 43200000000) - 1) * 43200000000 AS w0, event_type FROM events)
+        |SELECT make_timestamp(w0) AS win_start, make_timestamp(w0 + 86400000000) AS win_end,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "p10_scrub" ->
+      """SELECT e.event_id, e.user_id, coalesce(s.s_name, '') AS supplier_name
+        |FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+        |ORDER BY e.event_id""".stripMargin,
     "w1_top_spenders" ->
       s"""WITH s AS (
          |  SELECT c.c_mktsegment AS user_role, e.user_id,

@@ -40,6 +40,26 @@ object Achievements {
       .withColumn("threshold_achieved", thresholdReached(col("n_correct")))
       .select("user_id", "achievement_type", "n_correct", "latest_attempt", "threshold_achieved")
 
+  /** A7 via the typed Aggregator surface (functions.AnswerCounter — the
+    * Spark-native form of the reference's Initializer/Aggregator UDAF pair).
+    * Must produce exactly what the untyped `answerCounts` path produces;
+    * verified against the same oracle.
+    */
+  def typedAnswerCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.AnswerCounter
+    val ds = Ingest.questionAttempts(events)
+      .filter(col("correct"))
+      .select(col("user_id"), col("correct"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"))
+      .as[AnswerCounter.AttemptIn]
+    ds.groupByKey(_.user_id)
+      .agg(AnswerCounter.agg.toColumn.name("buf"))
+      .toDF("user_id", "buf")
+      .select(col("user_id"), col("buf.count").as("n_correct"),
+        expr("timestamp_micros(buf.latestUs)").as("latest_attempt"))
+  }
+
   /** One row per threshold actually crossed (the reference inserts a row per
     * crossing into user_achievements — ThresholdAchievedProcessor.java:80-88).
     */

@@ -59,6 +59,32 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Set-operation surface (union / intersect / except — absent in the
+    * reference, SURVEY §2.6): users who signed up or purchased, and clicked,
+    * excluding any who hit errors.
+    */
+  def engagedUsers(events: DataFrame): DataFrame = {
+    def users(t: String) =
+      events.filter(col("event_type") === lit(t)).select("user_id").distinct()
+    val errorProne = events.filter(col("event_type") === lit("error"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 10).select("user_id")
+    users("signup").union(users("purchase")).distinct()
+      .intersect(users("click"))
+      .except(errorProne)
+  }
+
+  /** P10 — null-scrub after a null-producing enrichment (the reference's
+    * NullHandler, KafkaLoader.java:132-135): left join against a sparse
+    * dimension, then coalesce string columns to "" via the scrub allow-list.
+    */
+  def scrubbedSupplierEnrich(events: DataFrame, supplier: DataFrame): DataFrame = {
+    val joined = events.join(
+      broadcast(supplier.select(col("s_suppkey"), col("s_name").as("supplier_name"))),
+      col("user_id") === col("s_suppkey"), "left")
+    Ingest.scrubbed(joined, Seq("event_id", "user_id", "supplier_name"))
+  }
+
   /** P6/P7 — composite-key build and split-back
     * (DerivedStreams.java:139-149, 240-242): concat user and page into
     * `{user}-{page}`, then recover both halves with substring_index. The

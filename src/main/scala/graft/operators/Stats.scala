@@ -65,6 +65,31 @@ object Stats {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** A4 (nested map shape) — the reference's literal state-store layout:
+    * day -> role -> (event_type -> count), built with map_from_entries over
+    * the flat relation. Map-valued output is for sinks/tests; the flat
+    * relation above is the scalable, oracle-comparable form.
+    */
+  def dailyRoleCountsNested(events: DataFrame, customer: DataFrame): DataFrame =
+    dailyRoleCounts(events, customer)
+      .groupBy("day", "user_role")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("type_counts"))
+      .groupBy("day")
+      .agg(map_from_entries(collect_list(struct(col("user_role"), col("type_counts"))))
+        .as("role_type_counts"))
+
+  /** Hopping-window counts (added windowing surface; the reference only has
+    * tumbling-day and session windows): 1-day windows sliding every 12h —
+    * each event lands in exactly two windows.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"))
+
   /** Added analytic surface (reference has none — SURVEY §2.6): top-k per
     * group via ranking window. Top spenders per market segment by exact
     * purchase total.

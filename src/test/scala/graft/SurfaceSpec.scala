@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators._
+
+/** Specs for the widened surface: typed aggregator, set ops, hopping
+  * windows, map reshapes, extensions registration, stateful streaming fold.
+  */
+class SurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, u: Long, et: String, v: Double = 1.0,
+                 k: Int = 1): TestEv =
+    TestEv(id, Timestamp.valueOf(t), u, et, v, s"""{"k": $k}""")
+
+  test("typed Aggregator path equals untyped answerCounts") {
+    val e = Tables.events(spark, sfDir)
+    val typed = Achievements.typedAnswerCounts(spark, e)
+      .select("user_id", "n_correct", "latest_attempt")
+      .as[(Long, Long, Timestamp)].collect().toSet
+    val untyped = Achievements.answerCounts(e)
+      .select("user_id", "n_correct", "latest_attempt")
+      .as[(Long, Long, Timestamp)].collect().toSet
+    assert(typed == untyped)
+  }
+
+  test("set ops: engaged users respects union/intersect/except algebra") {
+    val base = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:00:01", 1, "click"),
+      ev(3, "2024-01-01 00:00:02", 2, "purchase"),
+      ev(4, "2024-01-01 00:00:03", 2, "click"),
+      ev(6, "2024-01-01 00:00:05", 3, "signup"))
+    // user 2 crosses the error-prone bar (>10 errors); user 3 never clicked
+    val errors = (0 until 11).map(i => ev(100 + i, s"2024-01-02 00:00:${i + 10}", 2, "error"))
+    val got = Relational.engagedUsers((base ++ errors).toDF()).as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("hopping windows: every event lands in exactly two windows") {
+    val e = Tables.events(spark, sfDir)
+    val total = Stats.hoppingCounts(e).agg(sum("n")).as[Long].head()
+    assert(total == 2 * e.count())
+  }
+
+  test("A2 map reshape: per-user event_type -> last-seen-us map") {
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view"),
+      ev(2, "2024-01-05 00:00:00", 1, "click")).toDF()
+    val m = Stats.lastSeenMap(e).as[(Long, Map[String, Long])].collect().head._2
+    assert(m.keySet == Set("view", "click", "OVERALL"))
+    assert(m("OVERALL") == m("click"))
+  }
+
+  test("A4 nested map reshape: day -> role -> type -> count") {
+    val e = Seq(ev(1, "2024-01-01 10:00:00", 1, "click")).toDF()
+    val c = Seq((1L, "SEG", 7)).toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val row = Stats.dailyRoleCountsNested(e, c).collect().head
+    val m = row.getMap[String, Map[String, Long]](1)
+    assert(m("SEG")("click") == 1L)
+  }
+
+  test("P10 scrub turns left-join nulls into empty strings") {
+    val e = Seq(ev(1, "2024-01-01 00:00:00", 999, "click")).toDF()
+    val s = Seq((1L, "Supplier#1")).toDF("s_suppkey", "s_name")
+    val got = Relational.scrubbedSupplierEnrich(e, s)
+      .select("supplier_name").as[String].collect()
+    assert(got.toSeq == Seq(""))
+  }
+
+  test("GraftExtensions injects cosine_sim as a resolvable function") {
+    val exts = new SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    // the injected builder resolves and evaluates through a real session
+    graft.functions.CosineSimilarity.register(spark)
+    val v = spark.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("streaming mapGroupsWithState streak fold emits changelog updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEv]
+    val gapUs = 4L * 3600 * 1000000
+    val stream = mem.toDF()
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, rows: Iterator[(Long, Long)],
+         st: org.apache.spark.sql.streaming.GroupState[Streaks.StreakState]) =>
+          Streaks.updateStreak(gapUs)(uid, rows, st))
+    val q = stream.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("fold_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-01 01:00:00", 1, "click")) // extends streak
+    q.processAllAvailable()
+    mem.addData(ev(3, "2024-01-02 00:00:00", 1, "click")) // breaks streak
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fold_test")
+      .select("n_events").as[Long].collect().toSeq
+    assert(rows == Seq(1L, 2L, 1L)) // changelog: 1-event, extended, reset
+  }
+}
