@@ -65,6 +65,12 @@ object SparkEntry {
       Questions.partRollup(ev(s, d)).orderBy("user_id", "q_page", "q_part")),
     "a6_completion" -> ((s, d) =>
       Questions.completion(ev(s, d), Tables.part(s, d)).orderBy("user_id", "q_page")),
+    "a6_parts_list" -> ((s, d) =>
+      Questions.partRollup(ev(s, d))
+        .groupBy("user_id", "q_page")
+        .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(q_part, n_correct))), " +
+          "s -> concat(s.q_part, ':', s.n_correct)))").as("parts_str"))
+        .orderBy("user_id", "q_page")),
     "a7_achievements" -> ((s, d) => Achievements.answerCounts(ev(s, d)).orderBy("user_id")),
     "a7_crossings" -> ((s, d) =>
       Achievements.crossings(ev(s, d)).orderBy("user_id", "threshold")),
@@ -109,6 +115,14 @@ object SparkEntry {
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
+
+    // ---- sources: batch replay pipelines (rows-only check: JSON envelope
+    // formatting is engine-specific, so no SQL oracle) ----
+    "s3_event_replay" -> ((s, d) =>
+      graft.sources.Loaders.eventReplay(ev(s, d), "2024-01-01", "2024-02-01")
+        .orderBy("record_key", "record_value")),
+    "s4_user_replay" -> ((s, d) =>
+      graft.sources.Loaders.userReplay(cust(s, d)).orderBy("record_key")),
 
     // ---- ext: multimodal ----
     "ext_multimodal_meta" -> ((s, d) =>
@@ -274,6 +288,14 @@ object SparkEntry {
          |    AND pg.parts_correct = coalesce(CAST(least(p.p_size, 10) AS BIGINT), 0) AS complete
          |FROM pg LEFT JOIN part p ON pg.q_page = p.p_partkey
          |ORDER BY user_id, q_page""".stripMargin,
+    "a6_parts_list" ->
+      s"""WITH pr AS (
+         |  SELECT user_id, q_page, q_part,
+         |    count(CASE WHEN correct THEN 1 END) AS n_correct
+         |  FROM ($ATTEMPTS) a GROUP BY 1, 2, 3)
+         |SELECT user_id, q_page,
+         |  string_agg(q_part || ':' || n_correct, ',' ORDER BY q_part) AS parts_str
+         |FROM pr GROUP BY 1, 2 ORDER BY user_id, q_page""".stripMargin,
     "a7_achievements" ->
       s"""SELECT user_id, 'QUESTIONS_ANSWERED_CORRECTLY' AS achievement_type,
          |  cnt AS n_correct, latest_attempt, $thresholdCase AS threshold_achieved

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{FileSource, KafkaSource, Loaders}
+import graft.streaming.Topology
+
+/** Specs for the source abstraction and batch replay pipelines (S-series). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FileSource batch and stream expose the same schema") {
+    val src = FileSource(s"$sfDir/customer.parquet", null)
+    val b = src.batch(spark)
+    assert(b.count() == 150)
+    val s = FileSource(s"$sfDir/customer.parquet", b.schema).stream(spark)
+    assert(s.isStreaming && s.schema == b.schema)
+  }
+
+  test("KafkaSource fails fast with a clear message when the connector is absent") {
+    val src = KafkaSource("localhost:9092", "topic_logged_events", Topology.eventSchema)
+    val e = intercept[IllegalStateException](src.batch(spark))
+    assert(e.getMessage.contains("connector"))
+  }
+
+  test("event replay: range filter + keyed JSON envelope") {
+    val e = Tables.events(spark, sfDir)
+    val out = Loaders.eventReplay(e, "2024-01-01", "2024-01-02")
+    val expected = e.filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+      col("ts") < lit("2024-01-02").cast("timestamp")).count()
+    assert(out.count() == expected && expected > 0)
+    val row = out.limit(1).collect().head
+    assert(row.getAs[String]("record_value").contains("\"event_type\""))
+    // envelope round-trips through from_json
+    val back = out.select(from_json(col("record_value"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE, props STRING"))
+      .as("v")).select("v.*")
+    assert(back.filter(col("event_id").isNull).count() == 0)
+  }
+
+  test("user replay: PII-style allow-list (only projected fields in envelope)") {
+    val c = Tables.customer(spark, sfDir)
+    val out = Loaders.userReplay(c)
+    assert(out.count() == c.count())
+    val v = out.limit(1).collect().head.getAs[String]("record_value")
+    assert(v.contains("CREATE_UPDATE_USER") && v.contains("\"role\""))
+    assert(!v.contains("c_acctbal")) // outside the allow-list
+  }
+}
