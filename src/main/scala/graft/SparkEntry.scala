@@ -112,6 +112,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
@@ -450,6 +451,25 @@ object SparkEntry {
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id)
          |SELECT vec_id, neighbor_id
          |FROM (SELECT vec_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_ivf_top1" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM scored)
+         |  WHERE crank = 1),
+         |pairs AS (SELECT l.vec_id, l.cluster_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM assigned l JOIN assigned r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id)
+         |SELECT vec_id, cluster_id, neighbor_id
+         |FROM (SELECT vec_id, cluster_id, neighbor_id,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,

@@ -83,6 +83,42 @@ object Similarity {
       .select("vec_id", "neighbor_id")
   }
 
+  val IvfClusters = 16
+
+  /** IVF-style approximate nearest neighbor: a deterministic coarse
+    * quantizer (the first `IvfClusters` corpus vectors serve as fixed
+    * centroids — reproducible in SQL, unlike iterative k-means) assigns
+    * every vector to its nearest centroid's posting list; search runs only
+    * within the list. At scale the assignment is a broadcast map-side pass
+    * and each posting list is a partition-local search — the standard IVF
+    * trade of recall for candidate count.
+    *
+    * Output (vec_id, cluster_id, neighbor_id): top-1 neighbor within the
+    * vector's posting list (vectors alone in their list are absent).
+    */
+  def ivfTopNeighbor(embeddings: DataFrame): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // nearest centroid per vector: max cosine, centroid id as tie-break
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("csim", cos("embedding", "c_emb"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"))
+      .persist() // reused by both sides of the posting-list join
+    val l = assigned.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
+    val r = assigned.select(col("cluster_id"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("r_emb"))
+    val pairs = l.join(r, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos("l_emb", "r_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("vec_id", "cluster_id", "neighbor_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket pairs (a < b) with
     * cosine above `threshold`. Run over a corpus unioned with exactly-scaled
     * copies (scale-by-2 preserves direction and sign buckets, and doubling is

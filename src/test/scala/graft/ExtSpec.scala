@@ -90,6 +90,18 @@ class ExtSpec extends SparkSpec {
     assert(out.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("IVF: every vector assigned to exactly one posting list; centroids own themselves") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val out = Similarity.ivfTopNeighbor(e)
+    // one row per vector that shares a posting list with another vector
+    assert(out.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // a centroid's nearest centroid is itself (cos = 1), so cluster_id == vec_id
+    val own = out.filter(col("vec_id") < Similarity.IvfClusters)
+      .filter(col("vec_id") =!= col("cluster_id")).count()
+    assert(own == 0)
+  }
+
   test("embedding near-dup finds every scaled copy pair") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)
