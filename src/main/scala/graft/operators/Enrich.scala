@@ -34,6 +34,18 @@ object Enrich {
         col("value").as("last_value"))
   }
 
+  /** A1, streaming-safe form: `max_by` over a (ts, event_id) ordering struct
+    * — a plain aggregation, legal in streaming Update mode (the ranking-
+    * window form above is batch-only). Batch-equivalence is tested.
+    */
+  def latestUserStreaming(events: DataFrame): DataFrame =
+    Ingest.filterByEventType(events, "signup")
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("ts").as("last_update_ts"), col("value").as("last_value")),
+          struct(col("ts"), col("event_id"))).as("u"))
+      .select(col("user_id"), col("u.last_update_ts"), col("u.last_value"))
+
   /** J1 — stream enrichment: each event joins the latest user record for its
     * key plus the static user dimension (role analog = c_mktsegment). Inner
     * join drops events with no user record, exactly the reference's KStream ⋈

@@ -33,6 +33,13 @@ object Stats {
     perType.unionByName(overall)
   }
 
+  /** A2, streaming-safe form: a single aggregation (streaming queries cannot
+    * union two aggregations); the OVERALL row is derived downstream (it is
+    * the max over the per-type rows, see `lastSeen`).
+    */
+  def lastSeenPerType(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type").agg(max("ts").as("last_seen"))
+
   /** A2 (map shape) — event_type -> last-seen epoch-micros map per user,
     * the literal reference state-store layout. Map column ordering is
     * engine-dependent, so this shape is test-only (oracle uses the flat

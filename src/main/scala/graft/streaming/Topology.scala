@@ -52,7 +52,8 @@ object Topology {
     val wm = withOptionalWatermark(main, watermark)
     Map(
       "store_anonymous_events" -> Ingest.anonymousBranch(events),
-      "store_user_last_seen" -> Stats.lastSeen(main),
+      "store_user_data" -> Enrich.latestUserStreaming(main),
+      "store_user_last_seen" -> Stats.lastSeenPerType(main),
       "store_log_event_counts" -> Stats.eventTypeCounts(main),
       "store_daily_log_events" -> Stats.dailyRoleCounts(wm, userDim),
       "store_user_streaks" -> Streaks.sessions(wm),
@@ -65,10 +66,16 @@ object Topology {
     */
   def startMemorySink(df: DataFrame, name: String,
                       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val analyzed = df.queryExecution.analyzed
+    val hasAgg = analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+    // session-window aggregations only support Append (sessions emit once,
+    // when the watermark closes them); other aggregations run Update (the
+    // reference's changelog semantics); stateless plans run Append
+    val isSessionWindow = analyzed.toString.contains("session_window")
     val mode =
-      if (df.isStreaming && df.queryExecution.analyzed.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      }.isDefined) OutputMode.Update()
+      if (df.isStreaming && hasAgg && !isSessionWindow) OutputMode.Update()
       else OutputMode.Append()
     df.writeStream
       .outputMode(mode)
