@@ -107,6 +107,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+    "ext_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
 
     // ---- ext: similarity search ----
     "ann_brute_topk" -> ((s, d) =>
@@ -434,6 +436,14 @@ object SparkEntry {
          |SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimHashBits}),
          |  i -> CASE WHEN votes[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
          |FROM v ORDER BY doc_id""".stripMargin,
+    "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
+         |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+         |         UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM cand),
+         |reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edge) base
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

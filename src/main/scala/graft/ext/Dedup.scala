@@ -130,6 +130,46 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "n_common", "n_union", "jaccard_pct")
   }
 
+  /** Near-dup clustering: connected components over the LSH candidate-pair
+    * graph, each doc labeled with its component's minimum doc_id (the
+    * canonical survivor — the "keep list" a dedup pipeline actually needs).
+    *
+    * Implementation is iterative min-label propagation to a fixpoint; the
+    * driver loop is control flow only (each iteration is one distributed
+    * join+agg), and iteration count is bounded by component diameter —
+    * near-dup clusters are shallow, so this converges in a few rounds even
+    * at 100 TB. Output covers docs that appear in at least one pair.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(documents).persist()
+    val edges = pairs
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .unionByName(pairs.select(col("doc_id_b").as("a"), col("doc_id_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   // ---- SimHash ----
 
   val SimHashBits = 32

@@ -44,6 +44,20 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("jaccard_pct") == 100L))
   }
 
+  test("dedup clustering: transitive chain collapses to one canonical id") {
+    // a ~ b (drop 1 token) ~ c (drop 2 tokens): LSH links the chain even if
+    // a ~ c alone were below a band match; all three must share canonical a
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, text),
+      (11L, text.split(" ").drop(1).mkString(" ")),
+      (12L, text.split(" ").drop(2).mkString(" ")),
+      (99L, (1 to 30).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(docs).as[(Long, Long)].collect().toMap
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(!got.contains(99L)) // no pairs -> not in the cluster output
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
