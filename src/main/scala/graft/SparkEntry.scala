@@ -56,6 +56,7 @@ object SparkEntry {
       Enrich.enriched(ev(s, d), cust(s, d))
         .select("event_id", "user_id", "event_type", "ts", "value", "user_role", "user_nation")
         .orderBy("event_id")),
+    "j3_asof" -> ((s, d) => Enrich.asOfJoin(ev(s, d)).orderBy("event_id")),
     "a2_last_seen" -> ((s, d) => Stats.lastSeen(ev(s, d)).orderBy("user_id", "event_type")),
     "a3_event_counts" -> ((s, d) => Stats.eventTypeCounts(ev(s, d)).orderBy("event_type")),
     "a4_daily_role_counts" -> ((s, d) =>
@@ -240,6 +241,13 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
         |  c.c_mktsegment AS user_role, c.c_nationkey AS user_nation
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "j3_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, u.value AS asof_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts AS uts, value FROM events
+        |                WHERE event_type = 'signup') u
+        |  ON e.user_id = u.user_id AND e.ts >= u.uts
         |ORDER BY e.event_id""".stripMargin,
     "a2_last_seen" ->
       """SELECT user_id, event_type, max(ts) AS last_seen FROM events GROUP BY 1, 2

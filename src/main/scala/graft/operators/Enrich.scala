@@ -59,6 +59,32 @@ object Enrich {
         col("c_nationkey").as("user_nation"))),
       Seq("user_id"), "inner")
 
+  /** As-of join (added surface — an operator Spark has no native form of):
+    * each event picks up the value of the latest `signup` update with
+    * update_ts <= event_ts for its key. Composed from built-ins (preference
+    * (a) in the custom-operator ladder): union the event and update streams,
+    * sort per key by (time, side) — updates first on ties, giving <=
+    * semantics — and carry the last non-null update value forward with an
+    * ignore-nulls `last` window. One shuffle on the key, no custom plan
+    * node; at scale this is the standard union-scan formulation whose cost
+    * is a single sort-within-partitions of events+updates.
+    */
+  def asOfJoin(events: DataFrame): DataFrame = {
+    val updates = Ingest.filterByEventType(events, "signup")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("value").as("upd_value"))
+    val facts = events
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("double").as("upd_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    facts.unionByName(updates)
+      .withColumn("asof_value", last(col("upd_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
+  }
+
   /** J2 — dimension lookup join replacing the reference's per-record HTTP
     * lookup (AugmentedQuestionDetailMapper.java:100-134): left join so a
     * missing question yields default metadata (part count 0 → incomplete),

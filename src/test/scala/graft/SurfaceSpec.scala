@@ -84,6 +84,36 @@ class SurfaceSpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("as-of join picks latest update at-or-before event time, null before first") {
+    val e = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),           // before any signup
+      ev(2, "2024-01-02 00:00:00", 1, "signup", v = 10.0), // update (value 10)
+      ev(3, "2024-01-03 00:00:00", 1, "click"),            // sees 10
+      ev(4, "2024-01-04 00:00:00", 1, "signup", v = 20.0),
+      ev(5, "2024-01-04 00:00:00", 1, "click"),            // same ts -> sees 20 (<=)
+      ev(6, "2024-01-05 00:00:00", 1, "click")).toDF()     // sees 20
+    val got = Enrich.asOfJoin(e).orderBy("event_id")
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(
+      1L -> None, 2L -> Some(10.0), 3L -> Some(10.0),
+      4L -> Some(20.0), 5L -> Some(20.0), 6L -> Some(20.0)))
+  }
+
+  test("salted join equals plain join; salted count equals plain count") {
+    val facts = Seq((1L, "x1"), (1L, "x2"), (1L, "x3"), (2L, "y")).toDF("k", "payload")
+    val dim = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "attr")
+    val plain = facts.join(dim, "k").select("k", "payload", "attr")
+      .as[(Long, String, String)].collect().toSet
+    val salted = Skew.saltedJoin(facts, dim, "k", "payload", 4)
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    val plainCount = facts.groupBy("k").count().as[(Long, Long)].collect().toSet
+    val saltedCount = Skew.saltedCount(facts, "k", "payload", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(saltedCount == plainCount)
+  }
+
   test("streaming mapGroupsWithState streak fold emits changelog updates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TestEv]
