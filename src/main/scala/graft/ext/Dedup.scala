@@ -146,8 +146,9 @@ object Dedup {
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
       .unionByName(pairs.select(col("doc_id_b").as("a"), col("doc_id_a").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
+    // init fuses the first propagation round: label = min(self, neighbors)
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("lbl")).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -167,7 +168,14 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+    // truncate the iteration-deep lineage and release the working sets
+    val result = labels
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    pairs.unpersist()
+    result
   }
 
   // ---- SimHash ----
