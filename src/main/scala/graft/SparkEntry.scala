@@ -96,6 +96,9 @@ object SparkEntry {
     "ext_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
     "ext_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "ext_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+    "ext_source_stats" -> ((s, d) => TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
+    "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
+    "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -395,6 +398,32 @@ object SparkEntry {
          |    AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "ext_lang_id" -> langIdSql,
+    "ext_source_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "ext_token_classes" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_runs,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+        |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_symbols,
+        |  len(regexp_extract_all(lower(text), '[a-z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT)) END AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "ext_fingerprint" ->
       s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id,

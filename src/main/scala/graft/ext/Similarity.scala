@@ -136,7 +136,23 @@ object Similarity {
       .select("vec_id_a", "vec_id_b")
   }
 
-  /** The scaled-copy corpus for near-dup exercises (ids offset by 1e6). */
+  /** Int8-style embedding quantization (the storage-compression step of a
+    * large ANN index): per-vector scale = 127 / max|x|, elements quantized
+    * with floor (floor, not round — identical semantics on both engines).
+    * Output is integer summary columns so the oracle compares exactly.
+    */
+  def quantizeStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("maxabs", expr(
+        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(double(x))))"))
+      .withColumn("q", expr(
+        "CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> 0L) " +
+          "ELSE transform(embedding, x -> cast(floor(double(x) * 127.0 / maxabs) as long)) END"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(q, 0L, (s, v) -> s + v)").as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
   def withScaledCopies(embeddings: DataFrame, idOffset: Long = 1000000L): DataFrame =
     embeddings.select(col("vec_id"), col("embedding")).unionByName(
       embeddings.select(

@@ -104,6 +104,30 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Per-source corpus rollup (SURVEY §7.6 "per-source aggregates"):
+    * volume, length and language mix per ingestion source.
+    */
+  def sourceStats(documents: DataFrame): DataFrame =
+    documents.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"),
+      countDistinct("lang").as("n_langs"))
+
+  /** BPE-ish token classes: counts of alpha runs, digit runs, and single
+    * non-alphanumeric symbols — the regex-class pre-tokenization a BPE
+    * tokenizer applies before merges. Integer outputs on both engines.
+    */
+  def tokenClasses(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_alpha_runs"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_digit_runs"),
+      size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long").as("n_symbols"))
+      .withColumn("n_bpe_tokens",
+        col("n_alpha_runs") + col("n_digit_runs") + col("n_symbols"))
+
   /** Document fingerprint: min/max 60-bit shingle hashes (min-sampling /
     * winnowing-style). Two docs share a fingerprint iff they share extremal
     * shingles — a cheap pre-dedup signal.

@@ -138,6 +138,27 @@ class ExtSpec extends SparkSpec {
     assert(!out(2).getAs[Boolean]("is_quality")) // no stopwords + long tokens
   }
 
+  test("source stats partition the corpus; token classes are consistent") {
+    val docs = Tables.documents(spark, sfDir)
+    val s = TextAnalysis.sourceStats(docs)
+    assert(s.agg(sum("n_docs")).as[Long].head() == docs.count())
+    val tc = TextAnalysis.tokenClasses(
+      Seq((1L, "abc 123 x! y?")).toDF("doc_id", "text")).collect().head
+    assert(tc.getAs[Long]("n_alpha_runs") == 3L) // abc, x, y
+    assert(tc.getAs[Long]("n_digit_runs") == 1L)
+    assert(tc.getAs[Long]("n_symbols") == 2L)
+    assert(tc.getAs[Long]("n_bpe_tokens") == 6L)
+  }
+
+  test("quantization: q values bounded by [-128, 127], max-magnitude element hits 127 or -128") {
+    val e = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeStats(e).orderBy("vec_id").collect()
+    assert(out(0).getAs[Long]("q_min") >= -128 && out(0).getAs[Long]("q_max") <= 127)
+    assert(out(0).getAs[Long]("q_min") == -127L) // floor(-1.0 * 127 / 1.0)
+    assert(out(1).getAs[Long]("q_sum") == 0L)    // zero vector guard
+  }
+
   test("lang id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(Tables.documents(spark, sfDir))
     assert(out.count() == 500)
