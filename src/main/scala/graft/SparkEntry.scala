@@ -62,6 +62,10 @@ object SparkEntry {
     "a4_daily_role_counts" -> ((s, d) =>
       Stats.dailyRoleCounts(ev(s, d), cust(s, d)).orderBy("day", "user_role", "event_type")),
     "a5_streaks" -> ((s, d) => Streaks.sessions(ev(s, d)).orderBy("user_id", "streak_start")),
+    // the reference's literal constants: 8-second gap, length in sec/7
+    // (DerivedStreams.java:92-94,111-113 — SURVEY §7.5.5)
+    "a5_streaks_ref8s" -> ((s, d) =>
+      Streaks.sessions(ev(s, d), gap = "8 seconds").orderBy("user_id", "streak_start")),
     "a6_part_rollup" -> ((s, d) =>
       Questions.partRollup(ev(s, d)).orderBy("user_id", "q_page", "q_part")),
     "a6_completion" -> ((s, d) =>
@@ -268,6 +272,19 @@ object SparkEntry {
       """WITH d AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS streak_start, max(ts) AS streak_end,
+        |  count(*) AS n_events,
+        |  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000) // 7 AS streak_units
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, streak_start""".stripMargin,
+    "a5_streaks_ref8s" ->
+      """WITH d AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 8000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (SELECT user_id, ts,

@@ -11,6 +11,26 @@ import graft.functions.CosineSimilarity
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("degenerate docs flow through every text operator without errors") {
+    val docs = Seq(
+      (1L, ""),                 // empty
+      (2L, "solo"),             // one token (< 3 -> whole-text shingle)
+      (3L, "two tokens"),
+      (4L, "   padded   spacing   here   ")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(TextAnalysis.stats(docs).count() == 4)
+    assert(TextAnalysis.fingerprints(docs).count() == 4)
+    assert(Dedup.simhash(docs).count() == 4)
+    assert(Dedup.exact(docs).count() == 4)
+    assert(Dedup.minhashSignature(docs).count() == 4)
+    assert(TextAnalysis.tokenClasses(docs).count() == 4)
+    // shingle fallback: < 3 tokens -> exactly one shingle (the full text)
+    val sh = Dedup.shingleHashes(docs).filter(col("doc_id") === 2L)
+      .select(size(col("sh"))).as[Int].head()
+    assert(sh == 1)
+  }
+
   test("exact dedup flags identical normalized text") {
     val docs = Seq(
       (1L, "Hello  World"),
