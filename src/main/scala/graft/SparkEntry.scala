@@ -80,6 +80,8 @@ object SparkEntry {
     "a7_crossings" -> ((s, d) =>
       Achievements.crossings(ev(s, d)).orderBy("user_id", "threshold")),
 
+    "a7_notifications" -> ((s, d) =>
+      Achievements.notifications(ev(s, d)).orderBy("user_id", "threshold")),
     "a7_typed_counter" -> ((s, d) =>
       Achievements.typedAnswerCounts(s, ev(s, d)).orderBy("user_id")),
 
@@ -335,6 +337,15 @@ object SparkEntry {
          |ORDER BY user_id""".stripMargin,
     "a7_crossings" ->
       s"""SELECT a.user_id, CAST(t.threshold AS BIGINT) AS threshold, a.latest_attempt
+         |FROM (SELECT user_id, count(*) AS cnt, max(ts) AS latest_attempt
+         |      FROM events WHERE event_type = 'click' AND value > 50 GROUP BY 1) a
+         |JOIN (VALUES ${Achievements.Thresholds.map(t => s"($t)").mkString(", ")}) t(threshold)
+         |  ON a.cnt >= t.threshold
+         |ORDER BY user_id, threshold""".stripMargin,
+    "a7_notifications" ->
+      s"""SELECT a.user_id, CAST(t.threshold AS BIGINT) AS threshold,
+         |  'Achievement unlocked: ' || t.threshold || ' questions answered correctly' AS notification,
+         |  a.latest_attempt
          |FROM (SELECT user_id, count(*) AS cnt, max(ts) AS latest_attempt
          |      FROM events WHERE event_type = 'click' AND value > 50 GROUP BY 1) a
          |JOIN (VALUES ${Achievements.Thresholds.map(t => s"($t)").mkString(", ")}) t(threshold)

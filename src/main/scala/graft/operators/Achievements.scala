@@ -71,6 +71,17 @@ object Achievements {
       .select("user_id", "threshold", "latest_attempt")
   }
 
+  /** USER_NOTIFICATIONS_STREAM — the final stage of the reference's declared
+    * stream graph (config.properties:10-14), never wired in its topology:
+    * one user-facing notification per crossed threshold.
+    */
+  def notifications(events: DataFrame): DataFrame =
+    crossings(events)
+      .withColumn("notification",
+        concat(lit("Achievement unlocked: "), col("threshold"),
+          lit(" questions answered correctly")))
+      .select("user_id", "threshold", "notification", "latest_attempt")
+
   /** S6 — micro-batch sink in the reference's Processor shape; parquet
     * stands in for the JDBC upsert target.
     */
