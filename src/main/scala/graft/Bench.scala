@@ -27,14 +27,18 @@ object Bench {
       Seq("a3_event_counts", "q1_pricing", "ext_fingerprint", "ann_brute_topk",
         "ext_frame_sample", "ext_dedup_minhash").foreach { n =>
         SparkEntry.queries.get(n).foreach { f =>
-          try f(spark, warmDir).count() catch { case _: Throwable => () }
+          try f(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
         }
       }
     }
 
+    // noop sink, not count(): count() lets Catalyst prune projection-only
+    // work, so narrow queries would be timed as bare scans
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       finally spark.catalog.clearCache() // release per-query persists
       name -> (System.nanoTime() - t0) / 1e9
     }

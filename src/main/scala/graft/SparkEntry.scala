@@ -95,6 +95,12 @@ object SparkEntry {
       Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
     "q1_pricing" -> ((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d)).orderBy("l_returnflag", "l_linestatus")),
+    // same query through the spark.sql surface (SQL-dialect parity: this
+    // exact string runs on both engines)
+    "q1_sql" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(oracleSql("q1_sql"))
+    }),
     "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
     "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d).orderBy("n_name")),
 
@@ -154,8 +160,8 @@ object SparkEntry {
   /** attempts view, matching Ingest.questionAttempts */
   private val ATTEMPTS =
     """SELECT user_id, ts, value, event_id,
-      |  CAST(props->>'$.k' AS BIGINT) // 10 AS q_page,
-      |  CAST(props->>'$.k' AS BIGINT) % 10 AS q_part,
+      |  coalesce(TRY_CAST(props->>'$.k' AS BIGINT), 0) // 10 AS q_page,
+      |  coalesce(TRY_CAST(props->>'$.k' AS BIGINT), 0) % 10 AS q_part,
       |  value > 50 AS correct
       |FROM events WHERE event_type = 'click'""".stripMargin
 
@@ -233,7 +239,7 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, value FROM events
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "p6_composite_key" ->
-      """WITH a AS (SELECT user_id::VARCHAR || '-' || (CAST(props->>'$.k' AS BIGINT) // 10)::VARCHAR AS composite_key
+      """WITH a AS (SELECT user_id::VARCHAR || '-' || (coalesce(TRY_CAST(props->>'$.k' AS BIGINT), 0) // 10)::VARCHAR AS composite_key
         |  FROM events WHERE event_type = 'click')
         |SELECT composite_key,
         |  CAST(split_part(composite_key, '-', 1) AS BIGINT) AS user_id_back,
@@ -392,6 +398,13 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${moneySumSql("l_quantity")} AS sum_qty,
          |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_sql" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
          |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -19,6 +19,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      System.err.println(s"[verify] start $name")
       try {
         val out = fn(spark, sfDir)
         // Emit timestamps as NTZ so the parquet physical type matches what
@@ -32,7 +34,10 @@ object Verify {
         norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // release per-query persists
+      } finally {
+        spark.catalog.clearCache() // release per-query persists
+        System.err.println(f"[verify] done $name in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

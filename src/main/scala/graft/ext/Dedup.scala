@@ -52,23 +52,49 @@ object Dedup {
   def permA(i: Int): Long = ((i + 1).toLong * 1299709L) % MinhashP
   def permB(i: Int): Long = i.toLong * 104729L
 
-  /** Shared base for the MinHash pipeline: shingles + their 60-bit base
-    * hashes, computed ONCE per doc (single md5 pass; the 16 permutations are
-    * arithmetic on top). Narrow, codegen'd, no explode.
+  /** Registers the native hash kernels (functions.HashExpressions) on the
+    * frame's session; idempotent.
+    */
+  private def registerKernels(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val reg = df.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash32",
+      (e: Seq[Expression]) => graft.functions.SimHash32(e.head, SimHashBits), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (e: Seq[Expression]) => graft.functions.MinHashSig(
+        e.head, (0 until NumPerms).map(permA), (0 until NumPerms).map(permB), MinhashP),
+      "built-in")
+  }
+
+  /** Shared base for the MinHash pipeline: per-doc shingle arrays (one
+    * tokenization pass, materialized column — see shinglesFromTokens).
     */
   def shingleHashes(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
       .select(col("doc_id"), col("sh"))
-      .withColumn("ph", expr(
-        "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))"))
 
-  private def signatureFrom(base: DataFrame): DataFrame =
-    (0 until NumPerms).foldLeft(base) { (df, i) =>
+  /** Signature via the native one-pass kernel (md5 once per shingle, all
+    * permutations folded in a JVM loop). The HOF formulation is kept as
+    * `signatureFromHof` for differential testing.
+    */
+  private def signatureFrom(base: DataFrame): DataFrame = {
+    registerKernels(base)
+    val withSig = base.withColumn("mhsig", expr("minhash_sig(sh)"))
+    (0 until NumPerms).foldLeft(withSig) { (df, i) =>
+      df.withColumn(s"mh_$i", element_at(col("mhsig"), i + 1))
+    }.drop("mhsig")
+  }
+
+  private[graft] def signatureFromHof(base: DataFrame): DataFrame = {
+    val withPh = base.withColumn("ph", expr(
+      "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))"))
+    (0 until NumPerms).foldLeft(withPh) { (df, i) =>
       df.withColumn(s"mh_$i", array_min(expr(
         s"transform(ph, h -> (${permA(i)}L * (h % ${MinhashP}L) + ${permB(i)}L) % ${MinhashP}L)")))
-    }
+    }.drop("ph")
+  }
 
   def minhashSignature(documents: DataFrame): DataFrame =
     signatureFrom(shingleHashes(documents)).drop("sh", "ph")
@@ -183,22 +209,42 @@ object Dedup {
   val SimHashBits = 32
 
   /** 32-bit SimHash over tokens: per-bit ±1 votes from each token's 32-bit
-    * hash, sign-aggregated. Pure higher-order functions — narrow, codegen'd.
+    * hash, sign-aggregated.
+    *
+    * Shape matters here: ONE `aggregate` whose input array computes each
+    * token hash exactly once per row, folding all 32 bit-counters together.
+    * The per-bit-outer formulation (transform over bits, aggregate inside)
+    * invites projection collapse to inline the hash array into the bit
+    * lambda — recomputing md5 BITS× per token, which turned this operator
+    * into minutes at sf0.1.
     */
-  def simhash(documents: DataFrame): DataFrame =
+  def simhash(documents: DataFrame): DataFrame = {
+    registerKernels(documents)
     documents
       .select(col("doc_id"), col("text"))
       .withColumn("tok", TextAnalysis.tokens(col("text")))
-      .withColumn("th", expr(
-        "transform(tok, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as long))"))
-      .withColumn("votes", expr(
-        s"""transform(sequence(0, ${SimHashBits - 1}),
-           |  i -> aggregate(th, 0L, (acc, h) ->
-           |    acc + CASE WHEN (h div shiftleft(1L, i)) % 2 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("simhash", expr("simhash32(tok)"))
+      .select("doc_id", "simhash")
+  }
+
+  /** HOF formulation of the same simhash (kept for differential testing —
+    * note the single-aggregate shape whose input computes each token hash
+    * once; a per-bit-outer shape invites projection collapse to re-inline
+    * the hashes BITS× per token).
+    */
+  private[graft] def simhashHof(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("tok", TextAnalysis.tokens(col("text")))
       .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${SimHashBits - 1}), 0L,
-           |  (acc, i) -> acc + CASE WHEN element_at(votes, i + 1) > 0
-           |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+        s"""aggregate(
+           |  transform(tok, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as long)),
+           |  array_repeat(0L, $SimHashBits),
+           |  (acc, h) -> zip_with(acc, sequence(0, ${SimHashBits - 1}),
+           |    (a, i) -> a + CASE WHEN (h div shiftleft(1L, i)) % 2 = 1 THEN 1L ELSE -1L END),
+           |  acc -> aggregate(zip_with(acc, sequence(0, ${SimHashBits - 1}),
+           |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+           |    0L, (s, x) -> s + x))""".stripMargin))
       .select("doc_id", "simhash")
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native one-pass hash kernels for the dedup pipeline.
+  *
+  * The HOF formulations (transform/aggregate lambdas) are interpreted
+  * per-element; these expressions make ONE call per row and run a tight JVM
+  * loop, computing exactly the same md5-derived math the DuckDB oracle
+  * reproduces (see Exact.md5Hash60). CodegenFallback costs one virtual call
+  * per row — negligible next to the per-element md5 work.
+  */
+object HashKernels {
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): Array[Char] = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  private def hexPrefixToLong(hex: Array[Char], n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val c = hex(i)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10).toLong
+      i += 1
+    }
+    v
+  }
+
+  /** == Exact.md5Hash60: first 15 md5 hex chars as a long. */
+  def md5Hash60(s: String): Long = hexPrefixToLong(md5Hex(s), 15)
+
+  /** == Exact.md5Hash32: first 8 md5 hex chars as a long. */
+  def md5Hash32(s: String): Long = hexPrefixToLong(md5Hex(s), 8)
+
+  /** 32-bit simhash over a token array (identical math to the HOF form). */
+  def simhash32(tokens: Array[String], bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    var t = 0
+    while (t < tokens.length) {
+      val h = md5Hash32(tokens(t))
+      var i = 0
+      while (i < bits) {
+        votes(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: per permutation i, min over shingles of
+    * (a_i * (md5Hash60(s) mod p) + b_i) mod p.
+    */
+  def minhashSignature(shingles: Array[String], as: Array[Long], bs: Array[Long],
+                       p: Long): Array[Long] = {
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h = md5Hash60(shingles(s)) % p
+      var i = 0
+      while (i < as.length) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    mins
+  }
+}
+
+/** simhash32(array<string>) -> long */
+case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tokens = new Array[String](arr.numElements())
+    var i = 0
+    while (i < tokens.length) {
+      tokens(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    HashKernels.simhash32(tokens, bits)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_sig(array<string>) -> array<long> (one element per permutation) */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.catalogString}")
+  }
+  private lazy val aArr = as.toArray
+  private lazy val bArr = bs.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val shingles = new Array[String](arr.numElements())
+    var i = 0
+    while (i < shingles.length) {
+      shingles(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(HashKernels.minhashSignature(shingles, aArr, bArr, p))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashExpressions {
+  /** Register SQL forms (fixed engine parameters). */
+  def register(spark: SparkSession, numPerms: Int, bandSize: Int): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", (e: Seq[Expression]) => SimHash32(e.head, 32), "built-in")
+  }
+}

@@ -46,7 +46,9 @@ object Ingest {
   def withPropsK(events: DataFrame): DataFrame =
     events.withColumn(
       "k",
-      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      // try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW on
+      // a malformed value; .path() tolerance means null -> default instead
+      coalesce(expr("try_cast(get_json_object(props, '$.k') as long)"), lit(0L)))
 
   /** The question-attempt analog stream (FIXTURES.md §C): `click` events,
     * with `props.k` split into page/part the way the reference splits

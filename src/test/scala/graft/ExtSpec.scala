@@ -78,6 +78,17 @@ class ExtSpec extends SparkSpec {
     assert(!got.contains(99L)) // no pairs -> not in the cluster output
   }
 
+  test("native hash kernels match HOF formulations bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val a = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val b = Dedup.simhashHof(docs).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val base = Dedup.shingleHashes(docs)
+    val sigN = Dedup.minhashSignature(docs).orderBy("doc_id").collect()
+    val sigH = Dedup.signatureFromHof(base).drop("sh").orderBy("doc_id").collect()
+    assert(sigN.map(_.toSeq.toList).toList == sigH.map(_.toSeq.toList).toList)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

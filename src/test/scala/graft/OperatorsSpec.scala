@@ -39,6 +39,15 @@ class OperatorsSpec extends SparkSpec {
     assert(Ingest.withPropsK(e).select("k").as[Long].head() == 0L)
   }
 
+  test("props parsing tolerates malformed JSON and non-numeric k") {
+    val e = mkEvents(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "not json at all"),
+      (2L, "2024-01-01 00:00:01", 1L, "click", 1.0, """{"k": "abc"}"""),
+      (3L, "2024-01-01 00:00:02", 1L, "click", 1.0, null.asInstanceOf[String]))
+    val ks = Ingest.withPropsK(e).select("k").as[Long].collect().toSeq
+    assert(ks == Seq(0L, 0L, 0L)) // every failure mode coalesces to default
+  }
+
   test("A1 latest-user keeps the most recent signup per user with event_id tie-break") {
     val e = mkEvents(
       (1L, "2024-01-01 00:00:00", 7L, "signup", 10.0, "{}"),
