@@ -87,6 +87,10 @@ object SparkEntry {
 
     // ---- added analytic surface ----
     "set_ops_engaged" -> ((s, d) => Relational.engagedUsers(ev(s, d)).orderBy("user_id")),
+    "w3_rollup" -> ((s, d) =>
+      Stats.roleTypeRollup(ev(s, d), cust(s, d)).orderBy("user_role", "event_type")),
+    "j4_semi_anti" -> ((s, d) =>
+      Relational.customerEngagement(ev(s, d), cust(s, d)).orderBy("user_id", "status")),
     "w2_hopping" -> ((s, d) =>
       Stats.hoppingCounts(ev(s, d)).orderBy("win_start", "event_type")),
     "p10_scrub" -> ((s, d) =>
@@ -372,6 +376,20 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'error'
         |  GROUP BY user_id HAVING count(*) > 10)
         |ORDER BY user_id""".stripMargin,
+    "w3_rollup" ->
+      """SELECT coalesce(c.c_mktsegment, 'ALL') AS user_role,
+        |  coalesce(e.event_type, 'ALL') AS event_type, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY ROLLUP (c.c_mktsegment, e.event_type)
+        |ORDER BY user_role, event_type""".stripMargin,
+    "j4_semi_anti" ->
+      """SELECT c_custkey AS user_id, 'HAS_ERRORS' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM events e
+        |              WHERE e.user_id = c_custkey AND e.event_type = 'error')
+        |UNION ALL
+        |SELECT c_custkey AS user_id, 'INACTIVE' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c_custkey)
+        |ORDER BY user_id, status""".stripMargin,
     "w2_hopping" ->
       """WITH w AS (
         |  SELECT (epoch_us(ts) // 43200000000) * 43200000000 AS w0, event_type FROM events

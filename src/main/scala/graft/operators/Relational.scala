@@ -74,6 +74,20 @@ object Relational {
       .except(errorProne)
   }
 
+  /** Semi/anti join surface (absent in the reference — SURVEY §2.3; Spark
+    * provides them natively): customers WITH error events (semi) and
+    * customers with NO events at all (anti), tagged in one relation.
+    */
+  def customerEngagement(events: DataFrame, customer: DataFrame): DataFrame = {
+    val keys = customer.select(col("c_custkey").as("user_id"))
+    val withErrors = keys.join(
+      events.filter(col("event_type") === lit("error")), Seq("user_id"), "left_semi")
+      .withColumn("status", lit("HAS_ERRORS"))
+    val inactive = keys.join(events, Seq("user_id"), "left_anti")
+      .withColumn("status", lit("INACTIVE"))
+    withErrors.unionByName(inactive)
+  }
+
   /** P10 — null-scrub after a null-producing enrichment (the reference's
     * NullHandler, KafkaLoader.java:132-135): left join against a sparse
     * dimension, then coalesce string columns to "" via the scrub allow-list.

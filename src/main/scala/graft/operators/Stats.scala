@@ -86,6 +86,25 @@ object Stats {
       .agg(map_from_entries(collect_list(struct(col("user_role"), col("type_counts"))))
         .as("role_type_counts"))
 
+  /** ROLLUP totals (added surface — grouping sets are absent in the
+    * reference, SURVEY §2.4): per (role, type), per role, and grand total,
+    * with null grouping slots coalesced to 'ALL' so ordering is
+    * engine-agnostic (null sort order differs between engines).
+    */
+  def roleTypeRollup(events: DataFrame, customer: DataFrame): DataFrame = {
+    // via the SQL surface: resolving the coalesced grouping columns through
+    // the Dataset API trips the ambiguous-self-join detector on the
+    // rollup's Expand output; GROUP BY ROLLUP has no such problem
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("rollup_events_v")
+    customer.createOrReplaceTempView("rollup_customer_v")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS user_role,
+        |  coalesce(event_type, 'ALL') AS event_type, count(*) AS n
+        |FROM rollup_events_v e JOIN rollup_customer_v c ON e.user_id = c.c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, event_type)""".stripMargin)
+  }
+
   /** Hopping-window counts (added windowing surface; the reference only has
     * tumbling-day and session windows): 1-day windows sliding every 12h —
     * each event lands in exactly two windows.
