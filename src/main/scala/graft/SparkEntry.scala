@@ -95,6 +95,12 @@ object SparkEntry {
       Stats.hoppingCounts(ev(s, d)).orderBy("win_start", "event_type")),
     "p10_scrub" -> ((s, d) =>
       Relational.scrubbedSupplierEnrich(ev(s, d), Tables.supplier(s, d)).orderBy("event_id")),
+    "w4_inter_arrival" -> ((s, d) => Stats.interArrival(ev(s, d)).orderBy("event_id")),
+    // correlated scalar subquery via the SQL surface (same string, both engines)
+    "q6_corr_sub" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(oracleSql("q6_corr_sub"))
+    }),
     "w1_top_spenders" -> ((s, d) =>
       Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
     "q1_pricing" -> ((s, d) =>
@@ -402,6 +408,16 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, coalesce(s.s_name, '') AS supplier_name
         |FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
         |ORDER BY e.event_id""".stripMargin,
+    "w4_inter_arrival" ->
+      """SELECT event_id, user_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q6_corr_sub" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "w1_top_spenders" ->
       s"""WITH s AS (
          |  SELECT c.c_mktsegment AS user_role, e.user_id,

@@ -116,6 +116,17 @@ object Stats {
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"))
 
+  /** Analytic lag window (added surface): per event, microseconds since the
+    * user's previous event — the inter-arrival deltas the streak operator
+    * summarizes, exposed row-level. Exact integer output.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("delta_us"))
+  }
+
   /** Added analytic surface (reference has none — SURVEY §2.6): top-k per
     * group via ranking window. Top spenders per market segment by exact
     * purchase total.
