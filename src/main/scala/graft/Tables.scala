@@ -16,9 +16,17 @@ object Tables {
     * not read natively: read it as a long and convert. The generated data is
     * microsecond-precision (ns remainder is always 0), so `div 1000` is an
     * exact conversion, matching what DuckDB sees.
+    *
+    * Reading TIMESTAMP(NANOS) requires the SESSION-WIDE flag
+    * `spark.sql.legacy.parquet.nanosAsLong` (it has no per-read option). All
+    * graft entry points (Verify/Bench/Explain/tests) set it at session build;
+    * for externally-built sessions this loader sets it once if absent — an
+    * intentional, documented global effect: any other TIMESTAMP(NANOS)
+    * parquet column in the session will also read as long.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

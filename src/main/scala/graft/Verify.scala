@@ -14,6 +14,8 @@ object Verify {
       // micros (not INT96) so the driver's parquet readers see the same
       // timestamp physical type DuckDB produces for the oracle results
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet is TIMESTAMP(NANOS); session-wide (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,19 +52,12 @@ object Dedup {
   def permA(i: Int): Long = ((i + 1).toLong * 1299709L) % MinhashP
   def permB(i: Int): Long = i.toLong * 104729L
 
-  /** Registers the native hash kernels (functions.HashExpressions) on the
-    * frame's session; idempotent.
+  /** Registers the native hash kernels with this engine's parameters;
+    * idempotent (see functions.HashExpressions.register).
     */
-  private def registerKernels(df: DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    val reg = df.sparkSession.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash32",
-      (e: Seq[Expression]) => graft.functions.SimHash32(e.head, SimHashBits), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      (e: Seq[Expression]) => graft.functions.MinHashSig(
-        e.head, (0 until NumPerms).map(permA), (0 until NumPerms).map(permB), MinhashP),
-      "built-in")
-  }
+  private def registerKernels(df: DataFrame): Unit =
+    graft.functions.HashExpressions.register(
+      df.sparkSession, SimHashBits, NumPerms, permA, permB, MinhashP)
 
   /** Shared base for the MinHash pipeline: per-doc shingle arrays (one
     * tokenization pass, materialized column — see shinglesFromTokens).

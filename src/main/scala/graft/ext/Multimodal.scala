@@ -61,6 +61,11 @@ object Multimodal {
   /** Frame sampling stub: every `stride`-th "frame" of the payload (fixed
     * 64-byte frames), as (doc_id, frame_idx, frame_hash) — the shape a video
     * pipeline fans out to, kept fully deterministic.
+    *
+    * Frames are BYTE-indexed (media payloads have no character semantics).
+    * The DuckDB oracle slices characters, so the verification query restricts
+    * to payloads whose byte and char lengths agree (ASCII), where the two
+    * framings coincide exactly — see SparkEntry `ext_frame_sample`.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._

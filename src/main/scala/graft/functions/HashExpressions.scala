@@ -144,9 +144,27 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
 }
 
 object HashExpressions {
-  /** Register SQL forms (fixed engine parameters). */
-  def register(spark: SparkSession, numPerms: Int, bandSize: Int): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", (e: Seq[Expression]) => SimHash32(e.head, 32), "built-in")
+  /** Registers both SQL kernels — `simhash32(array<string>)` and
+    * `minhash_sig(array<string>)` — on the session. The permutation family
+    * for minhash_sig is derived from the supplied parameters; idempotent
+    * (skips names already registered, so repeat calls don't churn the
+    * registry or log replacement warnings). This is the single registration
+    * path; Dedup.registerKernels delegates here with the engine defaults.
+    */
+  def register(spark: SparkSession, simhashBits: Int, numPerms: Int,
+               permA: Int => Long, permB: Int => Long, p: Long): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def ifAbsent(name: String)(body: => Unit): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) body
+    ifAbsent("simhash32") {
+      reg.createOrReplaceTempFunction(
+        "simhash32", (e: Seq[Expression]) => SimHash32(e.head, simhashBits), "built-in")
+    }
+    ifAbsent("minhash_sig") {
+      reg.createOrReplaceTempFunction(
+        "minhash_sig", (e: Seq[Expression]) => MinHashSig(
+          e.head, (0 until numPerms).map(permA), (0 until numPerms).map(permB), p),
+        "built-in")
+    }
   }
 }

@@ -64,19 +64,33 @@ object Topology {
   /** Start one store as an in-memory Update-mode sink (smoke/test harness);
     * production would swap format("memory") for the real sink per store.
     */
-  def startMemorySink(df: DataFrame, name: String,
-                      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+  /** Output mode for a store: session-window aggregations only support
+    * Append (sessions emit once, when the watermark closes them); other
+    * aggregations run Update (the reference's changelog semantics);
+    * stateless plans run Append. Session windows are detected structurally —
+    * either the SessionWindow expression itself (pre-rewrite) or an attribute
+    * carrying the analyzer's session-window marker metadata (post-
+    * SessionWindowing rewrite) — never by plan-string matching, so a column
+    * merely *named* "session_window" cannot misroute the sink.
+    */
+  def outputModeFor(df: DataFrame): OutputMode = {
     val analyzed = df.queryExecution.analyzed
     val hasAgg = analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isDefined
-    // session-window aggregations only support Append (sessions emit once,
-    // when the watermark closes them); other aggregations run Update (the
-    // reference's changelog semantics); stateless plans run Append
-    val isSessionWindow = analyzed.toString.contains("session_window")
-    val mode =
-      if (df.isStreaming && hasAgg && !isSessionWindow) OutputMode.Update()
-      else OutputMode.Append()
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow}
+    val isSessionWindow = analyzed.exists(_.expressions.exists(_.exists {
+      case _: SessionWindow => true
+      case a: Attribute => a.metadata.contains(SessionWindow.marker)
+      case _ => false
+    }))
+    if (df.isStreaming && hasAgg && !isSessionWindow) OutputMode.Update()
+    else OutputMode.Append()
+  }
+
+  def startMemorySink(df: DataFrame, name: String,
+                      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val mode = outputModeFor(df)
     df.writeStream
       .outputMode(mode)
       .format("memory")

@@ -212,4 +212,19 @@ class ExtSpec extends SparkSpec {
       .select("frame_idx").as[Long].collect().toSet
     assert(out == Set(0L, 4L)) // ceil(300/64)=5 frames -> idx 0 and 4
   }
+
+  test("frame sampling is byte-indexed, not char-indexed, for multi-byte payloads") {
+    // 100 'é' (2 bytes each in UTF-8) = 200 bytes but 100 chars: byte framing
+    // gives ceil(200/64) = 4 frames (sampled idx 0), char framing would give
+    // ceil(100/64) = 2. Also check the frame hash is over the byte slice.
+    val docs = Seq((1L, "é" * 100)).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(spark, Multimodal.asMedia(docs), stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4)
+    val expected0 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(("é" * 100).getBytes("UTF-8").take(64)).map("%02x".format(_)).mkString
+    }
+    assert(out.head.getString(2) == expected0)
+  }
 }

@@ -54,6 +54,24 @@ class TopologySpec extends SparkSpec {
     assert(spark.table("store_anonymous_events").count() == batchAnon)
   }
 
+  test("output mode chosen structurally: session windows → Append, other aggs → Update") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$dir/events")
+    val src = Topology.fileSource(spark, s"$dir/events").withWatermark("ts", "1 minute")
+
+    // session-window aggregation → Append
+    assert(Topology.outputModeFor(Streaks.sessions(src)) == OutputMode.Append())
+    // plain aggregation → Update
+    assert(Topology.outputModeFor(Stats.eventTypeCounts(src)) == OutputMode.Update())
+    // stateless projection → Append
+    assert(Topology.outputModeFor(src.select("event_id")) == OutputMode.Append())
+    // a column merely NAMED session_window must not misroute to Append
+    // (the plan-string-sniffing failure mode this detection replaces)
+    val decoy = src.groupBy(col("event_type").as("session_window")).count()
+    assert(Topology.outputModeFor(decoy) == OutputMode.Update())
+  }
+
   test("streaming latestUser aggregation equals batch ranking form") {
     val e = Tables.events(spark, sfDir)
     val a = Enrich.latestUser(e)
