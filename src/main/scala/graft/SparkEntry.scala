@@ -145,8 +145,10 @@ object SparkEntry {
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
 
-    // ---- sources: batch replay pipelines (rows-only check: JSON envelope
-    // formatting is engine-specific, so no SQL oracle) ----
+    // ---- sources: batch replay pipelines. The JSON envelopes hash-match
+    // DuckDB's to_json(struct_pack(...)) byte-for-byte: compact rendering,
+    // struct-order keys, identical string escaping, and the value column is
+    // 2-decimal so double formatting cannot diverge ----
     "s3_event_replay" -> ((s, d) =>
       graft.sources.Loaders.eventReplay(ev(s, d), "2024-01-01", "2024-02-01")
         .orderBy("record_key", "record_value")),
@@ -607,6 +609,21 @@ object SparkEntry {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE ${cos64("l.embedding", "r.embedding")} > 0.95
          |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "s3_event_replay" ->
+      """SELECT user_id::VARCHAR AS record_key,
+        |  to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |    event_type := event_type, ts_us := epoch_us(ts),
+        |    value := value, props := props))::VARCHAR AS record_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |ORDER BY record_key, record_value""".stripMargin,
+    "s4_user_replay" ->
+      """SELECT c_custkey::VARCHAR AS record_key,
+        |  to_json(struct_pack(event_type := 'CREATE_UPDATE_USER',
+        |    event_details := struct_pack(user_id := c_custkey,
+        |      name := coalesce(c_name, ''), role := coalesce(c_mktsegment, ''),
+        |      nation := c_nationkey)))::VARCHAR AS record_value
+        |FROM customer ORDER BY record_key""".stripMargin,
     "ext_multimodal_meta" ->
       s"""SELECT doc_id,
          |  octet_length(encode(text)) AS n_bytes,
