@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -122,6 +122,12 @@ object SparkEntry {
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
 
+    // ---- ext: corpus curation ----
+    "ext_pii_scrub" -> ((s, d) =>
+      Curation.piiScrub(Curation.withPiiInjected(docs(s, d))).orderBy("doc_id")),
+    "ext_sample_strata" -> ((s, d) => Curation.sampleStrata(docs(s, d)).orderBy("doc_id")),
+    "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
+
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
     "ext_minhash_bands" -> ((s, d) =>
@@ -133,6 +139,9 @@ object SparkEntry {
       Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+    "ext_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
     "ext_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
 
@@ -141,6 +150,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    "ann_ivf_probe2" -> ((s, d) =>
+      Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
@@ -242,6 +253,19 @@ object SparkEntry {
       |SELECT vec_id + 1000000 AS vec_id,
       |  list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
       |FROM embeddings""".stripMargin
+
+  /** corpus -> (doc_id, simhash) CTE chain, matching Dedup.simhash */
+  private def simhashCtes(corpus: String): String =
+    s"""shn AS (SELECT doc_id, $NORM AS norm FROM ($corpus) shcorpus),
+       |sht AS (SELECT doc_id, list_transform(string_split(norm, ' '),
+       |        x -> ${h32("x")}) AS th FROM shn),
+       |shv AS (SELECT doc_id, list_transform(range(0, ${Dedup.SimHashBits}),
+       |        i -> list_sum(list_transform(th,
+       |          h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END))) AS votes
+       |      FROM sht),
+       |shsig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimHashBits}),
+       |  i -> CASE WHEN votes[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |  FROM shv)""".stripMargin
 
   private val thresholdCase =
     "CAST(CASE " + Achievements.Thresholds.reverse
@@ -545,16 +569,20 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = c.doc_id_b
          |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin,
     "ext_simhash" ->
-      s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents),
-         |t AS (SELECT doc_id, list_transform(string_split(norm, ' '),
-         |        x -> ${h32("x")}) AS th FROM n),
-         |v AS (SELECT doc_id, list_transform(range(0, ${Dedup.SimHashBits}),
-         |        i -> list_sum(list_transform(th,
-         |          h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END))) AS votes
-         |      FROM t)
-         |SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimHashBits}),
-         |  i -> CASE WHEN votes[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-         |FROM v ORDER BY doc_id""".stripMargin,
+      s"""WITH ${simhashCtes("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,
+    "ext_simhash_pairs" ->
+      s"""WITH ${simhashCtes(PERTURBED_CORPUS)},
+         |shbands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_byte FROM shsig")
+             .mkString("\n  UNION ALL ")}),
+         |shcand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM shbands a JOIN shbands b
+         |    ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM shcand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "ext_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
@@ -563,6 +591,40 @@ object SparkEntry {
          |          UNION
          |          SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "ext_pii_scrub" ->
+      """WITH pii AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |  FROM pii)
+        |SELECT doc_id, n_emails, n_phones, n_emails + n_phones AS n_redactions,
+        |  length(scrubbed) AS n_chars_scrubbed,
+        |  ('0x' || substr(md5(scrubbed), 1, 15))::BIGINT AS scrubbed_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "ext_sample_strata" ->
+      """SELECT doc_id, source, lang, bucket, rate, bucket < rate AS sampled
+        |FROM (SELECT doc_id, source, lang,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+        |        CAST(CASE WHEN lang = 'en' THEN 50 ELSE 10 END AS BIGINT) AS rate
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "ext_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 200 AS in_budget
+         |FROM c ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -599,6 +661,28 @@ object SparkEntry {
          |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id)
          |SELECT vec_id, cluster_id, neighbor_id
          |FROM (SELECT vec_id, cluster_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_ivf_probe2" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |ranked AS (SELECT vec_id, embedding, centroid_id AS cluster_id, crank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM scored)
+         |  WHERE crank <= 2),
+         |lists AS (SELECT cluster_id, vec_id AS neighbor_id, embedding AS r_emb
+         |  FROM ranked WHERE crank = 1),
+         |probes AS (SELECT cluster_id, vec_id, embedding AS l_emb FROM ranked),
+         |pairs AS (SELECT p.vec_id, l.neighbor_id,
+         |    ${cos64("p.l_emb", "l.r_emb")} AS sim
+         |  FROM probes p JOIN lists l
+         |    ON p.cluster_id = l.cluster_id AND p.vec_id != l.neighbor_id)
+         |SELECT vec_id, neighbor_id
+         |FROM (SELECT vec_id, neighbor_id,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** Corpus-curation operators for training-data pipelines: PII scrubbing,
+  * deterministic stratified sampling, and token-budget packing — the
+  * select/clean/cap stages that run between raw ingestion and tokenization
+  * at 100 TB scale.
+  *
+  * Scale design: PII scrub and sampling are narrow per-row passes (zero
+  * shuffles, fully codegen'd); token-budget packing is one window shuffle on
+  * the stratum key. Every output is integer/hash-valued so the DuckDB oracle
+  * matches bit-for-bit (no float ratios).
+  */
+object Curation {
+
+  /** The test corpus carries no natural PII, so scrub behavior is exercised
+    * against deterministic injection: every doc gains an email and a phone
+    * number derived from its doc_id (the oracle applies the same
+    * construction). The scrub operator itself is corpus-agnostic.
+    */
+  def withPiiInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"), col("source"), col("lang"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: emails → <EMAIL>, phone numbers → <PHONE>, with per-doc
+    * redaction counts and a content hash of the scrubbed text (the audit
+    * trail a compliance pipeline needs). Patterns stay in the regex subset
+    * shared by Java regex and RE2 so both engines agree exactly.
+    */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents
+      // Scala-DSL form, not expr(): SQL string literals would re-process the
+      // pattern's backslash escapes and silently change the regex
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        (col("n_emails") + col("n_phones")).as("n_redactions"),
+        length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+        Exact.md5Hash60(col("scrubbed")).as("scrubbed_hash"))
+
+  /** Deterministic stratified sampling: the sampling decision is a pure
+    * function of doc_id (md5-derived bucket in [0,100)), so the sample is
+    * reproducible across runs, engines, and cluster layouts — no RNG state,
+    * no per-partition seeds. Per-stratum rates: English docs at 50%, the
+    * rest at 10% (rates are the operator's parameters; these values prove
+    * the shape). At 100 TB this is a narrow scan — the filter pushes into
+    * the parquet read and no shuffle occurs.
+    */
+  def sampleStrata(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket", (Exact.md5Hash60(col("doc_id").cast("string")) % 100).cast("long"))
+      .withColumn("rate", when(col("lang") === "en", lit(50L)).otherwise(lit(10L)))
+      .select(
+        col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate"),
+        (col("bucket") < col("rate")).as("sampled"))
+
+  /** Token-budget packing: per source (the stratum), docs are admitted in
+    * doc_id order until the stratum's running token total exceeds the
+    * budget — the "cap each domain's contribution" step of corpus mixing.
+    * One window shuffle on the stratum key; per-stratum state is a running
+    * sum, so skewed strata cost memory O(1).
+    */
+  def tokenBudget(documents: DataFrame, budgetPerSource: Long = 200L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budgetPerSource).as("in_budget"))
+  }
+}

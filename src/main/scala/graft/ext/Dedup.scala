@@ -232,6 +232,39 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
+  /** SimHash near-dup candidate pairs: band the 32-bit simhash into 4 bytes;
+    * two docs are candidates if they share ANY band byte (pigeonhole: any
+    * pair within hamming distance 3 shares at least one exact byte), then
+    * verified by exact hamming distance bit_count(xor) <= maxHamming.
+    *
+    * Same scale shape as MinHash-LSH: candidate generation is one
+    * aggregation shuffle on (band, byte) with bucket-local pair emission —
+    * never O(n²) — and each pair carries both signatures out of the bucket,
+    * so no join back to the corpus is needed.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(documents) // (doc_id, simhash)
+    val SimBands = 4
+    val bandStructs = (0 until SimBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_byte"))
+    }
+    sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("band"))
+      .groupBy(col("band.band_idx"), col("band.band_byte"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    y -> named_struct('doc_id_a', x.doc_id, 'sim_a', x.simhash,
+          |                      'doc_id_b', y.doc_id, 'sim_b', y.simhash))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"),
+        expr("bit_count(p.sim_a ^ p.sim_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** HOF formulation of the same simhash (kept for differential testing —
     * note the single-aggregate shape whose input computes each token hash
     * once; a per-bit-outer shape invites projection collapse to re-inline

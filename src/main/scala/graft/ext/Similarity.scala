@@ -119,6 +119,35 @@ object Similarity {
       .select("vec_id", "cluster_id", "neighbor_id")
   }
 
+  /** Multi-probe IVF (nprobe > 1): each vector probes its `nprobe` nearest
+    * centroids' posting lists instead of only the nearest — the standard
+    * recall/cost knob of an IVF index (posting lists stay partitioned by
+    * cluster id; the probe side fans out nprobe× before the same
+    * cluster-keyed join, so cost scales linearly in nprobe, never N²).
+    * Output (vec_id, neighbor_id): top-1 across all probed lists.
+    */
+  def ivfTopNeighborProbed(embeddings: DataFrame, nprobe: Int = 2): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val ranked = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("csim", cos("embedding", "c_emb"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"), col("crank"))
+      .persist() // shared by the posting-list side (crank=1) and the probe side
+    val lists = ranked.filter(col("crank") === 1)
+      .select(col("cluster_id"), col("vec_id").as("neighbor_id"), col("embedding").as("r_emb"))
+    val probes = ranked.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
+    val pairs = probes.join(lists, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos("l_emb", "r_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("vec_id", "neighbor_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket pairs (a < b) with
     * cosine above `threshold`. Run over a corpus unioned with exactly-scaled
     * copies (scale-by-2 preserves direction and sign buckets, and doubling is

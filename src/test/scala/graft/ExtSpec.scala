@@ -213,6 +213,74 @@ class ExtSpec extends SparkSpec {
     assert(out == Set(0L, 4L)) // ceil(300/64)=5 frames -> idx 0 and 4
   }
 
+  test("pii scrub redacts every injected email and phone, and only those") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val out = Curation.piiScrub(Curation.withPiiInjected(docs))
+    assert(out.count() == 50)
+    // exactly one email + one phone injected per doc; base corpus is clean
+    assert(out.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L).count() == 0)
+    assert(out.filter(col("n_redactions") =!= 2L).count() == 0)
+    // scrubbing is idempotent: a second pass finds nothing
+    val again = Curation.piiScrub(
+      Curation.withPiiInjected(docs).select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("text")))
+    assert(again.filter(col("n_redactions") =!= 0L).count() == 0)
+  }
+
+  test("stratified sampling is a pure function of doc_id with per-stratum rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.sampleStrata(docs).cache()
+    // deterministic: two evaluations agree row-for-row
+    val a = out.orderBy("doc_id").collect()
+    val b = Curation.sampleStrata(docs).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // buckets in range, rates as configured
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    assert(out.filter(col("lang") === "en" && col("rate") =!= 50L).count() == 0)
+    assert(out.filter(col("lang") =!= "en" && col("rate") =!= 10L).count() == 0)
+    out.unpersist()
+  }
+
+  test("token budget admits docs in doc_id order until the stratum cap") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c", "s1"), (3L, "a b c d", "s1"),
+      (10L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudget(docs, budgetPerSource = 8L)
+      .orderBy("doc_id").collect()
+    // s1: cum 5, 8, 12 -> first two in budget; s2: cum 2 -> in
+    assert(out.map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq ==
+      Seq((1L, 5L, true), (2L, 8L, true), (3L, 12L, false), (10L, 2L, true)))
+  }
+
+  test("simhash banding finds perturbed near-dups within the hamming bound") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val pairs = Dedup.simhashPairs(Dedup.withPerturbedCopies(docs), maxHamming = 3).cache()
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    // dropping one token barely moves the simhash: most perturbed twins found
+    val twins = pairs.filter(col("doc_id_b") === col("doc_id_a") + 1000000L).count()
+    assert(twins > 50, s"only $twins perturbed twins found")
+    pairs.unpersist()
+  }
+
+  test("multi-probe IVF candidates are a superset: probe2 neighbor at least as similar") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    def sims(df: org.apache.spark.sql.DataFrame) = df
+      .join(emb.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")), "neighbor_id")
+      .select(col("vec_id"), Similarity.cos("e1", "e2").as("sim"))
+      .as[(Long, Double)].collect().toMap
+    val s1 = sims(Similarity.ivfTopNeighbor(emb).drop("cluster_id"))
+    val s2 = sims(Similarity.ivfTopNeighborProbed(emb, 2))
+    // every probe1 vector still has a neighbor under probe2, never a worse one
+    s1.foreach { case (v, sim1) =>
+      assert(s2.contains(v))
+      assert(s2(v) >= sim1 - 1e-12, s"vec $v: probe2 ${s2(v)} < probe1 $sim1")
+    }
+  }
+
   test("frame sampling is byte-indexed, not char-indexed, for multi-byte payloads") {
     // 100 'é' (2 bytes each in UTF-8) = 200 bytes but 100 chars: byte framing
     // gives ceil(200/64) = 4 frames (sampled idx 0), char framing would give
