@@ -249,20 +249,21 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_byte"))
     }
+    // The quadratic bucket-local verification runs in the native kernel
+    // (one JVM loop per bucket), and only verified-close pairs are ever
+    // emitted as rows — the distinct shuffle carries those, not the
+    // quadratic candidate set. This matters because band bytes skew hard on
+    // small vocabularies (a single byte value can hold a quarter of the
+    // corpus), which an interpreted per-pair lambda turns into seconds.
+    registerKernels(sig)
     sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("band"))
       .groupBy(col("band.band_idx"), col("band.band_byte"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1),
-          |    y -> named_struct('doc_id_a', x.doc_id, 'sim_a', x.simhash,
-          |                      'doc_id_b', y.doc_id, 'sim_b', y.simhash))))""".stripMargin)).as("p"))
-      .select(col("p.doc_id_a"), col("p.doc_id_b"),
-        expr("bit_count(p.sim_a ^ p.sim_b)").cast("long").as("hamming"))
+      .select(explode(expr(s"simhash_pairs_kernel(ds, $maxHamming)")).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"), col("p.hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** HOF formulation of the same simhash (kept for differential testing —

@@ -96,6 +96,61 @@ object HashKernels {
   }
 }
 
+/** All close pairs within one LSH bucket: for a doc_id-sorted array of
+  * (doc_id, simhash) structs, every pair (i < j) whose signatures differ in
+  * at most `maxHamming` bits, as (doc_id_a, doc_id_b, hamming) structs.
+  *
+  * This is the quadratic inner loop of simhash candidate verification. As an
+  * interpreted higher-order-function lambda it costs two expression-tree
+  * evaluations per candidate pair; skewed buckets (thousands of docs sharing
+  * a band byte) make that the whole query's cost. Here it is one virtual
+  * call per BUCKET and a tight long-xor/bitCount loop per pair.
+  */
+case class SimHashClosePairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id_a", LongType, nullable = false),
+    StructField("doc_id_b", LongType, nullable = false),
+    StructField("hamming", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "simhash_pairs_kernel"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_pairs_kernel requires array<struct<long,long>>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (h <= maxHamming) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), h.toLong))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash32(array<string>) -> long */
 case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -164,6 +219,14 @@ object HashExpressions {
       reg.createOrReplaceTempFunction(
         "minhash_sig", (e: Seq[Expression]) => MinHashSig(
           e.head, (0 until numPerms).map(permA), (0 until numPerms).map(permB), p),
+        "built-in")
+    }
+    ifAbsent("simhash_pairs_kernel") {
+      reg.createOrReplaceTempFunction(
+        "simhash_pairs_kernel", (e: Seq[Expression]) => SimHashClosePairs(
+          e.head,
+          e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            .asInstanceOf[Number].intValue()),
         "built-in")
     }
   }
