@@ -209,6 +209,24 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
+  // ---- streaming record dedup ----
+
+  /** Exact record-level dedup, batch/streaming unified (the streaming member
+    * of the dedup family): a record is a duplicate if its content hash —
+    * identity fields, deliberately excluding the surrogate event_id — was
+    * already seen. Streaming uses dropDuplicatesWithinWatermark so state is
+    * BOUNDED by the watermark delay (the 100 TB posture: an unbounded seen-
+    * set is not deployable; duplicates arriving later than the delay pass
+    * through, the documented trade). Batch drops exactly.
+    */
+  def exactDedupRecords(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val hashed = events.withColumn("content_hash",
+      Exact.md5Hash60(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   // ---- SimHash ----
 
   val SimHashBits = 32

@@ -58,7 +58,10 @@ object Topology {
       "store_daily_log_events" -> Stats.dailyRoleCounts(wm, userDim),
       "store_user_streaks" -> Streaks.sessions(wm),
       "store_question_attempts" -> Questions.partRollup(main),
-      "store_user_achievements" -> Achievements.answerCounts(main))
+      "store_user_achievements" -> Achievements.answerCounts(main),
+      // extension store: streaming exact dedup (state bounded by watermark)
+      "store_deduped_events" -> graft.ext.Dedup.exactDedupRecords(
+        main, watermark.getOrElse("10 minutes")))
   }
 
   /** Start one store as an in-memory Update-mode sink (smoke/test harness);

@@ -117,6 +117,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("streaming exact dedup drops semantic duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      graft.ext.Dedup.exactDedupRecords(mem.toDF(), "10 minutes"), "dedup_test", tick)
+    // ids 1 and 2 are semantic duplicates (same user/type/props; surrogate
+    // event_id deliberately excluded from the content hash)
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:00:10", 1, "click"))
+    q.processAllAvailable()
+    // a later micro-batch re-sends the duplicate within the watermark delay
+    mem.addData(ev(3, "2024-01-01 00:01:00", 1, "click"),
+      ev(4, "2024-01-01 00:01:00", 2, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test").select("user_id", "event_type")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "click"), (2L, "view")))
+    // batch form agrees on the surviving key set
+    val batch = graft.ext.Dedup.exactDedupRecords(
+      Seq(ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:00:10", 1, "click"),
+        ev(4, "2024-01-01 00:01:00", 2, "view")).toDF())
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq.sorted
+    assert(batch == got)
+  }
+
   test("achievements foreachBatch sink writes crossings to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ach_sink").toString
