@@ -87,4 +87,45 @@ object Achievements {
     */
   def sinkToParquet(spark: SparkSession, df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  // ---- streaming exactly-once crossing detection ----
+
+  case class AchState(count: Long, lastThreshold: Long, latestUs: Long)
+  case class CrossingOut(user_id: Long, threshold: Long, latest_attempt_us: Long)
+
+  /** Per-micro-batch crossing detector: GroupState keeps (running correct
+    * count, highest threshold already announced, latest attempt); each batch
+    * emits one row per NEWLY crossed threshold. This is the reference's
+    * insert-per-crossing semantics (ThresholdAchievedProcessor.java:78-97) —
+    * which an Update-mode aggregate cannot express, since it re-emits the
+    * whole row on every count change rather than once per crossing.
+    */
+  def detectCrossings(uid: Long, rows: Iterator[(Long, Long)],
+                      state: org.apache.spark.sql.streaming.GroupState[AchState]): Iterator[CrossingOut] = {
+    val prev = state.getOption.getOrElse(AchState(0L, 0L, Long.MinValue))
+    var cnt = prev.count
+    var latestUs = prev.latestUs
+    rows.foreach { case (_, tsUs) =>
+      cnt += 1
+      if (tsUs > latestUs) latestUs = tsUs
+    }
+    val newly = Thresholds.filter(t => t > prev.lastThreshold && cnt >= t)
+    state.update(AchState(cnt, newly.lastOption.getOrElse(prev.lastThreshold), latestUs))
+    newly.iterator.map(t => CrossingOut(uid, t, latestUs))
+  }
+
+  /** Streaming (or batch — state starts empty, yielding exactly the batch
+    * `crossings`) wiring of the detector over correct question attempts.
+    */
+  def crossingsStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = Ingest.questionAttempts(events)
+      .filter(col("correct"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(detectCrossings)
+      .toDF()
+  }
 }

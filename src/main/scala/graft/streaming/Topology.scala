@@ -87,7 +87,12 @@ object Topology {
       case a: Attribute => a.metadata.contains(SessionWindow.marker)
       case _ => false
     }))
-    if (df.isStreaming && hasAgg && !isSessionWindow) OutputMode.Update()
+    // a flatMapGroupsWithState declared in Update mode requires an Update sink
+    val fmgwsUpdate = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+          if f.outputMode == OutputMode.Update() => f
+    }.isDefined
+    if (df.isStreaming && (fmgwsUpdate || (hasAgg && !isSessionWindow))) OutputMode.Update()
     else OutputMode.Append()
   }
 

@@ -144,6 +144,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming threshold crossings emit exactly once per threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def correct(id: Long, t: String, u: Long) =
+      TestEv(id, Timestamp.valueOf(t), u, "click", 90.0, """{"k": 1}""")
+    val q = Topology.startMemorySink(
+      Achievements.crossingsStreaming(spark, mem.toDF()), "crossings_test", tick)
+    // first correct answer -> crosses threshold 1
+    mem.addData(correct(1, "2024-01-01 00:00:00", 1))
+    q.processAllAvailable()
+    // four more -> count 5 crosses threshold 5 (threshold 1 NOT re-emitted)
+    mem.addData((2L to 5L).map(i => correct(i, s"2024-01-01 00:00:0$i", 1)): _*)
+    q.processAllAvailable()
+    // one more -> count 6, no new threshold, nothing emitted
+    mem.addData(correct(6, "2024-01-01 00:01:00", 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("crossings_test")
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 5L)))
+
+    // batch run of the same detector equals the declarative crossings query
+    val e = Tables.events(spark, sfDir)
+    val a = Achievements.crossingsStreaming(spark, e)
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSet
+    val b = Achievements.crossings(e)
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("achievements foreachBatch sink writes crossings to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ach_sink").toString
