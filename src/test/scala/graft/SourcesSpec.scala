@@ -39,6 +39,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("event_id").isNull).count() == 0)
   }
 
+  test("bucketed co-located join is exchange-free; unbucketed join shuffles") {
+    import graft.sources.Bucketing
+    val events = Tables.events(spark, sfDir)
+    val users = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Bucketing.writeBucketed(events.select("user_id", "event_type", "value"),
+      "ev_bucketed", "user_id", 4, sortCols = Seq("user_id"))
+    Bucketing.writeBucketed(users, "users_bucketed", "user_id", 4,
+      sortCols = Seq("user_id"))
+    // disable broadcast so the join strategy decision is about distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "ev_bucketed", "users_bucketed", "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // same join over raw (unbucketed) frames DOES shuffle both sides
+      val raw = events.select("user_id", "event_type", "value")
+        .join(users, Seq("user_id"))
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+      // and the result matches the plain join
+      assert(joined.count() == raw.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("user replay: PII-style allow-list (only projected fields in envelope)") {
     val c = Tables.customer(spark, sfDir)
     val out = Loaders.userReplay(c)
