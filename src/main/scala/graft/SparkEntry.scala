@@ -103,6 +103,8 @@ object SparkEntry {
     }),
     "w1_top_spenders" -> ((s, d) =>
       Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
+    "w5_quartiles" -> ((s, d) =>
+      Stats.spendQuartiles(ev(s, d), cust(s, d)).orderBy("user_role", "user_id")),
     "q1_pricing" -> ((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d)).orderBy("l_returnflag", "l_linestatus")),
     // same query through the spark.sql surface (SQL-dialect parity: this
@@ -459,6 +461,17 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_role
          |        ORDER BY total_spend DESC, user_id ASC) AS rank FROM s)
          |WHERE rank <= 3 ORDER BY user_role, rank""".stripMargin,
+    "w5_quartiles" ->
+      s"""WITH s AS (
+         |  SELECT c.c_mktsegment AS user_role, e.user_id,
+         |    ${moneySumSql("e.value")} AS total_spend, count(*) AS n_purchases
+         |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT user_role, user_id, total_spend, n_purchases,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  CAST(floor(cume_dist() OVER w * 100) AS BIGINT) AS cume_pct
+         |FROM s WINDOW w AS (PARTITION BY user_role ORDER BY total_spend DESC, user_id ASC)
+         |ORDER BY user_role, user_id""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${moneySumSql("l_quantity")} AS sum_qty,
@@ -552,7 +565,7 @@ object SparkEntry {
          |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "ext_ngram_jaccard" ->
       s"""WITH ${minhashCtes(PERTURBED_CORPUS)},
-         |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS tok FROM scte),
+         |ex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),
          |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
          |com AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
          |  FROM cand c

@@ -141,4 +141,22 @@ object Stats {
       .filter(col("rank") <= k)
       .select("user_role", "rank", "user_id", "total_spend", "n_purchases")
   }
+
+  /** Distribution windows (ntile / cume_dist) over the same per-segment
+    * spend: quartile assignment and cumulative-distribution percentile per
+    * user. cume_dist is an exact rational k/n — identical double division on
+    * both engines — surfaced as an integer percentage per the determinism
+    * contract. Total tie-break (spend desc, user_id asc) makes ntile
+    * assignment unambiguous.
+    */
+  def spendQuartiles(events: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = Enrich.enriched(Ingest.filterByEventType(events, "purchase"), customer)
+      .groupBy("user_role", "user_id")
+      .agg(Exact.moneySum(col("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
+    val w = Window.partitionBy("user_role").orderBy(col("total_spend").desc, col("user_id").asc)
+    spend
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("cume_pct", floor(cume_dist().over(w) * 100).cast("long"))
+      .select("user_role", "user_id", "total_spend", "n_purchases", "quartile", "cume_pct")
+  }
 }

@@ -63,6 +63,21 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val events = Tables.events(spark, sfDir)
+    events.withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("day") === lit("2024-01-05").cast("date"))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"day predicate should prune partitions:\n$plan")
+    val expected = events
+      .filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("user replay: PII-style allow-list (only projected fields in envelope)") {
     val c = Tables.customer(spark, sfDir)
     val out = Loaders.userReplay(c)

@@ -174,6 +174,26 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("RocksDB state store provider runs the stateful aggregation (SCALE.md config flip)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Topology.startMemorySink(
+        Stats.eventTypeCounts(mem.toDF()), "rocksdb_counts_test", tick)
+      mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click"))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 00:00:01", 1, "click"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocksdb_counts_test")
+        .groupBy("event_type").agg(max("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("click" -> 2L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("achievements foreachBatch sink writes crossings to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ach_sink").toString
