@@ -163,7 +163,7 @@ object SparkEntry {
     // struct-order keys, identical string escaping, and the value column is
     // 2-decimal so double formatting cannot diverge ----
     "s3_event_replay" -> ((s, d) =>
-      graft.sources.Loaders.eventReplay(ev(s, d), "2024-01-01", "2024-02-01")
+      graft.sources.Loaders.eventReplayPruned(s, d, "2024-01-01", "2024-02-01")
         .orderBy("record_key", "record_value")),
     "s4_user_replay" -> ((s, d) =>
       graft.sources.Loaders.userReplay(cust(s, d)).orderBy("record_key")),

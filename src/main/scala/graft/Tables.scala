@@ -31,6 +31,27 @@ object Tables {
     raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+  /** Time-range scan of events with the predicate applied to the RAW
+    * nanos-long column BEFORE the timestamp conversion — a filter on the
+    * derived `ts` cannot push through `timestamp_micros(ts div 1000)`, so it
+    * would scan every row group; this form reaches the parquet reader as a
+    * plain long range (PlanSpec asserts it). Bounds are ISO dates, UTC.
+    * Equivalence: derived_ts >= T  iff  raw_ns >= epoch_us(T) * 1000.
+    */
+  def eventsRange(spark: SparkSession, dir: String,
+                  fromIso: String, untilIso: String): DataFrame = {
+    def ns(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr}
+    load(spark, dir, "events")
+      .filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

@@ -65,17 +65,32 @@ final case class KafkaSource(bootstrap: String, topic: String, schema: StructTyp
   */
 object Loaders {
 
-  /** KafkaLoader analog: events in [from, until) as keyed JSON envelopes. */
+  /** Keyed JSON envelope projection (shared by both replay paths). */
+  def eventEnvelope(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").as("record_key"),
+      to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("props")))
+        .as("record_value"))
+
+  /** KafkaLoader analog: events in [from, until) as keyed JSON envelopes.
+    * Source-agnostic form — the filter lands on the converted timestamp, so
+    * over the raw events.parquet it CANNOT push past the nanos conversion;
+    * use `eventReplayPruned` when reading from the testdata layout.
+    */
   def eventReplay(events: DataFrame, from: String, until: String): DataFrame =
-    events
+    eventEnvelope(events
       .filter(col("ts") >= lit(from).cast("timestamp") &&
-        col("ts") < lit(until).cast("timestamp"))
-      .select(
-        col("user_id").cast("string").as("record_key"),
-        to_json(struct(
-          col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("value"), col("props")))
-          .as("record_value"))
+        col("ts") < lit(until).cast("timestamp")))
+
+  /** Replay over the testdata layout with the range predicate pushed into
+    * the parquet scan (graft.Tables.eventsRange — PlanSpec asserts the
+    * PushedFilters). Identical output to `eventReplay` on the same range.
+    */
+  def eventReplayPruned(spark: SparkSession, dir: String,
+                        from: String, until: String): DataFrame =
+    eventEnvelope(graft.Tables.eventsRange(spark, dir, from, until))
 
   /** KafkaUserLoader analog: user dimension wrapped as CREATE_UPDATE_USER
     * envelopes, PII-style columns excluded by the allow-list projection.

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.operators._
+
+/** Physical-plan assertions: the SCALE.md / PLANS.md claims, executable.
+  * These fail if a refactor silently regresses a broadcast to a shuffle
+  * join, un-prunes a scan, or turns top-k into a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q3 top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan(Relational.topRevenueOrders(spark, sfDir, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j1 enrichment broadcasts the user dimension (zero fact-side shuffles)") {
+    val p = plan(Enrich.enriched(Tables.events(spark, sfDir), Tables.customer(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1 scan is filter-pushed and column-pruned") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // untouched wide columns must not be read
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("narrow text operators have no shuffle at all") {
+    val docs = Tables.documents(spark, sfDir)
+    Seq(
+      TextAnalysis.stats(docs),
+      TextAnalysis.tokenClasses(docs),
+      TextAnalysis.fingerprints(docs),
+      Dedup.simhash(docs),
+      Curation.piiScrub(Curation.withPiiInjected(docs)),
+      Curation.sampleStrata(docs)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side (QxN, never NxN shuffle)") {
+    graft.functions.CosineSimilarity.register(spark)
+    val p = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 20, 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("replay range predicate pushes into the raw events scan") {
+    // the derived-ts filter CANNOT push through timestamp_micros(ts div
+    // 1000); the pruned path filters the raw nanos-long column instead
+    val p = plan(graft.sources.Loaders.eventReplayPruned(
+      spark, sfDir, "2024-01-01", "2024-01-02"))
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"), p)
+  }
+
+  test("pruned and unpruned replay agree row-for-row") {
+    val a = graft.sources.Loaders.eventReplayPruned(
+      spark, sfDir, "2024-01-05", "2024-01-09").orderBy("record_key", "record_value").collect()
+    val b = graft.sources.Loaders.eventReplay(
+      Tables.events(spark, sfDir), "2024-01-05", "2024-01-09")
+      .orderBy("record_key", "record_value").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+}
