@@ -105,6 +105,11 @@ object SparkEntry {
       Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
     "w5_quartiles" -> ((s, d) =>
       Stats.spendQuartiles(ev(s, d), cust(s, d)).orderBy("user_role", "user_id")),
+    "w6_pivot" -> ((s, d) =>
+      Relational.eventTypePivot(ev(s, d), cust(s, d)).orderBy("user_role")),
+    "w7_unpivot" -> ((s, d) =>
+      Relational.sourceStatsUnpivot(TextAnalysis.sourceStats(docs(s, d)))
+        .orderBy("source", "metric")),
     "q1_pricing" -> ((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d)).orderBy("l_returnflag", "l_linestatus")),
     // same query through the spark.sql surface (SQL-dialect parity: this
@@ -461,6 +466,27 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_role
          |        ORDER BY total_spend DESC, user_id ASC) AS rank FROM s)
          |WHERE rank <= 3 ORDER BY user_role, rank""".stripMargin,
+    "w6_pivot" ->
+      """SELECT c.c_mktsegment AS user_role,
+        |  count(CASE WHEN e.event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN e.event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN e.event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN e.event_type = 'view' THEN 1 END) AS view
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY user_role""".stripMargin,
+    "w7_unpivot" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT source, metric, metric_value FROM (
+        |  SELECT source, 'n_docs' AS metric, n_docs AS metric_value FROM s
+        |  UNION ALL SELECT source, 'total_chars', total_chars FROM s
+        |  UNION ALL SELECT source, 'min_chars', min_chars FROM s
+        |  UNION ALL SELECT source, 'max_chars', max_chars FROM s)
+        |ORDER BY source, metric""".stripMargin,
     "w5_quartiles" ->
       s"""WITH s AS (
          |  SELECT c.c_mktsegment AS user_role, e.user_id,

@@ -99,6 +99,32 @@ object Relational {
     Ingest.scrubbed(joined, Seq("event_id", "user_id", "supplier_name"))
   }
 
+  /** Pivot: per-role event counts widened to one column per event type.
+    * The value list is EXPLICIT (not inferred) — at scale, value inference
+    * is an extra distinct scan, and a fixed list keeps the output schema
+    * deterministic. Absent combinations are 0, not null (fill matches the
+    * CASE-aggregation the oracle uses).
+    */
+  val PivotEventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def eventTypePivot(events: DataFrame, customer: DataFrame): DataFrame =
+    Enrich.enriched(events, customer)
+      .groupBy("user_role")
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+
+  /** Unpivot (melt): the per-source rollup narrowed to (source, metric,
+    * value) rows — the inverse reshaping, via the native unpivot operator.
+    */
+  def sourceStatsUnpivot(sourceStats: DataFrame): DataFrame =
+    sourceStats
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("min_chars").cast("long").as("min_chars"),
+        col("max_chars").cast("long").as("max_chars"))
+      .unpivot(Array(col("source")),
+        Array(col("n_docs"), col("total_chars"), col("min_chars"), col("max_chars")),
+        "metric", "metric_value")
+
   /** P6/P7 — composite-key build and split-back
     * (DerivedStreams.java:139-149, 240-242): concat user and page into
     * `{user}-{page}`, then recover both halves with substring_index. The

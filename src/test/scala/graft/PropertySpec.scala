@@ -71,4 +71,59 @@ class PropertySpec extends SparkSpec {
       assert(level2 == clicks)
     }
   }
+
+  private val docGen: Gen[(Long, String, String, String)] = for {
+    id <- Gen.choose(0L, 100000L)
+    words <- Gen.listOf(Gen.oneOf("the", "data", "spark", "row", "join", "x9"))
+    lang <- Gen.oneOf("en", "de", "fr")
+    src <- Gen.oneOf("s1", "s2", "s3")
+  } yield (id, words.mkString(" "), lang, src)
+
+  private def docFrames(n: Int): Seq[List[(Long, String, String, String)]] =
+    (1 to n).map { i =>
+      Gen.listOfN(40, docGen)(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(sys.error("gen failed"))
+        .distinctBy(_._1) // unique doc_ids
+    }
+
+  test("token budget: in_budget is prefix-closed per source (monotone running sum)") {
+    docFrames(5).foreach { docs =>
+      val out = graft.ext.Curation.tokenBudget(
+        docs.toDF("doc_id", "text", "lang", "source"), budgetPerSource = 20L)
+        .orderBy("source", "doc_id")
+        .select("source", "in_budget").as[(String, Boolean)].collect()
+      out.groupBy(_._1).values.foreach { grp =>
+        val flags = grp.map(_._2)
+        // once a doc falls out of budget, every later doc in the stratum is out
+        assert(!flags.zip(flags.tail).exists { case (a, b) => !a && b })
+      }
+    }
+  }
+
+  test("stratified sampling: bucket always in [0,100); decision independent of partitioning") {
+    docFrames(3).foreach { docs =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val a = graft.ext.Curation.sampleStrata(df)
+        .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
+      val b = graft.ext.Curation.sampleStrata(df.repartition(7))
+        .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
+      assert(a == b)
+      val buckets = graft.ext.Curation.sampleStrata(df).select("bucket").as[Long].collect()
+      assert(buckets.forall(x => x >= 0 && x < 100))
+    }
+  }
+
+  test("pii scrub: output has no residual email/phone matches on any input") {
+    docFrames(3).foreach { docs =>
+      val df = graft.ext.Curation.withPiiInjected(
+        docs.toDF("doc_id", "text", "lang", "source"))
+      val out = graft.ext.Curation.piiScrub(df)
+      // scrubbed hash must differ from the raw hash whenever something was redacted
+      val raw = df.select(col("doc_id"),
+        graft.functions.Exact.md5Hash60(col("text")).as("raw_hash"))
+      val changed = out.join(raw, "doc_id")
+        .filter(col("n_redactions") > 0 && col("scrubbed_hash") === col("raw_hash"))
+      assert(changed.count() == 0)
+    }
+  }
 }
