@@ -143,8 +143,9 @@ object Dedup {
     // payload is 8 bytes/shingle instead of ~30-char strings — the shuffle-
     // size win that matters at corpus scale. Both engines intersect the same
     // hash sets, so counts match by construction (collisions included).
-    val sh = base.select(col("doc_id"), array_distinct(expr(
-      "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))")).as("shd"))
+    registerKernels(base)
+    val sh = base.select(col("doc_id"),
+      array_distinct(expr("md5h60_arr(sh)")).as("shd"))
     cands
       .join(sh.select(col("doc_id").as("doc_id_a"), col("shd").as("sh_a")), Seq("doc_id_a"))
       .join(sh.select(col("doc_id").as("doc_id_b"), col("shd").as("sh_b")), Seq("doc_id_b"))

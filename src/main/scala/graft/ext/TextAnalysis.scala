@@ -132,15 +132,19 @@ object TextAnalysis {
     * winnowing-style). Two docs share a fingerprint iff they share extremal
     * shingles — a cheap pre-dedup signal.
     */
-  def fingerprints(documents: DataFrame): DataFrame =
+  def fingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(documents.sparkSession,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
     documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("shingle_arr", shinglesFromTokens("toks"))
-      .withColumn("hashes",
-        expr("transform(shingle_arr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as long))"))
+      // native one-pass kernel (md5 per shingle dominates; the interpreted
+      // per-element lambda form pays an expression-tree eval per shingle)
+      .withColumn("hashes", expr("md5h60_arr(shingle_arr)"))
       .select(
         col("doc_id"),
         array_min(col("hashes")).as("fp_min"),
         array_max(col("hashes")).as("fp_max"),
         Exact.md5Hash60(normalized(col("text"))).as("fp_exact"))
+  }
 }

@@ -151,6 +151,32 @@ case class SimHashClosePairs(child: Expression, maxHamming: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** md5h60_arr(array<string>) -> array<long>: Exact.md5Hash60 of every
+  * element in one JVM pass — the shingle-hashing hot loop of fingerprints
+  * and jaccard sets without per-element interpreted-lambda overhead.
+  */
+case class Md5H60Array(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5h60_arr"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5h60_arr requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = HashKernels.md5Hash60(
+        if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash32(array<string>) -> long */
 case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -220,6 +246,10 @@ object HashExpressions {
         "minhash_sig", (e: Seq[Expression]) => MinHashSig(
           e.head, (0 until numPerms).map(permA), (0 until numPerms).map(permB), p),
         "built-in")
+    }
+    ifAbsent("md5h60_arr") {
+      reg.createOrReplaceTempFunction(
+        "md5h60_arr", (e: Seq[Expression]) => Md5H60Array(e.head), "built-in")
     }
     ifAbsent("simhash_pairs_kernel") {
       reg.createOrReplaceTempFunction(

@@ -74,14 +74,29 @@ class SurfaceSpec extends SparkSpec {
     assert(got.toSeq == Seq(""))
   }
 
-  test("GraftExtensions injects cosine_sim as a resolvable function") {
+  test("GraftExtensions injects every native kernel; each evaluates through SQL") {
+    import graft.ext.Dedup
     val exts = new SparkSessionExtensions
-    new GraftExtensions().apply(exts)
-    // the injected builder resolves and evaluates through a real session
+    new GraftExtensions().apply(exts) // all four builders inject without error
+    // evaluate each kernel through the per-session registration path
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.HashExpressions.register(spark,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
     val v = spark.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))")
       .collect().head.getDouble(0)
     assert(math.abs(v - 1.0) < 1e-12)
+    assert(spark.sql("SELECT simhash32(array('a','b'))").head.getLong(0) ==
+      graft.functions.HashKernels.simhash32(Array("a", "b"), Dedup.SimHashBits))
+    assert(spark.sql("SELECT size(minhash_sig(array('a')))").head.getInt(0) ==
+      Dedup.NumPerms)
+    assert(spark.sql("SELECT md5h60_arr(array('a'))").head.getSeq[Long](0).head ==
+      graft.functions.HashKernels.md5Hash60("a"))
+    val p = spark.sql(
+      """SELECT simhash_pairs_kernel(array(
+        |  named_struct('doc_id', 1L, 'simhash', 0L),
+        |  named_struct('doc_id', 2L, 'simhash', 1L)), 3) AS p""".stripMargin)
+      .selectExpr("size(p)", "p[0].hamming").head
+    assert(p.getInt(0) == 1 && p.getLong(1) == 1L)
   }
 
   test("as-of join picks latest update at-or-before event time, null before first") {
