@@ -114,6 +114,18 @@ object Achievements {
     newly.iterator.map(t => CrossingOut(uid, t, latestUs))
   }
 
+  /** USER_NOTIFICATIONS_STREAM in streaming: a stateless projection chained
+    * onto the exactly-once crossing stream — the final stage of the
+    * reference's declared graph RAW_LOG_STREAM → QPART_ATTEMPT_STREAMS →
+    * … → USER_ACHIEVEMENTS_STREAM → USER_NOTIFICATIONS_STREAM
+    * (config.properties:10-14), end-to-end.
+    */
+  def notificationsStreaming(spark: SparkSession, events: DataFrame): DataFrame =
+    crossingsStreaming(spark, events)
+      .withColumn("notification",
+        concat(lit("Achievement unlocked: "), col("threshold"),
+          lit(" questions answered correctly")))
+
   /** Streaming (or batch — state starts empty, yielding exactly the batch
     * `crossings`) wiring of the detector over correct question attempts.
     */

@@ -55,4 +55,46 @@ class RecoverySpec extends SparkSpec {
     // 25 events overall, all one event_type -> n = 25
     assert(counts == 25L)
   }
+
+  test("crossing detector state survives restart: no threshold re-emitted") {
+    import graft.operators.Achievements
+    val root = java.nio.file.Files.createTempDirectory("xrecovery").toString
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+
+    def writeCorrect(ids: Range): Unit =
+      ids.map(i => TestEv(i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          1L, "click", 90.0, """{"k": 1}"""))
+        .toDF().write.mode("append").parquet(srcDir)
+
+    def startQuery() =
+      Achievements.crossingsStreaming(spark, Topology.fileSource(spark, srcDir))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+
+    // 3 correct answers -> crosses threshold 1 only
+    writeCorrect(0 until 3)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // 4 more while down -> count 7 crosses threshold 5; GroupState restored
+    // from the checkpoint must NOT re-emit threshold 1
+    writeCorrect(3 until 7)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 5L)))
+  }
 }

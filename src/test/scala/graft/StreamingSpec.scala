@@ -174,6 +174,25 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("declared stream graph end-to-end: raw -> attempts -> crossings -> notifications") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def correct(id: Long, u: Long) =
+      TestEv(id, Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", 90.0, """{"k": 1}""")
+    val q = Topology.startMemorySink(
+      Achievements.notificationsStreaming(spark, mem.toDF()), "notif_stream_test", tick)
+    mem.addData(correct(1, 7))
+    q.processAllAvailable()
+    mem.addData((2L to 5L).map(correct(_, 7)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("notif_stream_test")
+      .select("threshold", "notification").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, "Achievement unlocked: 1 questions answered correctly"),
+      (5L, "Achievement unlocked: 5 questions answered correctly")))
+  }
+
   test("RocksDB state store provider runs the stateful aggregation (SCALE.md config flip)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
