@@ -85,6 +85,45 @@ object Enrich {
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
   }
 
+  case class AsOfState(value: Double)
+  case class AsOfOut(event_id: Long, user_id: Long, ts_us: Long, asof_value: Option[Double])
+
+  /** J1 with the reference's EXACT state-store semantics (SURVEY §7.5.1
+    * option (b)): the user-update stream folds into per-key GroupState, and
+    * every event reads the state AS OF ITS ARRIVAL — a Kafka Streams
+    * KStream⋈KTable lookup, not a periodically refreshed static snapshot.
+    * Within a micro-batch, rows apply in (event-time, updates-first,
+    * event_id) order, so a single-batch run reproduces `asOfJoin` exactly;
+    * across micro-batches the semantics are per-ARRIVAL (a late event sees
+    * the newest state — precisely what the reference's state-store lookup
+    * does, and the documented deviation from the event-time batch form).
+    */
+  def asOfEnrichStateful(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[AsOfState]) =>
+          val sorted = rows.toArray
+            .sortBy(r => (r._3, if (r._4 == "signup") 0 else 1, r._1))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { case (eid, _, tsUs, et, v) =>
+            if (et == "signup") st = Some(AsOfState(v))
+            out += AsOfOut(eid, uid, tsUs, st.map(_.value))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** J2 — dimension lookup join replacing the reference's per-record HTTP
     * lookup (AugmentedQuestionDetailMapper.java:100-134): left join so a
     * missing question yields default metadata (part count 0 → incomplete),

@@ -193,6 +193,34 @@ class StreamingSpec extends SparkSpec {
       (5L, "Achievement unlocked: 5 questions answered correctly")))
   }
 
+  test("stateful KStream-KTable join: arrival semantics across batches, asOfJoin parity within one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      Enrich.asOfEnrichStateful(spark, mem.toDF()), "asof_state_test", tick)
+    // batch 1: signup (value 10) then a click -> click sees 10
+    mem.addData(TestEv(1, Timestamp.valueOf("2024-01-02 00:00:00"), 1, "signup", 10.0, "{}"),
+      ev(2, "2024-01-03 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    // batch 2: a LATE click (event-time before the signup) still sees 10 —
+    // per-arrival state-store semantics, the reference's actual behavior
+    mem.addData(ev(3, "2024-01-01 00:00:00", 1, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_state_test")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(10.0), 2L -> Some(10.0), 3L -> Some(10.0)))
+
+    // single-batch (= arrival order is event-time order): equals batch asOfJoin
+    val e = Tables.events(spark, sfDir)
+    val a = Enrich.asOfEnrichStateful(spark, e)
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    val b = Enrich.asOfJoin(e)
+      .select(col("event_id"), col("asof_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(a == b)
+  }
+
   test("RocksDB state store provider runs the stateful aggregation (SCALE.md config flip)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
