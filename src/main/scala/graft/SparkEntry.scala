@@ -134,6 +134,7 @@ object SparkEntry {
       Curation.piiScrub(Curation.withPiiInjected(docs(s, d))).orderBy("doc_id")),
     "ext_sample_strata" -> ((s, d) => Curation.sampleStrata(docs(s, d)).orderBy("doc_id")),
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
+    "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -664,6 +665,30 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 200 AS in_budget
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_pipeline_keep" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000
+         |      AND len(list_filter(string_split($NORM, ' '),
+         |            w -> list_contains(['the','a','of','and','to','in','is'], w))) > 0
+         |      AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${h60(NORM)} AS content_hash FROM documents),
+         |g AS (SELECT content_hash, min(doc_id) AS keep_id FROM h GROUP BY 1),
+         |surv AS (SELECT d.doc_id, d.source, d.lang, d.text
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN h ON h.doc_id = d.doc_id
+         |  JOIN g ON g.content_hash = h.content_hash
+         |  WHERE q.is_quality AND h.doc_id = g.keep_id AND d.lang IN ('en', 'de')),
+         |t AS (SELECT doc_id, source, lang,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM surv),
+         |c AS (SELECT doc_id, source, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, lang, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 150 ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -73,6 +73,31 @@ object Curation {
         col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate"),
         (col("bucket") < col("rate")).as("sampled"))
 
+  /** The full curation pipeline in one call — what a training-data job runs
+    * daily at 100 TB: quality gate (integer-arithmetic thresholds) →
+    * exact-dedup canonical survivors → language targeting → per-source
+    * token-budget admission. Emits the final keep list. Shuffle profile:
+    * one dedup hash-agg + broadcast-back, one window shuffle on the stratum
+    * key; the quality/language gates are narrow and push into the scan.
+    */
+  def pipelineKeep(documents: DataFrame, langs: Seq[String] = Seq("en", "de"),
+                   budgetPerSource: Long = 150L): DataFrame = {
+    val quality = TextAnalysis.stats(documents).select("doc_id", "is_quality")
+    val canon = Dedup.exact(documents)
+      .select(col("doc_id"), (!col("is_duplicate")).as("is_canonical"))
+    val survivors = documents
+      .join(quality, "doc_id")
+      .join(canon, "doc_id")
+      .filter(col("is_quality") && col("is_canonical") && col("lang").isin(langs: _*))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")
+  }
+
   /** Token-budget packing: per source (the stratum), docs are admitted in
     * doc_id order until the stratum's running token total exceeds the
     * budget — the "cap each domain's contribution" step of corpus mixing.

@@ -281,6 +281,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pipeline keep list: only quality, canonical, language-targeted docs within budget") {
+    val docs = Tables.documents(spark, sfDir)
+    val keep = Curation.pipelineKeep(docs).cache()
+    // language targeting
+    assert(keep.filter(!col("lang").isin("en", "de")).count() == 0)
+    // no kept doc is a duplicate's shadow (every kept doc is its group's canonical)
+    val canon = Dedup.exact(docs).filter(!col("is_duplicate")).select("doc_id")
+    assert(keep.join(canon, Seq("doc_id"), "left_anti").count() == 0)
+    // per-source budget respected
+    assert(keep.filter(col("cum_tokens") > 150L).count() == 0)
+    // quality gate respected
+    val quality = TextAnalysis.stats(docs).filter(col("is_quality")).select("doc_id")
+    assert(keep.join(quality, Seq("doc_id"), "left_anti").count() == 0)
+    keep.unpersist()
+  }
+
   test("frame sampling is byte-indexed, not char-indexed, for multi-byte payloads") {
     // 100 'é' (2 bytes each in UTF-8) = 200 bytes but 100 chars: byte framing
     // gives ceil(200/64) = 4 frames (sampled idx 0), char framing would give
