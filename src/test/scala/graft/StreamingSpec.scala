@@ -221,6 +221,38 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chained stateful aggs: hourly activity then daily active-hours in one streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // stage 1: tumbling-hour activity aggregation; stage 2: tumbling-day
+    // count of active hours — two stateful operators chained in ONE
+    // append-mode streaming query (the watermark propagates through the
+    // first agg's window column — window-of-window)
+    val hourly = mem.toDF().withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour").as("hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val daily = hourly
+      .groupBy(window(col("hour"), "1 day").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_active_hours"))
+    val q = daily.writeStream
+      .outputMode("append")
+      .format("memory").queryName("daily_sessions_test")
+      .trigger(tick)
+      .start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:30:00", 1, "click"),  // same hour
+      ev(3, "2024-01-01 09:00:00", 1, "click"))  // second active hour, same day
+    q.processAllAvailable()
+    // advance the watermark past both the hours and the day window
+    mem.addData(ev(4, "2024-02-01 00:00:00", 2, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("daily_sessions_test")
+      .filter(col("user_id") === 1L).select("n_active_hours").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
   test("RocksDB state store provider runs the stateful aggregation (SCALE.md config flip)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
