@@ -25,9 +25,13 @@ object Stats {
     val perType = events
       .groupBy("user_id", "event_type")
       .agg(max("ts").as("last_seen"))
-    val overall = events
+    // OVERALL = max over the per-type rows (identical result), NOT a second
+    // aggregation over raw events: the union's branches then share one scan
+    // and one wide shuffle (ReusedExchange), and the second aggregate reads
+    // |users|x|types| rows instead of the fact table again
+    val overall = perType
       .groupBy("user_id")
-      .agg(max("ts").as("last_seen"))
+      .agg(max("last_seen").as("last_seen"))
       .withColumn("event_type", lit("OVERALL"))
       .select("user_id", "event_type", "last_seen")
     perType.unionByName(overall)

@@ -52,6 +52,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("a2 OVERALL branch reuses the per-type shuffle at runtime (AQE stage reuse)") {
+    val df = operators.Stats.lastSeen(Tables.events(spark, sfDir))
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
