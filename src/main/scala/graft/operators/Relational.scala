@@ -74,6 +74,23 @@ object Relational {
       .except(errorProne)
   }
 
+  /** The same engaged-users relation as ONE conditional aggregation — the
+    * production form at 100 TB: the set-op surface above scans the fact
+    * table once per branch (pushed filters prune, but it is still four
+    * passes); this is one scan, one shuffle, bit-identical output
+    * (equivalence tested).
+    */
+  def engagedUsersSinglePass(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("s"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        count(when(col("event_type") === "error", 1)).as("e"))
+      .filter((col("s") === 1 || col("p") === 1) && col("c") === 1 && !(col("e") > 10))
+      .select("user_id")
+
   /** Semi/anti join surface (absent in the reference — SURVEY §2.3; Spark
     * provides them natively): customers WITH error events (semi) and
     * customers with NO events at all (anti), tagged in one relation.

@@ -41,6 +41,17 @@ class SurfaceSpec extends SparkSpec {
     val errors = (0 until 11).map(i => ev(100 + i, s"2024-01-02 00:00:${i + 10}", 2, "error"))
     val got = Relational.engagedUsers((base ++ errors).toDF()).as[Long].collect().toSet
     assert(got == Set(1L))
+    // the single-pass conditional-aggregation form is bit-identical
+    val single = Relational.engagedUsersSinglePass((base ++ errors).toDF())
+      .as[Long].collect().toSet
+    assert(single == got)
+  }
+
+  test("single-pass engaged users equals the set-op form on real data") {
+    val e = Tables.events(spark, sfDir)
+    val a = Relational.engagedUsers(e).as[Long].collect().toSet
+    val b = Relational.engagedUsersSinglePass(e).as[Long].collect().toSet
+    assert(a == b)
   }
 
   test("hopping windows: every event lands in exactly two windows") {
