@@ -146,6 +146,23 @@ object Stats {
       .select("user_role", "rank", "user_id", "total_spend", "n_purchases")
   }
 
+  /** Approximate analytics (the sketch tier a 100 TB engine needs when
+    * exact distinct/quantiles would shuffle too much): HyperLogLog++
+    * distinct users per event type and approximate value percentiles per
+    * segment. Sketches are mergeable, so both are single-shuffle with
+    * map-side partial sketches. Approximate by nature → verified by
+    * tolerance tests against the exact forms, not the hash oracle.
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
+  def approxSpendPercentiles(events: DataFrame, customer: DataFrame): DataFrame =
+    Enrich.enriched(Ingest.filterByEventType(events, "purchase"), customer)
+      .groupBy("user_role")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+        lit(10000)).as("p50_p95_p99"))
+
   /** Distribution windows (ntile / cume_dist) over the same per-segment
     * spend: quartile assignment and cumulative-distribution percentile per
     * user. cume_dist is an exact rational k/n — identical double division on

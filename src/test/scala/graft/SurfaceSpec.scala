@@ -54,6 +54,24 @@ class SurfaceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("approximate analytics: HLL distinct within rsd bound; percentiles bracket exact") {
+    val e = Tables.events(spark, sfDir)
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = Stats.approxDistinctUsers(e, rsd = 0.02)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(3, (n * 0.1).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+    val c = Tables.customer(spark, sfDir)
+    val pct = Stats.approxSpendPercentiles(e, c)
+      .as[(String, Seq[Double])].collect()
+    pct.foreach { case (_, ps) =>
+      assert(ps.length == 3 && ps(0) <= ps(1) && ps(1) <= ps(2)) // monotone
+    }
+  }
+
   test("hopping windows: every event lands in exactly two windows") {
     val e = Tables.events(spark, sfDir)
     val total = Stats.hoppingCounts(e).agg(sum("n")).as[Long].head()
