@@ -135,6 +135,7 @@ object SparkEntry {
     "ext_sample_strata" -> ((s, d) => Curation.sampleStrata(docs(s, d)).orderBy("doc_id")),
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
+    "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -664,6 +665,20 @@ object SparkEntry {
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 200 AS in_budget
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_tokens - n_tokens AS start_off,
+         |  (cum_tokens - n_tokens) // 64 AS bin_first,
+         |  (cum_tokens - 1) // 64 AS bin_last,
+         |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
     "ext_pipeline_keep" ->
       s"""WITH q AS (SELECT doc_id,

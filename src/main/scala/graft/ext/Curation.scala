@@ -73,6 +73,30 @@ object Curation {
         col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate"),
         (col("bucket") < col("rate")).as("sampled"))
 
+  /** Sequence packing (pretraining preprocessing): concatenate each
+    * source's docs in doc_id order and split the token stream into
+    * fixed-size bins — the "pack documents into L-token training sequences"
+    * step, in the split-allowed (contiguous-fill) form that is fully
+    * window-expressible: a doc starting at running offset `start` occupies
+    * bins floor(start/L) .. floor((start+n_tokens-1)/L). One window shuffle
+    * on the stratum key, integer outputs only.
+    */
+  def sequencePack(documents: DataFrame, seqLen: Long = 64L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("start_off", col("cum_tokens") - col("n_tokens"))
+      // `div`, not `/`: Column./ is double division even on longs
+      .withColumn("bin_first", expr(s"start_off div $seqLen"))
+      .withColumn("bin_last", expr(s"(cum_tokens - 1) div $seqLen"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        col("bin_first"), col("bin_last"),
+        (col("bin_last") - col("bin_first") + 1).as("n_bins_spanned"))
+  }
+
   /** The full curation pipeline in one call — what a training-data job runs
     * daily at 100 TB: quality gate (integer-arithmetic thresholds) →
     * exact-dedup canonical survivors → language targeting → per-source

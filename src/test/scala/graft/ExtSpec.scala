@@ -281,6 +281,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: bins tile each source's token stream without gaps") {
+    val docs = Seq(
+      (1L, ("a " * 40).trim, "s1"),   // 40 tokens: bins 0..0
+      (2L, ("b " * 40).trim, "s1"),   // starts at 40: bins 0..1
+      (3L, ("c " * 60).trim, "s1"),   // starts at 80: bins 1..2
+      (10L, ("d " * 5).trim, "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sequencePack(docs, seqLen = 64L)
+      .orderBy("doc_id").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 40L, 0L, 1L, 2L),
+      (3L, 80L, 1L, 2L, 2L),
+      (10L, 0L, 0L, 0L, 1L)))
+    // tiling: consecutive docs' start offsets are contiguous (no gaps)
+    assert(rows(1)._2 == 40L && rows(2)._2 == 80L)
+  }
+
   test("pipeline keep list: only quality, canonical, language-targeted docs within budget") {
     val docs = Tables.documents(spark, sfDir)
     val keep = Curation.pipelineKeep(docs).cache()
