@@ -124,6 +124,8 @@ object SparkEntry {
     // ---- ext: text analysis ----
     "ext_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
     "ext_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "ext_lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(docs(s, d)).orderBy("labeled_lang", "predicted_lang")),
     "ext_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
     "ext_source_stats" -> ((s, d) => TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
@@ -161,6 +163,7 @@ object SparkEntry {
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
@@ -545,6 +548,7 @@ object SparkEntry {
          |    AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "ext_lang_id" -> langIdSql,
+    "ext_lang_confusion" -> langConfusionSql,
     "ext_source_stats" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
@@ -743,6 +747,59 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_recall" ->
+      s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
+         |rscored AS (SELECT rq.query_id, c.vec_id AS nid,
+         |    ${cos64("rq.q_emb", "c.embedding")} AS sim
+         |  FROM embeddings c CROSS JOIN rq WHERE c.vec_id != rq.query_id),
+         |rtruth AS (SELECT query_id AS vec_id, nid AS true_neighbor
+         |  FROM (SELECT query_id, nid, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, nid ASC) AS r FROM rscored) WHERE r = 1),
+         |rb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |rlshp AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM rb l JOIN rb r ON l.bucket = r.bucket AND l.vec_id != r.vec_id),
+         |rlsh AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM rlshp) WHERE r = 1),
+         |rcent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |rcs AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN rcent c),
+         |rranked AS (SELECT vec_id, embedding, centroid_id AS cluster_id, crank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM rcs)
+         |  WHERE crank <= 2),
+         |rlists AS (SELECT cluster_id, vec_id AS neighbor_id, embedding AS r_emb
+         |  FROM rranked WHERE crank = 1),
+         |rivfp AS (SELECT p.vec_id, l.neighbor_id,
+         |    ${cos64("p.embedding", "l.r_emb")} AS sim
+         |  FROM rranked p JOIN rlists l
+         |    ON p.cluster_id = l.cluster_id AND p.vec_id != l.neighbor_id AND p.crank = 1),
+         |rivf AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM rivfp) WHERE r = 1),
+         |rivf2p AS (SELECT p.vec_id, l.neighbor_id,
+         |    ${cos64("p.embedding", "l.r_emb")} AS sim
+         |  FROM rranked p JOIN rlists l
+         |    ON p.cluster_id = l.cluster_id AND p.vec_id != l.neighbor_id),
+         |rivf2 AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM rivf2p) WHERE r = 1),
+         |res AS (
+         |  SELECT 'lsh' AS method, count(*) AS n_queries, count(a.neighbor_id) AS n_answered,
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END) AS n_correct
+         |  FROM rtruth t LEFT JOIN rlsh a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'ivf', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rivf a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'ivf_probe2', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rivf2 a ON a.vec_id = t.vec_id)
+         |SELECT method, n_queries, n_answered, n_correct FROM res ORDER BY method""".stripMargin,
     "ann_ivf_probe2" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),
@@ -802,20 +859,32 @@ object SparkEntry {
         |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
   )
 
-  private def langIdSql: String = {
-    def markerSql(w: String) =
-      s"(length(' ' || $NORM || ' ') - length(regexp_replace(' ' || $NORM || ' ', ' $w ', ' ', 'g'))) // ${w.length + 1}"
-    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
-      s"(${ws.map(markerSql).mkString(" + ")}) AS score_$l"
-    }.mkString(",\n  ")
+  private def langMarkerSql(w: String) =
+    s"(length(' ' || $NORM || ' ') - length(regexp_replace(' ' || $NORM || ' ', ' $w ', ' ', 'g'))) // ${w.length + 1}"
+  private def langScoresSql: String = TextAnalysis.langMarkers.map { case (l, ws) =>
+    s"(${ws.map(langMarkerSql).mkString(" + ")}) AS score_$l"
+  }.mkString(",\n  ")
+  private def langPredSql: String = {
     val langs = TextAnalysis.langMarkers.map(_._1)
     val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
-    val pred = "CASE " + langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ") + " ELSE 'und' END"
+    "CASE " + langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ") + " ELSE 'und' END"
+  }
+
+  private def langIdSql: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
     s"""WITH s AS (SELECT doc_id, lang AS labeled_lang,
-       |  $scores
+       |  $langScoresSql
        |FROM documents)
-       |SELECT doc_id, labeled_lang, $pred AS predicted_lang,
+       |SELECT doc_id, labeled_lang, $langPredSql AS predicted_lang,
        |  ${langs.map(l => s"score_$l").mkString(", ")}
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  private def langConfusionSql: String =
+    s"""WITH s AS (SELECT doc_id, lang AS labeled_lang,
+       |  $langScoresSql
+       |FROM documents),
+       |p AS (SELECT labeled_lang, $langPredSql AS predicted_lang FROM s)
+       |SELECT labeled_lang, predicted_lang, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang""".stripMargin
 }

@@ -148,6 +148,28 @@ object Similarity {
       .select("vec_id", "neighbor_id")
   }
 
+  /** Recall measurement for the approximate indexes — the "measure, don't
+    * guess" loop of ANN tuning: for a query subset, compare each method's
+    * top-1 against the brute-force ground truth and report hit counts as
+    * exact integers. At scale the ground-truth side stays Q×N (queries
+    * broadcast), never N×N.
+    */
+  def annRecall(embeddings: DataFrame, numQueries: Int = 100): DataFrame = {
+    val truth = bruteForceTopK(embeddings, numQueries, 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor"))
+    def hits(method: String, ann: DataFrame) =
+      truth.join(ann.filter(col("vec_id") < numQueries), Seq("vec_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("neighbor_id")).as("n_answered"),
+          count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
+        .withColumn("method", lit(method))
+    hits("lsh", lshTopNeighbor(embeddings))
+      .unionByName(hits("ivf", ivfTopNeighbor(embeddings).drop("cluster_id")))
+      .unionByName(hits("ivf_probe2", ivfTopNeighborProbed(embeddings, 2)))
+      .select("method", "n_queries", "n_answered", "n_correct")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket pairs (a < b) with
     * cosine above `threshold`. Run over a corpus unioned with exactly-scaled
     * copies (scale-by-2 preserves direction and sign buckets, and doubling is

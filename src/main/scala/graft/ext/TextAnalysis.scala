@@ -104,6 +104,15 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Language-ID confusion matrix: labeled vs predicted counts — the
+    * evaluation rollup for the lang-ID heuristic (one agg shuffle over
+    * tiny keys).
+    */
+  def langConfusion(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+
   /** Per-source corpus rollup (SURVEY §7.6 "per-source aggregates"):
     * volume, length and language mix per ingestion source.
     */

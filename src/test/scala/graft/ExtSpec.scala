@@ -300,6 +300,16 @@ class ExtSpec extends SparkSpec {
     assert(rows(1)._2 == 40L && rows(2)._2 == 80L)
   }
 
+  test("ann recall: probe2 answers everything ivf answers and is never less correct") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    val r = Similarity.annRecall(emb, 50)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r("ivf_probe2")._1 >= r("ivf")._1)     // answered at least as many
+    assert(r("ivf_probe2")._2 >= r("ivf")._2)     // candidate superset -> >= correct
+    assert(r.values.forall { case (a, c) => c <= a }) // correct <= answered
+  }
+
   test("pipeline keep list: only quality, canonical, language-targeted docs within budget") {
     val docs = Tables.documents(spark, sfDir)
     val keep = Curation.pipelineKeep(docs).cache()
