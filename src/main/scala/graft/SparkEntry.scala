@@ -155,6 +155,9 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
+    "ext_dedup_keepbest" -> ((s, d) =>
+      Dedup.dedupClustersKeepBest(Dedup.withPerturbedCopies(docs(s, d)))
+        .orderBy("cluster_id")),
 
     // ---- ext: similarity search ----
     "ann_brute_topk" -> ((s, d) =>
@@ -708,6 +711,25 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, source, lang, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 150 ORDER BY doc_id""".stripMargin,
+    "ext_dedup_keepbest" ->
+      s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
+         |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+         |         UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM cand),
+         |reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edge) base
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+         |score AS (SELECT doc_id,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS quality
+         |  FROM ($PERTURBED_CORPUS) kbcorpus),
+         |j AS (SELECT l.cluster_id, l.doc_id, s.quality
+         |  FROM lbl l JOIN score s ON s.doc_id = l.doc_id)
+         |SELECT cluster_id, best_doc_id, best_quality, cluster_size FROM (
+         |  SELECT cluster_id, doc_id AS best_doc_id, quality AS best_quality,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id ASC) AS r
+         |  FROM j) WHERE r = 1 ORDER BY cluster_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

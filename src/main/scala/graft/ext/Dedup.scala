@@ -215,6 +215,26 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
+  /** Keep-best survivor selection over the near-dup clusters: real pipelines
+    * keep each cluster's highest-quality member (here: token count as the
+    * quality score — the operator takes any integer score), not its lowest
+    * id. Deterministic argmax via a struct max (quality desc, then min
+    * doc_id — encoded as max(quality, -doc_id)); one extra agg shuffle over
+    * cluster labels, which are ≪ corpus.
+    */
+  def dedupClustersKeepBest(documents: DataFrame): DataFrame = {
+    val labels = dedupClusters(documents)
+    val score = documents.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("quality"))
+    labels.join(score, "doc_id")
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"), col("doc_id"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("m.doc_id").as("best_doc_id"),
+        col("m.quality").as("best_quality"), col("cluster_size"))
+  }
+
   // ---- streaming record dedup ----
 
   /** Exact record-level dedup, batch/streaming unified (the streaming member

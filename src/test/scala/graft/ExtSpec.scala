@@ -300,6 +300,31 @@ class ExtSpec extends SparkSpec {
     assert(rows(1)._2 == 40L && rows(2)._2 == 80L)
   }
 
+  test("keep-best dedup picks the highest-quality cluster member") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val corpus = Dedup.withPerturbedCopies(docs)
+    val best = Dedup.dedupClustersKeepBest(corpus).cache()
+    // quality = token count and the perturbed twin drops one token, so a
+    // pure {original, twin} cluster must keep the ORIGINAL (id < 1000000)
+    val labels = Dedup.dedupClusters(corpus)
+    val pureTwins = labels.groupBy("canonical_id")
+      .agg(collect_set(col("doc_id")).as("members"))
+      .filter(size(col("members")) === 2 &&
+        expr("members[0] % 1000000 = members[1] % 1000000"))
+      .select(col("canonical_id").as("cluster_id"))
+    val wrong = best.join(pureTwins, "cluster_id")
+      .filter(col("best_doc_id") >= 1000000L)
+    assert(wrong.count() == 0)
+    // the winner always carries the cluster's max quality
+    val q = corpus.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("quality"))
+    val maxq = Dedup.dedupClusters(corpus).join(q, "doc_id")
+      .groupBy(col("canonical_id").as("cluster_id")).agg(max("quality").as("mq"))
+    assert(best.join(maxq, "cluster_id")
+      .filter(col("best_quality") =!= col("mq")).count() == 0)
+    best.unpersist()
+  }
+
   test("ann recall: probe2 answers everything ivf answers and is never less correct") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
