@@ -138,6 +138,7 @@ object SparkEntry {
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
+    "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -687,6 +688,35 @@ object SparkEntry {
          |  (cum_tokens - 1) // 64 AS bin_last,
          |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_source_mix" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000
+         |      AND len(list_filter(string_split($NORM, ' '),
+         |            w -> list_contains(['the','a','of','and','to','in','is'], w))) > 0
+         |      AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${h60(NORM)} AS content_hash FROM documents),
+         |g AS (SELECT content_hash, min(doc_id) AS keep_id FROM h GROUP BY 1),
+         |surv AS (SELECT d.doc_id, d.source, d.lang, d.text
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN h ON h.doc_id = d.doc_id
+         |  JOIN g ON g.content_hash = h.content_hash
+         |  WHERE q.is_quality AND h.doc_id = g.keep_id AND d.lang IN ('en', 'de')),
+         |t AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM surv),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t),
+         |kept AS (SELECT * FROM c WHERE cum_tokens <= 150),
+         |ps AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |  (n_tokens * 1000000) // CAST(sum(n_tokens) OVER () AS BIGINT) AS token_ppm
+         |FROM ps ORDER BY source""".stripMargin,
     "ext_pipeline_keep" ->
       s"""WITH q AS (SELECT doc_id,
          |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000

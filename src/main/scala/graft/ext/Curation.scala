@@ -73,6 +73,22 @@ object Curation {
         col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate"),
         (col("bucket") < col("rate")).as("sampled"))
 
+  /** Post-curation source-mix report: per source, kept docs/tokens and the
+    * source's share of the final corpus in integer ppm (the mixing-weights
+    * table a data curator actually reads). The share divides by a
+    * single-row total — computed over the ALREADY-AGGREGATED per-source
+    * rows (|sources| rows), so the unpartitioned window is trivially cheap.
+    */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val kept = pipelineKeep(documents)
+    val perSource = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+    perSource
+      .withColumn("token_ppm",
+        expr("(n_tokens * 1000000) div sum(n_tokens) over ()"))
+      .select("source", "n_docs", "n_tokens", "token_ppm")
+  }
+
   /** Sequence packing (pretraining preprocessing): concatenate each
     * source's docs in doc_id order and split the token stream into
     * fixed-size bins — the "pack documents into L-token training sequences"

@@ -300,6 +300,15 @@ class ExtSpec extends SparkSpec {
     assert(rows(1)._2 == 40L && rows(2)._2 == 80L)
   }
 
+  test("source mix: ppm shares sum to ~1e6 and cover only kept sources") {
+    val docs = Tables.documents(spark, sfDir)
+    val mix = Curation.sourceMix(docs).collect()
+    val ppmSum = mix.map(_.getLong(3)).sum
+    // floor division loses at most 1 ppm per source
+    assert(ppmSum <= 1000000L && ppmSum >= 1000000L - mix.length)
+    assert(mix.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+  }
+
   test("keep-best dedup picks the highest-quality cluster member") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val corpus = Dedup.withPerturbedCopies(docs)
