@@ -37,6 +37,9 @@ object Bench {
 
     // noop sink, not count(): count() lets Catalyst prune projection-only
     // work, so narrow queries would be timed as bare scans
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(s"BENCH UNKNOWN QUERY NAMES: ${unknown.mkString(", ")}")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
@@ -49,7 +52,15 @@ object Bench {
             System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
             false
         }
-        finally spark.catalog.clearCache() // release per-query persists
+        finally {
+          // release per-query persists AND any localCheckpoint blocks —
+          // clearCache only covers CacheManager entries, while checkpoint
+          // blocks (e.g. the dedup fixpoint's final round) are raw RDD
+          // persists that would otherwise accumulate across queries
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // failed queries report -1 and are excluded from the total, so a broken
@@ -59,7 +70,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val unknownJson = unknown.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"unknown":$unknownJson,"sf":"$sfDir"}""")
     spark.stop()
+    // a typo'd query name must not be mistaken for a fast successful run
+    if (unknown.nonEmpty) sys.exit(2)
   }
 }

@@ -165,18 +165,40 @@ object Dedup {
     * near-dup clusters are shallow, so this converges in a few rounds even
     * at 100 TB. Output covers docs that appear in at least one pair.
     */
+  /** Eager localCheckpoint that reports which RDD ids it persisted, so the
+    * caller can release them once a later round supersedes the data —
+    * localCheckpoint blocks live outside the CacheManager (catalog
+    * clearCache never frees them), so without explicit release an iterative
+    * loop accumulates every round's blocks in executor storage.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  /** Unpersists checkpoint blocks by RDD id. Only call on ids whose data is
+    * no longer reachable from any live plan (checkpointing truncated the
+    * lineage, so unpersisted blocks cannot be recomputed).
+    */
+  private def releaseTracked(df: DataFrame, ids: Set[Int]): Unit = {
+    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def dedupClusters(documents: DataFrame): DataFrame = {
     // eager checkpoint: materializes the candidate pipeline ONCE and
     // truncates its lineage, so the union below (and every fixpoint round)
     // reads cached rows instead of re-running the MinHash scan per branch
-    val pairs = minhashCandidates(documents).localCheckpoint(true)
+    val (pairs, pairIds) = checkpointTracked(minhashCandidates(documents))
     val edges = pairs
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
       .unionByName(pairs.select(col("doc_id_b").as("a"), col("doc_id_a").as("b")))
     // init fuses the first propagation round: label = min(self, neighbors)
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(least(col("a"), min(col("b"))).as("lbl"))
-      .localCheckpoint(true)
+    var (labels, labelIds) = checkpointTracked(
+      edges.groupBy(col("a").as("node"))
+        .agg(least(col("a"), min(col("b"))).as("lbl")))
     // Convergence metric: labels only ever decrease under min-propagation,
     // so sum(lbl) strictly decreases until the fixpoint — one tiny
     // aggregation job per round instead of a join + count action.
@@ -201,17 +223,25 @@ object Dedup {
       // The fixpoint is unchanged (stability under neighbor propagation
       // still forces every label to the component minimum).
       val jumpTable = prop.select(col("node").as("lbl"), col("lbl").as("lbl2"))
-      val next = prop
+      // eager checkpoint: materialize + truncate per-round lineage; once the
+      // new round exists, the previous round's blocks are dead — release
+      // them immediately instead of waiting for GC-driven ContextCleaner
+      val (next, nextIds) = checkpointTracked(prop
         .join(jumpTable, Seq("lbl"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // eager: materialize + truncate per-round lineage
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       val s = labelSum(next)
+      releaseTracked(labels, labelIds)
       converged = s == prevSum
       prevSum = s
       labels = next
+      labelIds = nextIds
       iter += 1
     }
+    releaseTracked(pairs, pairIds)
+    // the FINAL round's blocks back the returned DataFrame and must stay
+    // resident until the caller is done (lineage is truncated — they cannot
+    // be recomputed); Bench sweeps all persistent RDDs between queries
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
@@ -246,8 +276,12 @@ object Dedup {
     * through, the documented trade). Batch drops exactly.
     */
   def exactDedupRecords(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    // hash an UNAMBIGUOUS encoding: to_json(struct(...)) distinguishes null
+    // vs empty and quotes delimiters, so records differing only by a '|'
+    // inside a field (or by null vs "") can never collide — concat_ws
+    // silently skips nulls and has no field-boundary escaping
     val hashed = events.withColumn("content_hash",
-      Exact.md5Hash60(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+      Exact.md5Hash60(to_json(struct(col("user_id"), col("event_type"), col("props")))))
     if (hashed.isStreaming)
       hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("content_hash")
     else hashed.dropDuplicates("content_hash")
@@ -287,8 +321,13 @@ object Dedup {
     * so no join back to the corpus is needed.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(documents) // (doc_id, simhash)
     val SimBands = 4
+    // pigeonhole recall guarantee: with 4 byte-bands, a pair within hamming
+    // distance d shares at least one exact band only when d < SimBands —
+    // a larger maxHamming would silently miss qualifying pairs
+    require(maxHamming >= 0 && maxHamming < SimBands,
+      s"maxHamming must be in [0, ${SimBands - 1}] for $SimBands-band recall, got $maxHamming")
+    val sig = simhash(documents) // (doc_id, simhash)
     val bandStructs = (0 until SimBands).map { b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_byte"))

@@ -106,7 +106,9 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"))
-      .persist() // reused by both sides of the posting-list join
+    // no persist: both sides of the posting-list join read the same
+    // assignment subtree, and AQE reuses the identical exchange at runtime
+    // (ReusedExchange) — sharing without leaving cached partitions behind
     val l = assigned.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
     val r = assigned.select(col("cluster_id"), col("vec_id").as("neighbor_id"),
       col("embedding").as("r_emb"))
@@ -135,7 +137,9 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
       .filter(col("crank") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"), col("crank"))
-      .persist() // shared by the posting-list side (crank=1) and the probe side
+    // no persist: the posting-list side (crank=1) and the probe side share
+    // the assignment subtree via AQE runtime exchange reuse — a persist here
+    // leaked cached partitions into the session on every invocation
     val lists = ranked.filter(col("crank") === 1)
       .select(col("cluster_id"), col("vec_id").as("neighbor_id"), col("embedding").as("r_emb"))
     val probes = ranked.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
