@@ -139,6 +139,10 @@ object SparkEntry {
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
+    "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
+    "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    "ext_domain_stats" -> ((s, d) =>
+      Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -741,6 +745,55 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, source, lang, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 150 ORDER BY doc_id""".stripMargin,
+    "ext_decontaminate" ->
+      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
+         |shd AS (SELECT doc_id,
+         |    list_distinct(list_transform(sh, x -> ${h60("x")})) AS shd
+         |  FROM scte),
+         |bench AS (SELECT DISTINCT unnest(shd) AS sh_hash FROM shd WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, shd FROM shd WHERE doc_id % 97 != 0),
+         |ex AS (SELECT doc_id, unnest(shd) AS sh_hash FROM corpus),
+         |ov AS (SELECT e.doc_id, count(*) AS n_overlap
+         |  FROM ex e JOIN bench b ON b.sh_hash = e.sh_hash GROUP BY 1)
+         |SELECT c.doc_id, CAST(len(c.shd) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(o.n_overlap, 0) >= 1 AS is_contaminated
+         |FROM corpus c LEFT JOIN ov o ON o.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+    "ext_repetition" ->
+      s"""WITH ncte AS (SELECT doc_id, $NORM AS norm FROM documents),
+         |wcte AS (SELECT doc_id, string_split(norm, ' ') AS words FROM ncte),
+         |b AS (SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+         |    CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(words)),
+         |                j -> words[j] || ' ' || words[j+1]) END AS bigrams
+         |  FROM wcte),
+         |ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+         |f AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2),
+         |r AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count,
+         |    CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_repeated_2grams
+         |  FROM f GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  b.n_tokens - b.n_distinct_tokens AS n_dup_tokens,
+         |  CAST(len(b.bigrams) AS BIGINT) AS n_2grams,
+         |  coalesce(r.top_2gram_count, 0) AS top_2gram_count,
+         |  coalesce(r.n_repeated_2grams, 0) AS n_repeated_2grams,
+         |  coalesce(r.top_2gram_count, 0) * 5 > len(b.bigrams) AND len(b.bigrams) > 0 AS is_repetitive
+         |FROM b LEFT JOIN r ON r.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    "ext_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 50) || '.example.org/p' ||
+        |    (doc_id % 7) || ' and http://mirror' || (doc_id % 3) || '.example.com/x' AS text
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1)) AS domain
+        |  FROM u)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_links
+        |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand

@@ -138,6 +138,73 @@ object Curation {
       .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")
   }
 
+  /** Benchmark decontamination (the "don't train on the test set" pass):
+    * flag every corpus document sharing at least `minOverlap` distinct
+    * 3-token shingles with a held-out benchmark set. The benchmark is tiny
+    * relative to the corpus, so its distinct shingle-hash set broadcasts and
+    * the overlap check is a map-side join against the corpus's per-doc
+    * shingle hashes — one narrow pass over 100 TB, one agg shuffle keyed by
+    * doc_id, no corpus self-join. Overlap counts are over 60-bit md5 shingle
+    * hashes (collisions counted identically on both engines).
+    *
+    * Here the benchmark set is carved deterministically from the corpus
+    * (doc_id % 97 = 0) so the operator is self-contained against the
+    * testdata; a real deployment passes the eval suite as `benchmark`.
+    */
+  def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
+    graft.functions.HashExpressions.register(documents.sparkSession,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
+    val hashed = documents
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
+      .withColumn("shd", array_distinct(expr("md5h60_arr(sh)")))
+      .select(col("doc_id"), col("shd"))
+    val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shd")).as("sh_hash")).distinct()
+    val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+    val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
+      .join(broadcast(benchShingles), Seq("sh_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+      .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+  }
+
+  /** The test corpus carries no URLs, so link analysis is exercised against
+    * deterministic injection (same pattern as withPiiInjected): every doc
+    * gains two URLs derived from its doc_id; the oracle applies the same
+    * construction.
+    */
+  def withUrlsInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"), col("source"), col("lang"),
+      concat(
+        col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org/p"), (col("doc_id") % 7).cast("string"),
+        lit(" and http://mirror"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/x")).as("text"))
+
+  private val UrlDomainRe = "https?://([a-z0-9.-]+)/"
+
+  /** Per-domain link rollup (the blocklist/allowlist signal of web-corpus
+    * curation): extract every URL's domain, count documents and link
+    * occurrences per domain. Extraction is a narrow codegen'd pass; the
+    * rollup is one agg shuffle over |domains| keys.
+    */
+  def domainStats(documents: DataFrame): DataFrame =
+    documents
+      // group-1 extraction: the capture is the domain; Scala-DSL lit form so
+      // the pattern's escapes survive (never through expr() SQL literals)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlDomainRe), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_links"))
+
   /** Token-budget packing: per source (the stratum), docs are admitted in
     * doc_id order until the stratum's running token total exceeds the
     * budget — the "cap each domain's contribution" step of corpus mixing.

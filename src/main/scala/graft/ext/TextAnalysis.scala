@@ -137,6 +137,46 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens",
         col("n_alpha_runs") + col("n_digit_runs") + col("n_symbols"))
 
+  /** Repetition-based quality gates (Gopher-style "repetitive document"
+    * filters): per doc, the frequency profile of its 2-grams — total
+    * bigrams, the most-frequent bigram's count, how many distinct bigrams
+    * repeat, and duplicate-token count. `is_repetitive` fires when the top
+    * bigram covers over 20% of all bigrams (integer cross-multiplication, no
+    * float ratio). Shape: explode bigrams → count per (doc, bigram) → roll
+    * up per doc — two agg shuffles both keyed by doc_id (the second is a
+    * sub-aggregation of the first, so AQE plans them back to back); at
+    * corpus scale this is the standard explode-aggregate profile, never
+    * quadratic.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val base = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  j -> concat_ws(' ', element_at(toks, j + 1), element_at(toks, j + 2)))"""
+              .stripMargin)).as("bigrams"))
+    val freq = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("top_2gram_count"),
+        count(when(col("c") > 1, 1)).as("n_repeated_2grams"))
+    base.select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_distinct_tokens")).as("n_dup_tokens"),
+        size(col("bigrams")).cast("long").as("n_2grams"))
+      .join(freq, Seq("doc_id"), "left")
+      .withColumn("top_2gram_count", coalesce(col("top_2gram_count"), lit(0L)))
+      .withColumn("n_repeated_2grams", coalesce(col("n_repeated_2grams"), lit(0L)))
+      .withColumn("is_repetitive",
+        col("top_2gram_count") * 5 > col("n_2grams") && col("n_2grams") > 0)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "n_2grams",
+        "top_2gram_count", "n_repeated_2grams", "is_repetitive")
+  }
+
   /** Document fingerprint: min/max 60-bit shingle hashes (min-sampling /
     * winnowing-style). Two docs share a fingerprint iff they share extremal
     * shingles — a cheap pre-dedup signal.

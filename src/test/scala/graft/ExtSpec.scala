@@ -360,6 +360,56 @@ class ExtSpec extends SparkSpec {
     keep.unpersist()
   }
 
+  test("decontamination flags docs sharing shingles with the benchmark set") {
+    // doc 0 is a benchmark doc (0 % 97 = 0); doc 1 copies its text verbatim,
+    // doc 2 is disjoint — only doc 1 should be contaminated
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated corpus text with different words here"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs).orderBy("doc_id").collect()
+    // benchmark doc itself is excluded from the output
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("is_contaminated"))
+    assert(byId(1L).getAs[Long]("n_overlap") == byId(1L).getAs[Long]("n_shingles"))
+    assert(!byId(2L).getAs[Boolean]("is_contaminated"))
+    assert(byId(2L).getAs[Long]("n_overlap") == 0L)
+  }
+
+  test("repetition profile: degenerate repeat is flagged, varied text is not") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one bigram repeated 5x
+      (2L, "each word here appears exactly once total"),
+      (3L, "solo")) // < 2 tokens: no bigrams, never repetitive
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_2grams") == 5L)
+    assert(byId(1L).getAs[Long]("top_2gram_count") == 5L)
+    assert(byId(1L).getAs[Boolean]("is_repetitive"))
+    assert(byId(1L).getAs[Long]("n_dup_tokens") == 5L)
+    assert(byId(2L).getAs[Long]("top_2gram_count") == 1L)
+    assert(!byId(2L).getAs[Boolean]("is_repetitive"))
+    assert(byId(2L).getAs[Long]("n_repeated_2grams") == 0L)
+    assert(byId(3L).getAs[Long]("n_2grams") == 0L)
+    assert(!byId(3L).getAs[Boolean]("is_repetitive"))
+  }
+
+  test("domain rollup counts links and distinct docs per injected domain") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val out = Curation.domainStats(Curation.withUrlsInjected(docs))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_links"))).toList
+    val n = docs.count()
+    // every doc contributes exactly 2 links (one https site, one http mirror)
+    assert(rows.map(_._3).sum == 2 * n)
+    // injected domains only, and each doc counted once per domain
+    assert(rows.forall { case (d, nd, nl) =>
+      (d.startsWith("site") || d.startsWith("mirror")) && nd == nl })
+  }
+
   test("frame sampling is byte-indexed, not char-indexed, for multi-byte payloads") {
     // 100 'é' (2 bytes each in UTF-8) = 200 bytes but 100 chars: byte framing
     // gives ceil(200/64) = 4 frames (sampled idx 0), char framing would give
