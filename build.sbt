@@ -16,6 +16,11 @@ run / fork := true
 // breaks machine parsing of Bench's single-line JSON output.
 run / connectInput := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Also suppress sbt's "[success] Total time: ..." epilogue: it prints AFTER
+// the forked program's output, so Bench's JSON line would not be the last
+// line of stdout (r1-r3 bench output was recorded but never parsed).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
