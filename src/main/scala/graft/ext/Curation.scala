@@ -154,11 +154,17 @@ object Curation {
   def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
     graft.functions.HashExpressions.register(documents.sparkSession,
       Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
+    // eager checkpoint: the tokenize+shingle+md5 pass dominates the query
+    // and feeds THREE consumers (benchmark shingle set, the overlap join's
+    // corpus side, the final per-doc select) — materialize it once instead
+    // of re-running the scan per consumer; the Bench/Verify harness sweep
+    // releases the blocks after the query's result is consumed
     val hashed = documents
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
       .withColumn("shd", array_distinct(expr("md5h60_arr(sh)")))
       .select(col("doc_id"), col("shd"))
+      .localCheckpoint(true)
     val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shd")).as("sh_hash")).distinct()
     val corpus = hashed.filter(col("doc_id") % 97 =!= 0)

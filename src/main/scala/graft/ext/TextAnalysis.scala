@@ -159,18 +159,23 @@ object TextAnalysis {
             """transform(sequence(0, size(toks) - 2),
               |  j -> concat_ws(' ', element_at(toks, j + 1), element_at(toks, j + 2)))"""
               .stripMargin)).as("bigrams"))
-    val freq = base
-      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
+    // single pass: per-doc scalars ride through both aggregations as
+    // grouping keys (functionally dependent on doc_id, so cardinality is
+    // unchanged) instead of re-scanning base for a join-back — the
+    // tokenize+bigram construction runs exactly once. explode_outer keeps
+    // bigram-less docs as one null-bg row (c = count(bg) = 0), replacing
+    // the old left join + coalesce(0).
+    base
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        size(col("bigrams")).cast("long").as("n_2grams"),
+        explode_outer(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "n_tokens", "n_distinct_tokens", "n_2grams", "bg")
+      .agg(count(col("bg")).as("c"))
+      .groupBy("doc_id", "n_tokens", "n_distinct_tokens", "n_2grams")
+      .agg(
         max(col("c")).as("top_2gram_count"),
         count(when(col("c") > 1, 1)).as("n_repeated_2grams"))
-    base.select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - col("n_distinct_tokens")).as("n_dup_tokens"),
-        size(col("bigrams")).cast("long").as("n_2grams"))
-      .join(freq, Seq("doc_id"), "left")
-      .withColumn("top_2gram_count", coalesce(col("top_2gram_count"), lit(0L)))
-      .withColumn("n_repeated_2grams", coalesce(col("n_repeated_2grams"), lit(0L)))
+      .withColumn("n_dup_tokens", col("n_tokens") - col("n_distinct_tokens"))
       .withColumn("is_repetitive",
         col("top_2gram_count") * 5 > col("n_2grams") && col("n_2grams") > 0)
       .select("doc_id", "n_tokens", "n_dup_tokens", "n_2grams",

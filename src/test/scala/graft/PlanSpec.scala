@@ -60,6 +60,23 @@ class PlanSpec extends SparkSpec {
       "Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("ivf posting-list join reuses the assignment exchange at runtime") {
+    // ivfTopNeighbor/ivfTopNeighborProbed deliberately do NOT persist the
+    // centroid-assignment subtree: both join sides read it through AQE
+    // runtime exchange reuse. That reuse depends on plan canonicalization —
+    // if a Spark upgrade or refactor silently breaks it, the broadcast
+    // cross-join + window recompute per side with no other signal, so
+    // assert the executed plan actually contains a reuse node.
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    Seq(Similarity.ivfTopNeighbor(emb),
+        Similarity.ivfTopNeighborProbed(emb, 2)).foreach { df =>
+      df.collect() // materialize so AQE finalizes the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery"), p)
+    }
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
