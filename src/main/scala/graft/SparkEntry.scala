@@ -143,6 +143,12 @@ object SparkEntry {
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
+    "ext_boilerplate" -> ((s, d) =>
+      Curation.boilerplate(Curation.withBoilerplateInjected(docs(s, d))).orderBy("doc_id")),
+    "ext_vocab_top" -> ((s, d) =>
+      TextAnalysis.vocabTop(docs(s, d)).orderBy(col("tf").desc, col("token").asc)),
+    "ext_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -794,6 +800,53 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
+    "ext_boilerplate" ->
+      s"""WITH bp AS (SELECT doc_id,
+         |    text || '. all rights reserved'
+         |      || CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN '. click here to read more' ELSE '' END AS text
+         |  FROM documents),
+         |bn AS (SELECT doc_id, $NORM AS norm FROM bp),
+         |bl AS (SELECT doc_id,
+         |    list_filter(string_split(norm, '. '), x -> x != '') AS sents FROM bn),
+         |bs AS (SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
+         |    i -> struct_pack(pos := i, sent := sents[i]))) AS o FROM bl),
+         |be AS (SELECT doc_id, o.pos AS pos, o.sent AS sent,
+         |    ${h60("o.sent")} AS sh FROM bs),
+         |bd AS (SELECT sh, count(DISTINCT doc_id) AS sent_df FROM be GROUP BY 1),
+         |bj AS (SELECT be.doc_id, be.pos, be.sent, bd.sent_df
+         |  FROM be JOIN bd USING (sh)),
+         |ba AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_sentences,
+         |    CAST(count(*) FILTER (WHERE sent_df >= 3) AS BIGINT) AS n_boilerplate,
+         |    coalesce(string_agg(sent, '. ' ORDER BY pos)
+         |      FILTER (WHERE sent_df < 3), '') AS kept_text
+         |  FROM bj GROUP BY 1)
+         |SELECT doc_id, n_sentences, n_boilerplate,
+         |  n_sentences - n_boilerplate AS n_kept,
+         |  ${h60("kept_text")} AS kept_hash,
+         |  n_boilerplate * 2 > n_sentences AS is_mostly_boilerplate
+         |FROM ba ORDER BY doc_id""".stripMargin,
+    "ext_vocab_top" ->
+      s"""WITH vt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
+         |  FROM documents),
+         |vf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM vt WHERE token != '' GROUP BY 1)
+         |SELECT token, tf, df FROM vf
+         |ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    "ext_tfidf_keywords" ->
+      s"""WITH kt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
+         |  FROM documents),
+         |ktf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM kt WHERE token != '' GROUP BY 1, 2),
+         |kdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ktf GROUP BY 1),
+         |kr AS (SELECT ktf.doc_id, ktf.token, ktf.tf, kdf.df,
+         |    CAST(row_number() OVER (PARTITION BY ktf.doc_id
+         |      ORDER BY ktf.tf DESC, kdf.df ASC, ktf.token ASC) AS BIGINT) AS rank
+         |  FROM ktf JOIN kdf USING (token))
+         |SELECT doc_id, rank, token, tf, df FROM kr
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand

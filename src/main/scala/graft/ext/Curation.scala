@@ -57,6 +57,63 @@ object Curation {
         length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
         Exact.md5Hash60(col("scrubbed")).as("scrubbed_hash"))
 
+  /** The test corpus has no sentence structure, so boilerplate-removal
+    * behavior is exercised against deterministic injection (same pattern as
+    * withPiiInjected): every doc gains a universal footer sentence, every
+    * third doc a newsletter plug, every seventh a click-bait line — the
+    * repeated-across-documents furniture a web crawl is full of. The
+    * original text survives as each doc's (unique) leading sentence.
+    */
+  def withBoilerplateInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(". all rights reserved"),
+        when(col("doc_id") % 3 === 0, lit(". subscribe to our newsletter"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(". click here to read more"))
+          .otherwise(lit(""))).as("text"))
+
+  /** C4-style boilerplate removal: a sentence is boilerplate when it occurs
+    * in at least `minDf` distinct documents (C4 uses 3); per doc, emit the
+    * sentence counts and a content hash of the text REBUILT from only the
+    * kept sentences in original order — verifying the removal itself, not
+    * just the counters.
+    *
+    * Scale shape: sentences are exploded once and the pass is eagerly
+    * checkpointed (it feeds both the document-frequency aggregation and the
+    * join back). The join key is the 60-bit sentence hash, so the shuffle
+    * carries 8-byte keys, not sentence strings; a corpus-wide footer makes
+    * that key maximally hot, which is exactly the skew AQE's skew-join
+    * splitting handles (the df side of the join is one row per key).
+    */
+  def boilerplate(documents: DataFrame, minDf: Long = 3L): DataFrame = {
+    val sents = documents
+      .withColumn("norm", TextAnalysis.normalized(col("text")))
+      // Scala-DSL split/filter, not expr(): the SQL string-literal parser
+      // would eat the regex backslash
+      .select(col("doc_id"),
+        posexplode(filter(split(col("norm"), "\\. "), s => s =!= ""))
+          .as(Seq("pos", "sent")))
+      .withColumn("sh", Exact.md5Hash60(col("sent")))
+      .localCheckpoint(true)
+    val dfreq = sents.groupBy("sh")
+      .agg(countDistinct("doc_id").as("sent_df"))
+    sents.join(dfreq, Seq("sh"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_sentences"),
+        count(when(col("sent_df") >= minDf, 1)).as("n_boilerplate"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(
+            when(col("sent_df") < minDf, struct(col("pos"), col("sent"))))),
+          x => x.getField("sent"))).as("kept_text"))
+      .select(
+        col("doc_id"), col("n_sentences"), col("n_boilerplate"),
+        (col("n_sentences") - col("n_boilerplate")).as("n_kept"),
+        Exact.md5Hash60(col("kept_text")).as("kept_hash"),
+        (col("n_boilerplate") * 2 > col("n_sentences")).as("is_mostly_boilerplate"))
+  }
+
   /** Deterministic stratified sampling: the sampling decision is a pure
     * function of doc_id (md5-derived bucket in [0,100)), so the sample is
     * reproducible across runs, engines, and cluster layouts — no RNG state,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
@@ -180,6 +181,53 @@ object TextAnalysis {
         col("top_2gram_count") * 5 > col("n_2grams") && col("n_2grams") > 0)
       .select("doc_id", "n_tokens", "n_dup_tokens", "n_2grams",
         "top_2gram_count", "n_repeated_2grams", "is_repetitive")
+  }
+
+  /** Corpus vocabulary heavy hitters: the global top-k tokens by total term
+    * frequency, with document frequency alongside — the "what is this corpus
+    * made of" report every curation run starts with.
+    *
+    * Scale shape: explode → hash-aggregate with map-side partial aggregation
+    * (the shuffle carries one row per distinct token per partition, not one
+    * per occurrence), then top-k as TakeOrderedAndProject — never a global
+    * sort of the vocabulary.
+    */
+  def vocabTop(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-doc keyword extraction, TF-IDF in rank form: each doc's top-k
+    * tokens ordered by term frequency descending, then document frequency
+    * ascending (rarer wins the tie — the idf direction), then token. Pure
+    * integer/lexicographic ordering — no float idf, so the DuckDB oracle
+    * matches exactly and the ranking is reproducible everywhere.
+    *
+    * Scale shape: ONE corpus scan. tf is an explode+aggregate keyed
+    * (doc_id, token); df rides the same lineage as a count over a
+    * token-partitioned window (the rows must co-locate by token to attach
+    * df no matter what — the window is that one shuffle, where the obvious
+    * df-table self-join would rescan the corpus for its second branch:
+    * column pruning strips the count from the df subtree, the exchanges no
+    * longer canonicalize equal, and AQE reuse never fires). The rank filter
+    * plans as WindowGroupLimit, so each doc's partial top-k is taken
+    * map-side before the doc_id shuffle.
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df")
   }
 
   /** Document fingerprint: min/max 60-bit shingle hashes (min-sampling /

@@ -424,4 +424,48 @@ class ExtSpec extends SparkSpec {
     }
     assert(out.head.getString(2) == expected0)
   }
+
+  test("boilerplate removal: injected footers flagged, original text survives") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.boilerplate(Curation.withBoilerplateInjected(docs))
+    val n = docs.count()
+    assert(out.count() == n)
+    // the universal footer is corpus-wide, so every doc has boilerplate
+    assert(out.filter(col("n_boilerplate") >= 1).count() == n)
+    assert(out.filter(col("n_kept") + col("n_boilerplate") =!= col("n_sentences")).count() == 0)
+    // docs whose text is corpus-unique (and period-free, so it stays one
+    // sentence) must come back EXACTLY as their normalized original —
+    // the removal reconstructs, not just counts
+    val uniq = Dedup.exact(docs).filter(col("group_size") === 1).select("doc_id")
+    val expect = docs.join(uniq, "doc_id")
+      .filter(!col("text").contains(". "))
+      .select(col("doc_id"),
+        graft.functions.Exact.md5Hash60(TextAnalysis.normalized(col("text"))).as("h"))
+    assert(expect.count() > 0)
+    assert(out.join(expect, "doc_id").filter(col("kept_hash") =!= col("h")).count() == 0)
+  }
+
+  test("vocab top-k is tf-sorted and bounded; df never exceeds tf") {
+    val out = TextAnalysis.vocabTop(Tables.documents(spark, sfDir), 20).collect()
+    assert(out.length == 20)
+    val tfs = out.map(_.getAs[Long]("tf")).toSeq
+    assert(tfs == tfs.sortBy(-_))
+    assert(out.forall(r => r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= r.getAs[Long]("tf")))
+  }
+
+  test("tfidf keywords: ranks are 1..k per doc in (tf desc, df asc) order") {
+    val rows = TextAnalysis.tfidfKeywords(Tables.documents(spark, sfDir).limit(50), 3)
+      .orderBy("doc_id", "rank").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).toSeq.sorted == (1L to rs.length).toSeq)
+      rs.sortBy(_.getAs[Long]("rank")).sliding(2).foreach {
+        case Array(a, b) =>
+          val (ta, da) = (a.getAs[Long]("tf"), a.getAs[Long]("df"))
+          val (tb, db) = (b.getAs[Long]("tf"), b.getAs[Long]("df"))
+          assert(ta > tb || (ta == tb && da <= db))
+        case _ =>
+      }
+    }
+  }
 }
