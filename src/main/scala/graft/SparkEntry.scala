@@ -201,7 +201,20 @@ object SparkEntry {
     "ext_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(s, Multimodal.asMedia(
         docs(s, d).filter(octet_length(col("text")) === length(col("text")))))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    "ext_media_resize" -> ((s, d) =>
+      Multimodal.resize(s, Multimodal.asMedia(docs(s, d))).orderBy("doc_id")),
+    // the feature column is a real Array[Long]; the oracle view projects
+    // order-stable scalars from it (element/extremes/sum)
+    "ext_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, d)))
+        .select(col("doc_id"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), Multimodal.NumFeatures).as("f7"),
+          aggregate(col("features"), lit(0L), (a, x) => a + x).as("feat_sum"),
+          array_min(col("features")).as("feat_min"),
+          array_max(col("features")).as("feat_max"))
+        .orderBy("doc_id"))
   )
 
   // ======================= oracle SQL (DuckDB) =======================
@@ -1014,7 +1027,23 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx,
         |    text FROM documents WHERE octet_length(encode(text)) = length(text))
         |SELECT doc_id, frame_idx, md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
-        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "ext_media_resize" ->
+      s"""SELECT doc_id,
+         |  160 + (${h32("text")} % 8) * 80 AS w_in,
+         |  120 + ((${h32("text")} // 8) % 8) * 60 AS h_in,
+         |  CAST(224 AS BIGINT) AS w_out, CAST(224 AS BIGINT) AS h_out,
+         |  CAST(224 * 224 * 3 AS BIGINT) AS n_bytes_out,
+         |  md5(text || '224x224') AS resized_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_media_features" ->
+      s"""WITH mf AS (SELECT doc_id, list_transform(range(0, 8),
+         |    i -> ('0x' || substr(md5(text), i * 4 + 1, 4))::BIGINT) AS features
+         |  FROM documents)
+         |SELECT doc_id, features[1] AS f0, features[8] AS f7,
+         |  CAST(list_sum(features) AS BIGINT) AS feat_sum,
+         |  list_min(features) AS feat_min, list_max(features) AS feat_max
+         |FROM mf ORDER BY doc_id""".stripMargin
   )
 
   private def langMarkerSql(w: String) =

@@ -58,6 +58,55 @@ object Multimodal {
     }.toDF()
   }
 
+  case class MediaResized(doc_id: Long, w_in: Long, h_in: Long,
+                          w_out: Long, h_out: Long, n_bytes_out: Long,
+                          resized_hash: String)
+  case class MediaFeatures(doc_id: Long, features: Array[Long])
+
+  /** Resize plumbing: decode (stub) → resize to a fixed target → re-encoded
+    * payload summary. The resized payload is represented by its content hash
+    * (md5 over payload ++ "WxH" — deterministic, oracle-reproducible) and
+    * the raw-RGB output size; a real pipeline swaps the hash line for the
+    * actual scaler. Narrow mapPartitions, one decoder per partition, binary
+    * column dropped on output.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             wOut: Long = 224L, hOut: Long = 224L): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (_, w, h, _) = FakeDecoder.decode(r.payload)
+        val hex = md.digest(r.payload ++ s"${wOut}x$hOut".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        MediaResized(r.doc_id, w, h, wOut, hOut, wOut * hOut * 3L, hex)
+      }
+    }.toDF()
+  }
+
+  /** Feature-extraction plumbing: media → fixed-width feature vector (the
+    * embed-the-image step). The stub derives 8 features from 4-hex-char
+    * slices of the payload md5 — integer-valued so the oracle matches
+    * exactly; a real pipeline replaces the slice loop with a model forward
+    * pass. The feature column is a genuine Array column, so downstream
+    * similarity operators (Similarity.*) consume it unchanged.
+    */
+  val NumFeatures = 8
+
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val feats = Array.tabulate(NumFeatures) { i =>
+          java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16)
+        }
+        MediaFeatures(r.doc_id, feats)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling stub: every `stride`-th "frame" of the payload (fixed
     * 64-byte frames), as (doc_id, frame_idx, frame_hash) — the shape a video
     * pipeline fans out to, kept fully deterministic.

@@ -425,6 +425,33 @@ class ExtSpec extends SparkSpec {
     assert(out.head.getString(2) == expected0)
   }
 
+  test("media resize and feature extraction: deterministic stub, real schemas") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sfDir).limit(20))
+    val rs = Multimodal.resize(spark, media, 224, 224).collect()
+    assert(rs.length == 20)
+    assert(rs.forall(r => r.getAs[Long]("w_out") == 224 &&
+      r.getAs[Long]("n_bytes_out") == 224L * 224 * 3))
+    // resized hash differs from the raw content hash (the target dims are
+    // folded into the stub encode) and w_in matches the decoder's stub
+    val meta = Multimodal.decodeMeta(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rs.foreach { r =>
+      val m = meta(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("w_in") == m.getAs[Long]("width"))
+      assert(r.getAs[String]("resized_hash") != m.getAs[String]("content_hash"))
+    }
+    val fs = Multimodal.extractFeatures(spark, media).collect()
+    assert(fs.length == 20)
+    fs.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Long]]("features")
+      assert(f.length == Multimodal.NumFeatures)
+      assert(f.forall(x => x >= 0 && x <= 0xffffL))
+    }
+    // determinism across runs
+    val fs2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(fs.map(_.toString).sorted.toSeq == fs2.map(_.toString).sorted.toSeq)
+  }
+
   test("boilerplate removal: injected footers flagged, original text survives") {
     val docs = Tables.documents(spark, sfDir)
     val out = Curation.boilerplate(Curation.withBoilerplateInjected(docs))
