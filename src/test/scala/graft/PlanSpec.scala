@@ -77,6 +77,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf keywords is one corpus scan with WindowGroupLimit top-k") {
+    // df rides the tf lineage as a token-partitioned window count; the
+    // df-table self-join formulation silently rescans the corpus (column
+    // pruning strips the count from the df branch, so the shared exchange
+    // stops canonicalizing equal and AQE reuse never fires)
+    val df = TextAnalysis.tfidfKeywords(Tables.documents(spark, sfDir), 3)
+    val p = df.queryExecution.executedPlan.toString // pre-collect: initial plan only
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
