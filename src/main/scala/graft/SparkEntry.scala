@@ -178,6 +178,8 @@ object SparkEntry {
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
+    "ann_kmeans_step" -> ((s, d) =>
+      Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
@@ -971,6 +973,22 @@ object SparkEntry {
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
          |  FROM rtruth t LEFT JOIN rivf2 a ON a.vec_id = t.vec_id)
          |SELECT method, n_queries, n_answered, n_correct FROM res ORDER BY method""".stripMargin,
+    "ann_kmeans_step" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM scored)
+         |  WHERE crank = 1),
+         |kex AS (SELECT cluster_id, unnest(range(1, 65)) AS dim, embedding
+         |  FROM assigned)
+         |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+         |  CAST(sum(CAST(floor(embedding[dim]::DOUBLE * 10000) AS BIGINT)) AS BIGINT) AS c_sum_e4,
+         |  count(*) AS n_members
+         |FROM kex GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin,
     "ann_ivf_probe2" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

@@ -121,6 +121,45 @@ object Similarity {
       .select("vec_id", "cluster_id", "neighbor_id")
   }
 
+  /** One Lloyd (k-means) training iteration for the IVF coarse quantizer:
+    * assign every vector to its nearest current centroid, then emit the new
+    * centroid as per-(cluster, dim) component sums and member counts — the
+    * caller divides. Sums are exact fixed-point (component × 10⁴, floored
+    * to BIGINT — float→double widening, IEEE multiply and floor are
+    * bit-identical on both engines), so the update is order-independent
+    * under any partitioning and the DuckDB oracle matches exactly; a float
+    * mean would be neither.
+    *
+    * Scale shape: assignment is the same broadcast-centroids map-side pass
+    * as search; the update is ONE aggregation shuffle carrying
+    * clusters × dims partial sums (map-side combine over 64 codegen'd sum
+    * columns — never an explode of N×64 component rows), unpivoted to tidy
+    * (cluster_id, dim, c_sum_e4, n_members) rows after the aggregate, when
+    * only clusters×64 rows remain. Iterating to convergence = calling this
+    * per round; the fixed first-K quantizer the search operators use is the
+    * t=0 state.
+    */
+  def ivfTrainStep(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("csim", cos("embedding", "c_emb"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("crank") === 1)
+      .select(col("embedding"), col("centroid_id").as("cluster_id"))
+    val sums = (1 to dims).map { i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * 10000)
+        .cast("long")).as(s"s_$i")
+    }
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), sums: _*)
+      .select(col("cluster_id"), col("n_members"),
+        explode(array((1 to dims).map(i =>
+          struct(lit(i.toLong).as("dim"), col(s"s_$i").as("c_sum_e4"))): _*)).as("d"))
+      .select(col("cluster_id"), col("d.dim"), col("d.c_sum_e4"), col("n_members"))
+  }
+
   /** Multi-probe IVF (nprobe > 1): each vector probes its `nprobe` nearest
     * centroids' posting lists instead of only the nearest — the standard
     * recall/cost knob of an IVF index (posting lists stay partitioned by

@@ -425,6 +425,23 @@ class ExtSpec extends SparkSpec {
     assert(out.head.getString(2) == expected0)
   }
 
+  test("kmeans train step: every vector counted once, centroids own themselves") {
+    CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val out = Similarity.ivfTrainStep(emb)
+    // each occupied cluster emits all 64 dims with a constant member count
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct("dim").as("nd"), countDistinct("n_members").as("nm"),
+        first("n_members").as("members"))
+      .collect()
+    assert(perCluster.forall(r => r.getAs[Long]("nd") == 64 && r.getAs[Long]("nm") == 1))
+    // every centroid assigns to itself (cos=1), so no cluster is empty
+    assert(perCluster.length == Similarity.IvfClusters)
+    // assignment is a partition: member counts sum to the corpus size
+    assert(perCluster.map(_.getAs[Long]("members")).sum == n)
+  }
+
   test("media resize and feature extraction: deterministic stub, real schemas") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir).limit(20))
     val rs = Multimodal.resize(spark, media, 224, 224).collect()
