@@ -144,6 +144,11 @@ object Dedup {
     // size win that matters at corpus scale. Both engines intersect the same
     // hash sets, so counts match by construction (collisions included).
     registerKernels(base)
+    // NOT materialized: both pair sides recompute md5h60_arr over the
+    // persisted base, but storing the hashed-array column was measured
+    // SLOWER at sf0.1 (persist 3.9 s, localCheckpoint 2.8 s, recompute
+    // 2.4 s) — writing array<bigint> rows out costs more than the second
+    // md5 pass it saves
     val sh = base.select(col("doc_id"),
       array_distinct(expr("md5h60_arr(sh)")).as("shd"))
     cands
