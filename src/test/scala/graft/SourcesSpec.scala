@@ -78,6 +78,40 @@ class SourcesSpec extends SparkSpec {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("jsonl and csv ingest: lossless round-trip, corrupt lines quarantined") {
+    import graft.sources.TextFormats
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val schema = docs.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+
+    // round-trip both formats; content equality against the parquet original
+    TextFormats.writeJsonLines(docs, s"$dir/j")
+    TextFormats.writeCsv(docs, s"$dir/c")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang", "source", "n_chars")
+        .collect().map(_.toSeq).toSet
+    assert(asSet(TextFormats.readJsonLines(spark, s"$dir/j", schema)) == asSet(docs))
+    assert(asSet(TextFormats.readCsv(spark, s"$dir/c", schema)) == asSet(docs))
+
+    // corrupt line: quarantined under PERMISSIVE (every input line accounted
+    // for), fatal under FAILFAST
+    val bad = s"$dir/bad.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+      """{"doc_id": oops not json""",
+      """{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}"""))
+    // collect once: Spark disallows queries that project ONLY the internal
+    // corrupt-record column straight off a raw file scan
+    val rows = TextFormats.readJsonLines(spark, bad, schema).collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.getAs[String](TextFormats.CorruptCol) != null) == 1)
+    assert(rows.filter(_.getAs[String](TextFormats.CorruptCol) == null)
+      .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    val ff = TextFormats.readJsonLines(spark, bad, schema, failFast = true)
+    intercept[org.apache.spark.SparkException](ff.collect())
+  }
+
   test("user replay: PII-style allow-list (only projected fields in envelope)") {
     val c = Tables.customer(spark, sfDir)
     val out = Loaders.userReplay(c)
