@@ -27,11 +27,13 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, content_hash: String,
                        width: Long, height: Long, n_frames: Long)
 
+  private[ext] def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
   /** Deterministic stand-in for an image/video decoder. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
-      val md = MessageDigest.getInstance("MD5")
-      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val hex = md5Hex(payload)
       val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
       val width = 160L + (h % 8) * 80L
       val height = 120L + ((h / 8) % 8) * 60L
@@ -74,11 +76,9 @@ object Multimodal {
              wOut: Long = 224L, hOut: Long = 224L): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (_, w, h, _) = FakeDecoder.decode(r.payload)
-        val hex = md.digest(r.payload ++ s"${wOut}x$hOut".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        val hex = md5Hex(r.payload ++ s"${wOut}x$hOut".getBytes("UTF-8"))
         MediaResized(r.doc_id, w, h, wOut, hOut, wOut * hOut * 3L, hex)
       }
     }.toDF()
@@ -96,9 +96,8 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val hex = md5Hex(r.payload)
         val feats = Array.tabulate(NumFeatures) { i =>
           java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16)
         }
@@ -119,11 +118,9 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
-      val md = MessageDigest.getInstance("MD5")
       val frames = r.payload.grouped(64).toArray
       frames.indices.by(stride).map { i =>
-        val hex = md.digest(frames(i)).map("%02x".format(_)).mkString
-        (r.doc_id, i.toLong, hex)
+        (r.doc_id, i.toLong, md5Hex(frames(i)))
       }
     }.toDF("doc_id", "frame_idx", "frame_hash")
   }

@@ -20,30 +20,49 @@ object TextFormats {
 
   val CorruptCol = "_corrupt_record"
 
+  /** The corrupt-record column must be part of the declared schema to be
+    * populated; FAILFAST never emits it. Callers may have declared it
+    * themselves (standard Spark practice) — don't add a duplicate.
+    */
+  private def withCorrupt(schema: StructType, failFast: Boolean): StructType =
+    if (failFast || schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, StringType)
+
   def readJsonLines(spark: SparkSession, path: String, schema: StructType,
-                    failFast: Boolean = false): DataFrame = {
-    val reader = spark.read
+                    failFast: Boolean = false): DataFrame =
+    spark.read
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-    // the corrupt-record column must be part of the declared schema to be
-    // populated; FAILFAST never emits it
-    val s = if (failFast) schema else schema.add(CorruptCol, StringType)
-    reader.schema(s).json(path)
-  }
+      .schema(withCorrupt(schema, failFast)).json(path)
 
+  /** CSV is only lossless for flat values: free text with embedded newlines
+    * needs `multiline = true`, which sacrifices block-level splittability
+    * (one task per file) — put free-text columns in JSONL instead, which is
+    * both line-splittable and lossless. Nulls are written as the \N sentinel
+    * so an empty string ("") stays distinct from null on read (with the
+    * default nullValue of "", the reader folds BOTH to null); whitespace is
+    * preserved (the writer's default trimming is disabled).
+    */
+  private val NullSentinel = "\\N"
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-              failFast: Boolean = false): DataFrame = {
-    val reader = spark.read
+              failFast: Boolean = false, multiline: Boolean = false): DataFrame =
+    spark.read
       .option("header", "true")
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-    val s = if (failFast) schema else schema.add(CorruptCol, StringType)
-    reader.schema(s).csv(path)
-  }
+      .option("multiLine", multiline.toString)
+      .option("nullValue", NullSentinel)
+      .schema(withCorrupt(schema, failFast)).csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      // the writer TRIMS whitespace by default — losslessness demands not
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", NullSentinel)
+      .csv(path)
 }

@@ -479,14 +479,18 @@ class ExtSpec extends SparkSpec {
     assert(out.filter(col("n_kept") + col("n_boilerplate") =!= col("n_sentences")).count() == 0)
     // docs whose text is corpus-unique (and period-free, so it stays one
     // sentence) must come back EXACTLY as their normalized original —
-    // the removal reconstructs, not just counts
+    // the removal reconstructs, not just counts. n_kept == 1 additionally
+    // guards the latent case of a unique RAW text whose NORMALIZED sentence
+    // coincides with corpus boilerplate (then the doc's own sentence is
+    // removed and the reconstruction is rightly empty)
     val uniq = Dedup.exact(docs).filter(col("group_size") === 1).select("doc_id")
     val expect = docs.join(uniq, "doc_id")
       .filter(!col("text").contains(". "))
       .select(col("doc_id"),
         graft.functions.Exact.md5Hash60(TextAnalysis.normalized(col("text"))).as("h"))
-    assert(expect.count() > 0)
-    assert(out.join(expect, "doc_id").filter(col("kept_hash") =!= col("h")).count() == 0)
+    val checked = out.filter(col("n_kept") === 1).join(expect, "doc_id")
+    assert(checked.count() > 0)
+    assert(checked.filter(col("kept_hash") =!= col("h")).count() == 0)
   }
 
   test("vocab top-k is tf-sorted and bounded; df never exceeds tf") {

@@ -94,6 +94,19 @@ class SourcesSpec extends SparkSpec {
     assert(asSet(TextFormats.readJsonLines(spark, s"$dir/j", schema)) == asSet(docs))
     assert(asSet(TextFormats.readCsv(spark, s"$dir/c", schema)) == asSet(docs))
 
+    // losslessness edge cases: padded whitespace, empty string (distinct
+    // from null), null, embedded newline. JSONL round-trips all of them
+    // line-splittably; CSV needs multiline=true for the newline (and
+    // documents that trade)
+    val edge = Seq((1L, "  padded  ", "en", "s", 10L), (2L, "", "en", "s", 0L),
+        (3L, "line one\nline two", "en", "s", 17L), (4L, null, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TextFormats.writeJsonLines(edge, s"$dir/je")
+    TextFormats.writeCsv(edge, s"$dir/ce")
+    assert(asSet(TextFormats.readJsonLines(spark, s"$dir/je", schema)) == asSet(edge))
+    assert(asSet(TextFormats.readCsv(spark, s"$dir/ce", schema, multiline = true))
+      == asSet(edge))
+
     // corrupt line: quarantined under PERMISSIVE (every input line accounted
     // for), fatal under FAILFAST
     val bad = s"$dir/bad.jsonl"
