@@ -113,6 +113,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplate: kept + boilerplate = sentences; minDf=1 removes everything") {
+    docFrames(3).foreach { docs =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val out = graft.ext.Curation.boilerplate(df).collect()
+      assert(out.forall(r => r.getAs[Long]("n_kept") + r.getAs[Long]("n_boilerplate")
+        == r.getAs[Long]("n_sentences")))
+      // minDf = 1: every sentence trivially reaches the threshold, so every
+      // doc (with at least one sentence) reconstructs to the same empty text
+      val all = graft.ext.Curation.boilerplate(df, minDf = 1L).collect()
+      assert(all.forall(_.getAs[Long]("n_kept") == 0L))
+      assert(all.map(_.getAs[Long]("kept_hash")).distinct.length <= 1)
+    }
+  }
+
+  test("vocab totals and tfidf rank-1 agree with independent counts") {
+    docFrames(3).foreach { docs =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val toks = df.select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val vocab = graft.ext.TextAnalysis.vocabTop(df, 1000)
+      assert(vocab.agg(coalesce(sum("tf"), lit(0L))).as[Long].head() == toks.count())
+      assert(vocab.filter(col("df") > df.count()).count() == 0)
+      // each doc's rank-1 keyword carries that doc's max term frequency
+      val kw = graft.ext.TextAnalysis.tfidfKeywords(df, 1)
+      val maxTf = toks.groupBy("doc_id", "t").count()
+        .groupBy("doc_id").agg(max("count").as("m"))
+      assert(kw.join(maxTf, "doc_id").filter(col("tf") =!= col("m")).count() == 0)
+    }
+  }
+
   test("pii scrub: output has no residual email/phone matches on any input") {
     docFrames(3).foreach { docs =>
       val df = graft.ext.Curation.withPiiInjected(
