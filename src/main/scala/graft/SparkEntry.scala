@@ -830,9 +830,9 @@ object SparkEntry {
          |    ${h60("o.sent")} AS sh FROM bs),
          |bd AS (SELECT sh, count(DISTINCT doc_id) AS sent_df FROM be GROUP BY 1),
          |bj AS (SELECT be.doc_id, be.pos, be.sent, bd.sent_df
-         |  FROM be JOIN bd USING (sh)),
+         |  FROM be LEFT JOIN bd USING (sh)),
          |ba AS (SELECT doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_sentences,
+         |    CAST(count(sent) AS BIGINT) AS n_sentences,
          |    CAST(count(*) FILTER (WHERE sent_df >= 3) AS BIGINT) AS n_boilerplate,
          |    coalesce(string_agg(sent, '. ' ORDER BY pos)
          |      FILTER (WHERE sent_df < 3), '') AS kept_text

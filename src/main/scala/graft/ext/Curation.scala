@@ -86,6 +86,12 @@ object Curation {
     * carries 8-byte keys, not sentence strings; a corpus-wide footer makes
     * that key maximally hot, which is exactly the skew AQE's skew-join
     * splitting handles (the df side of the join is one row per key).
+    *
+    * Accounting: every input doc_id appears in the output exactly once. A
+    * doc that normalizes to ZERO sentences (empty/whitespace-only text)
+    * emits an all-zero row with kept_text = "" — posexplode_outer keeps it
+    * as one null-sentence row that the left join and count(sent) then treat
+    * as "no sentences", instead of dropping the document.
     */
   def boilerplate(documents: DataFrame, minDf: Long = 3L): DataFrame = {
     val sents = documents
@@ -93,15 +99,15 @@ object Curation {
       // Scala-DSL split/filter, not expr(): the SQL string-literal parser
       // would eat the regex backslash
       .select(col("doc_id"),
-        posexplode(filter(split(col("norm"), "\\. "), s => s =!= ""))
+        posexplode_outer(filter(split(col("norm"), "\\. "), s => s =!= ""))
           .as(Seq("pos", "sent")))
       .withColumn("sh", Exact.md5Hash60(col("sent")))
       .localCheckpoint(true)
-    val dfreq = sents.groupBy("sh")
+    val dfreq = sents.filter(col("sh").isNotNull).groupBy("sh")
       .agg(countDistinct("doc_id").as("sent_df"))
-    sents.join(dfreq, Seq("sh"))
+    sents.join(dfreq, Seq("sh"), "left")
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_sentences"),
+        count(col("sent")).as("n_sentences"),
         count(when(col("sent_df") >= minDf, 1)).as("n_boilerplate"),
         concat_ws(". ", transform(
           array_sort(collect_list(

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Line-format ingestion (JSONL / CSV) with the 100 TB posture baked in:
@@ -28,6 +29,12 @@ object TextFormats {
     if (failFast || schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, StringType)
 
+  /** NOTE: under PERMISSIVE (the default) the returned frame's schema is the
+    * caller's `schema` PLUS the appended `_corrupt_record` quarantine column —
+    * a naive write(read(...)) round-trip carries the extra column, and schema
+    * equality against the declared StructType fails. Use [[splitRejects]] to
+    * recover frames in the declared schema; under FAILFAST no column is added.
+    */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType,
                     failFast: Boolean = false): DataFrame =
     spark.read
@@ -42,6 +49,15 @@ object TextFormats {
     * so an empty string ("") stays distinct from null on read (with the
     * default nullValue of "", the reader folds BOTH to null); whitespace is
     * preserved (the writer's default trimming is disabled).
+    *
+    * RESERVED VALUE: the sentinel makes the literal two-character string \N
+    * unrepresentable in CSV — a field whose VALUE is \N is written verbatim
+    * (nullValue only substitutes actual nulls on write) and reads back as
+    * null. This is the standard cost of the MySQL-style \N convention; data
+    * that can legitimately contain \N belongs in JSONL, which has a real
+    * null token and no reserved string (same routing rule as embedded
+    * newlines above). The quarantine-column caveat on [[readJsonLines]]
+    * applies here too.
     */
   private val NullSentinel = "\\N"
   def readCsv(spark: SparkSession, path: String, schema: StructType,
@@ -53,6 +69,23 @@ object TextFormats {
       .option("multiLine", multiline.toString)
       .option("nullValue", NullSentinel)
       .schema(withCorrupt(schema, failFast)).csv(path)
+
+  /** Split a PERMISSIVE read into (clean, rejects): clean rows in the
+    * caller's DECLARED schema (quarantine column dropped — safe to write or
+    * schema-compare), and reject rows carrying the raw corrupt line. Callers
+    * route rejects to a dead-letter sink and account for every input line.
+    *
+    * Both halves reference non-corrupt columns too, so neither trips Spark's
+    * "queries that reference only the internal corrupt record column are
+    * disallowed" rule on a raw file scan.
+    */
+  def splitRejects(df: DataFrame): (DataFrame, DataFrame) = {
+    require(df.columns.contains(CorruptCol),
+      s"no $CorruptCol column — was this read with failFast = true?")
+    val clean = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val rejects = df.filter(col(CorruptCol).isNotNull)
+    (clean, rejects)
+  }
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

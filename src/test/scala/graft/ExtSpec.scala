@@ -493,6 +493,33 @@ class ExtSpec extends SparkSpec {
     assert(checked.filter(col("kept_hash") =!= col("h")).count() == 0)
   }
 
+  test("boilerplate accounts for zero-sentence docs with an all-zero row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta. all rights reserved"),
+      (2L, "gamma delta. all rights reserved"),
+      (3L, "epsilon zeta. all rights reserved"),
+      (4L, ""),        // normalizes to zero sentences
+      (5L, "     "))   // space-only: also zero sentences (NB: tabs would
+                       // survive `trim` and normalize to a " " sentence —
+                       // the shared normalized()/oracle NORM only folds
+                       // INTERIOR whitespace and only trims spaces)
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplate(docs).orderBy("doc_id").collect()
+    // every input doc_id is accounted for, including the empty ones
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val empties = out.filter(r => r.getAs[Long]("doc_id") >= 4L)
+    empties.foreach { r =>
+      assert(r.getAs[Long]("n_sentences") == 0L)
+      assert(r.getAs[Long]("n_boilerplate") == 0L)
+      assert(r.getAs[Long]("n_kept") == 0L)
+      assert(!r.getAs[Boolean]("is_mostly_boilerplate"))
+    }
+    // kept_text for a zero-sentence doc is "" — same hash as an all-removed doc
+    val emptyHash = empties.head.getAs[Long]("kept_hash")
+    assert(empties.forall(_.getAs[Long]("kept_hash") == emptyHash))
+  }
+
   test("vocab top-k is tf-sorted and bounded; df never exceeds tf") {
     val out = TextAnalysis.vocabTop(Tables.documents(spark, sfDir), 20).collect()
     assert(out.length == 20)

@@ -14,7 +14,7 @@ class RecoverySpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming agg restarts from checkpoint and resumes state") {
-    val root = java.nio.file.Files.createTempDirectory("recovery").toString
+    val root = managedTempDir("recovery")
     val srcDir = s"$root/src"
     val ckpt = s"$root/ckpt"
     val outDir = s"$root/out"
@@ -58,7 +58,7 @@ class RecoverySpec extends SparkSpec {
 
   test("crossing detector state survives restart: no threshold re-emitted") {
     import graft.operators.Achievements
-    val root = java.nio.file.Files.createTempDirectory("xrecovery").toString
+    val root = managedTempDir("xrecovery")
     val srcDir = s"$root/src"
     val ckpt = s"$root/ckpt"
     val outDir = s"$root/out"

@@ -64,7 +64,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("date-partitioned layout prunes partitions at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val dir = managedTempDir("part")
     val events = Tables.events(spark, sfDir)
     events.withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
@@ -83,7 +83,7 @@ class SourcesSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val schema = docs.schema
-    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val dir = managedTempDir("graft-ingest")
 
     // round-trip both formats; content equality against the parquet original
     TextFormats.writeJsonLines(docs, s"$dir/j")
@@ -123,6 +123,16 @@ class SourcesSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
     val ff = TextFormats.readJsonLines(spark, bad, schema, failFast = true)
     intercept[org.apache.spark.SparkException](ff.collect())
+
+    // splitRejects recovers the DECLARED schema on the clean half and routes
+    // the raw corrupt line to the reject half
+    val (clean, rejects) = TextFormats.splitRejects(
+      TextFormats.readJsonLines(spark, bad, schema))
+    assert(clean.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(clean.count() == 2)
+    val rej = rejects.collect()
+    assert(rej.length == 1)
+    assert(rej.head.getAs[String](TextFormats.CorruptCol).contains("oops"))
   }
 
   test("user replay: PII-style allow-list (only projected fields in envelope)") {

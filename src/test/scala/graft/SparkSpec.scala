@@ -5,13 +5,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide session, UTC, AQE on). */
 object TestSpark {
+
+  /** Temp dirs created by suites, deleted when the test JVM exits (the
+    * suites share one JVM-wide session, so per-suite afterAll would race
+    * with later suites reusing the dir).
+    */
+  private val cleanupDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  def managedTempDir(prefix: String): String = synchronized {
+    if (cleanupDirs.isEmpty) sys.addShutdownHook {
+      cleanupDirs.foreach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupDirs += p
+    p.toString
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       // bucketed-table tests need a catalog; keep the warehouse out of the repo
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", managedTempDir("graft-warehouse"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,6 +46,8 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
+  /** A temp dir cleaned up at JVM exit — use for any on-disk test output. */
+  def managedTempDir(prefix: String): String = TestSpark.managedTempDir(prefix)
 }
 
 /** Top-level event row for test frames (inner case classes can't get

@@ -275,7 +275,7 @@ class StreamingSpec extends SparkSpec {
 
   test("achievements foreachBatch sink writes crossings to parquet") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("ach_sink").toString
+    val dir = managedTempDir("ach_sink")
     val mem = MemoryStream[Ev]
     val counts = Achievements.answerCounts(
       mem.toDF().withColumn("value", lit(90.0)))

@@ -14,7 +14,7 @@ class TopologySpec extends SparkSpec {
   import spark.implicits._
 
   test("full store fan-out runs from a file source and converges to batch") {
-    val dir = java.nio.file.Files.createTempDirectory("topo").toString
+    val dir = managedTempDir("topo")
     val batchEvents = Tables.events(spark, sfDir)
     // write with the streaming-readable schema (plain micros timestamps)
     batchEvents.write.mode("overwrite").parquet(s"$dir/events")
@@ -56,7 +56,7 @@ class TopologySpec extends SparkSpec {
 
   test("output mode chosen structurally: session windows → Append, other aggs → Update") {
     import org.apache.spark.sql.streaming.OutputMode
-    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    val dir = managedTempDir("mode")
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$dir/events")
     val src = Topology.fileSource(spark, s"$dir/events").withWatermark("ts", "1 minute")
 
