@@ -43,14 +43,23 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+    // median of 3 runs per query: a single run cannot distinguish a real
+    // regression from scheduling/GC noise on sub-2s queries (round-6 showed
+    // 3x swings on untouched operators). A failed first run skips the
+    // retries — failures are deterministic and retrying them pays the cost
+    // three times for the same -1.
+    val Runs = 3
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var ok = true
+      var r = 0
+      while (ok && r < Runs) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch {
           case t: Throwable =>
             System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
-            false
+            ok = false
         }
         finally {
           // release per-query persists AND any localCheckpoint blocks —
@@ -61,7 +70,11 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+        times += (System.nanoTime() - t0) / 1e9
+        r += 1
+      }
+      val median = if (ok) times.sorted.apply(Runs / 2) else -1.0
+      (name, median, ok)
     }
     // failed queries report -1 and are excluded from the total, so a broken
     // query can never be mistaken for a fast one

@@ -75,16 +75,44 @@ object TextFormats {
     * schema-compare), and reject rows carrying the raw corrupt line. Callers
     * route rejects to a dead-letter sink and account for every input line.
     *
-    * Both halves reference non-corrupt columns too, so neither trips Spark's
-    * "queries that reference only the internal corrupt record column are
-    * disallowed" rule on a raw file scan.
+    * The input frame is CACHED here: after column pruning, an action on
+    * either half alone (`rejects.count()` — the advertised dead-letter
+    * accounting use) would reduce the raw file scan's required schema to
+    * just `_corrupt_record`, which Spark forbids
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Caching is Spark's documented
+    * remedy: both halves then read materialized columns, not the raw scan.
+    * The caller releases the entry with `df.unpersist()` on the frame it
+    * passed in (same plan, same cache entry). Caching the read is only
+    * sensible at interactive scale — a 100 TB ingest should make ONE pass
+    * with [[writeQuarantined]] instead, which needs no cache at all.
     */
   def splitRejects(df: DataFrame): (DataFrame, DataFrame) = {
     require(df.columns.contains(CorruptCol),
       s"no $CorruptCol column — was this read with failFast = true?")
-    val clean = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val rejects = df.filter(col(CorruptCol).isNotNull)
+    val materialized = df.cache()
+    val clean = materialized.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val rejects = materialized.filter(col(CorruptCol).isNotNull)
     (clean, rejects)
+  }
+
+  /** The corpus-scale quarantine path: ONE scan writes clean rows under
+    * `_is_reject=false/` and raw corrupt lines under `_is_reject=true/`
+    * (Hive-style partition dirs — a downstream job reads either half with a
+    * partition-pruned scan). No cache, no second pass: the write projects
+    * every column, so the raw scan's required schema never collapses to
+    * `_corrupt_record`. The raw line is renamed to [[RawLineCol]] on write —
+    * `_corrupt_record` is a RESERVED name on any JSON/CSV scan (projecting
+    * it alone from the re-read output would hit the same
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN rule).
+    */
+  val RejectPartCol = "_is_reject"
+  val RawLineCol = "raw_line"
+  def writeQuarantined(df: DataFrame, path: String): Unit = {
+    require(df.columns.contains(CorruptCol),
+      s"no $CorruptCol column — was this read with failFast = true?")
+    df.withColumn(RejectPartCol, col(CorruptCol).isNotNull)
+      .withColumnRenamed(CorruptCol, RawLineCol)
+      .write.mode("overwrite").partitionBy(RejectPartCol).json(path)
   }
 
   def writeJsonLines(df: DataFrame, path: String): Unit =

@@ -125,14 +125,31 @@ class SourcesSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](ff.collect())
 
     // splitRejects recovers the DECLARED schema on the clean half and routes
-    // the raw corrupt line to the reject half
-    val (clean, rejects) = TextFormats.splitRejects(
-      TextFormats.readJsonLines(spark, bad, schema))
+    // the raw corrupt line to the reject half. count() on EITHER half alone
+    // is the load-bearing assertion: after pruning it would project only
+    // _corrupt_record off the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    // were the frame not cached inside splitRejects
+    val permissive = TextFormats.readJsonLines(spark, bad, schema)
+    val (clean, rejects) = TextFormats.splitRejects(permissive)
     assert(clean.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
     assert(clean.count() == 2)
+    assert(rejects.count() == 1)
     val rej = rejects.collect()
     assert(rej.length == 1)
     assert(rej.head.getAs[String](TextFormats.CorruptCol).contains("oops"))
+    permissive.unpersist()
+
+    // one-pass quarantine write: clean/reject halves land in partition dirs
+    // and read back partition-pruned
+    TextFormats.writeQuarantined(
+      TextFormats.readJsonLines(spark, bad, schema), s"$dir/q")
+    // partition-dir values come back as strings (Spark doesn't type-infer
+    // booleans from partition paths)
+    val q = spark.read.option("basePath", s"$dir/q").json(s"$dir/q")
+    assert(q.filter(col(TextFormats.RejectPartCol) === "false").count() == 2)
+    val qrej = q.filter(col(TextFormats.RejectPartCol) === "true")
+      .select(TextFormats.RawLineCol).collect()
+    assert(qrej.length == 1 && qrej.head.getString(0).contains("oops"))
   }
 
   test("user replay: PII-style allow-list (only projected fields in envelope)") {

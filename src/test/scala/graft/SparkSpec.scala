@@ -14,11 +14,17 @@ object TestSpark {
   def managedTempDir(prefix: String): String = synchronized {
     if (cleanupDirs.isEmpty) sys.addShutdownHook {
       cleanupDirs.foreach { root =>
+        // NonFatal, not IOException: Files.walk's stream iteration wraps I/O
+        // failures in UncheckedIOException (a RuntimeException), which must
+        // not abort cleanup of the REMAINING roots (Spark's own shutdown
+        // hooks may be touching the warehouse dir concurrently)
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     val p = java.nio.file.Files.createTempDirectory(prefix)
