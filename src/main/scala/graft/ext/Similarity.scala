@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CosineSimilarity
+import graft.functions.{AnnKernels, CosineSimilarity}
 
 /** Similarity search over an embedding column (Array[Float], 64-dim in the
   * testdata): brute-force cosine top-k as the correctness baseline and an
@@ -15,16 +15,42 @@ import graft.functions.CosineSimilarity
   *  - Brute force is only ever (small query set) × corpus: the query side is
   *    broadcast, the corpus is scanned once, top-k is a per-query ranking
   *    window over Q×N rows — never N×N.
-  *  - The LSH variant buckets vectors by the sign pattern of `SignBits`
+  *  - The LSH variant buckets vectors by the sign pattern of `signBits`
   *    coordinates (sign-hyperplane LSH with axis-aligned planes — fully
-  *    deterministic, oracle-reproducible) and joins only within buckets:
-  *    expected pair count N²/2^SignBits per band. At 100 TB this is the
-  *    standard banded-LSH shuffle join; recall is tuned by SignBits.
+  *    deterministic, oracle-reproducible); the IVF variant assigns vectors
+  *    to posting lists by nearest coarse centroid. Both search ONLY within
+  *    a bucket/list, and the bucket-local quadratic loop runs inside a
+  *    native kernel ([[graft.functions.BucketTop1]] /
+  *    [[graft.functions.CosineClosePairs]]) that emits only winners /
+  *    verified pairs — no candidate-pair rows ever reach a shuffle.
+  *  - SIZING (the knob that keeps bucket-local work sublinear): expected
+  *    bucket size is N/2^signBits (LSH) and N/k (IVF), so per-bucket kernel
+  *    cost is O((N/buckets)² · dims). Hold it constant as the corpus grows
+  *    by growing the bucket count LINEARLY with N: signBits ≈ log2(N/B) and
+  *    k ≈ N/B for a target bucket size B (B ≈ 2–10k keeps a bucket's
+  *    collect_list under ~10 MB at 64 float dims and the kernel loop in
+  *    cache). The defaults below are sized for the test corpora, passed as
+  *    parameters everywhere so a deployment sizes them per corpus. (Real
+  *    IVF deployments also cap k at ~√N·c and rely on nprobe for recall;
+  *    both knobs are exposed.)
   *  - Cosine itself is the codegen'd native expression (CosineSimilarity);
   *    accumulation in double, ascending index — the oracle reproduces it
   *    term-for-term. Output rows carry ids/ranks, never raw doubles.
   */
 object Similarity {
+
+  /** Registers the cosine expression and the bucket-local ANN kernels on
+    * the frame's session (idempotent) — operators below self-register so
+    * callers need no setup ritual.
+    */
+  private def registerKernels(df: DataFrame): Unit = {
+    CosineSimilarity.register(df.sparkSession)
+    AnnKernels.register(df.sparkSession)
+  }
+
+  /** (id, emb) entry list for one bucket, in kernel input shape. */
+  private def entries(id: Column, emb: Column): Column =
+    collect_list(struct(id.as("id"), emb.as("emb")))
 
   /** Cosine via the registered native expression; callers must have called
     * `CosineSimilarity.register(spark)` (SparkEntry does).
@@ -57,68 +83,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Default sign-plane count, sized for the test corpora (~500–5k vectors
+    * → expected bucket ≈ N/256 ≤ ~20). See the SIZING note above for how a
+    * deployment picks this: signBits ≈ log2(N / targetBucketSize).
+    */
   val SignBits = 8
 
-  /** Sign-pattern LSH bucket id from the first `SignBits` coordinates. */
-  def signBucket(emb: Column): Column =
-    (0 until SignBits).map { i =>
+  /** Sign-pattern LSH bucket id from the first `signBits` coordinates. */
+  def signBucket(emb: Column, signBits: Int = SignBits): Column =
+    (0 until signBits).map { i =>
       when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's
     * sign bucket. Output (vec_id, neighbor_id); vectors whose bucket holds no
     * other vector are absent (approximate by design).
+    *
+    * Shape: ONE shuffle of N (id, emb) rows keyed by bucket; the quadratic
+    * candidate loop runs inside the bucket_top1 kernel, which emits one
+    * winner row per vector — pair rows never exist as rows.
     */
-  def lshTopNeighbor(embeddings: DataFrame): DataFrame = {
-    val b = embeddings.select(
-      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id"), col("embedding").as("l_emb"))
-    val r = b.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("r_emb"))
-    val pairs = l.join(r, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", cos("l_emb", "r_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("vec_id", "neighbor_id")
+  def lshTopNeighbor(embeddings: DataFrame, signBits: Int = SignBits): DataFrame = {
+    registerKernels(embeddings)
+    embeddings
+      .groupBy(signBucket(col("embedding"), signBits).as("bucket"))
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
+      .select(col("w.vec_id").as("vec_id"), col("w.neighbor_id").as("neighbor_id"))
   }
 
+  /** Default coarse-quantizer size, sized for the test corpora. See the
+    * SIZING note above: k grows with the corpus (k ≈ N/targetListSize,
+    * capped ~√N·c with nprobe covering recall).
+    */
   val IvfClusters = 16
 
+  /** Nearest-centroid assignment (max cosine, centroid id tie-break):
+    * broadcast the k centroids, one map-side pass over the corpus.
+    */
+  private def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("csim", cos("embedding", "c_emb"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("crank") <= upTo)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"), col("crank"))
+  }
+
   /** IVF-style approximate nearest neighbor: a deterministic coarse
-    * quantizer (the first `IvfClusters` corpus vectors serve as fixed
-    * centroids — reproducible in SQL, unlike iterative k-means) assigns
-    * every vector to its nearest centroid's posting list; search runs only
-    * within the list. At scale the assignment is a broadcast map-side pass
-    * and each posting list is a partition-local search — the standard IVF
-    * trade of recall for candidate count.
+    * quantizer (the first `k` corpus vectors serve as fixed centroids —
+    * reproducible in SQL, unlike iterative k-means) assigns every vector to
+    * its nearest centroid's posting list; search runs only within the list.
+    * Assignment is a broadcast map-side pass; the posting list is gathered
+    * once (one shuffle of N rows keyed by cluster) and searched inside the
+    * bucket_top1 kernel — per-list cost is O(list² · dims) inside ONE
+    * operator call, with only the N winner rows emitted. No pair rows, no
+    * rank window, nothing quadratic in the shuffle.
     *
     * Output (vec_id, cluster_id, neighbor_id): top-1 neighbor within the
     * vector's posting list (vectors alone in their list are absent).
     */
-  def ivfTopNeighbor(embeddings: DataFrame): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    // nearest centroid per vector: max cosine, centroid id as tie-break
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("csim", cos("embedding", "c_emb"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"))
-    // no persist: both sides of the posting-list join read the same
-    // assignment subtree, and AQE reuses the identical exchange at runtime
-    // (ReusedExchange) — sharing without leaving cached partitions behind
-    val l = assigned.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
-    val r = assigned.select(col("cluster_id"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("r_emb"))
-    val pairs = l.join(r, Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", cos("l_emb", "r_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("vec_id", "cluster_id", "neighbor_id")
+  def ivfTopNeighbor(embeddings: DataFrame, k: Int = IvfClusters): DataFrame = {
+    registerKernels(embeddings)
+    assignToCentroids(embeddings, k, 1)
+      .groupBy("cluster_id")
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .select(col("cluster_id"), explode(expr("bucket_top1(vs, vs)")).as("w"))
+      .select(col("w.vec_id").as("vec_id"), col("cluster_id"),
+        col("w.neighbor_id").as("neighbor_id"))
   }
 
   /** One Lloyd (k-means) training iteration for the IVF coarse quantizer:
@@ -139,15 +173,10 @@ object Similarity {
     * per round; the fixed first-K quantizer the search operators use is the
     * t=0 state.
     */
-  def ivfTrainStep(embeddings: DataFrame, dims: Int = 64): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("csim", cos("embedding", "c_emb"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
-      .filter(col("crank") === 1)
-      .select(col("embedding"), col("centroid_id").as("cluster_id"))
+  def ivfTrainStep(embeddings: DataFrame, dims: Int = 64,
+                   k: Int = IvfClusters): DataFrame = {
+    val assigned = assignToCentroids(embeddings, k, 1)
+      .select(col("embedding"), col("cluster_id"))
     val sums = (1 to dims).map { i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * 10000)
         .cast("long")).as(s"s_$i")
@@ -162,33 +191,32 @@ object Similarity {
 
   /** Multi-probe IVF (nprobe > 1): each vector probes its `nprobe` nearest
     * centroids' posting lists instead of only the nearest — the standard
-    * recall/cost knob of an IVF index (posting lists stay partitioned by
-    * cluster id; the probe side fans out nprobe× before the same
-    * cluster-keyed join, so cost scales linearly in nprobe, never N²).
+    * recall/cost knob of an IVF index. Posting lists and probe sets are
+    * each gathered per cluster (two shuffles of N and nprobe·N rows), the
+    * per-cluster join is k rows against k rows, the bucket_top1 kernel
+    * emits one winner per (probe, list) visit, and a map-side-combining
+    * max_by aggregation picks the global winner from each vector's ≤nprobe
+    * candidates. Cost scales linearly in nprobe, never N²; the per-list
+    * argmax over lexicographic (sim desc, id asc) order composes, so
+    * winner-of-winners equals the global winner over all probed pairs.
     * Output (vec_id, neighbor_id): top-1 across all probed lists.
     */
-  def ivfTopNeighborProbed(embeddings: DataFrame, nprobe: Int = 2): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < IvfClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val ranked = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("csim", cos("embedding", "c_emb"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
-      .filter(col("crank") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"), col("crank"))
+  def ivfTopNeighborProbed(embeddings: DataFrame, nprobe: Int = 2,
+                           k: Int = IvfClusters): DataFrame = {
+    registerKernels(embeddings)
     // no persist: the posting-list side (crank=1) and the probe side share
     // the assignment subtree via AQE runtime exchange reuse — a persist here
     // leaked cached partitions into the session on every invocation
+    val ranked = assignToCentroids(embeddings, k, nprobe)
     val lists = ranked.filter(col("crank") === 1)
-      .select(col("cluster_id"), col("vec_id").as("neighbor_id"), col("embedding").as("r_emb"))
-    val probes = ranked.select(col("cluster_id"), col("vec_id"), col("embedding").as("l_emb"))
-    val pairs = probes.join(lists, Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", cos("l_emb", "r_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("vec_id", "neighbor_id")
+      .groupBy("cluster_id").agg(entries(col("vec_id"), col("embedding")).as("vs"))
+    val probes = ranked
+      .groupBy("cluster_id").agg(entries(col("vec_id"), col("embedding")).as("ps"))
+    probes.join(lists, Seq("cluster_id"))
+      .select(explode(expr("bucket_top1(vs, ps)")).as("w"))
+      .groupBy(col("w.vec_id").as("vec_id"))
+      .agg(max_by(col("w.neighbor_id"),
+        struct(col("w.sim"), (-col("w.neighbor_id")).as("nid"))).as("neighbor_id"))
   }
 
   /** Recall measurement for the approximate indexes — the "measure, don't
@@ -219,15 +247,14 @@ object Similarity {
     * exact in IEEE float, so cos(v, 2v) is bit-reproducible) because the
     * testdata has no natural near-dups — see Dedup.withPerturbedCopies.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val b = embeddings.select(
-      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("vec_id_a"), col("embedding").as("a_emb"))
-    val r = b.select(col("bucket"), col("vec_id").as("vec_id_b"), col("embedding").as("b_emb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("vec_id_a") < col("vec_id_b"))
-      .filter(cos("a_emb", "b_emb") > threshold)
-      .select("vec_id_a", "vec_id_b")
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+                   signBits: Int = SignBits): DataFrame = {
+    registerKernels(embeddings)
+    embeddings
+      .groupBy(signBucket(col("embedding"), signBits).as("bucket"))
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .select(explode(expr(s"cosine_close_pairs(vs, ${threshold}d)")).as("p"))
+      .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
   }
 
   /** Int8-style embedding quantization (the storage-compression step of a

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EmptyRow, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native bucket-local ANN kernels.
+  *
+  * The scale problem these solve: a bucketed/posting-list ANN search that
+  * joins the bucket against itself materializes Θ(bucket²) pair rows into
+  * the shuffle before a rank-1 window throws all but one per probe away —
+  * quadratic shuffle volume that grows with corpus size for any FIXED
+  * bucket count. These kernels run the quadratic loop INSIDE one operator
+  * call per bucket (a tight JVM float loop, like SimHashClosePairs) and
+  * emit only the winners, so the shuffle carries exactly one row per
+  * vector (plus the collect_list'd bucket itself — bounded by the bucket
+  * sizing rule, see ext.Similarity). CodegenFallback costs one virtual
+  * call per BUCKET — noise next to the O(bucket² · dims) float work.
+  *
+  * Cosine math is identical to [[CosineSimilarity]] (double accumulation,
+  * ascending index, 0.0 on zero norm), so results are bit-equal to the
+  * pair-join + window formulation the DuckDB oracle reproduces. Pairs with
+  * mismatched vector lengths (null cosine) are skipped — same outcome as
+  * the window's nulls-last ordering whenever any valid candidate exists.
+  */
+object AnnKernels {
+
+  private[functions] def cosine(x: Array[Float], y: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble
+      val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private[functions] val EntryType: DataType => Boolean = {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.head.dataType == LongType &&
+      s(1).dataType == ArrayType(FloatType, true) => true
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.head.dataType == LongType &&
+      s(1).dataType == ArrayType(FloatType, false) => true
+    case _ => false
+  }
+
+  private[functions] def parse(a: ArrayData): (Array[Long], Array[Array[Float]]) = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      embs(i) = if (row.isNullAt(1)) null else row.getArray(1).toFloatArray()
+      i += 1
+    }
+    (ids, embs)
+  }
+
+  /** Registers `bucket_top1(members, probes)` and
+    * `cosine_close_pairs(vectors, threshold)`; idempotent like
+    * HashExpressions.register.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def ifAbsent(name: String)(body: => Unit): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name))) body
+    ifAbsent("bucket_top1") {
+      reg.createOrReplaceTempFunction(
+        "bucket_top1", (e: Seq[Expression]) => BucketTop1(e.head, e(1)), "built-in")
+    }
+    ifAbsent("cosine_close_pairs") {
+      reg.createOrReplaceTempFunction(
+        "cosine_close_pairs", (e: Seq[Expression]) => CosineClosePairs(
+          e.head,
+          e(1).eval(EmptyRow).asInstanceOf[Number].doubleValue()), "built-in")
+    }
+  }
+}
+
+/** bucket_top1(members, probes): for every probe (id, emb), its best
+  * member by cosine — max similarity, smallest member id on ties, self
+  * (same id) excluded — as array<struct<vec_id, neighbor_id, sim>>.
+  * Probes with no valid candidate (alone in the bucket) emit nothing:
+  * approximate-by-design, same as the rank-1 window over an inner
+  * self-join. Order-insensitive in both inputs (argmax with a total
+  * tie-break), so it is safe over collect_list's nondeterministic order.
+  */
+case class BucketTop1(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bucket_top1"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (AnnKernels.EntryType(left.dataType) && AnnKernels.EntryType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<long, array<float>>>, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def nullSafeEval(m: Any, p: Any): Any = {
+    val (mIds, mEmbs) = AnnKernels.parse(m.asInstanceOf[ArrayData])
+    val (pIds, pEmbs) = AnnKernels.parse(p.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < pIds.length) {
+      val pe = pEmbs(i)
+      if (pe != null) {
+        var best = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var found = false
+        var j = 0
+        while (j < mIds.length) {
+          val me = mEmbs(j)
+          if (mIds(j) != pIds(i) && me != null && me.length == pe.length) {
+            val s = AnnKernels.cosine(pe, me)
+            // primitive compare: -0.0 == 0.0, matching Spark's normalized
+            // float ordering in the window formulation this replaces
+            if (!found || s > best || (s == best && mIds(j) < bestId)) {
+              best = s; bestId = mIds(j); found = true
+            }
+          }
+          j += 1
+        }
+        if (found) out += new GenericInternalRow(Array[Any](pIds(i), bestId, best))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_close_pairs(vectors, threshold): all unordered pairs within one
+  * bucket with cosine STRICTLY above `threshold`, as
+  * array<struct<vec_id_a, vec_id_b>> with vec_id_a < vec_id_b — the
+  * verified-pairs-only shape of near-duplicate detection (emits only
+  * matches, never the candidate pairs).
+  */
+case class CosineClosePairs(child: Expression, threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id_a", LongType, nullable = false),
+    StructField("vec_id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cosine_close_pairs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (AnnKernels.EntryType(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<long, array<float>>>, got " +
+        s"${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any = {
+    val (ids, embs) = AnnKernels.parse(input.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val a = embs(i); val b = embs(j)
+        if (a != null && b != null && a.length == b.length &&
+            AnnKernels.cosine(a, b) > threshold) {
+          val lo = math.min(ids(i), ids(j))
+          val hi = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](lo, hi))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -60,21 +60,28 @@ class PlanSpec extends SparkSpec {
       "Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
-  test("ivf posting-list join reuses the assignment exchange at runtime") {
-    // ivfTopNeighbor/ivfTopNeighborProbed deliberately do NOT persist the
-    // centroid-assignment subtree: both join sides read it through AQE
-    // runtime exchange reuse. That reuse depends on plan canonicalization —
-    // if a Spark upgrade or refactor silently breaks it, the broadcast
-    // cross-join + window recompute per side with no other signal, so
-    // assert the executed plan actually contains a reuse node.
-    graft.functions.CosineSimilarity.register(spark)
+  test("bucketed ANN search emits no pair rows: kernel top-1, no rank window") {
+    // The scale-killer shape these operators must NEVER regress to: joining
+    // a bucket/posting-list against itself materializes Θ(bucket²) pair
+    // rows into a shuffle before a rank-1 window discards all but one per
+    // probe. The kernel formulation runs the quadratic loop inside
+    // bucket_top1 per bucket and emits winners only — so the plan must
+    // contain the kernel, and the ONLY window allowed is the
+    // centroid-assignment row_number (none at all for sign-LSH).
     val emb = Tables.embeddings(spark, sfDir)
-    Seq(Similarity.ivfTopNeighbor(emb),
-        Similarity.ivfTopNeighborProbed(emb, 2)).foreach { df =>
-      df.collect() // materialize so AQE finalizes the adaptive plan
+    val cases = Seq(
+      (Similarity.lshTopNeighbor(emb), 0),
+      (Similarity.ivfTopNeighbor(emb), 1),
+      (Similarity.ivfTopNeighborProbed(emb, 2), 2)) // assignment subtree x2 (lists+probes)
+    cases.foreach { case (df, maxWindows) =>
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery"), p)
+      assert(p.contains("bucket_top1"), p)
+      assert("\\bWindow\\b".r.findAllIn(p).length <= maxWindows, p)
     }
+    val nd = Similarity.nearDupPairs(Similarity.withScaledCopies(emb), 0.95)
+    val pn = nd.queryExecution.executedPlan.toString
+    assert(pn.contains("cosine_close_pairs"), pn)
+    assert(!pn.contains("Join"), pn) // bucket gather + kernel: no join at all
   }
 
   test("tfidf keywords is one corpus scan with WindowGroupLimit top-k") {
