@@ -145,6 +145,12 @@ object SparkEntry {
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
     "ext_boilerplate" -> ((s, d) =>
       Curation.boilerplate(Curation.withBoilerplateInjected(docs(s, d))).orderBy("doc_id")),
+    // zero-sentence accounting edge case: every 97th doc's text blanked, NO
+    // footer injection — those docs must survive as all-zero rows
+    "ext_boilerplate_empty" -> ((s, d) =>
+      Curation.boilerplate(docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, lit("   ")).otherwise(col("text")).as("text")))
+        .orderBy("doc_id")),
     "ext_vocab_top" -> ((s, d) =>
       TextAnalysis.vocabTop(docs(s, d)).orderBy(col("tf").desc, col("token").asc)),
     "ext_tfidf_keywords" -> ((s, d) =>
@@ -235,6 +241,44 @@ object SparkEntry {
       |FROM events WHERE event_type = 'click'""".stripMargin
 
   private def moneySumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Shared boilerplate-removal oracle over a `bp(doc_id, text)` CTE body.
+    * A doc that normalizes to ZERO sentences keeps its accounting row: the
+    * bs CTE emits one null-sentence row for an empty sentence list (parity
+    * with Curation.boilerplate's posexplode_outer — unnest over an empty
+    * list would silently drop the doc), and bd excludes null hashes exactly
+    * as the Spark side's isNotNull filter does.
+    */
+  private def boilerplateSql(bp: String) =
+    // placeholder substituted AFTER stripMargin: a multi-line bp body would
+    // otherwise have its '||' concatenations eaten by the outer margin strip
+    boilerplateSqlTemplate.replace("__BP__", bp)
+  private val boilerplateSqlTemplate =
+    s"""WITH bp AS (__BP__),
+       |bn AS (SELECT doc_id, $NORM AS norm FROM bp),
+       |bl AS (SELECT doc_id,
+       |    list_filter(string_split(norm, '. '), x -> x != '') AS sents FROM bn),
+       |bs AS (SELECT doc_id, unnest(CASE WHEN len(sents) = 0
+       |    THEN [struct_pack(pos := CAST(NULL AS BIGINT), sent := CAST(NULL AS VARCHAR))]
+       |    ELSE list_transform(range(1, len(sents) + 1),
+       |      i -> struct_pack(pos := i, sent := sents[i])) END) AS o FROM bl),
+       |be AS (SELECT doc_id, o.pos AS pos, o.sent AS sent,
+       |    ${h60("o.sent")} AS sh FROM bs),
+       |bd AS (SELECT sh, count(DISTINCT doc_id) AS sent_df FROM be
+       |  WHERE sh IS NOT NULL GROUP BY 1),
+       |bj AS (SELECT be.doc_id, be.pos, be.sent, bd.sent_df
+       |  FROM be LEFT JOIN bd USING (sh)),
+       |ba AS (SELECT doc_id,
+       |    CAST(count(sent) AS BIGINT) AS n_sentences,
+       |    CAST(count(*) FILTER (WHERE sent_df >= 3) AS BIGINT) AS n_boilerplate,
+       |    coalesce(string_agg(sent, '. ' ORDER BY pos)
+       |      FILTER (WHERE sent_df < 3), '') AS kept_text
+       |  FROM bj GROUP BY 1)
+       |SELECT doc_id, n_sentences, n_boilerplate,
+       |  n_sentences - n_boilerplate AS n_kept,
+       |  ${h60("kept_text")} AS kept_hash,
+       |  n_boilerplate * 2 > n_sentences AS is_mostly_boilerplate
+       |FROM ba ORDER BY doc_id""".stripMargin
 
   /** doc corpus -> normalized -> 3-shingle CTE chain (TextAnalysis.shingles) */
   private def shingleCtes(corpus: String) =
@@ -815,33 +859,16 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
-    "ext_boilerplate" ->
-      s"""WITH bp AS (SELECT doc_id,
-         |    text || '. all rights reserved'
-         |      || CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter' ELSE '' END
-         |      || CASE WHEN doc_id % 7 = 0 THEN '. click here to read more' ELSE '' END AS text
-         |  FROM documents),
-         |bn AS (SELECT doc_id, $NORM AS norm FROM bp),
-         |bl AS (SELECT doc_id,
-         |    list_filter(string_split(norm, '. '), x -> x != '') AS sents FROM bn),
-         |bs AS (SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
-         |    i -> struct_pack(pos := i, sent := sents[i]))) AS o FROM bl),
-         |be AS (SELECT doc_id, o.pos AS pos, o.sent AS sent,
-         |    ${h60("o.sent")} AS sh FROM bs),
-         |bd AS (SELECT sh, count(DISTINCT doc_id) AS sent_df FROM be GROUP BY 1),
-         |bj AS (SELECT be.doc_id, be.pos, be.sent, bd.sent_df
-         |  FROM be LEFT JOIN bd USING (sh)),
-         |ba AS (SELECT doc_id,
-         |    CAST(count(sent) AS BIGINT) AS n_sentences,
-         |    CAST(count(*) FILTER (WHERE sent_df >= 3) AS BIGINT) AS n_boilerplate,
-         |    coalesce(string_agg(sent, '. ' ORDER BY pos)
-         |      FILTER (WHERE sent_df < 3), '') AS kept_text
-         |  FROM bj GROUP BY 1)
-         |SELECT doc_id, n_sentences, n_boilerplate,
-         |  n_sentences - n_boilerplate AS n_kept,
-         |  ${h60("kept_text")} AS kept_hash,
-         |  n_boilerplate * 2 > n_sentences AS is_mostly_boilerplate
-         |FROM ba ORDER BY doc_id""".stripMargin,
+    "ext_boilerplate" -> boilerplateSql(
+      """SELECT doc_id,
+        |    text || '. all rights reserved'
+        |      || CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN '. click here to read more' ELSE '' END AS text
+        |  FROM documents""".stripMargin),
+    "ext_boilerplate_empty" -> boilerplateSql(
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN '   ' ELSE text END AS text
+        |  FROM documents""".stripMargin),
     "ext_vocab_top" ->
       s"""WITH vt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),
