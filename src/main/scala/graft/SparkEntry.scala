@@ -180,6 +180,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    "ann_lsh_multi" -> ((s, d) => Similarity.lshTopNeighborMulti(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
@@ -327,10 +328,27 @@ object SparkEntry {
        |    * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
   /** sign-pattern LSH bucket, matching Similarity.signBucket */
-  private def bucketSql(e: String) =
+  private def bucketSql(e: String, offset: Int = 0) =
     (0 until Similarity.SignBits)
-      .map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .map(i => s"(CASE WHEN $e[${offset + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Multi-table sign-LSH candidate pairs (Similarity.lshTopNeighborMulti):
+    * 4 tables on disjoint coordinate blocks, same-bucket pairs unioned
+    * (UNION dedups the pair that surfaces in several tables). Emits CTEs
+    * `mb` (bucketed vectors) and `mpairs` (scored candidate pairs).
+    */
+  private def lshMultiPairsSql(src: String) = {
+    val buckets = (0 until 4)
+      .map(t => s"${bucketSql("embedding", t * Similarity.SignBits)} AS b$t")
+      .mkString(", ")
+    val joins = (0 until 4).map { t =>
+      s"""SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM mb l JOIN mb r ON l.b$t = r.b$t AND l.vec_id != r.vec_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"mb AS (SELECT vec_id, embedding, $buckets FROM ($src) mtsrc),\nmpairs AS ($joins)"
+  }
 
   private val SCALED_EMB =
     """SELECT vec_id, embedding FROM embeddings
@@ -928,6 +946,13 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_lsh_multi" ->
+      s"""WITH ${lshMultiPairsSql("SELECT vec_id, embedding FROM embeddings")}
+         |SELECT vec_id, neighbor_id
+         |FROM (SELECT vec_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM mpairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "ann_ivf_top1" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),
@@ -962,6 +987,10 @@ object SparkEntry {
          |rlsh AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
          |  FROM rlshp) WHERE r = 1),
+         |${lshMultiPairsSql("SELECT vec_id, embedding FROM embeddings")},
+         |rml AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM mpairs) WHERE r = 1),
          |rcent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),
          |rcs AS (SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -991,6 +1020,10 @@ object SparkEntry {
          |  SELECT 'lsh' AS method, count(*) AS n_queries, count(a.neighbor_id) AS n_answered,
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END) AS n_correct
          |  FROM rtruth t LEFT JOIN rlsh a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'lsh_multi', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rml a ON a.vec_id = t.vec_id
          |  UNION ALL
          |  SELECT 'ivf', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)

@@ -89,10 +89,13 @@ object Similarity {
     */
   val SignBits = 8
 
-  /** Sign-pattern LSH bucket id from the first `signBits` coordinates. */
-  def signBucket(emb: Column, signBits: Int = SignBits): Column =
+  /** Sign-pattern LSH bucket id from `signBits` coordinates starting at
+    * `offset` (0-based) — distinct offsets give the independent hash tables
+    * of multi-table LSH.
+    */
+  def signBucket(emb: Column, signBits: Int = SignBits, offset: Int = 0): Column =
     (0 until signBits).map { i =>
-      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(emb, offset + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's
@@ -110,6 +113,37 @@ object Similarity {
       .agg(entries(col("vec_id"), col("embedding")).as("vs"))
       .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
       .select(col("w.vec_id").as("vec_id"), col("w.neighbor_id").as("neighbor_id"))
+  }
+
+  /** Multi-table sign-LSH: the standard recall knob that does NOT grow any
+    * single table's bucket size — `tables` independent hash tables, each
+    * bucketing on a disjoint block of `signBits` coordinates; a vector's
+    * candidates are the union of its buckets across tables, and the global
+    * winner is the winner-of-winners (argmax over lexicographic
+    * (sim desc, id asc) composes across tables, including when the same
+    * neighbor surfaces in several tables). A miss needs the true neighbor
+    * to land in a different bucket in EVERY table, so recall improves
+    * geometrically in `tables` while cost grows linearly: one shuffle of
+    * tables·N rows, per-bucket kernel work unchanged, winners-only output
+    * into a map-side-combining max_by.
+    *
+    * Output (vec_id, neighbor_id); vectors alone in all their buckets are
+    * absent (approximate by design). Requires tables·signBits ≤ dims.
+    */
+  def lshTopNeighborMulti(embeddings: DataFrame, tables: Int = 4,
+                          signBits: Int = SignBits): DataFrame = {
+    registerKernels(embeddings)
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tab"),
+            signBucket(col("embedding"), signBits, t * signBits).as("bucket"))): _*)).as("tb"))
+      .groupBy(col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
+      .groupBy(col("w.vec_id").as("vec_id"))
+      .agg(max_by(col("w.neighbor_id"),
+        struct(col("w.sim"), (-col("w.neighbor_id")).as("nid"))).as("neighbor_id"))
   }
 
   /** Default coarse-quantizer size, sized for the test corpora. See the
@@ -236,6 +270,7 @@ object Similarity {
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
     hits("lsh", lshTopNeighbor(embeddings))
+      .unionByName(hits("lsh_multi", lshTopNeighborMulti(embeddings)))
       .unionByName(hits("ivf", ivfTopNeighbor(embeddings).drop("cluster_id")))
       .unionByName(hits("ivf_probe2", ivfTopNeighborProbed(embeddings, 2)))
       .select("method", "n_queries", "n_answered", "n_correct")

@@ -281,6 +281,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH dominates single-table: answers and similarity never worse") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    def simsOf(df: org.apache.spark.sql.DataFrame) = df
+      .join(emb.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")), "neighbor_id")
+      .select(col("vec_id"), Similarity.cos("e1", "e2").as("sim"))
+      .as[(Long, Double)].collect().toMap
+    val single = simsOf(Similarity.lshTopNeighbor(emb))
+    val multi = simsOf(Similarity.lshTopNeighborMulti(emb))
+    // table 0 of the multi-table index IS the single-table index, so every
+    // single-table answer exists under multi, and the winner-of-winners can
+    // only be at least as similar
+    single.foreach { case (v, s1) =>
+      assert(multi.contains(v), s"vec $v answered by single-table but not multi")
+      assert(multi(v) >= s1 - 1e-12, s"vec $v: multi ${multi(v)} < single $s1")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("sequence packing: bins tile each source's token stream without gaps") {
     val docs = Seq(
       (1L, ("a " * 40).trim, "s1"),   // 40 tokens: bins 0..0

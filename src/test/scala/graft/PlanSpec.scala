@@ -71,6 +71,7 @@ class PlanSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
     val cases = Seq(
       (Similarity.lshTopNeighbor(emb), 0),
+      (Similarity.lshTopNeighborMulti(emb), 0),
       (Similarity.ivfTopNeighbor(emb), 1),
       (Similarity.ivfTopNeighborProbed(emb, 2), 2)) // assignment subtree x2 (lists+probes)
     cases.foreach { case (df, maxWindows) =>
