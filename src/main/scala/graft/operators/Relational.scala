@@ -26,14 +26,27 @@ object Relational {
         Exact.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
-  /** Top-N orders by discounted revenue (join + agg + global top-k). */
+  /** Top-N orders by discounted revenue (agg + join + global top-k).
+    *
+    * The aggregation runs BELOW the join: the output grouping keys
+    * (o_orderdate, o_orderpriority) are functionally dependent on the order
+    * key, so revenue is aggregated per l_orderkey first — the shuffle
+    * carries (key, decimal) pairs with map-side combine instead of
+    * join-widened rows — and orders attaches to the 4×-smaller aggregate.
+    * The agg's hash partitioning on the key also satisfies the join's
+    * distribution, so the aggregate side is NOT re-shuffled; at fact-scale
+    * (where orders is too big to broadcast) that is one narrow shuffle per
+    * side and nothing re-partitioned twice. Top-k still plans as
+    * TakeOrderedAndProject (asserted in PlanSpec), never a global sort.
+    */
   def topRevenueOrders(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
     lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .groupBy("l_orderkey")
       .agg(Exact.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(n)
   }
