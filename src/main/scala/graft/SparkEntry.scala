@@ -182,6 +182,8 @@ object SparkEntry {
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_lsh_multi" -> ((s, d) => Similarity.lshTopNeighborMulti(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopKNeighbors(emb(s, d), 3).orderBy("vec_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
@@ -972,6 +974,25 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM scored)
+         |  WHERE crank = 1),
+         |pairs AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM assigned l JOIN assigned r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id)
+         |SELECT vec_id, rank, neighbor_id
+         |FROM (SELECT vec_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
          |rscored AS (SELECT rq.query_id, c.vec_id AS nid,

@@ -189,6 +189,23 @@ object Similarity {
         col("w.neighbor_id").as("neighbor_id"))
   }
 
+  /** IVF approximate top-k: same posting-list shape as [[ivfTopNeighbor]],
+    * with the bucket_topk kernel keeping a k-slot insertion sort per probe —
+    * at most `topK` rows per vector emitted, ordering identical to a rank
+    * window. Output (vec_id, rank, neighbor_id), rank 1..topK within the
+    * vector's posting list.
+    */
+  def ivfTopKNeighbors(embeddings: DataFrame, topK: Int = 3,
+                       k: Int = IvfClusters): DataFrame = {
+    registerKernels(embeddings)
+    assignToCentroids(embeddings, k, 1)
+      .groupBy("cluster_id")
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .select(explode(expr(s"bucket_topk(vs, vs, $topK)")).as("w"))
+      .select(col("w.vec_id").as("vec_id"), col("w.rank").as("rank"),
+        col("w.neighbor_id").as("neighbor_id"))
+  }
+
   /** One Lloyd (k-means) training iteration for the IVF coarse quantizer:
     * assign every vector to its nearest current centroid, then emit the new
     * centroid as per-(cluster, dim) component sums and member counts — the

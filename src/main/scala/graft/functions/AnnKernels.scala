@@ -83,6 +83,12 @@ object AnnKernels {
           e.head,
           e(1).eval(EmptyRow).asInstanceOf[Number].doubleValue()), "built-in")
     }
+    ifAbsent("bucket_topk") {
+      reg.createOrReplaceTempFunction(
+        "bucket_topk", (e: Seq[Expression]) => BucketTopK(
+          e.head, e(1),
+          e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
+    }
   }
 }
 
@@ -132,6 +138,75 @@ case class BucketTop1(left: Expression, right: Expression)
           j += 1
         }
         if (found) out += new GenericInternalRow(Array[Any](pIds(i), bestId, best))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** bucket_topk(members, probes, k): for every probe, its top-k members by
+  * cosine — ordered (sim desc, member id asc), self excluded — as
+  * array<struct<vec_id, neighbor_id, sim, rank>> with rank 1..k. The
+  * per-probe state is a k-slot insertion sort (k is small), so per-bucket
+  * cost is O(|probes|·|members|·(dims + k)) inside one call, and the
+  * output carries at most k rows per probe — the top-k generalization of
+  * [[BucketTop1]] with the same ordering semantics as a rank window.
+  */
+case class BucketTopK(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false),
+    StructField("rank", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bucket_topk"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k >= 1 && AnnKernels.EntryType(left.dataType) && AnnKernels.EntryType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<long, array<float>>> and k >= 1, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}, k=$k")
+  override def nullSafeEval(m: Any, p: Any): Any = {
+    val (mIds, mEmbs) = AnnKernels.parse(m.asInstanceOf[ArrayData])
+    val (pIds, pEmbs) = AnnKernels.parse(p.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val topSim = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var i = 0
+    while (i < pIds.length) {
+      val pe = pEmbs(i)
+      if (pe != null) {
+        var n = 0
+        var j = 0
+        while (j < mIds.length) {
+          val me = mEmbs(j)
+          if (mIds(j) != pIds(i) && me != null && me.length == pe.length) {
+            val s = AnnKernels.cosine(pe, me)
+            // find insertion slot: strictly better than slot (primitive
+            // compare: -0.0 == 0.0, same as the window ordering)
+            var slot = n
+            while (slot > 0 && (s > topSim(slot - 1) ||
+                (s == topSim(slot - 1) && mIds(j) < topId(slot - 1)))) slot -= 1
+            if (slot < k) {
+              val last = math.min(n, k - 1)
+              var t = last
+              while (t > slot) { topSim(t) = topSim(t - 1); topId(t) = topId(t - 1); t -= 1 }
+              topSim(slot) = s; topId(slot) = mIds(j)
+              if (n < k) n += 1
+            }
+          }
+          j += 1
+        }
+        var r = 0
+        while (r < n) {
+          out += new GenericInternalRow(
+            Array[Any](pIds(i), topId(r), topSim(r), (r + 1).toLong))
+          r += 1
+        }
       }
       i += 1
     }

@@ -281,6 +281,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivf top-k: ranks contiguous from 1, rank 1 equals the top-1 operator") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    val topk = Similarity.ivfTopKNeighbors(emb, 3).cache()
+    // ranks per vector are exactly 1..m with m <= 3
+    val badRanks = topk.groupBy("vec_id")
+      .agg(count(lit(1)).as("m"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("m") || col("mn") =!= 1 || col("m") > 3)
+      .count()
+    assert(badRanks == 0)
+    val r1 = topk.filter(col("rank") === 1).select("vec_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val t1 = Similarity.ivfTopNeighbor(emb).select("vec_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == t1)
+    topk.unpersist()
+  }
+
   test("multi-table LSH dominates single-table: answers and similarity never worse") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)

@@ -73,10 +73,11 @@ class PlanSpec extends SparkSpec {
       (Similarity.lshTopNeighbor(emb), 0),
       (Similarity.lshTopNeighborMulti(emb), 0),
       (Similarity.ivfTopNeighbor(emb), 1),
+      (Similarity.ivfTopKNeighbors(emb, 3), 1),
       (Similarity.ivfTopNeighborProbed(emb, 2), 2)) // assignment subtree x2 (lists+probes)
     cases.foreach { case (df, maxWindows) =>
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("bucket_top1"), p)
+      assert(p.contains("bucket_top"), p)
       assert("\\bWindow\\b".r.findAllIn(p).length <= maxWindows, p)
     }
     val nd = Similarity.nearDupPairs(Similarity.withScaledCopies(emb), 0.95)
