@@ -299,6 +299,22 @@ class ExtSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("persisted IVF index: search is exchange-free and matches direct top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    Similarity.buildIvfIndex(emb, "ivf_idx_test", buckets = 4)
+    try {
+      val viaIndex = Similarity.searchIvfIndex(spark, "ivf_idx_test", 3)
+      // build paid the assignment+gather shuffle; search reads co-located
+      // posting lists off the bucketed layout — no Exchange in the plan
+      val p = viaIndex.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      val direct = Similarity.ivfTopKNeighbors(emb, 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaIndex.as[(Long, Long, Long)].collect().toSet == direct)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+  }
+
   test("multi-table LSH dominates single-table: answers and similarity never worse") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
