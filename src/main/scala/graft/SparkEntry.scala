@@ -140,6 +140,11 @@ object SparkEntry {
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
+    // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
+    // driver records the weaker rows-only check, exactness is sbt-pinned
+    // against ext_decontaminate (no-false-negative superset invariant)
+    "ext_decontaminate_bloom" -> ((s, d) =>
+      Curation.decontaminateBloom(docs(s, d)).orderBy("doc_id")),
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),

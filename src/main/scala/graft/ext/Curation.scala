@@ -214,25 +214,63 @@ object Curation {
     * (doc_id % 97 = 0) so the operator is self-contained against the
     * testdata; a real deployment passes the eval suite as `benchmark`.
     */
-  def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
+  /** Per-doc distinct 60-bit shingle hashes, eagerly checkpointed: the
+    * tokenize+shingle+md5 pass dominates and feeds several consumers
+    * (benchmark set, corpus side, final per-doc select) — materialize it
+    * once instead of re-running the scan per consumer; the Bench/Verify
+    * harness sweep releases the blocks after the result is consumed.
+    */
+  private def shingleHashed(documents: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(documents.sparkSession,
       Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
-    // eager checkpoint: the tokenize+shingle+md5 pass dominates the query
-    // and feeds THREE consumers (benchmark shingle set, the overlap join's
-    // corpus side, the final per-doc select) — materialize it once instead
-    // of re-running the scan per consumer; the Bench/Verify harness sweep
-    // releases the blocks after the query's result is consumed
-    val hashed = documents
+    documents
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
       .withColumn("shd", array_distinct(expr("md5h60_arr(sh)")))
       .select(col("doc_id"), col("shd"))
       .localCheckpoint(true)
+  }
+
+  def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
+    val hashed = shingleHashed(documents)
     val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shd")).as("sh_hash")).distinct()
     val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
     val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
       .join(broadcast(benchShingles), Seq("sh_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+      .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+  }
+
+  /** Bloom-filter decontamination — the variant for when even the DISTINCT
+    * benchmark shingle-hash set outgrows an exact broadcast (a full eval
+    * suite at 100 TB): the benchmark aggregates into a fixed-size bloom
+    * sketch (bit-OR construction — identical under any partitioning), the
+    * sketch materializes once as a scalar subquery (exactly Spark's own
+    * runtime-filter shape), and the corpus probe is a map-side
+    * `bloom_might_contain` filter before the same per-doc overlap count.
+    *
+    * Guarantee: NO false negatives — every truly contaminated doc is
+    * flagged, and per-doc `n_overlap` is an upper bound on the exact count
+    * (false-positive rate set by numBits/item; the exact [[decontaminate]]
+    * is the adjudicator for flagged docs when precision matters).
+    */
+  def decontaminateBloom(documents: DataFrame, minOverlap: Long = 1L,
+                         estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.BloomFunctions.register(documents.sparkSession)
+    val hashed = shingleHashed(documents)
+    hashed.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shd")).as("sh_hash"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .createOrReplaceTempView("graft_decontaminate_bloom")
+    val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+    val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
+      .filter(expr(
+        "bloom_might_contain((SELECT bf FROM graft_decontaminate_bloom), sh_hash)"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
       .join(overlap, Seq("doc_id"), "left")

@@ -432,6 +432,23 @@ class ExtSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("n_overlap") == 0L)
   }
 
+  test("bloom decontamination: no false negatives vs exact, counts upper-bound") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Curation.decontaminate(docs)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    val bloom = Curation.decontaminateBloom(docs)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    assert(bloom.keySet == exact.keySet) // same corpus accounting
+    // bit-OR sketch can only ADD hits: every exact overlap is a bloom
+    // overlap, so no truly contaminated doc can ever be missed
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
+    }
+    // with 2^23 bits over this corpus the fp rate is ~0: counts match
+    val inflated = exact.count { case (id, n) => bloom(id) != n }
+    assert(inflated <= exact.size / 100, s"$inflated docs inflated by fp")
+  }
+
   test("repetition profile: degenerate repeat is flagged, varied text is not") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"), // one bigram repeated 5x
