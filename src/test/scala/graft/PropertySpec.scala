@@ -144,6 +144,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucket_topk kernel matches the rank-window reference, ties included") {
+    import graft.ext.Similarity
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.AnnKernels.register(spark)
+    (1 to 3).foreach { i =>
+      val base = Gen.listOfN(60, Gen.listOfN(8, Gen.choose(-1.0, 1.0).map(_.toFloat)))(
+        Gen.Parameters.default, Seed(7L + i)).getOrElse(sys.error("gen failed"))
+      // duplicate a third of the vectors under new ids: exact-equal
+      // embeddings force sim TIES, exercising the min-id tie-break
+      val vecs = (base ++ base.take(20)).zipWithIndex
+        .map { case (v, idx) => (idx.toLong, v.toArray) }
+      val df = vecs.toDF("vec_id", "embedding")
+        .withColumn("bucket", Similarity.signBucket(col("embedding"), 3))
+      val viaKernel = df.groupBy("bucket")
+        .agg(collect_list(struct(col("vec_id").as("id"), col("embedding").as("emb"))).as("vs"))
+        .select(explode(expr("bucket_topk(vs, vs, 3)")).as("w"))
+        .select("w.vec_id", "w.rank", "w.neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val l = df.select(col("bucket"), col("vec_id"), col("embedding").as("l_emb"))
+      val r = df.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("r_emb"))
+      val reference = l.join(r, "bucket")
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("sim", expr("cosine_sim(l_emb, r_emb)"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("vec_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaKernel == reference)
+    }
+  }
+
   test("pii scrub: output has no residual email/phone matches on any input") {
     docFrames(3).foreach { docs =>
       val df = graft.ext.Curation.withPiiInjected(
