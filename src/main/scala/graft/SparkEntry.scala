@@ -189,6 +189,7 @@ object SparkEntry {
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopKNeighbors(emb(s, d), 3).orderBy("vec_id", "rank")),
+    "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
@@ -998,6 +999,26 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "ann_pq_codes" -> {
+      val subs = 8; val subDim = 8
+      val dCols = (0 until subs).map { s =>
+        s"""list_sum(list_transform(range(1, ${subDim + 1}),
+           |      i -> (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
+           |         * (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+      }.mkString(",\n    ")
+      // min over the (distance, cid) struct = min distance with centroid-id
+      // tie-break — same lexicographic order as Spark's min(struct(...))
+      val codeCols = (0 until subs)
+        .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
+      val pack = (0 until subs)
+        .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |pj AS (SELECT e.vec_id, c.cid,
+         |    $dCols
+         |  FROM embeddings e CROSS JOIN cent c),
+         |pcodes AS (SELECT vec_id, $codeCols FROM pj GROUP BY 1)
+         |SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM pcodes ORDER BY vec_id""".stripMargin
+    },
     "ann_recall" ->
       s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
          |rscored AS (SELECT rq.query_id, c.vec_id AS nid,

@@ -338,6 +338,49 @@ object Similarity {
       .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
   }
 
+  /** Product-quantization codes — the storage half of an IVF-PQ index: the
+    * vector splits into `subs` subvectors of `subDim` dims; each subvector
+    * is coded as the id of its nearest codebook entry (L2², double
+    * accumulation ascending — engine-exact), shrinking 64 float dims to
+    * `subs` 4-bit codes packed in one BIGINT (64× smaller; at 100 TB the
+    * codes table is what a search fleet holds in memory). The codebook is
+    * deterministic (subvectors of the first `k` corpus vectors — same
+    * first-K trick as the IVF coarse quantizer, SQL-reproducible; a real
+    * deployment trains per-subspace k-means via the [[ivfTrainStep]]
+    * machinery).
+    *
+    * Shape: ONE broadcast cross join (N×k rows, k tiny), the `subs`
+    * distances computed per pair in codegen, then one map-side-combining
+    * aggregation with `min_by` per subspace (min distance, centroid id
+    * tie-break). No shuffle carries anything wider than (vec_id, k codes).
+    */
+  def pqCodes(embeddings: DataFrame, subs: Int = 8, subDim: Int = 8,
+              k: Int = 16): DataFrame = {
+    require(k <= 16 && subs <= 16, "4-bit packing requires k <= 16 (and subs <= 16 per BIGINT)")
+    val cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val dists = (0 until subs).map { s =>
+      expr(
+        s"""aggregate(zip_with(slice(embedding, ${s * subDim + 1}, $subDim),
+           |                   slice(c_emb, ${s * subDim + 1}, $subDim),
+           |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+           |          0.0D, (a, v) -> a + v)""".stripMargin).as(s"d_$s")
+    }
+    // min over the (distance, cid) struct — lexicographic, so min distance
+    // with centroid-id tie-break; same construct is expressible in DuckDB
+    // (min over STRUCT), unlike a list-ordered min_by
+    val codes = (0 until subs).map { s =>
+      min(struct(col(s"d_$s"), col("cid"))).getField("cid").as(s"code_$s")
+    }
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id") +: col("cid") +: dists: _*)
+      .groupBy("vec_id")
+      .agg(codes.head, codes.tail: _*)
+      .select(col("vec_id"),
+        (0 until subs).map(s => (col(s"code_$s") * lit(1L << (4 * s))).cast("long"))
+          .reduce(_ + _).as("pq_code"))
+  }
+
   /** Int8-style embedding quantization (the storage-compression step of a
     * large ANN index): per-vector scale = 127 / max|x|, elements quantized
     * with floor (floor, not round — identical semantics on both engines).

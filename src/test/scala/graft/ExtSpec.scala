@@ -299,6 +299,21 @@ class ExtSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("pq codes: codebook vectors code themselves; all codes in range") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.pqCodes(emb).as[(Long, Long)].collect().toMap
+    assert(out.size == emb.count())
+    // a codebook vector's nearest entry in every subspace is itself (d = 0,
+    // unique among random centroids), so its packed code is i replicated
+    // across all eight 4-bit nibbles
+    (0L until 16L).foreach { i =>
+      assert(out(i) == i * 0x11111111L, s"vec $i coded ${out(i).toHexString}")
+    }
+    // every nibble of every code addresses a valid codebook entry (< 16 is
+    // structural for 4-bit nibbles; check the packed value's range instead)
+    out.values.foreach(c => assert(c >= 0L && c <= 0xFFFFFFFFL))
+  }
+
   test("persisted IVF index: search is exchange-free and matches direct top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
