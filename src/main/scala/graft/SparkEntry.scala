@@ -190,6 +190,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopKNeighbors(emb(s, d), 3).orderBy("vec_id", "rank")),
     "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d)).orderBy("vec_id")),
+    "ann_pq_adc" -> ((s, d) =>
+      Similarity.pqAdcTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
@@ -340,6 +342,31 @@ object SparkEntry {
     (0 until Similarity.SignBits)
       .map(i => s"(CASE WHEN $e[${offset + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
+
+  /** PQ code CTEs (Similarity.pqCodes): `cent` (codebook) and
+    * `pq(vec_id, pq_code)` — per subspace, min over the (distance, cid)
+    * struct = min L2² with centroid-id tie-break, matching Spark's
+    * min(struct(...)) lexicographic order; eight 4-bit codes packed into
+    * one BIGINT.
+    */
+  private val pqCodesCtes: String = {
+    val (subs, subDim) = (8, 8)
+    val dCols = (0 until subs).map { s =>
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
+         |         * (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+    }.mkString(",\n    ")
+    val codeCols = (0 until subs)
+      .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
+    val pack = (0 until subs)
+      .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
+    s"""cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+       |pj AS (SELECT e.vec_id, c.cid,
+       |    $dCols
+       |  FROM embeddings e CROSS JOIN cent c),
+       |pcodes AS (SELECT vec_id, $codeCols FROM pj GROUP BY 1),
+       |pq AS (SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM pcodes)""".stripMargin
+  }
 
   /** Multi-table sign-LSH candidate pairs (Similarity.lshTopNeighborMulti):
     * 4 tables on disjoint coordinate blocks, same-bucket pairs unioned
@@ -999,25 +1026,32 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-    "ann_pq_codes" -> {
-      val subs = 8; val subDim = 8
-      val dCols = (0 until subs).map { s =>
+    "ann_pq_codes" ->
+      s"""WITH $pqCodesCtes
+         |SELECT vec_id, pq_code FROM pq ORDER BY vec_id""".stripMargin,
+    "ann_pq_adc" -> {
+      val (subs, subDim, k) = (8, 8, 16)
+      val lutDCols = (0 until subs).map { s =>
         s"""list_sum(list_transform(range(1, ${subDim + 1}),
-           |      i -> (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
-           |         * (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+           |      i -> (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
+           |         * (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
       }.mkString(",\n    ")
-      // min over the (distance, cid) struct = min distance with centroid-id
-      // tie-break — same lexicographic order as Spark's min(struct(...))
-      val codeCols = (0 until subs)
-        .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
-      val pack = (0 until subs)
-        .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
-         |pj AS (SELECT e.vec_id, c.cid,
-         |    $dCols
-         |  FROM embeddings e CROSS JOIN cent c),
-         |pcodes AS (SELECT vec_id, $codeCols FROM pj GROUP BY 1)
-         |SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM pcodes ORDER BY vec_id""".stripMargin
+      val lutLists = (0 until subs).map(s => s"list(d_$s ORDER BY cid)").mkString(" || ")
+      val adc = (0 until subs)
+        .map(s => s"lut[${s * k} + ((pq_code >> ${4 * s}) & 15) + 1]").mkString(" + ")
+      s"""WITH $pqCodesCtes,
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |lutr AS (SELECT q.query_id, c.cid,
+         |    $lutDCols
+         |  FROM q CROSS JOIN cent c),
+         |lut AS (SELECT query_id, $lutLists AS lut FROM lutr GROUP BY 1),
+         |adcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
+         |  FROM pq p CROSS JOIN lut l WHERE p.vec_id != l.query_id)
+         |SELECT query_id, rank, neighbor_id
+         |FROM (SELECT query_id, vec_id AS neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+         |      FROM adcs)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "ann_recall" ->
       s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),

@@ -381,6 +381,47 @@ object Similarity {
           .reduce(_ + _).as("pq_code"))
   }
 
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of IVF-PQ: each query builds a subs×k lookup table of
+    * exact subvector distances to the codebook ONCE, and every corpus
+    * vector is then scored by `subs` table lookups on its packed code —
+    * the corpus side never touches float vectors, only the 64×-smaller
+    * codes table. Scoring is Q×N with the query LUTs broadcast (never
+    * N×N); ranking is per-query top-k, distance asc, id tie-break.
+    * Output (query_id, rank, neighbor_id).
+    */
+  def pqAdcTopK(embeddings: DataFrame, numQueries: Int = 20, topK: Int = 5,
+                subs: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val codes = pqCodes(embeddings, subs, subDim, k)
+    val cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def dSub(s: Int) = expr(
+      s"""aggregate(zip_with(slice(q_emb, ${s * subDim + 1}, $subDim),
+         |                   slice(c_emb, ${s * subDim + 1}, $subDim),
+         |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+         |          0.0D, (a, v) -> a + v)""".stripMargin)
+    // one flat LUT per query: element (s*k + cid + 1) = d²(q_sub_s, cent_cid_sub_s)
+    val lut = queries.crossJoin(broadcast(cents))
+      .select(col("query_id") +: col("cid") +:
+        (0 until subs).map(s => dSub(s).as(s"d_$s")): _*)
+      .groupBy("query_id")
+      .agg(flatten(array((0 until subs).map(s =>
+        expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
+        .as("lut"))
+    val adc = (0 until subs).map { s =>
+      expr(s"element_at(lut, ${s * k} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Int8-style embedding quantization (the storage-compression step of a
     * large ANN index): per-vector scale = 127 / max|x|, elements quantized
     * with floor (floor, not round — identical semantics on both engines).

@@ -314,6 +314,17 @@ class ExtSpec extends SparkSpec {
     out.values.foreach(c => assert(c >= 0L && c <= 0xFFFFFFFFL))
   }
 
+  test("pq adc search: every query gets exactly topK contiguous ranks") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.pqAdcTopK(emb, numQueries = 10, topK = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 40)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"query $q")
+      assert(!rows.exists(_._3 == q)) // self excluded
+    }
+  }
+
   test("persisted IVF index: search is exchange-free and matches direct top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
