@@ -357,28 +357,16 @@ object Similarity {
   def pqCodes(embeddings: DataFrame, subs: Int = 8, subDim: Int = 8,
               k: Int = 16): DataFrame = {
     require(k <= 16 && subs <= 16, "4-bit packing requires k <= 16 (and subs <= 16 per BIGINT)")
-    val cents = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val dists = (0 until subs).map { s =>
-      expr(
-        s"""aggregate(zip_with(slice(embedding, ${s * subDim + 1}, $subDim),
-           |                   slice(c_emb, ${s * subDim + 1}, $subDim),
-           |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-           |          0.0D, (a, v) -> a + v)""".stripMargin).as(s"d_$s")
-    }
-    // min over the (distance, cid) struct — lexicographic, so min distance
-    // with centroid-id tie-break; same construct is expressible in DuckDB
-    // (min over STRUCT), unlike a list-ordered min_by
-    val codes = (0 until subs).map { s =>
-      min(struct(col(s"d_$s"), col("cid"))).getField("cid").as(s"code_$s")
-    }
-    embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id") +: col("cid") +: dists: _*)
-      .groupBy("vec_id")
-      .agg(codes.head, codes.tail: _*)
+    registerKernels(embeddings)
+    // the whole codebook as ONE id-sorted array row, broadcast: encoding is
+    // then a single narrow kernel pass — no N×k pair expansion, no k-way
+    // aggregate (the kernel's ascending-id strict-< loop IS the min-distance
+    // smallest-id-tie-break argmin the oracle reproduces via min(struct))
+    val codebook = embeddings.filter(col("vec_id") < k)
+      .agg(sort_array(entries(col("vec_id"), col("embedding"))).as("cb"))
+    embeddings.crossJoin(broadcast(codebook))
       .select(col("vec_id"),
-        (0 until subs).map(s => (col(s"code_$s") * lit(1L << (4 * s))).cast("long"))
-          .reduce(_ + _).as("pq_code"))
+        expr(s"pq_encode(embedding, cb, $subs, $subDim)").as("pq_code"))
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the

@@ -89,6 +89,13 @@ object AnnKernels {
           e.head, e(1),
           e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
     }
+    ifAbsent("pq_encode") {
+      reg.createOrReplaceTempFunction(
+        "pq_encode", (e: Seq[Expression]) => PqEncode(
+          e.head, e(1),
+          e(2).eval(EmptyRow).asInstanceOf[Number].intValue(),
+          e(3).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
+    }
   }
 }
 
@@ -211,6 +218,60 @@ case class BucketTopK(left: Expression, right: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pq_encode(embedding, codebook, subs, subDim): product-quantization
+  * encode in one call — per subspace s, the id of the codebook entry with
+  * minimal L2² over dims [s·subDim, (s+1)·subDim) (double accumulation
+  * ascending, smallest-id tie-break via ascending iteration with strict
+  * `<`), the `subs` codes packed as 4-bit nibbles into one long. The
+  * codebook argument is the id-sorted (id, emb) entry array; one kernel
+  * call replaces an N×k pair expansion + k-way aggregate.
+  */
+case class PqEncode(left: Expression, right: Expression, subs: Int, subDim: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) && AnnKernels.EntryType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> and array<struct<long, array<float>>>, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val (ids, cents) = AnnKernels.parse(cb.asInstanceOf[ArrayData])
+    var packed = 0L
+    var s = 0
+    while (s < subs) {
+      val off = s * subDim
+      var bestD = Double.PositiveInfinity
+      var bestC = 0L
+      var c = 0
+      while (c < ids.length) {
+        val ce = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = emb(off + i).toDouble - ce(off + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        // strict <, ids ascending: first minimum wins = smallest-id tie-break
+        if (d < bestD) { bestD = d; bestC = ids(c) }
+        c += 1
+      }
+      packed += bestC << (4 * s)
+      s += 1
+    }
+    packed
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
