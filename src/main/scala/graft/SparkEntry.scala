@@ -368,6 +368,30 @@ object SparkEntry {
        |pq AS (SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM pcodes)""".stripMargin
   }
 
+  /** ADC-scoring CTEs over the `pq`/`cent` CTEs (Similarity.pqAdcTopK):
+    * per-query LUT via ordered list aggregation, packed-nibble lookups
+    * summed left-to-right like Spark's reduce(_ + _). Emits `{p}q`,
+    * `{p}lutr`, `{p}lut`, `{p}adcs(query_id, vec_id, adc)`.
+    */
+  private def pqAdcCtes(numQueries: Int, p: String): String = {
+    val (subs, subDim, k) = (8, 8, 16)
+    val lutDCols = (0 until subs).map { s =>
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
+         |         * (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+    }.mkString(",\n    ")
+    val lutLists = (0 until subs).map(s => s"list(d_$s ORDER BY cid)").mkString(" || ")
+    val adc = (0 until subs)
+      .map(s => s"lut[${s * k} + ((pq_code >> ${4 * s}) & 15) + 1]").mkString(" + ")
+    s"""${p}q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $numQueries),
+       |${p}lutr AS (SELECT q.query_id, c.cid,
+       |    $lutDCols
+       |  FROM ${p}q q CROSS JOIN cent c),
+       |${p}lut AS (SELECT query_id, $lutLists AS lut FROM ${p}lutr GROUP BY 1),
+       |${p}adcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
+       |  FROM pq p CROSS JOIN ${p}lut l WHERE p.vec_id != l.query_id)""".stripMargin
+  }
+
   /** Multi-table sign-LSH candidate pairs (Similarity.lshTopNeighborMulti):
     * 4 tables on disjoint coordinate blocks, same-bucket pairs unioned
     * (UNION dedups the pair that surfaces in several tables). Emits CTEs
@@ -1029,30 +1053,14 @@ object SparkEntry {
     "ann_pq_codes" ->
       s"""WITH $pqCodesCtes
          |SELECT vec_id, pq_code FROM pq ORDER BY vec_id""".stripMargin,
-    "ann_pq_adc" -> {
-      val (subs, subDim, k) = (8, 8, 16)
-      val lutDCols = (0 until subs).map { s =>
-        s"""list_sum(list_transform(range(1, ${subDim + 1}),
-           |      i -> (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
-           |         * (q.q_emb[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
-      }.mkString(",\n    ")
-      val lutLists = (0 until subs).map(s => s"list(d_$s ORDER BY cid)").mkString(" || ")
-      val adc = (0 until subs)
-        .map(s => s"lut[${s * k} + ((pq_code >> ${4 * s}) & 15) + 1]").mkString(" + ")
+    "ann_pq_adc" ->
       s"""WITH $pqCodesCtes,
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
-         |lutr AS (SELECT q.query_id, c.cid,
-         |    $lutDCols
-         |  FROM q CROSS JOIN cent c),
-         |lut AS (SELECT query_id, $lutLists AS lut FROM lutr GROUP BY 1),
-         |adcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
-         |  FROM pq p CROSS JOIN lut l WHERE p.vec_id != l.query_id)
+         |${pqAdcCtes(20, "a")}
          |SELECT query_id, rank, neighbor_id
          |FROM (SELECT query_id, vec_id AS neighbor_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
-         |      FROM adcs)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |      FROM aadcs)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
          |rscored AS (SELECT rq.query_id, c.vec_id AS nid,
@@ -1097,6 +1105,12 @@ object SparkEntry {
          |rivf2 AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
          |  FROM rivf2p) WHERE r = 1),
+         |$pqCodesCtes,
+         |${pqAdcCtes(100, "rp")},
+         |rpqa AS (SELECT query_id AS vec_id, neighbor_id
+         |  FROM (SELECT query_id, vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
+         |        FROM rpadcs) WHERE r = 1),
          |res AS (
          |  SELECT 'lsh' AS method, count(*) AS n_queries, count(a.neighbor_id) AS n_answered,
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END) AS n_correct
@@ -1112,7 +1126,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ivf_probe2', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
-         |  FROM rtruth t LEFT JOIN rivf2 a ON a.vec_id = t.vec_id)
+         |  FROM rtruth t LEFT JOIN rivf2 a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'pq_adc', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rpqa a ON a.vec_id = t.vec_id)
          |SELECT method, n_queries, n_answered, n_correct FROM res ORDER BY method""".stripMargin,
     "ann_kmeans_step" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings

@@ -315,10 +315,13 @@ object Similarity {
           count(col("neighbor_id")).as("n_answered"),
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
+    val pqAdc1 = pqAdcTopK(embeddings, numQueries, 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
     hits("lsh", lshTopNeighbor(embeddings))
       .unionByName(hits("lsh_multi", lshTopNeighborMulti(embeddings)))
       .unionByName(hits("ivf", ivfTopNeighbor(embeddings).drop("cluster_id")))
       .unionByName(hits("ivf_probe2", ivfTopNeighborProbed(embeddings, 2)))
+      .unionByName(hits("pq_adc", pqAdc1))
       .select("method", "n_queries", "n_answered", "n_correct")
   }
 
