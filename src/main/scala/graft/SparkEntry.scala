@@ -158,6 +158,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ext_vocab_top" -> ((s, d) =>
       TextAnalysis.vocabTop(docs(s, d)).orderBy(col("tf").desc, col("token").asc)),
+    "ext_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy("doc_id")),
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
 
@@ -946,6 +947,18 @@ object SparkEntry {
       """SELECT doc_id,
         |    CASE WHEN doc_id % 97 = 0 THEN '   ' ELSE text END AS text
         |  FROM documents""".stripMargin),
+    "ext_oov_rate" ->
+      s"""WITH ot AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token FROM documents),
+         |onz AS (SELECT doc_id, token FROM ot WHERE token != ''),
+         |ov AS (SELECT token, 1 AS in_vocab FROM (
+         |    SELECT token, CAST(count(*) AS BIGINT) AS tf FROM onz GROUP BY 1)
+         |  ORDER BY tf DESC, token ASC LIMIT 16),
+         |oj AS (SELECT o.doc_id, v.in_vocab FROM onz o LEFT JOIN ov v ON o.token = v.token),
+         |oa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) FILTER (WHERE in_vocab IS NULL) AS BIGINT) AS n_oov
+         |  FROM oj GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov, CAST(n_oov * 100 // n_tokens AS BIGINT) AS oov_pct
+         |FROM oa ORDER BY doc_id""".stripMargin,
     "ext_vocab_top" ->
       s"""WITH vt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),

@@ -201,6 +201,34 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Per-doc out-of-vocabulary rate against the corpus's top-`vocabSize`
+    * tokens — an integer-exact quality score (unlike log-prob LM scoring,
+    * whose transcendental math cannot hash-match across engines): garbled /
+    * boilerplate-heavy / wrong-language docs surface as high OOV. Empty
+    * tokens are dropped on both sides (same convention as [[vocabTop]]).
+    *
+    * Scale shape: the vocabulary is a TakeOrderedAndProject over the token
+    * aggregate (top-K never global-sorts) and broadcasts back to the token
+    * stream — the corpus side is explode → broadcast left join → one agg
+    * shuffle keyed by doc_id. Two corpus scans by design: a global top-K
+    * SET cannot ride a window the way tfidf's per-token df does.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 100 div n_tokens").as("oov_pct"))
+  }
+
   /** Per-doc keyword extraction, TF-IDF in rank form: each doc's top-k
     * tokens ordered by term frequency descending, then document frequency
     * ascending (rarer wins the tie — the idf direction), then token. Pure

@@ -475,6 +475,17 @@ class ExtSpec extends SparkSpec {
     assert(inflated <= exact.size / 100, s"$inflated docs inflated by fp")
   }
 
+  test("oov rate: rare tokens score as OOV against the corpus top-K vocab") {
+    val docs = (1L to 10L).map(i => (i, s"common common zzz$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 1).orderBy("doc_id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 3L)
+      assert(r.getAs[Long]("n_oov") == 1L) // the zzz singleton; 'common' is top-1
+      assert(r.getAs[Long]("oov_pct") == 33L)
+    }
+  }
+
   test("repetition profile: degenerate repeat is flagged, varied text is not") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"), // one bigram repeated 5x
