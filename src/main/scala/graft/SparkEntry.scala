@@ -156,6 +156,9 @@ object SparkEntry {
       Curation.boilerplate(docs(s, d).select(col("doc_id"),
         when(col("doc_id") % 97 === 0, lit("   ")).otherwise(col("text")).as("text")))
         .orderBy("doc_id")),
+    "ext_quality_gopher" -> ((s, d) =>
+      Curation.gopherRules(Curation.withQualityDefectsInjected(docs(s, d)))
+        .orderBy("doc_id")),
     "ext_vocab_top" -> ((s, d) =>
       TextAnalysis.vocabTop(docs(s, d)).orderBy(col("tf").desc, col("token").asc)),
     "ext_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy("doc_id")),
@@ -959,6 +962,55 @@ object SparkEntry {
          |  FROM oj GROUP BY 1)
          |SELECT doc_id, n_tokens, n_oov, CAST(n_oov * 100 // n_tokens AS BIGINT) AS oov_pct
          |FROM oa ORDER BY doc_id""".stripMargin,
+    "ext_quality_gopher" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN '00 11 22 33 44 55 66 77 88 99'
+         |         WHEN doc_id % 17 = 0 THEN 'too short'
+         |         WHEN doc_id % 10 = 0 THEN array_to_string(
+         |           ['- item 1','- item 2','- item 3','- item 4','- item 5',
+         |            '- item 6','- item 7','- item 8','- item 9','- item 10'], chr(10))
+         |         ELSE text
+         |           || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+         |           || CASE WHEN doc_id % 11 = 0 THEN ' ## ### #### #####' ELSE '' END
+         |    END AS text
+         |  FROM documents),
+         |gt AS (SELECT doc_id, text,
+         |    list_filter(string_split($NORM, ' '), t -> t != '') AS toks,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> l != '') AS lines
+         |  FROM g),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(length(replace($NORM, ' ', '')) AS BIGINT) AS n_word_chars,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+         |      AS n_alpha_words,
+         |    CAST(len(list_filter(['the','a','of','and','to','in','is'],
+         |      s -> list_contains(toks, s))) AS BIGINT) AS n_stop_words,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines,
+         |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+         |      AS n_ellipsis_lines
+         |  FROM gt)
+         |SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words, n_stop_words,
+         |  n_lines, n_bullet_lines, n_ellipsis_lines,
+         |  n_words >= 10 AND n_words <= 1000 AS r_word_count,
+         |  n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS r_mean_word_len,
+         |  n_symbols * 10 < n_words AS r_symbol_ratio,
+         |  n_alpha_words * 10 > n_words * 8 AS r_alpha_words,
+         |  n_stop_words >= 2 AS r_stop_words,
+         |  n_bullet_lines * 10 < n_lines * 9 AS r_bullet_lines,
+         |  n_ellipsis_lines * 10 < n_lines * 3 AS r_ellipsis_lines,
+         |  n_words >= 10 AND n_words <= 1000
+         |    AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+         |    AND n_symbols * 10 < n_words
+         |    AND n_alpha_words * 10 > n_words * 8
+         |    AND n_stop_words >= 2
+         |    AND n_bullet_lines * 10 < n_lines * 9
+         |    AND n_ellipsis_lines * 10 < n_lines * 3 AS keep
+         |FROM gm ORDER BY doc_id""".stripMargin,
     "ext_vocab_top" ->
       s"""WITH vt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),

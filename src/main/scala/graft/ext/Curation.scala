@@ -120,6 +120,81 @@ object Curation {
         (col("n_boilerplate") * 2 > col("n_sentences")).as("is_mostly_boilerplate"))
   }
 
+  /** The test corpus is uniformly clean single-line prose, so rule-based
+    * quality filtering is exercised against deterministic defect injection
+    * (same pattern as [[withPiiInjected]]): every 13th doc becomes numeric
+    * gibberish, every 17th a two-word stub, every 10th a pure bullet list,
+    * and surviving docs gain an ellipsis teaser line (every 7th) or a run of
+    * hash symbols (every 11th) — the defect classes the Gopher rules target.
+    */
+  def withQualityDefectsInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        lit("00 11 22 33 44 55 66 77 88 99"))
+        .when(col("doc_id") % 17 === 0, lit("too short"))
+        .when(col("doc_id") % 10 === 0,
+          lit((1 to 10).map(i => s"- item $i").mkString("\n")))
+        .otherwise(concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("\nto be continued..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ## ### #### #####"))
+            .otherwise(lit("")))).as("text"))
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1): word
+    * count band, mean-word-length band, symbol-to-word ratio, alphabetic
+    * word fraction, minimum distinct stop words, bulleted-line fraction and
+    * ellipsis-line fraction. Every ratio rule is expressed as cross-
+    * multiplied integer arithmetic (10·n_sym < n_words, not n_sym/n_words
+    * < 0.1) so the decision is exact on both engines — no float thresholds.
+    * Emits each rule's verdict alongside the counters, because at corpus
+    * scale the per-rule rejection mix IS the monitoring signal; `keep` is
+    * their conjunction.
+    *
+    * Scale shape: one narrow per-row pass — no shuffle, no join, fully
+    * codegen'd; the filter composes with partition pruning upstream.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    documents
+      .withColumn("toks",
+        filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
+      .withColumn("lines",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        length(regexp_replace(TextAnalysis.normalized(col("text")), " ", ""))
+          .cast("long").as("n_word_chars"),
+        (length(col("text")) - length(translate(col("text"), "#", "")) +
+          size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("n_symbols"),
+        size(filter(col("toks"), w => w.rlike("[a-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(filter(array(stops.map(lit): _*), s => array_contains(col("toks"), s)))
+          .cast("long").as("n_stop_words"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"),
+          l => l.startsWith("- ") || l.startsWith("* ")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(col("lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis_lines"))
+      .withColumn("r_word_count", col("n_words") >= 10 && col("n_words") <= 1000)
+      .withColumn("r_mean_word_len",
+        col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio", col("n_symbols") * 10 < col("n_words"))
+      .withColumn("r_alpha_words", col("n_alpha_words") * 10 > col("n_words") * 8)
+      .withColumn("r_stop_words", col("n_stop_words") >= 2)
+      .withColumn("r_bullet_lines", col("n_bullet_lines") * 10 < col("n_lines") * 9)
+      .withColumn("r_ellipsis_lines", col("n_ellipsis_lines") * 10 < col("n_lines") * 3)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_alpha_words") && col("r_stop_words") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines"))
+  }
+
   /** Deterministic stratified sampling: the sampling decision is a pure
     * function of doc_id (md5-derived bucket in [0,100)), so the sample is
     * reproducible across runs, engines, and cluster layouts — no RNG state,
