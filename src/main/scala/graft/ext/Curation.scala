@@ -18,6 +18,9 @@ import graft.functions.Exact
   */
 object Curation {
 
+  /** Per-invocation sequence for [[decontaminateBloom]]'s temp view names. */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The test corpus carries no natural PII, so scrub behavior is exercised
     * against deterministic injection: every doc gains an email and a phone
     * number derived from its doc_id (the oracle applies the same
@@ -338,20 +341,26 @@ object Curation {
                          estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
     graft.functions.BloomFunctions.register(documents.sparkSession)
     val hashed = shingleHashed(documents)
+    // unique per-invocation view name: interleaved invocations on one
+    // session must not cross-wire sketches; the view is dropped as soon as
+    // the result plan is analyzed (the scalar subquery is resolved at
+    // DataFrame creation, so the name is only needed during analysis)
+    val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
     hashed.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shd")).as("sh_hash"))
       .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
-      .createOrReplaceTempView("graft_decontaminate_bloom")
-    val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
-    val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
-      .filter(expr(
-        "bloom_might_contain((SELECT bf FROM graft_decontaminate_bloom), sh_hash)"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
-      .join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
-      .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+      .createOrReplaceTempView(view)
+    try {
+      val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+      val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
+        .filter(expr(s"bloom_might_contain((SELECT bf FROM $view), sh_hash)"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+        .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+    } finally documents.sparkSession.catalog.dropTempView(view)
   }
 
   /** The test corpus carries no URLs, so link analysis is exercised against

@@ -41,6 +41,23 @@ object AnnKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** True iff candidate (s, id) beats the current best (bestSim, bestId)
+    * under Spark's TOTAL descending-sim ordering: NaN sorts above every
+    * non-NaN value (Spark window `desc` puts NaN first), -0.0 == 0.0
+    * (primitive compare, matching Spark's normalized float ordering — never
+    * Double.compare, which splits the zeros), smaller id wins sim ties.
+    * Total ordering keeps the argmax order-insensitive over collect_list's
+    * nondeterministic input order even when NaN/Inf embeddings occur.
+    */
+  private[functions] def beats(s: Double, id: Long,
+                               bestSim: Double, bestId: Long): Boolean = {
+    val sn = java.lang.Double.isNaN(s)
+    val bn = java.lang.Double.isNaN(bestSim)
+    if (sn != bn) sn // NaN beats any non-NaN, never the reverse
+    else if (sn) id < bestId // both NaN: tie on sim, smaller id wins
+    else s > bestSim || (s == bestSim && id < bestId)
+  }
+
   private[functions] val EntryType: DataType => Boolean = {
     case ArrayType(s: StructType, _) if s.length == 2 &&
       s.head.dataType == LongType &&
@@ -136,9 +153,7 @@ case class BucketTop1(left: Expression, right: Expression)
           val me = mEmbs(j)
           if (mIds(j) != pIds(i) && me != null && me.length == pe.length) {
             val s = AnnKernels.cosine(pe, me)
-            // primitive compare: -0.0 == 0.0, matching Spark's normalized
-            // float ordering in the window formulation this replaces
-            if (!found || s > best || (s == best && mIds(j) < bestId)) {
+            if (!found || AnnKernels.beats(s, mIds(j), best, bestId)) {
               best = s; bestId = mIds(j); found = true
             }
           }
@@ -193,11 +208,11 @@ case class BucketTopK(left: Expression, right: Expression, k: Int)
           val me = mEmbs(j)
           if (mIds(j) != pIds(i) && me != null && me.length == pe.length) {
             val s = AnnKernels.cosine(pe, me)
-            // find insertion slot: strictly better than slot (primitive
-            // compare: -0.0 == 0.0, same as the window ordering)
+            // find insertion slot: strictly better than slot under the same
+            // total ordering as BucketTop1 (NaN first, -0.0 == 0.0)
             var slot = n
-            while (slot > 0 && (s > topSim(slot - 1) ||
-                (s == topSim(slot - 1) && mIds(j) < topId(slot - 1)))) slot -= 1
+            while (slot > 0 &&
+                AnnKernels.beats(s, mIds(j), topSim(slot - 1), topId(slot - 1))) slot -= 1
             if (slot < k) {
               val last = math.min(n, k - 1)
               var t = last
@@ -225,16 +240,28 @@ case class BucketTopK(left: Expression, right: Expression, k: Int)
 }
 
 /** pq_encode(embedding, codebook, subs, subDim): product-quantization
-  * encode in one call — per subspace s, the id of the codebook entry with
-  * minimal L2² over dims [s·subDim, (s+1)·subDim) (double accumulation
-  * ascending, smallest-id tie-break via ascending iteration with strict
-  * `<`), the `subs` codes packed as 4-bit nibbles into one long. The
-  * codebook argument is the id-sorted (id, emb) entry array; one kernel
-  * call replaces an N×k pair expansion + k-way aggregate.
+  * encode in one call — per subspace s, the POSITION (in the id-sorted
+  * codebook array) of the codebook entry with minimal L2² over dims
+  * [s·subDim, (s+1)·subDim) (double accumulation ascending, smallest-
+  * position tie-break via ascending iteration with strict `<`), the
+  * `subs` codes packed as 4-bit nibbles into one long. Codes are
+  * positions, not raw ids: the ADC lookup table is position-indexed in
+  * the same id-sorted order, so the pair stays aligned even when
+  * centroid ids are not the dense set 0..k-1 (position == id exactly
+  * when they are, which is what the oracle reproduces). The codebook
+  * argument is the id-sorted (id, emb) entry array; one kernel call
+  * replaces an N×k pair expansion + k-way aggregate.
+  *
+  * Null safety: returns null for an input vector shorter than
+  * subs·subDim; codebook entries with a null or short embedding are
+  * skipped (mirroring BucketTop1's candidate guard — their position is
+  * still counted so encode and LUT stay aligned); a subspace with no
+  * valid entry yields null for the whole code.
   */
 case class PqEncode(left: Expression, right: Expression, subs: Int, subDim: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // short input vector / empty-valid codebook → null
   override def prettyName: String = "pq_encode"
   override def checkInputDataTypes(): TypeCheckResult =
     if ((left.dataType match {
@@ -247,27 +274,32 @@ case class PqEncode(left: Expression, right: Expression, subs: Int, subDim: Int)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   override def nullSafeEval(v: Any, cb: Any): Any = {
     val emb = v.asInstanceOf[ArrayData].toFloatArray()
-    val (ids, cents) = AnnKernels.parse(cb.asInstanceOf[ArrayData])
+    if (emb.length < subs * subDim) return null
+    val (_, cents) = AnnKernels.parse(cb.asInstanceOf[ArrayData])
     var packed = 0L
     var s = 0
     while (s < subs) {
       val off = s * subDim
       var bestD = Double.PositiveInfinity
-      var bestC = 0L
+      var bestC = -1L
       var c = 0
-      while (c < ids.length) {
+      while (c < cents.length) {
         val ce = cents(c)
-        var d = 0.0
-        var i = 0
-        while (i < subDim) {
-          val diff = emb(off + i).toDouble - ce(off + i).toDouble
-          d += diff * diff
-          i += 1
+        if (ce != null && ce.length >= subs * subDim) {
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = emb(off + i).toDouble - ce(off + i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          // strict <, positions ascending: first minimum wins = smallest-
+          // position tie-break (== smallest-id on a dense codebook)
+          if (d < bestD) { bestD = d; bestC = c.toLong }
         }
-        // strict <, ids ascending: first minimum wins = smallest-id tie-break
-        if (d < bestD) { bestD = d; bestC = ids(c) }
         c += 1
       }
+      if (bestC < 0) return null // no valid codebook entry for this subspace
       packed += bestC << (4 * s)
       s += 1
     }

@@ -473,6 +473,9 @@ class ExtSpec extends SparkSpec {
     // with 2^23 bits over this corpus the fp rate is ~0: counts match
     val inflated = exact.count { case (id, n) => bloom(id) != n }
     assert(inflated <= exact.size / 100, s"$inflated docs inflated by fp")
+    // the per-invocation sketch view must not leak into the session
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_decontaminate_bloom")))
   }
 
   test("oov rate: rare tokens score as OOV against the corpus top-K vocab") {

@@ -178,6 +178,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucket_top1/topk are order-insensitive with NaN embeddings (total ordering)") {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.AnnKernels.register(spark)
+    // cosine against the NaN vector is NaN; Spark's desc window orders NaN
+    // FIRST, so the NaN-producing member (id 9) must win every probe — no
+    // matter where it sits in collect_list's input order
+    val nan = Array(Float.NaN, 1f, 1f, 1f)
+    val vs: Seq[(Long, Array[Float])] = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (9L, nan))
+    def winners(order: Seq[(Long, Array[Float])]): Map[Long, Long] = {
+      val df = order.toDF("vec_id", "embedding")
+      df.agg(collect_list(struct(col("vec_id").as("id"), col("embedding").as("emb"))).as("vs"))
+        .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
+        .select("w.vec_id", "w.neighbor_id").as[(Long, Long)].collect().toMap
+    }
+    val fwd = winners(vs)
+    val rev = winners(vs.reverse)
+    assert(fwd == rev)
+    assert(fwd(1L) == 9L && fwd(2L) == 9L && fwd(3L) == 9L) // NaN sorts first, as desc window would
+    val topk = vs.toDF("vec_id", "embedding")
+      .agg(collect_list(struct(col("vec_id").as("id"), col("embedding").as("emb"))).as("vs"))
+      .select(explode(expr("bucket_topk(vs, vs, 2)")).as("w"))
+      .select("w.vec_id", "w.rank", "w.neighbor_id").as[(Long, Long, Long)].collect()
+    assert(topk.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == Seq(9L, 2L))
+  }
+
+  test("pq_encode guards: short vector → null; null/short codebook entries skipped") {
+    graft.functions.AnnKernels.register(spark)
+    val cb: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 1f, 1f, 1f)))
+    val rows = Seq(
+      (10L, Array(1f, 1f, 1f, 1f), cb),                        // → nearest entry pos 1 per subspace
+      (11L, Array(1f, 1f), cb),                                // short input → null
+      (12L, Array(0f, 0f, 0f, 0f), Seq((0L, null: Array[Float]), (1L, Array(1f, 1f, 1f, 1f)))),
+      (13L, Array(0f, 0f, 0f, 0f), Seq((0L, Array(1f, 1f): Array[Float]))))  // all entries short → null
+    val out = rows.toDF("vec_id", "embedding", "cb")
+      .select(col("vec_id"), expr("pq_encode(embedding, cb, 2, 2)").as("code"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(10L) == Some((1L << 0) + (1L << 4))) // position 1 in both subspaces
+    assert(out(11L).isEmpty)
+    assert(out(12L) == Some((1L << 0) + (1L << 4))) // null entry at pos 0 skipped, pos 1 wins
+    assert(out(13L).isEmpty)
+  }
+
   test("pii scrub: output has no residual email/phone matches on any input") {
     docFrames(3).foreach { docs =>
       val df = graft.ext.Curation.withPiiInjected(
