@@ -1,0 +1,32 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracked eager localCheckpoints, shared by the iterative/fan-out operators
+  * (Dedup's CC fixpoint, Similarity's recall harness): localCheckpoint blocks
+  * live OUTSIDE the CacheManager (catalog clearCache never frees them), so
+  * any operator that checkpoints an intermediate must release those blocks
+  * explicitly once a later stage supersedes the data — otherwise a long-lived
+  * session accumulates every invocation's blocks in executor storage.
+  */
+private[ext] object Checkpoints {
+
+  /** Eager localCheckpoint that reports which RDD ids it persisted, so the
+    * caller can release them once downstream results have materialized.
+    */
+  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  /** Unpersists checkpoint blocks by RDD id. Only call on ids whose data is
+    * no longer reachable from any live plan (checkpointing truncated the
+    * lineage, so unpersisted blocks cannot be recomputed).
+    */
+  def releaseTracked(df: DataFrame, ids: Set[Int]): Unit = {
+    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+  }
+}

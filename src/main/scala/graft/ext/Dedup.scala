@@ -170,27 +170,11 @@ object Dedup {
     * near-dup clusters are shallow, so this converges in a few rounds even
     * at 100 TB. Output covers docs that appear in at least one pair.
     */
-  /** Eager localCheckpoint that reports which RDD ids it persisted, so the
-    * caller can release them once a later round supersedes the data —
-    * localCheckpoint blocks live outside the CacheManager (catalog
-    * clearCache never frees them), so without explicit release an iterative
-    * loop accumulates every round's blocks in executor storage.
-    */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(true)
-    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-  }
-
-  /** Unpersists checkpoint blocks by RDD id. Only call on ids whose data is
-    * no longer reachable from any live plan (checkpointing truncated the
-    * lineage, so unpersisted blocks cannot be recomputed).
-    */
-  private def releaseTracked(df: DataFrame, ids: Set[Int]): Unit = {
-    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
-    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-  }
+  // tracked eager checkpoints shared across ext operators — see Checkpoints
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    Checkpoints.checkpointTracked(df)
+  private def releaseTracked(df: DataFrame, ids: Set[Int]): Unit =
+    Checkpoints.releaseTracked(df, ids)
 
   def dedupClusters(documents: DataFrame): DataFrame = {
     // eager checkpoint: materializes the candidate pipeline ONCE and

@@ -69,16 +69,32 @@ object Similarity {
   /** Brute-force top-k: for each query vector (vec_id < numQueries), the k
     * nearest corpus vectors by cosine, self excluded. Output (query_id, rank,
     * neighbor_id) — deterministic tie-break on neighbor id.
+    *
+    * Shape: the queries gather into ONE broadcast entry list; each corpus
+    * PARTITION gathers locally (one group per spark_partition_id — partial
+    * aggregation never shuffles corpus rows) and the bucket_topk kernel
+    * keeps each query's partition-local top-k, so the only shuffled rows
+    * are parts × Q × k winners re-ranked by a tiny window. The former
+    * window-over-Q×N-rows form shuffled and sorted the full score matrix —
+    * the difference between O(Q·N) shuffle rows and O(Q·k·parts) at 100 TB.
+    * Per-partition top-k retains every global top-k candidate (a global
+    * top-k member is top-k within its own partition a fortiori), and both
+    * rankings use the same total order (sim desc, id asc, NaN first), so
+    * the result is identical to the full window formulation the oracle runs.
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    registerKernels(embeddings)
     val queries = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val corpus = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cos("q_emb", "c_emb"))
+      .agg(entries(col("vec_id"), col("embedding")).as("ps"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    embeddings
+      .groupBy(spark_partition_id().as("part"))
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+      .crossJoin(broadcast(queries))
+      .select(explode(expr(s"bucket_topk(vs, ps, $k)")).as("w"))
+      .select(col("w.vec_id").as("query_id"), col("w.neighbor_id").as("neighbor_id"),
+        col("w.sim").as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
@@ -152,18 +168,23 @@ object Similarity {
     */
   val IvfClusters = 16
 
-  /** Nearest-centroid assignment (max cosine, centroid id tie-break):
-    * broadcast the k centroids, one map-side pass over the corpus.
+  /** Nearest-centroid assignment (max cosine, centroid id tie-break, ranks
+    * 1..upTo): the k centroids gather into ONE id-sorted broadcast entry
+    * list and the nearest_centroids kernel ranks them per ROW — a fully
+    * narrow map-side pass. The former form cross-joined each vector with
+    * every centroid and ranked via a row_number window, shuffling and
+    * sorting N×k scored rows before discarding all but upTo per vector —
+    * a shuffle that served no purpose the per-row top-upTo loop doesn't.
     */
   private def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame = {
+    registerKernels(embeddings)
     val centroids = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .agg(sort_array(entries(col("vec_id"), col("embedding"))).as("cb"))
     embeddings.crossJoin(broadcast(centroids))
-      .withColumn("csim", cos("embedding", "c_emb"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id").asc)))
-      .filter(col("crank") <= upTo)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster_id"), col("crank"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"nearest_centroids(embedding, cb, $upTo)")).as("a"))
+      .select(col("vec_id"), col("embedding"),
+        col("a.cluster_id").as("cluster_id"), col("a.crank").as("crank"))
   }
 
   /** IVF-style approximate nearest neighbor: a deterministic coarse
@@ -181,13 +202,20 @@ object Similarity {
     */
   def ivfTopNeighbor(embeddings: DataFrame, k: Int = IvfClusters): DataFrame = {
     registerKernels(embeddings)
-    assignToCentroids(embeddings, k, 1)
+    ivfFrom(assignToCentroids(embeddings, k, 1))
+  }
+
+  /** Posting-list gather + kernel search over an existing crank=1 centroid
+    * assignment — the shared tail of [[ivfTopNeighbor]], split out so the
+    * recall harness can feed one materialized assignment to several methods.
+    */
+  private def ivfFrom(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy("cluster_id")
       .agg(entries(col("vec_id"), col("embedding")).as("vs"))
       .select(col("cluster_id"), explode(expr("bucket_top1(vs, vs)")).as("w"))
       .select(col("w.vec_id").as("vec_id"), col("cluster_id"),
         col("w.neighbor_id").as("neighbor_id"))
-  }
 
   /** IVF approximate top-k: same posting-list shape as [[ivfTopNeighbor]],
     * with the bucket_topk kernel keeping a k-slot insertion sort per probe —
@@ -287,7 +315,13 @@ object Similarity {
     // no persist: the posting-list side (crank=1) and the probe side share
     // the assignment subtree via AQE runtime exchange reuse — a persist here
     // leaked cached partitions into the session on every invocation
-    val ranked = assignToCentroids(embeddings, k, nprobe)
+    ivfProbedFrom(assignToCentroids(embeddings, k, nprobe))
+  }
+
+  /** Probed search over an existing ≤nprobe-ranked centroid assignment —
+    * the shared tail of [[ivfTopNeighborProbed]] (see there for the shape).
+    */
+  private def ivfProbedFrom(ranked: DataFrame): DataFrame = {
     val lists = ranked.filter(col("crank") === 1)
       .groupBy("cluster_id").agg(entries(col("vec_id"), col("embedding")).as("vs"))
     val probes = ranked
@@ -306,23 +340,50 @@ object Similarity {
     * broadcast), never N×N.
     */
   def annRecall(embeddings: DataFrame, numQueries: Int = 100): DataFrame = {
-    val truth = bruteForceTopK(embeddings, numQueries, 1)
-      .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor"))
+    import Checkpoints._
+    registerKernels(embeddings)
+    // the harness fans ONE corpus into five method pipelines plus the
+    // ground-truth join — without materialization each branch re-runs its
+    // whole subtree from the raw scan (the round-7 bench regression).
+    // Checkpoint the MULTI-consumer subtrees once: the projected base, the
+    // centroid assignment (upTo=2 serves both ivf — via crank=1 — and
+    // ivf_probe2), and the ground truth (joined by every branch).
+    // the projected base IS worth checkpointing: seven consumers (both LSH
+    // tables, assignment, codes, ADC queries/centroids, truth) each re-scan
+    // it otherwise — measured 0.4 s slower without at sf0.1
+    val (emb, embIds) = checkpointTracked(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val (ranked, rankedIds) = checkpointTracked(
+      assignToCentroids(emb, IvfClusters, 2))
+    val (truth, truthIds) = checkpointTracked(
+      bruteForceTopK(emb, numQueries, 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
+    // explicit broadcast: checkpointed frames carry no size stats, so the
+    // planner cannot see that both join sides are ≤numQueries rows
     def hits(method: String, ann: DataFrame) =
-      truth.join(ann.filter(col("vec_id") < numQueries), Seq("vec_id"), "left")
+      truth.join(broadcast(ann.filter(col("vec_id") < numQueries)), Seq("vec_id"), "left")
         .agg(
           count(lit(1)).as("n_queries"),
           count(col("neighbor_id")).as("n_answered"),
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
-    val pqAdc1 = pqAdcTopK(embeddings, numQueries, 1)
+    // pqCodes has exactly one consumer (the ADC branch) — no checkpoint
+    val pqAdc1 = pqAdcFromCodes(pqCodes(emb), emb, numQueries, 1, 8, 8, 16)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
-    hits("lsh", lshTopNeighbor(embeddings))
-      .unionByName(hits("lsh_multi", lshTopNeighborMulti(embeddings)))
-      .unionByName(hits("ivf", ivfTopNeighbor(embeddings).drop("cluster_id")))
-      .unionByName(hits("ivf_probe2", ivfTopNeighborProbed(embeddings, 2)))
+    val union = hits("lsh", lshTopNeighbor(emb))
+      .unionByName(hits("lsh_multi", lshTopNeighborMulti(emb)))
+      .unionByName(hits("ivf", ivfFrom(ranked.filter(col("crank") === 1)).drop("cluster_id")))
+      .unionByName(hits("ivf_probe2", ivfProbedFrom(ranked)))
       .unionByName(hits("pq_adc", pqAdc1))
       .select("method", "n_queries", "n_answered", "n_correct")
+    // materialize the one-row-per-method result, then release the big shared
+    // blocks immediately — only the tiny final frame stays resident (same
+    // posture as dedupClusters' final labels; Bench sweeps between queries)
+    val (res, _) = checkpointTracked(union)
+    releaseTracked(emb, embIds)
+    releaseTracked(ranked, rankedIds)
+    releaseTracked(truth, truthIds)
+    res
   }
 
   /** Embedding-cosine near-duplicate pairs: same-bucket pairs (a < b) with
@@ -382,8 +443,18 @@ object Similarity {
     * Output (query_id, rank, neighbor_id).
     */
   def pqAdcTopK(embeddings: DataFrame, numQueries: Int = 20, topK: Int = 5,
-                subs: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
-    val codes = pqCodes(embeddings, subs, subDim, k)
+                subs: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame =
+    pqAdcFromCodes(pqCodes(embeddings, subs, subDim, k), embeddings,
+      numQueries, topK, subs, subDim, k)
+
+  /** ADC search over an existing codes table — the shared tail of
+    * [[pqAdcTopK]], split out so the recall harness (and any deployment
+    * holding a precomputed codes table, which is the entire point of PQ)
+    * skips the encode pass.
+    */
+  private def pqAdcFromCodes(codes: DataFrame, embeddings: DataFrame,
+                             numQueries: Int, topK: Int,
+                             subs: Int, subDim: Int, k: Int): DataFrame = {
     val cents = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     val queries = embeddings.filter(col("vec_id") < numQueries)
@@ -404,13 +475,24 @@ object Similarity {
     val adc = (0 until subs).map { s =>
       expr(s"element_at(lut, ${s * k} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
     }.reduce(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
-    codes.crossJoin(broadcast(lut))
+    val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    if (topK == 1)
+      // argmin as an aggregation, not a window: min(struct) is lexicographic
+      // (adc asc, then id asc — exactly the rank-1 window order, NaN last in
+      // both), and it partial-aggregates map-side instead of shuffling all
+      // Q×N scored rows into a per-query sort
+      scored.groupBy("query_id")
+        .agg(min(struct(col("adc"), col("vec_id"))).as("m"))
+        .select(col("query_id"), lit(1L).as("rank"), col("m.vec_id").as("neighbor_id"))
+    else {
+      val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    }
   }
 
   /** Int8-style embedding quantization (the storage-compression step of a

@@ -113,7 +113,75 @@ object AnnKernels {
           e(2).eval(EmptyRow).asInstanceOf[Number].intValue(),
           e(3).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
     }
+    ifAbsent("nearest_centroids") {
+      reg.createOrReplaceTempFunction(
+        "nearest_centroids", (e: Seq[Expression]) => NearestCentroids(
+          e.head, e(1),
+          e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
+    }
   }
+}
+
+/** nearest_centroids(embedding, centroids, upTo): the row's `upTo` nearest
+  * centroids by cosine — ordered (sim desc, centroid id asc, NaN first, the
+  * BucketTop1 total order) — as array<struct<cluster_id, crank>> with crank
+  * 1..upTo. The centroids argument is the id-sorted (id, emb) entry array,
+  * broadcast once per plan; evaluation is per ROW, so centroid assignment
+  * is a fully narrow map-side pass — the row_number-window formulation this
+  * replaces shuffled and sorted all N×k scored rows just to rank k≈16
+  * candidates per vector. Centroid entries with a null or length-mismatched
+  * embedding are skipped (BucketTop1's candidate guard).
+  */
+case class NearestCentroids(left: Expression, right: Expression, upTo: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cluster_id", LongType, nullable = false),
+    StructField("crank", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (upTo >= 1 && (left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) && AnnKernels.EntryType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, array<struct<long, array<float>>> and upTo >= 1, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}, upTo=$upTo")
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val (ids, cents) = AnnKernels.parse(cb.asInstanceOf[ArrayData])
+    val topSim = new Array[Double](upTo)
+    val topId = new Array[Long](upTo)
+    var n = 0
+    var c = 0
+    while (c < ids.length) {
+      val ce = cents(c)
+      if (ce != null && ce.length == emb.length) {
+        val s = AnnKernels.cosine(emb, ce)
+        var slot = n
+        while (slot > 0 &&
+            AnnKernels.beats(s, ids(c), topSim(slot - 1), topId(slot - 1))) slot -= 1
+        if (slot < upTo) {
+          val last = math.min(n, upTo - 1)
+          var t = last
+          while (t > slot) { topSim(t) = topSim(t - 1); topId(t) = topId(t - 1); t -= 1 }
+          topSim(slot) = s; topId(slot) = ids(c)
+          if (n < upTo) n += 1
+        }
+      }
+      c += 1
+    }
+    val out = new Array[Any](n)
+    var r = 0
+    while (r < n) {
+      out(r) = new GenericInternalRow(Array[Any](topId(r), (r + 1).toLong))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** bucket_top1(members, probes): for every probe (id, emb), its best
