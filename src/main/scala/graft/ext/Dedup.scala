@@ -133,11 +133,17 @@ object Dedup {
   /** Exact n-gram (3-shingle) Jaccard verification on the LSH candidates:
     * intersection/union sizes of distinct shingle sets, as exact integers.
     * `jaccard_pct` = floor(100 * |∩| / |∪|) keeps the output integral.
-    * The shingle base is cached and shared between candidate generation and
-    * the per-pair set comparison.
+    *
+    * The shingle base is NOT cached: its three consumers (candidate
+    * generation and the two pair-join sides) each recompute the narrow
+    * tokenize+shingle pass, which measured FASTER at sf0.1 than any
+    * materialization (persist 2.1 s, recompute 1.6 s — storing the wide
+    * shingle-array rows costs more than two extra codegen'd passes), and a
+    * persist here leaked its blocks into long-lived sessions (nothing in
+    * this lazy operator could safely unpersist them).
     */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val base = shingleHashes(documents).persist()
+    val base = shingleHashes(documents)
     val cands = candidatesFrom(bandsFrom(signatureFrom(base)))
     // intersect 60-bit shingle HASHES, not shingle strings: the per-pair join
     // payload is 8 bytes/shingle instead of ~30-char strings — the shuffle-

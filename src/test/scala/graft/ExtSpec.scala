@@ -62,6 +62,10 @@ class ExtSpec extends SparkSpec {
     val out = Dedup.ngramJaccard(docs).collect()
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("jaccard_pct") == 100L))
+    // regression: the operator must leave NOTHING persisted behind — an
+    // earlier persist() of the shingle base leaked into long-lived sessions
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keySet}")
   }
 
   test("dedup clustering: transitive chain collapses to one canonical id") {
