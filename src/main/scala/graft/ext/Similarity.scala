@@ -52,6 +52,136 @@ object Similarity {
   private def entries(id: Column, emb: Column): Column =
     collect_list(struct(id.as("id"), emb.as("emb")))
 
+  /** Recommended per-bucket size cap for the hot-bucket guard. Real-corpus
+    * sign patterns and posting lists SKEW (this repo's own SimHash banding
+    * put 26% of a corpus in one byte bucket), and an uncapped hot bucket
+    * makes one collect_list row arbitrarily large (the 2 GB row limit is
+    * the OOM cliff) and one kernel call Θ(hot²). With the cap, every
+    * gathered list is bounded (~4096 entries × 64 float dims ≈ 1 MB per
+    * list row) and per-group kernel cost is ≤ maxBucket² · dims no matter
+    * how skewed the bucket distribution is.
+    *
+    * WHERE the cap is paid is a deliberate design choice:
+    *  - The ad-hoc operators take `maxBucket` as a parameter, DEFAULT OFF
+    *    (0). Enabling it costs one counts probe per call (a narrow pass +
+    *    tiny aggregate, measured 30–90% of sub-second query time at
+    *    sf0.1), so a deployment turns it on when its measured bucket
+    *    histogram ([[bucketHistogram]]) shows skew — not on every query
+    *    forever. Results are identical either way.
+    *  - The persisted IVF index ([[buildIvfIndex]]) computes shard factors
+    *    ONCE at build time, where the cost amortizes over every search,
+    *    and [[searchIvfIndex]] consumes them with no probe, no re-shuffle,
+    *    and no loss of its exchange-free property.
+    */
+  val MaxBucket = 4096
+
+  /** Off switch for the hot-bucket guard (the operators' default): plain
+    * single-gather plans, zero probe/sharding overhead.
+    */
+  val NoMaxBucket = 0
+
+  /** Bucket-size histogram for a bucketing of the corpus — the measurement
+    * that decides whether to pay for the hot-bucket guard (measure, don't
+    * guess): rows (bucket_size_log2, n_buckets, max_bucket).
+    */
+  def bucketHistogram(withBucket: DataFrame): DataFrame =
+    withBucket.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .groupBy(floor(log2(col("c"))).cast("long").as("bucket_size_log2"))
+      .agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"))
+
+  /** Sharded self-search entry lists — the hot-bucket cap shared by the
+    * whole kernel-ANN family. Input: (vec_id, embedding, bucket). Each
+    * bucket with more than `maxBucket` members is hash-split into
+    * m = ceil(count / maxBucket) shards; a vector of shard s PROBES via
+    * groups (s, j) for every member shard j and serves as a MEMBER in
+    * groups (i, s) for every probe shard i, so every (probe, member) pair
+    * meets in exactly ONE (bucket, si, sj) group and each gathered list
+    * stays ≤ ~maxBucket entries. Normal buckets (m = 1) collapse to a
+    * single (0, 0) group — the plain single-shuffle gather, with one extra
+    * row per input row in the shuffle (the explode emits 2m−1 entries).
+    * The bucket-count side is a broadcast of |buckets| rows — bounded by
+    * corpus / targetBucketSize under the SIZING rule above, i.e. ~40 MB at
+    * 10¹⁰ vectors; it never scales with row count.
+    *
+    * Output: (bucket, si, sj, vs, ps) — members and probes lists per
+    * shard-pair group, ready for a bucket kernel. Winner rows from distinct
+    * groups compose under the (sim desc, id asc) argmax, so callers merge
+    * with max_by / a rank window exactly as multi-table LSH already does.
+    */
+  private[graft] def shardedSelfLists(withBucket: DataFrame, maxBucket: Int): DataFrame = {
+    val counts = withBucket.groupBy("bucket")
+      .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("m"))
+    withBucket.join(broadcast(counts), "bucket")
+      .withColumn("s", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("s"),
+        explode(expr(
+          """concat(
+            |  transform(sequence(0, m - 1), j -> struct(s AS si, j AS sj)),
+            |  filter(transform(sequence(0, m - 1), i -> struct(i AS si, s AS sj)),
+            |         e -> e.si != s))""".stripMargin)).as("g"))
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("s"),
+        col("g.si").as("si"), col("g.sj").as("sj"))
+      .groupBy("bucket", "si", "sj")
+      .agg(
+        collect_list(when(col("sj") === col("s"),
+          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("vs"),
+        collect_list(when(col("si") === col("s"),
+          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ps"))
+  }
+
+  /** Kernel top-1 over sharded self-search groups: winner rows
+    * (bucket, vec_id, neighbor_id, sim), at most one per (vector, group) —
+    * callers merge across groups (and across buckets/tables where that
+    * applies) with the composing max_by argmax.
+    */
+  private def shardedSelfTop1(withBucket: DataFrame, maxBucket: Int): DataFrame =
+    shardedSelfLists(withBucket, maxBucket)
+      .select(col("bucket"), explode(expr("bucket_top1(vs, ps)")).as("w"))
+      .select(col("bucket"), col("w.vec_id").as("vec_id"),
+        col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+
+  /** The composing winner-of-winners merge: argmax over lexicographic
+    * (sim desc, id asc) — equal to the global rank-1 window over all
+    * candidate pairs each vector met across groups/tables/shards.
+    */
+  private def mergeWinners(winners: DataFrame, extraKey: Seq[String] = Nil): DataFrame =
+    winners.groupBy((col("vec_id") +: extraKey.map(col)): _*)
+      .agg(max_by(col("neighbor_id"),
+        struct(col("sim"), (-col("neighbor_id")).as("nid"))).as("neighbor_id"))
+
+  /** Runtime gate for the hot-bucket cap: with the guard enabled
+    * (maxBucket > 0), ONE small count-aggregate probe (short-circuiting
+    * isEmpty) decides at call time whether any bucket actually exceeds
+    * maxBucket — if none does the operator still emits the PLAIN
+    * single-gather plan with zero sharding machinery (no counts join, no
+    * explode, no winner-merge shuffle; a statically sharded plan measured
+    * 30–100% slower per query at sf0.1 for protection that wasn't
+    * engaging). Disabled (0, the default) skips the probe entirely.
+    * Results are identical on every path (winner-of-winners composes), so
+    * the choice is invisible to callers.
+    */
+  private def anyBucketOver(withBucket: DataFrame, maxBucket: Int): Boolean =
+    maxBucket > 0 &&
+      !withBucket.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .filter(col("c") > maxBucket).isEmpty
+
+  /** Self-search winners (bucket, vec_id, neighbor_id, sim) with the
+    * hot-bucket cap applied adaptively (see [[anyBucketOver]]). The boolean
+    * reports whether sharding engaged: plain-path output already has
+    * exactly one winner row per (vector, bucket); sharded output has up to
+    * m rows per and REQUIRES the caller to merge across groups.
+    */
+  private def selfTop1(withBucket: DataFrame, maxBucket: Int): (DataFrame, Boolean) =
+    if (anyBucketOver(withBucket, maxBucket))
+      (shardedSelfTop1(withBucket, maxBucket), true)
+    else
+      (withBucket
+        .groupBy("bucket")
+        .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+        .select(col("bucket"), explode(expr("bucket_top1(vs, vs)")).as("w"))
+        .select(col("bucket"), col("w.vec_id").as("vec_id"),
+          col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim")), false)
+
   /** Cosine via the registered native expression; callers must have called
     * `CosineSimilarity.register(spark)` (SparkEntry does).
     */
@@ -122,13 +252,17 @@ object Similarity {
     * candidate loop runs inside the bucket_top1 kernel, which emits one
     * winner row per vector — pair rows never exist as rows.
     */
-  def lshTopNeighbor(embeddings: DataFrame, signBits: Int = SignBits): DataFrame = {
+  def lshTopNeighbor(embeddings: DataFrame, signBits: Int = SignBits,
+                     maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
-    embeddings
-      .groupBy(signBucket(col("embedding"), signBits).as("bucket"))
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
-      .select(col("w.vec_id").as("vec_id"), col("w.neighbor_id").as("neighbor_id"))
+    val (winners, sharded) = selfTop1(
+      embeddings.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), signBits).as("bucket")),
+      maxBucket)
+    // single table: each vector has one bucket, so the plain path's winners
+    // are already unique per vector; only shards need the composing merge
+    (if (sharded) mergeWinners(winners) else winners)
+      .select("vec_id", "neighbor_id")
   }
 
   /** Multi-table sign-LSH: the standard recall knob that does NOT grow any
@@ -147,19 +281,21 @@ object Similarity {
     * absent (approximate by design). Requires tables·signBits ≤ dims.
     */
   def lshTopNeighborMulti(embeddings: DataFrame, tables: Int = 4,
-                          signBits: Int = SignBits): DataFrame = {
+                          signBits: Int = SignBits,
+                          maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
-    embeddings
+    // table t's bucket is offset into a disjoint composite-key range, so one
+    // sharded gather serves all tables; the final merge is the same
+    // winner-of-winners the sharding itself relies on
+    val withBucket = embeddings
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tab"),
-            signBucket(col("embedding"), signBits, t * signBits).as("bucket"))): _*)).as("tb"))
-      .groupBy(col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(explode(expr("bucket_top1(vs, vs)")).as("w"))
-      .groupBy(col("w.vec_id").as("vec_id"))
-      .agg(max_by(col("w.neighbor_id"),
-        struct(col("w.sim"), (-col("w.neighbor_id")).as("nid"))).as("neighbor_id"))
+          signBucket(col("embedding"), signBits, t * signBits) +
+            lit(t.toLong * (1L << signBits))): _*)).as("bucket"))
+    // merge ALWAYS: winners from the `tables` buckets compose the same way
+    // shard winners do, so the sharded case changes nothing downstream
+    mergeWinners(selfTop1(withBucket, maxBucket)._1)
+      .select("vec_id", "neighbor_id")
   }
 
   /** Default coarse-quantizer size, sized for the test corpora. See the
@@ -200,22 +336,25 @@ object Similarity {
     * Output (vec_id, cluster_id, neighbor_id): top-1 neighbor within the
     * vector's posting list (vectors alone in their list are absent).
     */
-  def ivfTopNeighbor(embeddings: DataFrame, k: Int = IvfClusters): DataFrame = {
+  def ivfTopNeighbor(embeddings: DataFrame, k: Int = IvfClusters,
+                     maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
-    ivfFrom(assignToCentroids(embeddings, k, 1))
+    ivfFrom(assignToCentroids(embeddings, k, 1), maxBucket)
   }
 
   /** Posting-list gather + kernel search over an existing crank=1 centroid
     * assignment — the shared tail of [[ivfTopNeighbor]], split out so the
     * recall harness can feed one materialized assignment to several methods.
+    * cluster_id survives the merge as a grouping key (functionally dependent
+    * on vec_id for a crank=1 assignment).
     */
-  private def ivfFrom(assigned: DataFrame): DataFrame =
-    assigned
-      .groupBy("cluster_id")
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(col("cluster_id"), explode(expr("bucket_top1(vs, vs)")).as("w"))
-      .select(col("w.vec_id").as("vec_id"), col("cluster_id"),
-        col("w.neighbor_id").as("neighbor_id"))
+  private def ivfFrom(assigned: DataFrame, maxBucket: Int = NoMaxBucket): DataFrame = {
+    val (winners, sharded) = selfTop1(
+      assigned.select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+      maxBucket)
+    (if (sharded) mergeWinners(winners, extraKey = Seq("bucket")) else winners)
+      .select(col("vec_id"), col("bucket").as("cluster_id"), col("neighbor_id"))
+  }
 
   /** IVF approximate top-k: same posting-list shape as [[ivfTopNeighbor]],
     * with the bucket_topk kernel keeping a k-slot insertion sort per probe —
@@ -224,14 +363,30 @@ object Similarity {
     * vector's posting list.
     */
   def ivfTopKNeighbors(embeddings: DataFrame, topK: Int = 3,
-                       k: Int = IvfClusters): DataFrame = {
+                       k: Int = IvfClusters, maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
-    assignToCentroids(embeddings, k, 1)
-      .groupBy("cluster_id")
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(explode(expr(s"bucket_topk(vs, vs, $topK)")).as("w"))
-      .select(col("w.vec_id").as("vec_id"), col("w.rank").as("rank"),
-        col("w.neighbor_id").as("neighbor_id"))
+    val withBucket = assignToCentroids(embeddings, k, 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
+    if (anyBucketOver(withBucket, maxBucket)) {
+      // per-group top-k, then a winners-only global re-rank: each (probe,
+      // member) pair is seen by exactly one shard group, so per-group top-k
+      // retains every global top-k candidate and the tiny window (≤ m·topK
+      // rows per probe, same total order) restores exact ranks
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      shardedSelfLists(withBucket, maxBucket)
+        .select(explode(expr(s"bucket_topk(vs, ps, $topK)")).as("w"))
+        .select(col("w.vec_id").as("vec_id"), col("w.neighbor_id").as("neighbor_id"),
+          col("w.sim").as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select("vec_id", "rank", "neighbor_id")
+    } else
+      withBucket
+        .groupBy("bucket")
+        .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+        .select(explode(expr(s"bucket_topk(vs, vs, $topK)")).as("w"))
+        .select(col("w.vec_id").as("vec_id"), col("w.rank").as("rank"),
+          col("w.neighbor_id").as("neighbor_id"))
   }
 
   /** Persist an IVF index as a bucketed table: posting lists laid out by
@@ -243,24 +398,69 @@ object Similarity {
     * build is a job, search is a scan.
     */
   def buildIvfIndex(embeddings: DataFrame, table: String, k: Int = IvfClusters,
-                    buckets: Int = 8): Unit =
+                    buckets: Int = 8, maxBucket: Int = NoMaxBucket): Unit = {
+    val assigned = assignToCentroids(embeddings, k, 1)
+      .select("cluster_id", "vec_id", "embedding")
+    // the hot-bucket guard's natural home: shard factors are computed ONCE
+    // here, at build time, where the counts pass amortizes over every
+    // subsequent search — each row stores its posting list's shard count m
+    // and its own shard, and search consumes them with no probe at all
+    val withShard =
+      if (maxBucket > 0) {
+        val counts = assigned.groupBy("cluster_id")
+          .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("m"))
+        assigned.join(broadcast(counts), "cluster_id")
+          .withColumn("shard", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
+      } else assigned.withColumn("m", lit(1)).withColumn("shard", lit(0))
     graft.sources.Bucketing.writeBucketed(
-      assignToCentroids(embeddings, k, 1).select("cluster_id", "vec_id", "embedding"),
+      withShard.select("cluster_id", "shard", "m", "vec_id", "embedding"),
       table, "cluster_id", buckets)
+  }
 
   /** Top-k search over a persisted IVF index (see [[buildIvfIndex]]):
-    * exchange-free — posting lists are gathered within each pre-bucketed
-    * scan task and searched by the bucket_topk kernel.
+    * exchange-free, INCLUDING when the index was built with a hot-bucket
+    * cap. The shard-pair grid comes from the STORED shard factors (no
+    * probe, no counts join); grouping by (cluster_id, si, sj) and the
+    * final (cluster_id, vec_id) merge are both satisfied by the bucketed
+    * layout's hash partitioning on cluster_id — a vector's winners all
+    * carry its own cluster — so every stage of the search runs inside the
+    * pre-bucketed scan tasks. Cross-shard ranks are restored by sorting
+    * each vector's ≤ m·topK winner candidates under the same
+    * (sim desc, id asc, NaN first) total order — no window, no shuffle.
+    * An uncapped index (m = 1 everywhere) degenerates to one group per
+    * cluster and a single-candidate-set sort.
     */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                      topK: Int = 3): DataFrame = {
     val idx = spark.table(table)
     registerKernels(idx)
-    idx.groupBy("cluster_id")
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(explode(expr(s"bucket_topk(vs, vs, $topK)")).as("w"))
-      .select(col("w.vec_id").as("vec_id"), col("w.rank").as("rank"),
-        col("w.neighbor_id").as("neighbor_id"))
+    idx
+      .select(col("cluster_id"), col("vec_id"), col("embedding"),
+        col("shard").as("s"), col("m"))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("s"),
+        explode(expr(
+          """concat(
+            |  transform(sequence(0, m - 1), j -> struct(s AS si, j AS sj)),
+            |  filter(transform(sequence(0, m - 1), i -> struct(i AS si, s AS sj)),
+            |         e -> e.si != s))""".stripMargin)).as("g"))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("s"),
+        col("g.si").as("si"), col("g.sj").as("sj"))
+      .groupBy("cluster_id", "si", "sj")
+      .agg(
+        collect_list(when(col("sj") === col("s"),
+          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("vs"),
+        collect_list(when(col("si") === col("s"),
+          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ps"))
+      .select(col("cluster_id"), explode(expr(s"bucket_topk(vs, ps, $topK)")).as("w"))
+      .select(col("cluster_id"), col("w.vec_id").as("vec_id"),
+        col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+      .groupBy("cluster_id", "vec_id")
+      .agg(expr(s"""slice(
+        |  sort_array(collect_list(struct(sim, -neighbor_id AS negid, neighbor_id AS nid)), false),
+        |  1, $topK)""".stripMargin).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nid").as("neighbor_id"))
   }
 
   /** One Lloyd (k-means) training iteration for the IVF coarse quantizer:
@@ -310,27 +510,76 @@ object Similarity {
     * Output (vec_id, neighbor_id): top-1 across all probed lists.
     */
   def ivfTopNeighborProbed(embeddings: DataFrame, nprobe: Int = 2,
-                           k: Int = IvfClusters): DataFrame = {
+                           k: Int = IvfClusters,
+                           maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
     // no persist: the posting-list side (crank=1) and the probe side share
     // the assignment subtree via AQE runtime exchange reuse — a persist here
     // leaked cached partitions into the session on every invocation
-    ivfProbedFrom(assignToCentroids(embeddings, k, nprobe))
+    ivfProbedFrom(assignToCentroids(embeddings, k, nprobe), maxBucket)
   }
 
   /** Probed search over an existing ≤nprobe-ranked centroid assignment —
     * the shared tail of [[ivfTopNeighborProbed]] (see there for the shape).
     */
-  private def ivfProbedFrom(ranked: DataFrame): DataFrame = {
-    val lists = ranked.filter(col("crank") === 1)
-      .groupBy("cluster_id").agg(entries(col("vec_id"), col("embedding")).as("vs"))
+  private def ivfProbedFrom(ranked: DataFrame, maxBucket: Int = NoMaxBucket): DataFrame = {
+    val members = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
     val probes = ranked
-      .groupBy("cluster_id").agg(entries(col("vec_id"), col("embedding")).as("ps"))
-    probes.join(lists, Seq("cluster_id"))
-      .select(explode(expr("bucket_top1(vs, ps)")).as("w"))
-      .groupBy(col("w.vec_id").as("vec_id"))
-      .agg(max_by(col("w.neighbor_id"),
-        struct(col("w.sim"), (-col("w.neighbor_id")).as("nid"))).as("neighbor_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
+    // gate on the probe side only: per bucket, probes ⊇ members here (every
+    // crank-1 member also probes its own list), so probes under the cap
+    // implies members under the cap
+    val winners =
+      if (anyBucketOver(probes, maxBucket))
+        shardedTwoSidedTop1(members, probes, maxBucket)
+      else {
+        val lists = members.groupBy("bucket")
+          .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+        val ps = probes.groupBy("bucket")
+          .agg(entries(col("vec_id"), col("embedding")).as("ps"))
+        ps.join(lists, Seq("bucket"))
+          .select(col("bucket"), explode(expr("bucket_top1(vs, ps)")).as("w"))
+          .select(col("bucket"), col("w.vec_id").as("vec_id"),
+            col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+      }
+    mergeWinners(winners).select("vec_id", "neighbor_id")
+  }
+
+  /** Two-sided sharded bucket search (distinct member and probe sets, e.g.
+    * multi-probe IVF where the probe side is nprobe× the posting lists):
+    * both sides of each bucket are independently hash-split at `maxBucket`,
+    * members replicate across probe shards and vice versa, so each
+    * (probe, member) pair meets in exactly one (bucket, si, sj) group —
+    * the same coverage/merge contract as [[shardedSelfLists]] with the two
+    * roles decoupled. Buckets missing either side drop at the counts join
+    * (no probes → no output; no members → no candidates), matching the
+    * inner posting-lists join this replaces.
+    */
+  private def shardedTwoSidedTop1(members: DataFrame, probes: DataFrame,
+                                  maxBucket: Int): DataFrame = {
+    val cnts = members.groupBy("bucket")
+      .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("mm"))
+      .join(probes.groupBy("bucket")
+        .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("mp")), Seq("bucket"))
+    val vs = members.join(broadcast(cnts), "bucket")
+      .select(col("bucket"),
+        explode(expr("sequence(0, mp - 1)")).as("si"),
+        pmod(xxhash64(col("vec_id")), col("mm")).cast("int").as("sj"),
+        col("vec_id"), col("embedding"))
+      .groupBy("bucket", "si", "sj")
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+    val ps = probes.join(broadcast(cnts), "bucket")
+      .select(col("bucket"),
+        pmod(xxhash64(col("vec_id")), col("mp")).cast("int").as("si"),
+        explode(expr("sequence(0, mm - 1)")).as("sj"),
+        col("vec_id"), col("embedding"))
+      .groupBy("bucket", "si", "sj")
+      .agg(entries(col("vec_id"), col("embedding")).as("ps"))
+    vs.join(ps, Seq("bucket", "si", "sj"))
+      .select(col("bucket"), explode(expr("bucket_top1(vs, ps)")).as("w"))
+      .select(col("bucket"), col("w.vec_id").as("vec_id"),
+        col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
   }
 
   /** Recall measurement for the approximate indexes — the "measure, don't
@@ -393,13 +642,42 @@ object Similarity {
     * testdata has no natural near-dups — see Dedup.withPerturbedCopies.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
-                   signBits: Int = SignBits): DataFrame = {
+                   signBits: Int = SignBits, maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
-    embeddings
-      .groupBy(signBucket(col("embedding"), signBits).as("bucket"))
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"))
-      .select(explode(expr(s"cosine_close_pairs(vs, ${threshold}d)")).as("p"))
-      .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
+    // hot-bucket cap, pairs flavor: vector of shard s joins UNORDERED shard
+    // groups (min(s,t), max(s,t)) for every t, so each qualifying pair is
+    // emitted by exactly one group — same-shard groups run the triangular
+    // kernel, cross-shard groups the cross kernel; no distinct needed and
+    // nothing quadratic in any list over ~maxBucket entries
+    val withBucket = embeddings.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), signBits).as("bucket"))
+    if (anyBucketOver(withBucket, maxBucket)) {
+      val counts = withBucket.groupBy("bucket")
+        .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("m"))
+      withBucket.join(broadcast(counts), "bucket")
+        .withColumn("s", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
+        .select(col("bucket"), col("vec_id"), col("embedding"), col("s"),
+          explode(expr(
+            "transform(sequence(0, m - 1), t -> struct(least(s, t) AS si, greatest(s, t) AS sj))"))
+            .as("g"))
+        .select(col("bucket"), col("vec_id"), col("embedding"), col("s"),
+          col("g.si").as("si"), col("g.sj").as("sj"))
+        .groupBy("bucket", "si", "sj")
+        .agg(
+          collect_list(when(col("si") === col("s"),
+            struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("vs_a"),
+          collect_list(when(col("sj") === col("s"),
+            struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("vs_b"))
+        .select(explode(expr(
+          s"CASE WHEN si = sj THEN cosine_close_pairs(vs_a, ${threshold}d) " +
+            s"ELSE cosine_cross_pairs(vs_a, vs_b, ${threshold}d) END")).as("p"))
+        .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
+    } else
+      withBucket
+        .groupBy("bucket")
+        .agg(entries(col("vec_id"), col("embedding")).as("vs"))
+        .select(explode(expr(s"cosine_close_pairs(vs, ${threshold}d)")).as("p"))
+        .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
   }
 
   /** Product-quantization codes — the storage half of an IVF-PQ index: the

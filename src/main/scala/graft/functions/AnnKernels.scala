@@ -100,6 +100,12 @@ object AnnKernels {
           e.head,
           e(1).eval(EmptyRow).asInstanceOf[Number].doubleValue()), "built-in")
     }
+    ifAbsent("cosine_cross_pairs") {
+      reg.createOrReplaceTempFunction(
+        "cosine_cross_pairs", (e: Seq[Expression]) => CosineCrossPairs(
+          e.head, e(1),
+          e(2).eval(EmptyRow).asInstanceOf[Number].doubleValue()), "built-in")
+    }
     ifAbsent("bucket_topk") {
       reg.createOrReplaceTempFunction(
         "bucket_topk", (e: Seq[Expression]) => BucketTopK(
@@ -416,4 +422,50 @@ case class CosineClosePairs(child: Expression, threshold: Double)
     new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** cosine_cross_pairs(a, b, threshold): all pairs (x ∈ a, y ∈ b) with
+  * distinct ids and cosine STRICTLY above `threshold`, as
+  * array<struct<vec_id_a, vec_id_b>> with vec_id_a < vec_id_b — the
+  * cross-shard half of sharded near-duplicate detection: when an oversized
+  * bucket is hash-split, same-shard pairs come from [[CosineClosePairs]]
+  * and each cross-shard pair is covered by exactly one (shard_i, shard_j)
+  * group through this kernel, so no pair is ever emitted twice.
+  */
+case class CosineCrossPairs(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id_a", LongType, nullable = false),
+    StructField("vec_id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cosine_cross_pairs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (AnnKernels.EntryType(left.dataType) && AnnKernels.EntryType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<long, array<float>>>, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (aIds, aEmbs) = AnnKernels.parse(l.asInstanceOf[ArrayData])
+    val (bIds, bEmbs) = AnnKernels.parse(r.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < aIds.length) {
+      var j = 0
+      while (j < bIds.length) {
+        val a = aEmbs(i); val b = bEmbs(j)
+        if (aIds(i) != bIds(j) && a != null && b != null && a.length == b.length &&
+            AnnKernels.cosine(a, b) > threshold) {
+          val lo = math.min(aIds(i), bIds(j))
+          val hi = math.max(aIds(i), bIds(j))
+          out += new GenericInternalRow(Array[Any](lo, hi))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

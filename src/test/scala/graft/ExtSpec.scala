@@ -333,16 +333,27 @@ class ExtSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
     Similarity.buildIvfIndex(emb, "ivf_idx_test", buckets = 4)
+    // second index with an aggressive hot-bucket cap: every posting list is
+    // sharded at build time; search must stay exchange-free AND identical
+    Similarity.buildIvfIndex(emb, "ivf_idx_test_capped", buckets = 4, maxBucket = 16)
     try {
-      val viaIndex = Similarity.searchIvfIndex(spark, "ivf_idx_test", 3)
-      // build paid the assignment+gather shuffle; search reads co-located
-      // posting lists off the bucketed layout — no Exchange in the plan
-      val p = viaIndex.queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange"), p)
       val direct = Similarity.ivfTopKNeighbors(emb, 3)
         .as[(Long, Long, Long)].collect().toSet
-      assert(viaIndex.as[(Long, Long, Long)].collect().toSet == direct)
-    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+      Seq("ivf_idx_test", "ivf_idx_test_capped").foreach { t =>
+        val viaIndex = Similarity.searchIvfIndex(spark, t, 3)
+        // build paid the assignment+gather shuffle (and, for the capped
+        // index, the shard-factor counts); search reads co-located posting
+        // lists off the bucketed layout — no Exchange in the plan even
+        // across the shard grid and the cross-shard rank merge
+        val p = viaIndex.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"), s"$t: $p")
+        assert(viaIndex.as[(Long, Long, Long)].collect().toSet == direct, t)
+      }
+      // the capped index really is sharded (some m > 1), so the equality
+      // above exercised the cross-shard merge, not just the m=1 degenerate
+      assert(spark.table("ivf_idx_test_capped").filter(col("m") > 1).count() > 0)
+    } finally Seq("ivf_idx_test", "ivf_idx_test_capped")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("multi-table LSH dominates single-table: answers and similarity never worse") {

@@ -70,20 +70,26 @@ class PlanSpec extends SparkSpec {
     // centroid-assignment row_number (none at all for sign-LSH).
     val emb = Tables.embeddings(spark, sfDir)
     val cases = Seq(
+      // centroid assignment is a per-row kernel (nearest_centroids) and the
+      // winner merge is an aggregation, so the ONLY window left in the
+      // family is ivfTopKNeighbors' winners-only global re-rank
       (Similarity.lshTopNeighbor(emb), 0),
       (Similarity.lshTopNeighborMulti(emb), 0),
-      (Similarity.ivfTopNeighbor(emb), 1),
+      (Similarity.ivfTopNeighbor(emb), 0),
       (Similarity.ivfTopKNeighbors(emb, 3), 1),
-      (Similarity.ivfTopNeighborProbed(emb, 2), 2)) // assignment subtree x2 (lists+probes)
+      (Similarity.ivfTopNeighborProbed(emb, 2), 0))
     cases.foreach { case (df, maxWindows) =>
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("bucket_top"), p)
       assert("\\bWindow\\b".r.findAllIn(p).length <= maxWindows, p)
+      // the hot-bucket cap's only join is against the broadcast bucket
+      // counts — a sort-merge join anywhere here means a shuffled N-row side
+      assert(!p.contains("SortMergeJoin"), p)
     }
     val nd = Similarity.nearDupPairs(Similarity.withScaledCopies(emb), 0.95)
     val pn = nd.queryExecution.executedPlan.toString
     assert(pn.contains("cosine_close_pairs"), pn)
-    assert(!pn.contains("Join"), pn) // bucket gather + kernel: no join at all
+    assert(!pn.contains("SortMergeJoin"), pn) // counts join must broadcast
   }
 
   test("tfidf keywords is one corpus scan with WindowGroupLimit top-k") {

@@ -223,6 +223,51 @@ class PropertySpec extends SparkSpec {
     assert(out(13L).isEmpty)
   }
 
+  test("hot-bucket cap: adversarial one-bucket corpus shards lists, results unchanged") {
+    import graft.ext.Similarity
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.AnnKernels.register(spark)
+    // every coordinate strictly positive -> EVERY sign bucket (any offset)
+    // is the all-ones pattern: the entire corpus lands in one bucket, the
+    // worst case the cap exists for
+    val n = 200
+    val dims = 32
+    val vecs = (0 until n).map { i =>
+      val base = Gen.listOfN(dims, Gen.choose(0.05, 1.0).map(_.toFloat))(
+        Gen.Parameters.default, Seed(100L + i)).getOrElse(sys.error("gen failed"))
+      (i.toLong, base.toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val maxBucket = 32
+    // 1) the gathered lists really are capped (hash sharding is uneven, so
+    //    allow 2x headroom) and the group fan-out is the expected m^2 grid
+    val lists = Similarity.shardedSelfLists(
+      df.withColumn("bucket", Similarity.signBucket(col("embedding"), 8)), maxBucket)
+      .select(size(col("vs")).as("nv"), size(col("ps")).as("np")).collect()
+    val m = math.ceil(n.toDouble / maxBucket).toInt
+    assert(lists.length == m * m, s"expected ${m * m} shard groups, got ${lists.length}")
+    assert(lists.forall(r => r.getAs[Int]("nv") <= 2 * maxBucket &&
+      r.getAs[Int]("np") <= 2 * maxBucket),
+      s"list over cap: ${lists.map(r => (r.getAs[Int]("nv"), r.getAs[Int]("np"))).mkString(",")}")
+    // 2) sharded results equal the unsharded reference (guard off — the
+    //    default) on every family member
+    val big = graft.ext.Similarity.NoMaxBucket
+    def t1(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long)].collect().toSet
+    assert(t1(Similarity.lshTopNeighbor(df, 8, maxBucket)) ==
+      t1(Similarity.lshTopNeighbor(df, 8, big)))
+    assert(t1(Similarity.lshTopNeighborMulti(df, 4, 8, maxBucket)) ==
+      t1(Similarity.lshTopNeighborMulti(df, 4, 8, big)))
+    assert(Similarity.ivfTopNeighbor(df, 8, maxBucket).as[(Long, Long, Long)].collect().toSet ==
+      Similarity.ivfTopNeighbor(df, 8, big).as[(Long, Long, Long)].collect().toSet)
+    assert(Similarity.ivfTopKNeighbors(df, 3, 8, maxBucket).as[(Long, Long, Long)].collect().toSet ==
+      Similarity.ivfTopKNeighbors(df, 3, 8, big).as[(Long, Long, Long)].collect().toSet)
+    assert(t1(Similarity.ivfTopNeighborProbed(df, 2, 8, maxBucket)) ==
+      t1(Similarity.ivfTopNeighborProbed(df, 2, 8, big)))
+    assert(t1(Similarity.nearDupPairs(df, 0.8, 8, maxBucket)) ==
+      t1(Similarity.nearDupPairs(df, 0.8, 8, big)))
+  }
+
   test("pii scrub: output has no residual email/phone matches on any input") {
     docFrames(3).foreach { docs =>
       val df = graft.ext.Curation.withPiiInjected(
