@@ -194,10 +194,14 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopKNeighbors(emb(s, d), 3).orderBy("vec_id", "rank")),
     "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d)).orderBy("vec_id")),
+    "ann_pq_trained" -> ((s, d) =>
+      Similarity.pqCodes(emb(s, d), trainIters = 1).orderBy("vec_id")),
     "ann_pq_adc" -> ((s, d) =>
       Similarity.pqAdcTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
+    "ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTopNeighborTrained(emb(s, d)).orderBy("vec_id")),
     "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100).orderBy("method")),
     "ann_kmeans_step" -> ((s, d) =>
       Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),
@@ -341,6 +345,38 @@ object SparkEntry {
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
        |    * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
+  /** Trained-centroid CTEs (Similarity.trainIvfCentroids): tc0 is the
+    * first-K init; each Lloyd step is assignment (argmax cosine,
+    * centroid-id tie-break) then EXACT fixed-point means — component sums
+    * of floor(x·10⁴) as BIGINT, one IEEE division, re-cast to FLOAT — so
+    * even iterated training is bit-reproducible across engines. Emits CTEs
+    * tc0..tc`iters` (+ tsc/ta intermediates); the final centroids are
+    * tc`iters`(centroid_id, c_emb).
+    */
+  private def trainedCentCtes(iters: Int): String = {
+    val init = s"""tc0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < ${Similarity.IvfClusters})""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""tsc$t AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN tc${t - 1} c),
+         |ta$t AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM tsc$t)
+         |  WHERE crank = 1),
+         |tc$t AS (SELECT cluster_id AS centroid_id,
+         |    list(CAST(CAST(s AS DOUBLE) / (n * 10000.0) AS FLOAT) ORDER BY dim) AS c_emb
+         |  FROM (SELECT cluster_id, dim,
+         |          sum(CAST(floor(embedding[dim]::DOUBLE * 10000) AS BIGINT)) AS s,
+         |          count(*) AS n
+         |        FROM (SELECT cluster_id, unnest(range(1, 65)) AS dim, embedding
+         |              FROM ta$t)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   /** sign-pattern LSH bucket, matching Similarity.signBucket */
   private def bucketSql(e: String, offset: Int = 0) =
     (0 until Similarity.SignBits)
@@ -372,12 +408,66 @@ object SparkEntry {
        |pq AS (SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM pcodes)""".stripMargin
   }
 
+  /** Trained-PQ-codebook CTEs (Similarity.trainPqCodebook, one iteration):
+    * per-subspace assignment falls out of the first-K encode (codes ARE
+    * the subspace assignments), the update is exact fixed-point subspace
+    * means with the previous slice as keep-old fallback for empty cells,
+    * and `ptq(vec_id, pq_code)` re-encodes against the trained codebook.
+    * Positions and cids coincide here because the testdata's first-K ids
+    * are dense 0..k-1 (the Spark kernel is position-based and handles the
+    * general case).
+    */
+  private val pqTrainedCtes: String = {
+    val (subs, subDim, k) = (8, 8, 16)
+    val dCols = (0 until subs).map { s =>
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE)
+         |         * (e.embedding[${s * subDim} + i]::DOUBLE - c.c_emb[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+    }.mkString(",\n    ")
+    val codeCols = (0 until subs)
+      .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
+    val pack = (0 until subs)
+      .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
+    val scList = (0 until subs)
+      .map(s => s"struct_pack(s := $s, c := code_$s)").mkString(", ")
+    s"""ptcent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $k),
+       |ptj AS (SELECT e.vec_id, c.cid,
+       |    $dCols
+       |  FROM embeddings e CROSS JOIN ptcent c),
+       |ptc0 AS (SELECT vec_id, $codeCols FROM ptj GROUP BY 1),
+       |ptasg AS (SELECT vec_id, unnest(list_value($scList)) AS sc FROM ptc0),
+       |ptsum AS (SELECT s, c, i,
+       |    sum(CAST(floor(embedding[s * $subDim + i + 1]::DOUBLE * 10000) AS BIGINT)) AS sm,
+       |    count(*) AS n
+       |  FROM (SELECT (a.sc).s AS s, (a.sc).c AS c, e.embedding,
+       |          unnest(range(0, $subDim)) AS i
+       |        FROM ptasg a JOIN embeddings e USING (vec_id))
+       |  GROUP BY 1, 2, 3),
+       |ptsub AS (SELECT s, c,
+       |    list(CAST(CAST(sm AS DOUBLE) / (n * 10000.0) AS FLOAT) ORDER BY i) AS sub
+       |  FROM ptsum GROUP BY 1, 2),
+       |ptprev AS (SELECT pc.c, sx.s,
+       |    pc.c_emb[(sx.s * $subDim + 1):(sx.s * $subDim + $subDim)] AS prev_sub
+       |  FROM (SELECT cid AS c, c_emb FROM ptcent) pc,
+       |       (SELECT unnest(range(0, $subs)) AS s) sx),
+       |ptcb1 AS (SELECT p.c AS cid,
+       |    flatten(list(coalesce(t.sub, p.prev_sub) ORDER BY p.s)) AS c_emb
+       |  FROM ptprev p LEFT JOIN ptsub t ON t.s = p.s AND t.c = p.c
+       |  GROUP BY 1),
+       |ptj1 AS (SELECT e.vec_id, c.cid,
+       |    $dCols
+       |  FROM embeddings e CROSS JOIN ptcb1 c),
+       |ptcodes AS (SELECT vec_id, $codeCols FROM ptj1 GROUP BY 1),
+       |ptq AS (SELECT vec_id, CAST($pack AS BIGINT) AS pq_code FROM ptcodes)""".stripMargin
+  }
+
   /** ADC-scoring CTEs over the `pq`/`cent` CTEs (Similarity.pqAdcTopK):
     * per-query LUT via ordered list aggregation, packed-nibble lookups
     * summed left-to-right like Spark's reduce(_ + _). Emits `{p}q`,
     * `{p}lutr`, `{p}lut`, `{p}adcs(query_id, vec_id, adc)`.
     */
-  private def pqAdcCtes(numQueries: Int, p: String): String = {
+  private def pqAdcCtes(numQueries: Int, p: String,
+                        centTbl: String = "cent", codesTbl: String = "pq"): String = {
     val (subs, subDim, k) = (8, 8, 16)
     val lutDCols = (0 until subs).map { s =>
       s"""list_sum(list_transform(range(1, ${subDim + 1}),
@@ -390,10 +480,10 @@ object SparkEntry {
     s"""${p}q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $numQueries),
        |${p}lutr AS (SELECT q.query_id, c.cid,
        |    $lutDCols
-       |  FROM ${p}q q CROSS JOIN cent c),
+       |  FROM ${p}q q CROSS JOIN $centTbl c),
        |${p}lut AS (SELECT query_id, $lutLists AS lut FROM ${p}lutr GROUP BY 1),
        |${p}adcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
-       |  FROM pq p CROSS JOIN ${p}lut l WHERE p.vec_id != l.query_id)""".stripMargin
+       |  FROM $codesTbl p CROSS JOIN ${p}lut l WHERE p.vec_id != l.query_id)""".stripMargin
   }
 
   /** Multi-table sign-LSH candidate pairs (Similarity.lshTopNeighborMulti):
@@ -1118,6 +1208,9 @@ object SparkEntry {
     "ann_pq_codes" ->
       s"""WITH $pqCodesCtes
          |SELECT vec_id, pq_code FROM pq ORDER BY vec_id""".stripMargin,
+    "ann_pq_trained" ->
+      s"""WITH $pqTrainedCtes
+         |SELECT vec_id, pq_code FROM ptq ORDER BY vec_id""".stripMargin,
     "ann_pq_adc" ->
       s"""WITH $pqCodesCtes,
          |${pqAdcCtes(20, "a")}
@@ -1176,6 +1269,27 @@ object SparkEntry {
          |  FROM (SELECT query_id, vec_id AS neighbor_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
          |        FROM rpadcs) WHERE r = 1),
+         |$pqTrainedCtes,
+         |${pqAdcCtes(100, "rpt", "ptcb1", "ptq")},
+         |rpta AS (SELECT query_id AS vec_id, neighbor_id
+         |  FROM (SELECT query_id, vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
+         |        FROM rptadcs) WHERE r = 1),
+         |${trainedCentCtes(2)},
+         |rtsc AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN tc2 c),
+         |rtassigned AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM rtsc)
+         |  WHERE crank = 1),
+         |rtpairs AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM rtassigned l JOIN rtassigned r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id),
+         |rtr AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM rtpairs) WHERE r = 1),
          |res AS (
          |  SELECT 'lsh' AS method, count(*) AS n_queries, count(a.neighbor_id) AS n_answered,
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END) AS n_correct
@@ -1193,10 +1307,36 @@ object SparkEntry {
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
          |  FROM rtruth t LEFT JOIN rivf2 a ON a.vec_id = t.vec_id
          |  UNION ALL
+         |  SELECT 'ivf_trained', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rtr a ON a.vec_id = t.vec_id
+         |  UNION ALL
          |  SELECT 'pq_adc', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
-         |  FROM rtruth t LEFT JOIN rpqa a ON a.vec_id = t.vec_id)
+         |  FROM rtruth t LEFT JOIN rpqa a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'pq_adc_trained', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rpta a ON a.vec_id = t.vec_id)
          |SELECT method, n_queries, n_answered, n_correct FROM res ORDER BY method""".stripMargin,
+    "ann_ivf_trained" ->
+      s"""WITH ${trainedCentCtes(2)},
+         |fsc AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN tc2 c),
+         |fassigned AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM fsc)
+         |  WHERE crank = 1),
+         |fpairs AS (SELECT l.vec_id, l.cluster_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM fassigned l JOIN fassigned r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id)
+         |SELECT vec_id, cluster_id, neighbor_id
+         |FROM (SELECT vec_id, cluster_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM fpairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "ann_kmeans_step" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

@@ -312,15 +312,77 @@ object Similarity {
     * sorting N×k scored rows before discarding all but upTo per vector —
     * a shuffle that served no purpose the per-row top-upTo loop doesn't.
     */
-  private def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame = {
+  private def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame =
+    assignTo(embeddings,
+      embeddings.filter(col("vec_id") < k)
+        .select(col("vec_id").as("centroid_id"), col("embedding")),
+      upTo)
+
+  /** Assignment against an EXPLICIT centroid frame (centroid_id, embedding)
+    * — the generalization that lets trained centroids drop in wherever the
+    * deterministic first-K quantizer is used.
+    */
+  private def assignTo(embeddings: DataFrame, centroids: DataFrame,
+                       upTo: Int): DataFrame = {
     registerKernels(embeddings)
-    val centroids = embeddings.filter(col("vec_id") < k)
-      .agg(sort_array(entries(col("vec_id"), col("embedding"))).as("cb"))
-    embeddings.crossJoin(broadcast(centroids))
+    val cb = centroids.agg(sort_array(collect_list(
+      struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+    embeddings.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"nearest_centroids(embedding, cb, $upTo)")).as("a"))
       .select(col("vec_id"), col("embedding"),
         col("a.cluster_id").as("cluster_id"), col("a.crank").as("crank"))
+  }
+
+  /** Trained IVF coarse quantizer: `iters` full Lloyd iterations from the
+    * first-K initialization — the training half that [[ivfTrainStep]]'s
+    * single step was missing. Each iteration assigns every vector to its
+    * nearest current centroid (the same narrow kernel pass as search) and
+    * recomputes centroids as EXACT fixed-point means: component sums of
+    * floor(x·10⁴) as BIGINT (order-independent under any partitioning,
+    * bit-equal in the DuckDB oracle), divided once and rounded to float —
+    * IEEE division and float rounding of identical inputs are identical on
+    * both engines, so even ITERATED training is oracle-reproducible, which
+    * float accumulation would never be. Clusters that lose every member
+    * drop out (standard Lloyd behavior, deterministic on both engines).
+    *
+    * Scale shape per iteration: one broadcast kernel pass (assignment) +
+    * one aggregation shuffle carrying k×dims partial sums with map-side
+    * combine. The driver loop is control flow only.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, k: Int = IvfClusters,
+                        iters: Int = 2, dims: Int = 64): DataFrame = {
+    var cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val sums = (1 to dims).map { d =>
+      sum(floor(element_at(col("embedding"), d).cast("double") * 10000)
+        .cast("long")).as(s"s_$d")
+    }
+    var i = 0
+    while (i < iters) {
+      cents = assignTo(embeddings, cents, 1)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cluster_id").as("centroid_id"),
+          array((1 to dims).map(d =>
+            (col(s"s_$d").cast("double") / (col("n") * lit(10000.0)))
+              .cast("float")): _*).as("embedding"))
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF top-1 search under TRAINED coarse centroids (see
+    * [[trainIvfCentroids]]) — the first-K quantizer the other IVF operators
+    * use is exactly the iters = 0 state. Output (vec_id, cluster_id,
+    * neighbor_id), same contract as [[ivfTopNeighbor]].
+    */
+  def ivfTopNeighborTrained(embeddings: DataFrame, k: Int = IvfClusters,
+                            iters: Int = 2,
+                            maxBucket: Int = NoMaxBucket): DataFrame = {
+    registerKernels(embeddings)
+    ivfFrom(assignTo(embeddings, trainIvfCentroids(embeddings, k, iters), 1),
+      maxBucket)
   }
 
   /** IVF-style approximate nearest neighbor: a deterministic coarse
@@ -616,14 +678,24 @@ object Similarity {
           count(col("neighbor_id")).as("n_answered"),
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
-    // pqCodes has exactly one consumer (the ADC branch) — no checkpoint
-    val pqAdc1 = pqAdcFromCodes(pqCodes(emb), emb, numQueries, 1, 8, 8, 16)
+    // pqCodes has exactly one consumer per codebook (the ADC branch) — no
+    // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny
+    // k-row result is checkpointed to run its training pass once
+    val cbFirst = firstKCodebook(emb, 16)
+    val pqAdc1 = pqAdcFromCodes(pqCodesFrom(emb, cbFirst, 8, 8), cbFirst, emb,
+      numQueries, 1, 8, 8, 16)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    val (cbT, cbTIds) = checkpointTracked(trainPqCodebook(emb))
+    val pqAdcT = pqAdcFromCodes(pqCodesFrom(emb, cbT, 8, 8), cbT, emb,
+      numQueries, 1, 8, 8, 16)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
     val union = hits("lsh", lshTopNeighbor(emb))
       .unionByName(hits("lsh_multi", lshTopNeighborMulti(emb)))
       .unionByName(hits("ivf", ivfFrom(ranked.filter(col("crank") === 1)).drop("cluster_id")))
       .unionByName(hits("ivf_probe2", ivfProbedFrom(ranked)))
+      .unionByName(hits("ivf_trained", ivfTopNeighborTrained(emb).drop("cluster_id")))
       .unionByName(hits("pq_adc", pqAdc1))
+      .unionByName(hits("pq_adc_trained", pqAdcT))
       .select("method", "n_queries", "n_answered", "n_correct")
     // materialize the one-row-per-method result, then release the big shared
     // blocks immediately — only the tiny final frame stays resident (same
@@ -632,6 +704,7 @@ object Similarity {
     releaseTracked(emb, embIds)
     releaseTracked(ranked, rankedIds)
     releaseTracked(truth, truthIds)
+    releaseTracked(cbT, cbTIds)
     res
   }
 
@@ -697,18 +770,100 @@ object Similarity {
     * tie-break). No shuffle carries anything wider than (vec_id, k codes).
     */
   def pqCodes(embeddings: DataFrame, subs: Int = 8, subDim: Int = 8,
-              k: Int = 16): DataFrame = {
+              k: Int = 16, trainIters: Int = 0): DataFrame = {
     require(k <= 16 && subs <= 16, "4-bit packing requires k <= 16 (and subs <= 16 per BIGINT)")
+    pqCodesFrom(embeddings,
+      if (trainIters > 0) trainPqCodebook(embeddings, subs, subDim, k, trainIters)
+      else firstKCodebook(embeddings, k),
+      subs, subDim)
+  }
+
+  /** The deterministic first-K codebook (centroid_id, embedding). */
+  private def firstKCodebook(embeddings: DataFrame, k: Int): DataFrame =
+    embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+
+  /** Encode against an explicit codebook frame: the whole codebook as ONE
+    * id-sorted array row, broadcast — encoding is then a single narrow
+    * kernel pass, no N×k pair expansion, no k-way aggregate (the kernel's
+    * ascending-position strict-< loop IS the min-distance
+    * smallest-position-tie-break argmin the oracle reproduces via
+    * min(struct)).
+    */
+  private def pqCodesFrom(embeddings: DataFrame, cbSrc: DataFrame,
+                          subs: Int, subDim: Int): DataFrame = {
     registerKernels(embeddings)
-    // the whole codebook as ONE id-sorted array row, broadcast: encoding is
-    // then a single narrow kernel pass — no N×k pair expansion, no k-way
-    // aggregate (the kernel's ascending-id strict-< loop IS the min-distance
-    // smallest-id-tie-break argmin the oracle reproduces via min(struct))
-    val codebook = embeddings.filter(col("vec_id") < k)
-      .agg(sort_array(entries(col("vec_id"), col("embedding"))).as("cb"))
+    val codebook = cbSrc.agg(sort_array(collect_list(
+      struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
     embeddings.crossJoin(broadcast(codebook))
       .select(col("vec_id"),
         expr(s"pq_encode(embedding, cb, $subs, $subDim)").as("pq_code"))
+  }
+
+  /** Per-subspace PQ codebook training — `iters` Lloyd iterations in each
+    * of the `subs` independent subspaces (the training half of IVF-PQ that
+    * the deterministic first-K codebook stood in for). One pass encodes
+    * every vector with the current codebook (the packed code's nibble s IS
+    * the subspace-s assignment, so training reuses the encode kernel); the
+    * update computes EXACT fixed-point means per (subspace, centroid) over
+    * that subspace's dims — same engine-exact arithmetic as
+    * [[trainIvfCentroids]]. A (subspace, centroid) cell that loses every
+    * member keeps its previous slice (standard Lloyd keep-old), so the
+    * codebook stays complete and every code stays valid.
+    *
+    * Output (centroid_id = position 0..k-1, embedding): k full-length
+    * vectors whose subspace-s slice is subspace s's trained centroid —
+    * exactly the shape [[pqCodes]]/[[pqAdcTopK]] consume, because encode
+    * and ADC only ever read one subspace of a codebook entry at a time.
+    *
+    * Scale shape per iteration: one broadcast encode pass, one aggregation
+    * shuffle of subs×k×subDim partial sums (map-side combine), and a
+    * k-row codebook rebuild. The driver loop is control flow only.
+    */
+  def trainPqCodebook(embeddings: DataFrame, subs: Int = 8, subDim: Int = 8,
+                      k: Int = 16, iters: Int = 1): DataFrame = {
+    registerKernels(embeddings)
+    var cb = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val subSums = (0 until subDim).map { i =>
+      sum(floor(element_at(col("embedding"),
+        (col("s") * subDim + i + 1).cast("int")).cast("double") * 10000)
+        .cast("long")).as(s"ss_$i")
+    }
+    var it = 0
+    while (it < iters) {
+      val cbRow = cb.agg(sort_array(collect_list(
+        struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+      val assigned = embeddings.crossJoin(broadcast(cbRow))
+        .select(col("embedding"),
+          expr(s"pq_encode(embedding, cb, $subs, $subDim)").as("code"))
+        .select(col("embedding"), explode(expr(
+          s"transform(sequence(0, ${subs - 1}), " +
+            "s -> named_struct('s', s, 'c', int(shiftright(code, 4 * s) & 15)))")).as("sc"))
+        .select(col("embedding"), col("sc.s").as("s"), col("sc.c").as("c"))
+      val trained = assigned.groupBy("s", "c")
+        .agg(count(lit(1)).as("n"), subSums: _*)
+        .select(col("s"), col("c"),
+          array((0 until subDim).map(i =>
+            (col(s"ss_$i").cast("double") / (col("n") * lit(10000.0)))
+              .cast("float")): _*).as("sub"))
+      // full (position, subspace) grid with the previous slice as fallback
+      val prevSlices = cb
+        .withColumn("c",
+          (row_number().over(Window.orderBy("centroid_id")) - 1).cast("int"))
+        .select(col("c"), explode(expr(
+          s"transform(sequence(0, ${subs - 1}), " +
+            s"s -> named_struct('s', s, 'sub', slice(embedding, s * $subDim + 1, $subDim)))")).as("ps"))
+        .select(col("c"), col("ps.s").as("s"), col("ps.sub").as("prev_sub"))
+      cb = prevSlices.join(trained, Seq("s", "c"), "left")
+        .select(col("c"), col("s"), coalesce(col("sub"), col("prev_sub")).as("sub"))
+        .groupBy("c")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(s, sub))), x -> x.sub))")
+          .as("embedding"))
+        .select(col("c").cast("long").as("centroid_id"), col("embedding"))
+      it += 1
+    }
+    cb
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
@@ -721,20 +876,28 @@ object Similarity {
     * Output (query_id, rank, neighbor_id).
     */
   def pqAdcTopK(embeddings: DataFrame, numQueries: Int = 20, topK: Int = 5,
-                subs: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame =
-    pqAdcFromCodes(pqCodes(embeddings, subs, subDim, k), embeddings,
-      numQueries, topK, subs, subDim, k)
+                subs: Int = 8, subDim: Int = 8, k: Int = 16,
+                trainIters: Int = 0): DataFrame = {
+    val cbSrc =
+      if (trainIters > 0) trainPqCodebook(embeddings, subs, subDim, k, trainIters)
+      else firstKCodebook(embeddings, k)
+    pqAdcFromCodes(pqCodesFrom(embeddings, cbSrc, subs, subDim), cbSrc,
+      embeddings, numQueries, topK, subs, subDim, k)
+  }
 
-  /** ADC search over an existing codes table — the shared tail of
-    * [[pqAdcTopK]], split out so the recall harness (and any deployment
-    * holding a precomputed codes table, which is the entire point of PQ)
-    * skips the encode pass.
+  /** ADC search over an existing codes table and the codebook that encoded
+    * it — the shared tail of [[pqAdcTopK]], split out so the recall harness
+    * (and any deployment holding a precomputed codes table, which is the
+    * entire point of PQ) skips the encode pass. The LUT MUST come from the
+    * same codebook as the codes: LUT entries are position-ordered in the
+    * id-sorted codebook, exactly the positions the code nibbles hold.
     */
-  private def pqAdcFromCodes(codes: DataFrame, embeddings: DataFrame,
+  private def pqAdcFromCodes(codes: DataFrame, cbSrc: DataFrame,
+                             embeddings: DataFrame,
                              numQueries: Int, topK: Int,
                              subs: Int, subDim: Int, k: Int): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val cents = cbSrc
+      .select(col("centroid_id").as("cid"), col("embedding").as("c_emb"))
     val queries = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     def dSub(s: Int) = expr(
