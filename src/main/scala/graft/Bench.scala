@@ -77,14 +77,23 @@ object Bench {
       (name, median, ok)
     }
     // failed queries report -1 and are excluded from the total, so a broken
-    // query can never be mistaken for a fast one
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    // query can never be mistaken for a fast one.
+    // The driver captures only the LAST 2000 chars of stdout (r6/r7 BENCH
+    // JSONs lost their leading per-query entries to that window), so the
+    // line is kept compact: centisecond precision (bench noise is an order
+    // of magnitude above 10 ms), basename-only sf, and a hard length check.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val unknownJson = unknown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"unknown":$unknownJson,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failed,"unknown":$unknownJson,"sf":"$sfName"}"""
+    if (line.length > 1950)
+      System.err.println(s"BENCH LINE TOO LONG (${line.length} > 1950): the driver's " +
+        "2000-char tail capture will truncate it — shrink the encoding further")
+    println(line)
     spark.stop()
     // a typo'd query name must not be mistaken for a fast successful run
     if (unknown.nonEmpty) sys.exit(2)
