@@ -479,6 +479,36 @@ object Similarity {
       table, "cluster_id", buckets)
   }
 
+  /** Streaming maintenance of a persisted IVF index: each micro-batch is
+    * assigned against the index's OWN coarse quantizer (the vec_id < k rows
+    * indexed at build time — fixed centroids keep every append consistent
+    * with the existing posting lists) and appended with the same bucket
+    * spec, so [[searchIvfIndex]] stays exchange-free as the corpus grows
+    * and the checkpoint gives effectively-once appends across restarts.
+    * Appends write unsharded rows (m = 1): recomputing shard factors per
+    * batch would disagree with existing rows' m and break the shard grid's
+    * pair coverage, so a CAPPED index refreshes its shard factors at
+    * rebuild/compaction time — the standard maintenance posture of a
+    * production ANN index (grow by append, re-balance by compaction).
+    */
+  def maintainIvfIndex(stream: DataFrame, table: String, checkpointDir: String,
+                       k: Int = IvfClusters, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val cents = session.table(table).filter(col("vec_id") < k)
+          .select(col("vec_id").as("centroid_id"), col("embedding"))
+        assignTo(batch.select("vec_id", "embedding"), cents, 1)
+          .select(col("cluster_id"), lit(0).as("shard"), lit(1).as("m"),
+            col("vec_id"), col("embedding"))
+          .write.format("parquet").mode("append")
+          .bucketBy(buckets, "cluster_id").saveAsTable(table)
+      }
+      .start()
+
   /** Top-k search over a persisted IVF index (see [[buildIvfIndex]]):
     * exchange-free, INCLUDING when the index was built with a hot-bucket
     * cap. The shard-pair grid comes from the STORED shard factors (no
