@@ -89,7 +89,11 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val unknownJson = unknown.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failed,"unknown":$unknownJson,"sf":"$sfName"}"""
+    // failed/unknown only appear when non-empty — every byte counts against
+    // the tail window, and an absent field reads the same as an empty one
+    val extras = (if (failed == "[]") "" else s""","failed":$failed""") +
+      (if (unknownJson == "[]") "" else s""","unknown":$unknownJson""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$extras,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"BENCH LINE TOO LONG (${line.length} > 1950): the driver's " +
         "2000-char tail capture will truncate it — shrink the encoding further")

@@ -18,6 +18,16 @@ object Bucketing {
   /** Write `df` as a bucketed (and optionally sorted) parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // overwrite must be idempotent across SESSIONS too: a fresh in-memory
+    // catalog has no entry for the table, but a previous session's files at
+    // the managed location make saveAsTable throw LOCATION_ALREADY_EXISTS —
+    // drop both the catalog entry and any orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
