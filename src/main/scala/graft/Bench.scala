@@ -82,7 +82,11 @@ object Bench {
     // JSONs lost their leading per-query entries to that window), so the
     // line is kept compact: centisecond precision (bench noise is an order
     // of magnitude above 10 ms), basename-only sf, and a hard length check.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1") }
+    // centiseconds with trailing zeros stripped ("0.30"->"0.3", "1.00"->"1")
+    // — same information, ~15 fewer bytes across the suite
+    def num(v: Double): String =
+      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) num(v) else "-1") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -164,6 +164,7 @@ object SparkEntry {
     "ext_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy("doc_id")),
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+    "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -1116,6 +1117,21 @@ object SparkEntry {
          |  FROM vt WHERE token != '' GROUP BY 1)
          |SELECT token, tf, df FROM vf
          |ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    // KMV estimate arithmetic: (k-1)*2^60 overflows BIGINT, so HUGEINT-side
+    // exact ints + floor division mirror Spark's DECIMAL(38,0) `div`
+    "ext_distinct_kmv" ->
+      s"""WITH st AS (SELECT lang, unnest(string_split($NORM, ' ')) AS token
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT lang,
+         |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+         |  FROM st WHERE token != ''),
+         |sr AS (SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM sh)
+         |SELECT lang, max(hv) AS kth_min, CAST(count(*) AS BIGINT) AS k_used,
+         |  CAST(CASE WHEN count(*) < ${Sketches.KmvK} THEN count(*)
+         |    ELSE (${Sketches.KmvK - 1}::HUGEINT * ${Sketches.HashSpace}::HUGEINT)
+         |      // max(hv) END AS BIGINT) AS distinct_est
+         |FROM sr WHERE rn <= ${Sketches.KmvK} GROUP BY lang ORDER BY lang""".stripMargin,
     "ext_tfidf_keywords" ->
       s"""WITH kt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),
