@@ -1,10 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact
+import graft.functions.{Exact, KmvSketch}
 
 /** Deterministic cardinality sketches for corpus-scale profiling.
   *
@@ -41,28 +40,33 @@ object Sketches {
     * Groups holding fewer than k distinct values degrade to the exact count
     * (the sketch contains the whole set), mirroring the textbook estimator.
     *
+    * The sketch is [[graft.functions.KmvSketch]]'s mergeable Aggregator, so
+    * the whole job is ONE aggregation: map tasks fold the token stream into
+    * ≤ k-long buffers (duplicates collapse inside the buffer — no distinct
+    * shuffle exists anywhere), and the per-group exchange moves one small
+    * array per map task. A first cut dedup-shuffled (group, hash) and
+    * window-ranked the survivors; the aggregator form deletes that shuffle
+    * — the difference between "profiles 100 TB" and "re-keys 100 TB".
+    *
     * The estimate arithmetic stays integral end-to-end: (k-1) * 2^60
     * overflows BIGINT for k > 8, so both engines compute it in wide exact
     * types (DECIMAL(38,0) here, HUGEINT in the oracle) and floor-divide —
     * identical positive integral results, no float in sight.
     */
-  def distinctKmv(documents: DataFrame, k: Int = KmvK): DataFrame = {
-    val hashes = documents
+  def distinctKmv(documents: DataFrame, k: Int = KmvK): DataFrame =
+    documents
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
       .select(col("lang"), Exact.md5Hash60(col("token")).as("hv"))
-      .dropDuplicates("lang", "hv")
-    val w = Window.partitionBy("lang").orderBy("hv")
-    hashes
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
       .groupBy("lang")
-      .agg(max("hv").as("kth_min"), count(lit(1)).cast("long").as("k_used"))
+      .agg(KmvSketch.kmv(col("hv"), k).as("mins"))
+      .select(col("lang"),
+        element_at(col("mins"), -1).as("kth_min"),
+        size(col("mins")).cast("long").as("k_used"))
       .withColumn("distinct_est",
         when(col("k_used") < k, col("k_used")).otherwise(expr(
           s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))) div kth_min AS BIGINT)")))
       .select("lang", "kth_min", "k_used", "distinct_est")
-  }
 
   /** Exact per-language distinct-token counts — the ground truth the sketch
     * approximates. Not a `queries` entry (it IS the expensive full-dedup the

@@ -33,12 +33,43 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("distinct_est") == 4L) // alpha beta gamma delta
   }
 
-  test("per-group k-min plans as WindowGroupLimit over one corpus scan") {
-    // the sketch's scale contract: map tasks forward at most k rows per
-    // group into the final per-group shuffle — never the token stream
+  test("sketch plans as one partial-combined aggregation, no distinct shuffle") {
+    // the sketch's scale contract: map tasks fold tokens into ≤ k-long
+    // buffers before the one per-group exchange — the token stream itself
+    // is never shuffled and no dedup/window stage exists
     val df = Sketches.distinctKmv(Tables.documents(spark, sfDir))
     val p = df.queryExecution.executedPlan.toString // pre-collect: initial plan
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmvagg"), p) // map-side combine engaged
+    assert(!p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p) // one group-by shuffle only
     assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("KMV sketch aggregates in streaming update mode with exact state") {
+    // the buffer is mergeable + idempotent, so the same aggregator runs as
+    // streaming state: two batches that re-send overlapping tokens must
+    // land on the identical sketch a batch run produces
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val sketch = in.toDF().toDF("lang", "hv")
+      .groupBy("lang").agg(graft.functions.KmvSketch.kmv(col("hv"), 4).as("mins"))
+    val q = sketch.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("en", 50L), ("en", 10L), ("en", 50L), ("de", 7L))
+      q.processAllAvailable()
+      in.addData(("en", 30L), ("en", 20L), ("en", 40L), ("en", 10L))
+      q.processAllAvailable()
+      // update mode emits one row per changed group per batch; assert both
+      // the batch-1 partial state and the batch-2 final state appear
+      val rows = spark.table("kmv_stream").select("lang", "mins")
+        .as[(String, Seq[Long])].collect().toSet
+      assert(rows.contains(("en", Seq(10L, 50L))))          // after batch 1
+      assert(rows.contains(("en", Seq(10L, 20L, 30L, 40L)))) // 50 evicted, 10 deduped
+      assert(rows.contains(("de", Seq(7L))))
+    } finally q.stop()
   }
 }
