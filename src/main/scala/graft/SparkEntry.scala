@@ -185,6 +185,12 @@ object SparkEntry {
     "ext_dedup_keepbest" -> ((s, d) =>
       Dedup.dedupClustersKeepBest(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("cluster_id")),
+    // substring-granularity dedup (Lee et al. ACL 2022): perturbed copies
+    // share all but their first token with the original, so every doc pair
+    // (d, d+1M) has long duplicated runs — the construction the span
+    // detector must find
+    "ext_span_dups" -> ((s, d) =>
+      Dedup.spanDups(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
 
     // ---- ext: similarity search ----
     "ann_brute_topk" -> ((s, d) =>
@@ -1163,6 +1169,43 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY cluster_id
          |      ORDER BY quality DESC, doc_id ASC) AS r
          |  FROM j) WHERE r = 1 ORDER BY cluster_id""".stripMargin,
+    "ext_span_dups" -> {
+      val n = Dedup.SpanN
+      s"""WITH sdcorpus AS ($PERTURBED_CORPUS),
+         |sdtk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM sdcorpus),
+         |sdsp AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+         |      i -> struct_pack(pos := i - 1,
+         |        h := ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
+         |    FROM sdtk WHERE len(t) >= $n)),
+         |sddup AS (SELECT h FROM sdsp GROUP BY h HAVING min(doc_id) != max(doc_id)),
+         |sdmk AS (SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM sdsp WHERE h IN (SELECT h FROM sddup)),
+         |sdfl AS (SELECT doc_id, pos,
+         |    CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END AS runflag,
+         |    CASE WHEN prev IS NULL OR pos - prev > $n - 1 THEN 1 ELSE 0 END AS islflag
+         |  FROM sdmk),
+         |sdid AS (SELECT doc_id, pos,
+         |    sum(runflag) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+         |    sum(islflag) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+         |  FROM sdfl),
+         |sdruns AS (SELECT doc_id, run_id, count(*) AS rlen FROM sdid GROUP BY 1, 2),
+         |sdisls AS (SELECT doc_id, isl_id, max(pos) - min(pos) + $n AS cov,
+         |    count(*) AS cnt FROM sdid GROUP BY 1, 2),
+         |sdds AS (SELECT r.doc_id, r.longest_run, i.n_dup_tokens, i.n_dup_spans
+         |  FROM (SELECT doc_id, max(rlen) AS longest_run FROM sdruns GROUP BY 1) r
+         |  JOIN (SELECT doc_id, sum(cov) AS n_dup_tokens, sum(cnt) AS n_dup_spans
+         |        FROM sdisls GROUP BY 1) i USING (doc_id)),
+         |sdns AS (SELECT doc_id, count(*) AS n_spans FROM sdsp GROUP BY 1)
+         |SELECT c.doc_id,
+         |  CAST(coalesce(sdns.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sdds.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(sdds.longest_run, 0) AS BIGINT) AS longest_run,
+         |  CAST(coalesce(sdds.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+         |FROM sdcorpus c LEFT JOIN sdns USING (doc_id) LEFT JOIN sdds USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -364,6 +364,83 @@ object Dedup {
            |    0L, (s, x) -> s + x))""".stripMargin))
       .select("doc_id", "simhash")
 
+  // ---- duplicated-span detection (substring-level dedup) ----
+
+  /** Cross-document duplicated SPANS — the substring-granularity dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022): a span is `n` consecutive tokens; a span is duplicated if
+    * the same n-gram occurs in any OTHER document. Document-level dedup
+    * (exact / MinHash) misses these — a unique page quoting a boilerplate
+    * license still trains on the license — so corpus pipelines measure and
+    * excise duplicated stretches, not just duplicated documents.
+    *
+    * Output, one row per input doc (all integers, deterministic):
+    *   n_spans      — number of n-gram span starts (0 for docs < n tokens)
+    *   n_dup_spans  — span starts whose n-gram occurs in another doc
+    *   longest_run  — longest stretch of CONSECUTIVE duplicated starts
+    *                  (a run of r starts = a duplicated substring of
+    *                  r + n - 1 tokens)
+    *   n_dup_tokens — exact token count covered by ≥1 duplicated span
+    *                  (interval union, not per-span sums)
+    *
+    * Scale shape: span emission is narrow (one posexplode, ~tokens× rows of
+    * (doc, pos, 60-bit hash) — no text leaves the scan); "duplicated" is
+    * one hash-aggregate keyed on the uniform 60-bit hash carrying
+    * (min_doc, max_doc) — the min≠max trick, so no count-distinct
+    * expansion and the shuffle payload is 3 longs per distinct n-gram (the
+    * suffix-array pass of the paper becomes this one aggregation); the
+    * mark-back is a semi join hash⋈hash; everything after is windows and
+    * aggregations partitioned by doc_id, which AQE plans off one exchange.
+    * Interval-union coverage uses the gaps-and-islands lag trick — equal
+    * interval lengths make "gap > n-1 between consecutive starts" the exact
+    * island boundary — so coverage costs one window, never an n× position
+    * explode.
+    */
+  /** Default span length, in tokens. The paper uses 50-token spans over BPE
+    * tokens at web scale; 8 keeps the test corpora's ~50-token docs from
+    * being a single span while exercising multi-run coverage.
+    */
+  val SpanN = 8
+
+  def spanDups(documents: DataFrame, n: Int = SpanN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), j -> concat_ws(' ', slice(toks, j + 1, $n)))")))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h"))
+    val dup = spans.groupBy("h")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .where(col("d0") =!= col("d1"))
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val marked = spans.join(dup, Seq("h"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("runflag",
+        when(col("prev").isNull || col("pos") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("islflag",
+        when(col("prev").isNull || col("pos") - col("prev") > n - 1, 1L).otherwise(0L))
+      .withColumn("run_id", sum("runflag").over(w))
+      .withColumn("isl_id", sum("islflag").over(w))
+    val perRun = marked.groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("rlen"))
+    val perIsl = marked.groupBy("doc_id", "isl_id")
+      .agg((max("pos") - min("pos") + n).cast("long").as("cov"), count(lit(1)).as("cnt"))
+    val dupStats = perRun.groupBy("doc_id").agg(max("rlen").as("longest_run"))
+      .join(perIsl.groupBy("doc_id")
+        .agg(sum("cov").as("n_dup_tokens"), sum("cnt").as("n_dup_spans")), Seq("doc_id"))
+    documents.select("doc_id")
+      .join(spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "left")
+      .join(dupStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +
     * idOffset) with its first token dropped. The testdata has no natural
     * near-dups, so dedup behavior is exercised against this construction —

@@ -31,6 +31,26 @@ class ExtSpec extends SparkSpec {
     assert(sh == 1)
   }
 
+  test("span dups: cross-doc n-gram runs found, coverage is exact interval union") {
+    val docs = Seq(
+      (1L, "p q r s t u"),                     // shares "p q r s" with doc 2
+      (2L, "z z p q r s z"),
+      (3L, "completely different words here now"),
+      (4L, "a b c d e k1 k2"),                 // shares abc + cde with doc 5,
+      (5L, "a b c y c d e")                    // NOT bcd: islands must merge
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDups(docs, n = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((1L, 4L, 2L, 2L, 4L)))   // run pqr,qrs -> 4 tokens
+    assert(out(1) == ((2L, 5L, 2L, 2L, 4L)))
+    assert(out(2) == ((3L, 3L, 0L, 0L, 0L)))
+    // doc 4: dup starts at 0 and 2 — separate runs (gap 2 > 1) but ONE
+    // island (intervals [0,2] and [2,4] overlap): union = 5 tokens, not 6
+    assert(out(3) == ((4L, 5L, 2L, 1L, 5L)))
+    // doc 5: dup starts 0 and 4 — gap 4 > n-1, two islands, 3+3 tokens
+    assert(out(4) == ((5L, 5L, 2L, 1L, 6L)))
+  }
+
   test("exact dedup flags identical normalized text") {
     val docs = Seq(
       (1L, "Hello  World"),
