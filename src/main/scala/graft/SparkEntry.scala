@@ -222,6 +222,12 @@ object SparkEntry {
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic near-dup
+    // collapse — scaled copies are exact semantic duplicates that land in
+    // their original's cluster, the construction the operator must collapse
+    "ext_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Similarity.withScaledCopies(emb(s, d)), 0.95)
+        .orderBy("vec_id")),
 
     // ---- sources: batch replay pipelines. The JSON envelopes hash-match
     // DuckDB's to_json(struct_pack(...)) byte-for-byte: compact rendering,
@@ -1470,6 +1476,31 @@ object SparkEntry {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE ${cos64("l.embedding", "r.embedding")} > 0.95
          |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "ext_semdedup" ->
+      s"""WITH RECURSIVE smcorpus AS ($SCALED_EMB),
+         |smcent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM smcorpus
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |smscored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM smcorpus e CROSS JOIN smcent c),
+         |smasg AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM smscored)
+         |  WHERE crank = 1),
+         |smpair AS (SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM smasg l JOIN smasg r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+         |  WHERE ${cos64("l.embedding", "r.embedding")} > 0.95),
+         |smedge AS (SELECT a, b FROM smpair UNION ALL SELECT b AS a, a AS b FROM smpair),
+         |smreach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM smedge) base
+         |            UNION
+         |            SELECT r.a, e.b FROM smreach r JOIN smedge e ON r.b = e.a),
+         |smlbl AS (SELECT a AS vec_id, min(b) AS canonical FROM smreach GROUP BY 1)
+         |SELECT g.vec_id, g.cluster_id,
+         |  coalesce(l.canonical, g.vec_id) AS canonical_id,
+         |  g.vec_id = coalesce(l.canonical, g.vec_id) AS keep
+         |FROM smasg g LEFT JOIN smlbl l USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "s3_event_replay" ->
       """SELECT user_id::VARCHAR AS record_key,
         |  to_json(struct_pack(event_id := event_id, user_id := user_id,

@@ -182,14 +182,24 @@ object Dedup {
   private def releaseTracked(df: DataFrame, ids: Set[Int]): Unit =
     Checkpoints.releaseTracked(df, ids)
 
-  def dedupClusters(documents: DataFrame): DataFrame = {
+  def dedupClusters(documents: DataFrame): DataFrame =
+    minLabelComponents(
+      minhashCandidates(documents).select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+
+  /** Connected components by iterative min-label propagation + pointer
+    * jumping over an undirected pair list `(a, b)` — the clustering engine
+    * shared by MinHash doc dedup ([[dedupClusters]]) and semantic embedding
+    * dedup ([[Similarity.semDedup]]). Returns (node, lbl = component min)
+    * covering every node that appears in at least one pair.
+    */
+  private[ext] def minLabelComponents(pairList: DataFrame): DataFrame = {
     // eager checkpoint: materializes the candidate pipeline ONCE and
     // truncates its lineage, so the union below (and every fixpoint round)
-    // reads cached rows instead of re-running the MinHash scan per branch
-    val (pairs, pairIds) = checkpointTracked(minhashCandidates(documents))
+    // reads cached rows instead of re-running the candidate scan per branch
+    val (pairs, pairIds) = checkpointTracked(pairList)
     val edges = pairs
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-      .unionByName(pairs.select(col("doc_id_b").as("a"), col("doc_id_a").as("b")))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     // init fuses the first propagation round: label = min(self, neighbors)
     var (labels, labelIds) = checkpointTracked(
       edges.groupBy(col("a").as("node"))
@@ -237,7 +247,7 @@ object Dedup {
     // the FINAL round's blocks back the returned DataFrame and must stay
     // resident until the caller is done (lineage is truncated — they cannot
     // be recomputed); Bench sweeps all persistent RDDs between queries
-    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+    labels.select("node", "lbl")
   }
 
   /** Keep-best survivor selection over the near-dup clusters: real pipelines

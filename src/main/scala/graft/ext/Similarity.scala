@@ -764,13 +764,22 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
                    signBits: Int = SignBits, maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(embeddings)
+    closePairsByBucket(embeddings.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), signBits).as("bucket")), threshold, maxBucket)
+  }
+
+  /** Bucket-local close-pair emission over an ALREADY-bucketED corpus
+    * (vec_id, embedding, bucket) — the shared engine under sign-bucket
+    * near-dup ([[nearDupPairs]]) and cluster-bucket semantic dedup
+    * ([[semDedup]]); the bucketing IS the only thing that differs.
+    */
+  private def closePairsByBucket(withBucket: DataFrame, threshold: Double,
+                                 maxBucket: Int): DataFrame = {
     // hot-bucket cap, pairs flavor: vector of shard s joins UNORDERED shard
     // groups (min(s,t), max(s,t)) for every t, so each qualifying pair is
     // emitted by exactly one group — same-shard groups run the triangular
     // kernel, cross-shard groups the cross kernel; no distinct needed and
     // nothing quadratic in any list over ~maxBucket entries
-    val withBucket = embeddings.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), signBits).as("bucket"))
     if (anyBucketOver(withBucket, maxBucket)) {
       val counts = withBucket.groupBy("bucket")
         .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("m"))
@@ -798,6 +807,51 @@ object Similarity {
         .agg(entries(col("vec_id"), col("embedding")).as("vs"))
         .select(explode(expr(s"cosine_close_pairs(vs, ${threshold}d)")).as("p"))
         .select(col("p.vec_id_a").as("vec_id_a"), col("p.vec_id_b").as("vec_id_b"))
+  }
+
+  /** Semantic deduplication, after Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication" (2023): cluster
+    * the corpus with the IVF coarse quantizer, emit within-cluster pairs
+    * above the cosine threshold, connect them into components, and keep one
+    * representative (the component minimum) per semantic-duplicate group.
+    * Near-identical MEANING — paraphrases, re-crawls, templated rewrites —
+    * collapses even when no token-level dedup would fire.
+    *
+    * Output, one row per vector: (vec_id, cluster_id, canonical_id, keep).
+    * Vectors with no near-dup are their own canonical.
+    *
+    * Scale shape: assignment is the narrow broadcast-kernel pass shared
+    * with IVF search (no shuffle); pair emission is [[closePairsByBucket]]
+    * keyed on cluster_id — bucket-local kernels, verified pairs only, the
+    * hot-cluster cap available via `maxBucket` (clusters skew far more than
+    * sign buckets, so at scale SET IT: k ≈ N/targetCluster keeps the
+    * kernel's quadratic term bounded by targetCluster²·shards, and the cap
+    * bounds any mis-sized cluster); components reuse the pointer-jumping
+    * min-label fixpoint ([[Dedup.minLabelComponents]] — O(log diameter)
+    * rounds, and semantic-dup components are shallow). The assignment is
+    * checkpointed once and feeds both the pair kernel and the final
+    * labeling, so the corpus is scanned exactly once.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.95,
+               k: Int = IvfClusters, maxBucket: Int = NoMaxBucket): DataFrame = {
+    registerKernels(embeddings)
+    val (asg, _) = Checkpoints.checkpointTracked(
+      assignToCentroids(embeddings, k, 1)
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("cluster_id")))
+    val pairs = closePairsByBucket(
+      asg.select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+      threshold, maxBucket)
+    val labels = Dedup.minLabelComponents(
+      pairs.select(col("vec_id_a").as("a"), col("vec_id_b").as("b")))
+    // asg's blocks back the returned frame (lineage truncated) and stay
+    // resident until the caller is done — the dedupClusters posture; Bench
+    // sweeps persistent RDDs between queries
+    asg.select("vec_id", "cluster_id")
+      .join(labels.select(col("node").as("vec_id"), col("lbl")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("lbl"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", col("vec_id") === col("canonical_id"))
   }
 
   /** Product-quantization codes — the storage half of an IVF-PQ index: the

@@ -180,6 +180,27 @@ class ExtSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("semdedup collapses scaled copies; keep-set is one per component") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val out = Similarity.semDedup(Similarity.withScaledCopies(e), 0.95)
+    val rows = out.collect()
+    assert(rows.length == 200) // every input vector labeled
+    // each scaled copy collapses onto its original: canonical(v+1M) == canonical(v)
+    val canon = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    e.select("vec_id").as[Long].collect().foreach { v =>
+      assert(canon(v + 1000000L) == canon(v), s"copy of $v not collapsed")
+    }
+    // keep is exactly "vec_id == canonical", and every component keeps exactly one
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(2))))
+    val perComponent = rows.groupBy(_.getLong(2)).values
+    assert(perComponent.forall(_.count(_.getBoolean(3)) == 1))
+    // hot-cluster cap changes nothing
+    val capped = Similarity.semDedup(Similarity.withScaledCopies(e), 0.95, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(capped == rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("text stats: integer quality gates behave") {
     val docs = Seq(
       (1L, "the cat sat on the mat with a hat and a bat plus more words here"),
