@@ -165,6 +165,11 @@ object SparkEntry {
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
+    // Misra-Gries two-pass heavy hitters: the injected footers are the
+    // φ-heavy phrases the sketch must surface
+    "ext_heavy_shingles" -> ((s, d) =>
+      Sketches.heavyShingles(Curation.withBoilerplateInjected(docs(s, d)))
+        .orderBy("shingle")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -1144,6 +1149,19 @@ object SparkEntry {
          |    ELSE (${Sketches.KmvK - 1}::HUGEINT * ${Sketches.HashSpace}::HUGEINT)
          |      // max(hv) END AS BIGINT) AS distinct_est
          |FROM sr WHERE rn <= ${Sketches.KmvK} GROUP BY lang ORDER BY lang""".stripMargin,
+    "ext_heavy_shingles" ->
+      s"""WITH hhbp AS (SELECT doc_id,
+         |    text || '. all rights reserved'
+         |      || CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN '. click here to read more' ELSE '' END AS text
+         |  FROM documents),
+         |${shingleCtes("SELECT doc_id, text FROM hhbp")},
+         |hhit AS (SELECT unnest(sh) AS shingle FROM scte),
+         |hht AS (SELECT count(*) AS total FROM hhit)
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS freq
+         |FROM hhit GROUP BY 1
+         |HAVING count(*) * ${Sketches.HhK} > (SELECT total FROM hht)
+         |ORDER BY shingle""".stripMargin,
     "ext_tfidf_keywords" ->
       s"""WITH kt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),

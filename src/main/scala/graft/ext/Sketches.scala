@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exact, KmvSketch}
+import graft.functions.{Exact, KmvSketch, MgSketch}
 
 /** Deterministic cardinality sketches for corpus-scale profiling.
   *
@@ -67,6 +67,64 @@ object Sketches {
         when(col("k_used") < k, col("k_used")).otherwise(expr(
           s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))) div kth_min AS BIGINT)")))
       .select("lang", "kth_min", "k_used", "distinct_est")
+
+  /** Heavy-hitters threshold denominator: report shingles with exact
+    * frequency > total/128 (φ ≈ 0.78% — the universal injected footer
+    * shingle is ~1% of the test corpora's shingle stream, while the
+    * heaviest phrase from the corpus body stays under 0.3%).
+    */
+  val HhK = 128
+
+  /** MG sketch size — must exceed HhK so the n/(m+1) undercount can never
+    * evict a true φ-heavy item; 3× gives slack for merge-rule error.
+    */
+  val HhSketch = 384
+
+  /** φ-heavy shingles via two passes, after Misra–Gries (1982) +
+    * Agarwal et al. mergeable merge: pass 1 folds the shingle stream into
+    * one ≤ `sketchSize`-entry candidate sketch (a guaranteed superset of
+    * every shingle with frequency > total/`k`) plus the exact total; pass 2
+    * re-counts ONLY the candidates exactly and thresholds on exact counts
+    * (`freq * k > total` — pure integer math). The final answer is a
+    * deterministic function of the input multiset even though surviving MG
+    * counters are merge-order-dependent — the re-count erases that — so a
+    * sketch-based operator sits under the DuckDB oracle gate.
+    *
+    * Scale shape: pass 1 is ONE global aggregation whose map-side partials
+    * and shuffle payload are ≤ m entries per task (the token stream never
+    * shuffles); its one-row result is driver-collected by design — the
+    * sketch IS broadcast-sized state, like a runtime filter. Pass 2 pushes
+    * an `isin(candidates)` semi-filter into the scan (≤ m literals), so the
+    * exact groupBy aggregates only candidate occurrences — the recount
+    * shuffle carries ≤ m groups, not the corpus vocabulary. Two scans
+    * total: the textbook price of turning a sketch into an exact answer.
+    *
+    * The phrase-level use: run over boilerplate-bearing corpora and the
+    * φ-heavy shingles ARE the template/boilerplate phrases (the per-row
+    * flavor of what [[Curation.boilerplate]] detects per-document).
+    */
+  def heavyShingles(documents: DataFrame, k: Int = HhK,
+                    sketchSize: Int = HhSketch): DataFrame = {
+    require(sketchSize > k, s"sketch size $sketchSize must exceed threshold denom $k")
+    val items = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
+      .select(explode(col("sh")).as("shingle"))
+      .select(col("shingle"), Exact.md5Hash60(col("shingle")).as("h"))
+    val sketch = items
+      .agg(MgSketch.mg(col("h"), sketchSize).as("cand"), count(lit(1)).as("total"))
+      .first()
+    val cand = sketch.getSeq[Long](0)
+    val total = sketch.getLong(1)
+    if (cand.isEmpty)
+      items.select(col("shingle"), lit(0L).as("freq")).limit(0)
+    else
+      items.filter(col("h").isInCollection(cand))
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * k > total)
+        .select("shingle", "freq")
+  }
 
   /** Exact per-language distinct-token counts — the ground truth the sketch
     * approximates. Not a `queries` entry (it IS the expensive full-dedup the

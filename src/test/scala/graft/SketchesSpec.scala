@@ -46,6 +46,43 @@ class SketchesSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("MG candidates are a superset of true heavy hitters under any merge tree") {
+    // adversarial stream: one item at ~1.2x the phi threshold buried in a
+    // long tail of near-distinct noise, folded under three different
+    // partition/merge shapes — the guarantee (freq > n/(m+1) => resident)
+    // must hold for all of them even though surviving counters differ
+    val m = 8
+    val heavy = 1L
+    val n = 1000
+    val stream = (0 until n).map { i =>
+      if (i % 7 == 0) heavy else 1000L + i // heavy freq 143 > 1000/9
+    }
+    val agg = graft.functions.MgSketch.agg(m)
+    def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val shapes = Seq(
+      fold(stream),
+      agg.merge(fold(stream.take(500)), fold(stream.drop(500))),
+      stream.grouped(100).map(fold).reduce(agg.merge))
+    shapes.foreach(s => assert(agg.finish(s).contains(heavy)))
+
+    // end-to-end: two-pass heavy hitters == direct exact computation
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(". all rights reserved")).as("text"))
+    val got = Sketches.heavyShingles(docs)
+      .as[(String, Long)].collect().toSet
+    val items = docs
+      .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("sh", graft.ext.TextAnalysis.shinglesFromTokens("toks"))
+      .select(explode(col("sh")).as("shingle"))
+    val total = items.count()
+    val want = items.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * Sketches.HhK > total)
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the footer phrase must actually be phi-heavy here
+  }
+
   test("KMV sketch aggregates in streaming update mode with exact state") {
     // the buffer is mergeable + idempotent, so the same aggregator runs as
     // streaming state: two batches that re-send overlapping tokens must
