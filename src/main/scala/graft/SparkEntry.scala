@@ -148,6 +148,10 @@ object SparkEntry {
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
+    // canonicalization collapses case/port/utm/fragment/slash variants
+    "ext_url_dedup" -> ((s, d) =>
+      Curation.urlDedup(Curation.withMessyUrlsInjected(docs(s, d)))
+        .orderBy("canonical_url")),
     "ext_boilerplate" -> ((s, d) =>
       Curation.boilerplate(Curation.withBoilerplateInjected(docs(s, d))).orderBy("doc_id")),
     // zero-sentence accounting edge case: every 97th doc's text blanked, NO
@@ -1055,6 +1059,29 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
+    "ext_url_dedup" ->
+      """WITH ucorp AS (SELECT doc_id,
+        |    text || ' read https://Site' || (doc_id % 5) || '.Example.ORG:443/page'
+        |      || (doc_id % 11) || '/?utm_source=feed&utm_campaign=x'
+        |      || ' or http://host' || (doc_id % 4) || '.example.com:80/a?id='
+        |      || (doc_id % 6) || '&utm_medium=email#frag'
+        |      || ' plus https://plain.example.net/p' || (doc_id % 3) || '/' AS text
+        |  FROM documents),
+        |uex AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+        |  FROM ucorp),
+        |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM uex),
+        |u2 AS (SELECT doc_id, lower(regexp_extract(u, '^(https?://[^/?#]*)', 1))
+        |    || regexp_replace(u, '^https?://[^/?#]*', '') AS u FROM u1),
+        |u3 AS (SELECT doc_id,
+        |    regexp_replace(u, '^(https?://[a-z0-9.-]+):(?:80|443)(/|\?|$)', '\1\2') AS u
+        |  FROM u2),
+        |u4 AS (SELECT doc_id, regexp_replace(u, 'utm_[a-z]+=[^&]*(&|$)', '', 'g') AS u
+        |  FROM u3),
+        |u5 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(u, '[?&]+$', ''), '/+$', '') AS u FROM u4)
+        |SELECT u AS canonical_url, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc_id
+        |FROM u5 GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "ext_boilerplate" -> boilerplateSql(
       """SELECT doc_id,
         |    text || '. all rights reserved'

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -377,6 +377,64 @@ object Curation {
         lit(".example.org/p"), (col("doc_id") % 7).cast("string"),
         lit(" and http://mirror"), (col("doc_id") % 3).cast("string"),
         lit(".example.com/x")).as("text"))
+
+  /** A corpus whose injected URLs carry the mess canonicalization must
+    * erase: mixed-case hosts, default ports, utm_* tracking params,
+    * fragments, trailing slashes — deterministic mod-based variants so the
+    * oracle reproduces the construction.
+    */
+  def withMessyUrlsInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" read https://Site"), (col("doc_id") % 5).cast("string"),
+        lit(".Example.ORG:443/page"), (col("doc_id") % 11).cast("string"),
+        lit("/?utm_source=feed&utm_campaign=x"),
+        lit(" or http://host"), (col("doc_id") % 4).cast("string"),
+        lit(".example.com:80/a?id="), (col("doc_id") % 6).cast("string"),
+        lit("&utm_medium=email#frag"),
+        lit(" plus https://plain.example.net/p"), (col("doc_id") % 3).cast("string"),
+        lit("/")).as("text"))
+
+  /** URL canonicalization — the normalize step of web-corpus URL dedup:
+    * drop the fragment, lowercase the scheme+authority (path/query case is
+    * significant, authority case is not), strip default ports, remove
+    * utm_* tracking params (repairing separator damage), trim trailing
+    * `?`/`&`/`/`. Pure regexp chain — narrow, codegen'd, and reproduced
+    * step-for-step by the DuckDB oracle.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val auth = regexp_extract(noFrag, "^(https?://[^/?#]*)", 1)
+    val lowered = concat(lower(auth), regexp_replace(noFrag, "^https?://[^/?#]*", ""))
+    val noPort = regexp_replace(lowered,
+      "^(https?://[a-z0-9.-]+):(?:80|443)(/|\\?|$)", "$1$2")
+    val noUtm = regexp_replace(noPort, "utm_[a-z]+=[^&]*(&|$)", "")
+    regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "/+$", "")
+  }
+
+  /** URL-level dedup over canonical forms: every extracted link, canonical
+    * group sizes, and the first document that cited each canonical URL.
+    * This is the crawl-frontier/re-crawl collapse step — the same page
+    * reached via tracking-tagged, ported, or fragment variants counts once.
+    *
+    * Scale shape: extraction + canonicalization are one narrow pass; the
+    * rollup is one aggregation keyed on the canonical string (uniform hash
+    * keys). countDistinct(doc_id) expands to the standard two-phase
+    * distinct aggregate — at corpus scale swap in the KMV sketch
+    * ([[Sketches]]) if approximate per-URL doc counts suffice.
+    */
+  def urlDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0))).as("url"))
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc_id"))
 
   private val UrlDomainRe = "https?://([a-z0-9.-]+)/"
 

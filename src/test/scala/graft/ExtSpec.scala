@@ -201,6 +201,24 @@ class ExtSpec extends SparkSpec {
     assert(capped == rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("url canonicalization: case/port/utm/fragment/slash variants collapse") {
+    val urls = Seq(
+      "https://Site.Example.ORG:443/Page/?utm_source=a&utm_campaign=b",
+      "https://site.example.org/Page",
+      "http://h.example.com:80/a?id=3&utm_medium=x#frag",
+      "http://h.example.com/a?id=3",
+      "https://keep.example.net/p?a=1&utm_x=2&b=3", // utm in the middle
+      "https://bare.example.net/").toDF("url")
+    val out = urls.select(Curation.canonicalUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(out(0) == "https://site.example.org/Page") // path case survives
+    assert(out(0) == out(1))
+    assert(out(2) == "http://h.example.com/a?id=3")
+    assert(out(2) == out(3))
+    assert(out(4) == "https://keep.example.net/p?a=1&b=3")
+    assert(out(5) == "https://bare.example.net")
+  }
+
   test("text stats: integer quality gates behave") {
     val docs = Seq(
       (1L, "the cat sat on the mat with a hat and a bat plus more words here"),
