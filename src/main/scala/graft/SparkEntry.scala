@@ -57,6 +57,15 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "ts", "value", "user_role", "user_nation")
         .orderBy("event_id")),
     "j3_asof" -> ((s, d) => Enrich.asOfJoin(ev(s, d)).orderBy("event_id")),
+    // stream-stream interval join, batch-verified: purchases attribute to
+    // same-user clicks in the preceding hour
+    "j5_interval" -> ((s, d) => {
+      val e = ev(s, d)
+      Enrich.intervalJoin(
+        Ingest.filterByEventType(e, "click"),
+        Ingest.filterByEventType(e, "purchase"))
+        .orderBy("purchase_id", "click_id")
+    }),
     "a2_last_seen" -> ((s, d) => Stats.lastSeen(ev(s, d)).orderBy("user_id", "event_type")),
     "a3_event_counts" -> ((s, d) => Stats.eventTypeCounts(ev(s, d)).orderBy("event_type")),
     "a4_daily_role_counts" -> ((s, d) =>
@@ -590,6 +599,14 @@ object SparkEntry {
         |                WHERE event_type = 'signup') u
         |  ON e.user_id = u.user_id AND e.ts >= u.uts
         |ORDER BY e.event_id""".stripMargin,
+    "j5_interval" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "a2_last_seen" ->
       """SELECT user_id, event_type, max(ts) AS last_seen FROM events GROUP BY 1, 2
         |UNION ALL

@@ -59,6 +59,37 @@ object Enrich {
         col("c_nationkey").as("user_nation"))),
       Seq("user_id"), "inner")
 
+  /** Stream–stream interval (attribution) join: each purchase pairs with
+    * the same user's clicks in the preceding `window` — the classic
+    * click-to-conversion attribution shape, and the §2.8 stream–stream
+    * member of the join family (J1/J2 are stream–table). Batch and
+    * streaming run the SAME code: on batch frames the watermark is skipped
+    * and the time-range join is exact history; on streams the watermark +
+    * event-time bounds let Spark expire both sides' state (a purchase can
+    * stop waiting once the watermark passes its window) — unbounded
+    * stream–stream joins are not deployable at scale.
+    *
+    * Scale shape: equi-key on user_id (one shuffle each side, or none if
+    * both are bucketed by user), range predicate evaluated inside the
+    * sort-merge join. Output carries the exact event-time lag in micros.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   window: String = "1 hour",
+                   watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val c = watermark.fold(c0)(w => c0.withWatermark("click_ts", w))
+    val p = watermark.fold(p0)(w => p0.withWatermark("purchase_ts", w))
+    p.join(c, col("p_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
+        col("value"))
+  }
+
   /** As-of join (added surface — an operator Spark has no native form of):
     * each event picks up the value of the latest `signup` update with
     * update_ts <= event_ts for its key. Composed from built-ins (preference

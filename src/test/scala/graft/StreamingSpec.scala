@@ -117,6 +117,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = graft.operators.Enrich.intervalJoin(
+      clicks.toDF(), purchases.toDF(),
+      window = "30 seconds", watermark = Some("10 seconds"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("interval_test")
+      .trigger(tick)
+      .start()
+    clicks.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:00:20", 1, "click"),
+      ev(3, "2024-01-01 00:00:20", 2, "click"))
+    purchases.addData(
+      ev(10, "2024-01-01 00:00:30", 1, "purchase"))
+    q.processAllAvailable()
+    // click 40s BEFORE the purchase is outside the window; a later purchase
+    // by user 2 still matches its older click within 30s
+    purchases.addData(ev(11, "2024-01-01 00:00:45", 2, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("interval_test")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L)))
+  }
+
   test("streaming exact dedup drops semantic duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
