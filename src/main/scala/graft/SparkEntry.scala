@@ -138,6 +138,8 @@ object SparkEntry {
     "ext_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
     "ext_source_stats" -> ((s, d) => TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
+    "ext_length_quantiles" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
 
     // ---- ext: corpus curation ----
@@ -246,6 +248,10 @@ object SparkEntry {
     "ext_semdedup" -> ((s, d) =>
       Similarity.semDedup(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id")),
+    // SemDeDup's quality-filter sibling: per-cluster prototypicality rank
+    // and far-from-centroid outlier flags, in exact basis points
+    "ext_embed_outliers" -> ((s, d) =>
+      Similarity.embedPrototypicality(emb(s, d)).orderBy("vec_id")),
 
     // ---- sources: batch replay pipelines. The JSON envelopes hash-match
     // DuckDB's to_json(struct_pack(...)) byte-for-byte: compact rendering,
@@ -853,6 +859,20 @@ object SparkEntry {
         |    + len(regexp_extract_all(text, '[0-9]+'))
         |    + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_length_quantiles" ->
+      s"""WITH lt AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |lr AS (SELECT source, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM lt)
+         |SELECT source, max(n) AS n_docs,
+         |  max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END) AS p99_tokens
+         |FROM lr GROUP BY source ORDER BY source""".stripMargin,
     "ext_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
@@ -1563,6 +1583,25 @@ object SparkEntry {
          |  g.vec_id = coalesce(l.canonical, g.vec_id) AS keep
          |FROM smasg g LEFT JOIN smlbl l USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    "ext_embed_outliers" ->
+      s"""WITH pcent AS (SELECT vec_id AS cluster_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |pscored AS (SELECT e.vec_id, e.embedding, c.cluster_id, c.c_emb,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN pcent c),
+         |pasg AS (SELECT vec_id, embedding, cluster_id, c_emb
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, cluster_id ASC) AS crank FROM pscored)
+         |  WHERE crank = 1),
+         |pbp AS (SELECT vec_id, cluster_id,
+         |    CAST(floor(${cos64("embedding", "c_emb")} * 10000) AS BIGINT) AS csim_bp
+         |  FROM pasg)
+         |SELECT vec_id, cluster_id,
+         |  CAST(row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY csim_bp DESC, vec_id ASC) AS BIGINT) AS proto_rank,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  csim_bp, csim_bp < 500 AS is_outlier
+         |FROM pbp ORDER BY vec_id""".stripMargin,
     "s3_event_replay" ->
       """SELECT user_id::VARCHAR AS record_key,
         |  to_json(struct_pack(event_id := event_id, user_id := user_id,

@@ -854,6 +854,40 @@ object Similarity {
       .withColumn("keep", col("vec_id") === col("canonical_id"))
   }
 
+  /** Prototypicality ranking + outlier flagging per semantic cluster — the
+    * quality-filter sibling of [[semDedup]] (SemDeDup-family pipelines rank
+    * cluster members by similarity to their centroid: the most prototypical
+    * are kept, far-from-centroid outliers are dropped as noise/junk).
+    *
+    * Scores are emitted as exact basis points (`floor(cos·10⁴)` of the
+    * engine-exact float64 cosine) so ranking, tie-breaks, and the outlier
+    * threshold are all integer comparisons — bit-stable across engines and
+    * partitionings.
+    *
+    * Scale shape: assignment is the narrow broadcast-kernel pass; scoring
+    * joins the k-row centroid table broadcast; the rank is one window
+    * partitioned by cluster (the per-cluster sort a keep-top-P% curation
+    * step needs anyway). Nothing shuffles wider than (vec, cluster, score).
+    */
+  def embedPrototypicality(embeddings: DataFrame, k: Int = IvfClusters,
+                           outlierBp: Long = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerKernels(embeddings)
+    val cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("cluster_id")
+    assignToCentroids(embeddings, k, 1)
+      .filter(col("crank") === 1)
+      .join(broadcast(cents), "cluster_id")
+      .withColumn("csim_bp",
+        floor(expr("cosine_sim(embedding, c_emb)") * 10000).cast("long"))
+      .withColumn("proto_rank",
+        row_number().over(w.orderBy(col("csim_bp").desc, col("vec_id"))).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_outlier", col("csim_bp") < outlierBp)
+      .select("vec_id", "cluster_id", "proto_rank", "cluster_size", "csim_bp", "is_outlier")
+  }
+
   /** Product-quantization codes — the storage half of an IVF-PQ index: the
     * vector splits into `subs` subvectors of `subDim` dims; each subvector
     * is coded as the id of its nearest codebook entry (L2², double

@@ -125,6 +125,35 @@ object TextAnalysis {
       max("n_chars").as("max_chars"),
       countDistinct("lang").as("n_langs"))
 
+  /** Exact per-source token-length quantiles (p50/p90/p99) by rank
+    * arithmetic — the length-distribution profile that sets truncation and
+    * packing budgets for a training pipeline. The quantile is type-1
+    * (value at rank ceil(q·n)), computed with INTEGER ceilings
+    * ((q·n + q) div denom) so no float ever touches the rank — identical
+    * on any engine, no interpolation ambiguity.
+    *
+    * Scale shape: one shuffle partitioned by source + an in-partition sort
+    * (the window), then a per-source fold. Exact-by-rank is the right call
+    * while the partition key is low-cardinality and each stratum fits a
+    * partition's sort; a corpus with millions of strata or skew past that
+    * would swap in a mergeable quantile sketch (KLL) behind the same
+    * output shape — the [[Sketches]] posture.
+    */
+  def lengthQuantiles(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+    documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tokens"))).as("p90_tokens"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tokens"))).as("p99_tokens"))
+  }
+
   /** BPE-ish token classes: counts of alpha runs, digit runs, and single
     * non-alphanumeric symbols — the regex-class pre-tokenization a BPE
     * tokenizer applies before merges. Integer outputs on both engines.

@@ -219,6 +219,33 @@ class ExtSpec extends SparkSpec {
     assert(out(5) == "https://bare.example.net")
   }
 
+  test("prototypicality: centroids rank first, anti-aligned vector is the outlier") {
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),  // near centroid 0
+      (3L, Seq(-1f, 0f, 0f, 0f))      // cos 0 to c1 beats cos -1 to c0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedPrototypicality(e, k = 2)
+      .orderBy("vec_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getBoolean(5))
+    assert(row(0) == ((0L, 1L, false))) // own centroid, rank 1
+    assert(row(1) == ((1L, 1L, false)))
+    assert(row(2) == ((0L, 2L, false)))
+    assert(row(3) == ((1L, 2L, true))) // csim_bp 0 < 500
+    assert(out(3).getLong(4) == 0L)
+    assert(out.filter(_.getLong(1) == 0L).forall(_.getLong(3) == 2L)) // cluster sizes
+  }
+
+  test("length quantiles: exact type-1 ranks on a known distribution") {
+    val docs = (1 to 10).map { i =>
+      (i.toLong, Seq.fill(i)("tok").mkString(" "), "s1")
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthQuantiles(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 5L, 9L, 10L))) // ranks ceil(5)=5, ceil(9)=9, ceil(9.9)=10
+  }
+
   test("text stats: integer quality gates behave") {
     val docs = Seq(
       (1L, "the cat sat on the mat with a hat and a bat plus more words here"),
