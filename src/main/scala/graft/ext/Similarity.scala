@@ -182,6 +182,26 @@ object Similarity {
         .select(col("bucket"), col("w.vec_id").as("vec_id"),
           col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim")), false)
 
+  /** Probe-scoped bucket search for the recall harness: members are the
+    * FULL bucketed corpus (the index side is what it would be in
+    * production), but only rows satisfying `probePred` probe. Answers for
+    * probed vectors are bit-identical to the self-search form (same bucket,
+    * same member list, same kernel total order — self is skipped by id
+    * either way); kernel work drops from Σ|B|² to Σ|B|·|probes∩B|, which
+    * is what makes measuring recall on a Q-vector sample affordable at
+    * corpus scale — a measurement pass must never cost a full self-join.
+    * Buckets containing no probe drop before the kernel.
+    */
+  private def probeScopedTop1(withBucket: DataFrame, probePred: Column): DataFrame =
+    withBucket.groupBy("bucket")
+      .agg(entries(col("vec_id"), col("embedding")).as("vs"),
+        collect_list(when(probePred,
+          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ps"))
+      .filter(size(col("ps")) > 0)
+      .select(col("bucket"), explode(expr("bucket_top1(vs, ps)")).as("w"))
+      .select(col("bucket"), col("w.vec_id").as("vec_id"),
+        col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+
   /** Cosine via the registered native expression; callers must have called
     * `CosineSimilarity.register(spark)` (SparkEntry does).
     */
@@ -622,10 +642,13 @@ object Similarity {
   /** Probed search over an existing ≤nprobe-ranked centroid assignment —
     * the shared tail of [[ivfTopNeighborProbed]] (see there for the shape).
     */
-  private def ivfProbedFrom(ranked: DataFrame, maxBucket: Int = NoMaxBucket): DataFrame = {
+  private def ivfProbedFrom(ranked: DataFrame, maxBucket: Int = NoMaxBucket,
+                            probePred: Column = lit(true)): DataFrame = {
     val members = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
-    val probes = ranked
+    // probePred scopes the PROBE side only (recall harness measures a
+    // query sample); the member/index side always stays the full corpus
+    val probes = ranked.filter(probePred)
       .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
     // gate on the probe side only: per bucket, probes ⊇ members here (every
     // crank-1 member also probes its own list), so probes under the cap
@@ -718,17 +741,34 @@ object Similarity {
     val pqAdcT = pqAdcFromCodes(pqCodesFrom(emb, cbT, 8, 8), cbT, emb,
       numQueries, 1, 8, 8, 16)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    // every index-side structure below covers the FULL corpus (that is the
+    // thing being measured), but only the numQueries sample PROBES — the
+    // probe-scoped search forms return bit-identical answers for the sample
+    // (same buckets, same member lists, same kernel order) at
+    // Σ|B|·|Q∩B| kernel work instead of the self-search Σ|B|²; a recall
+    // measurement that pays the full self-join does not scale past toy
+    // corpora. The ADC branches are probe-scoped by construction.
+    val isProbe = col("vec_id") < numQueries
     // the trained coarse quantizer's first Lloyd iteration IS the first-K
     // assignment already checkpointed for the untrained branches — reuse it
-    val trainedIvf = ivfFrom(assignTo(emb,
-      trainIvfCentroids(emb,
-        initAssign = Some(ranked.filter(col("crank") === 1))), 1))
+    val trainedIvf = probeScopedTop1(
+      assignTo(emb, trainIvfCentroids(emb,
+        initAssign = Some(ranked.filter(col("crank") === 1))), 1)
+        .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+      isProbe)
+    val lshBucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), SignBits).as("bucket"))
+    val lshTables = 4 // lshTopNeighborMulti's default table count
+    val lshMultiBucketed = emb.select(col("vec_id"), col("embedding"),
+      explode(array((0 until lshTables).map(t =>
+        signBucket(col("embedding"), SignBits, t * SignBits) +
+          lit(t.toLong * (1L << SignBits))): _*)).as("bucket"))
     // explicit broadcast: checkpointed frames carry no size stats, so the
     // planner cannot see that both join sides are ≤numQueries rows.
     // (A single-union → one-join → one-agg shape was tried and measured NO
     // faster at sf0.1 — the 14 small per-method join/agg stages it removes
     // are not the cost; the harness's floor is the intrinsic sum of the 7
-    // method pipelines themselves, which standalone total ~4.3 s.)
+    // method pipelines themselves.)
     def hits(method: String, ann: DataFrame) =
       truth.join(broadcast(ann.filter(col("vec_id") < numQueries)), Seq("vec_id"), "left")
         .agg(
@@ -736,11 +776,16 @@ object Similarity {
           count(col("neighbor_id")).as("n_answered"),
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
-    val union = hits("lsh", lshTopNeighbor(emb))
-      .unionByName(hits("lsh_multi", lshTopNeighborMulti(emb)))
-      .unionByName(hits("ivf", ivfFrom(ranked.filter(col("crank") === 1)).drop("cluster_id")))
-      .unionByName(hits("ivf_probe2", ivfProbedFrom(ranked)))
-      .unionByName(hits("ivf_trained", trainedIvf.drop("cluster_id")))
+    def winners1(w: DataFrame) = w.select("vec_id", "neighbor_id")
+    val union = hits("lsh", winners1(probeScopedTop1(lshBucketed, isProbe)))
+      .unionByName(hits("lsh_multi",
+        winners1(mergeWinners(probeScopedTop1(lshMultiBucketed, isProbe)))))
+      .unionByName(hits("ivf", winners1(probeScopedTop1(
+        ranked.filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+        isProbe))))
+      .unionByName(hits("ivf_probe2", ivfProbedFrom(ranked, probePred = isProbe)))
+      .unionByName(hits("ivf_trained", winners1(trainedIvf)))
       .unionByName(hits("pq_adc", pqAdc1))
       .unionByName(hits("pq_adc_trained", pqAdcT))
       .select("method", "n_queries", "n_answered", "n_correct")
