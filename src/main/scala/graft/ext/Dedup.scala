@@ -414,13 +414,18 @@ object Dedup {
 
   def spanDups(documents: DataFrame, n: Int = SpanN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = documents
+    // materialized once: three consumers below (the dup-hash aggregate, the
+    // mark-back join, the per-doc totals) would otherwise each re-run the
+    // tokenize+posexplode scan — this narrow (doc, pos, hash) table is the
+    // span table the substring-dedup literature materializes anyway (its
+    // blocks back the returned frame; Bench sweeps between queries)
+    val (spans, _) = checkpointTracked(documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $n), j -> concat_ws(' ', slice(toks, j + 1, $n)))")))
       .toDF("doc_id", "pos", "span")
-      .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h"))
+      .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h")))
     val dup = spans.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .where(col("d0") =!= col("d1"))

@@ -106,10 +106,22 @@ object Sketches {
   def heavyShingles(documents: DataFrame, k: Int = HhK,
                     sketchSize: Int = HhSketch): DataFrame = {
     require(sketchSize > k, s"sketch size $sketchSize must exceed threshold denom $k")
-    val items = documents
+    // split the ≥3-token and short-doc paths EXPLICITLY instead of exploding
+    // the CASE-guarded shingle array: exploding the CASE form makes the
+    // inferred size>0 generate-filter re-inline the tokenization into every
+    // element lookup (the O(tokens²) regex trap shinglesFromTokens warns
+    // about — measured 12 s vs 1 s for this scan at sf0.1); with the size
+    // predicate on the materialized token array the pushed filter is one
+    // cheap split per doc and the transform stays single-evaluation
+    val toks = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
-      .select(explode(col("sh")).as("shingle"))
+    val longDocs = toks.where(size(col("toks")) >= 3)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(toks) - 3), j -> concat_ws(' ', slice(toks, j + 1, 3)))")))
+      .toDF("p", "shingle").select("shingle")
+    val shortDocs = toks.where(size(col("toks")) < 3)
+      .select(concat_ws(" ", col("toks")).as("shingle"))
+    val items = longDocs.unionByName(shortDocs)
       .select(col("shingle"), Exact.md5Hash60(col("shingle")).as("h"))
     val sketch = items
       .agg(MgSketch.mg(col("h"), sketchSize).as("cand"), count(lit(1)).as("total"))
