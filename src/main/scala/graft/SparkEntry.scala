@@ -211,6 +211,15 @@ object SparkEntry {
     // detector must find
     "ext_span_dups" -> ((s, d) =>
       Dedup.spanDups(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
+    // incremental dedup: index the corpus once, probe the "new crawl"
+    // (the perturbed half) against the persisted band table
+    "ext_dedup_incremental" -> ((s, d) => {
+      Dedup.buildLshIndex(docs(s, d), "graft_lsh_idx_q")
+      Dedup.dedupAgainstIndex(s,
+        Dedup.withPerturbedCopies(docs(s, d)).filter(col("doc_id") >= 1000000L),
+        "graft_lsh_idx_q")
+        .orderBy("doc_id_new", "doc_id_corpus")
+    }),
 
     // ---- ext: similarity search ----
     "ann_brute_topk" -> ((s, d) =>
@@ -902,6 +911,13 @@ object SparkEntry {
     "ext_minhash_bands" ->
       s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
          |SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""".stripMargin,
+    "ext_dedup_incremental" ->
+      s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
+         |SELECT DISTINCT b.doc_id AS doc_id_new, a.doc_id AS doc_id_corpus
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+         |ORDER BY doc_id_new, doc_id_corpus""".stripMargin,
     "ext_dedup_minhash" ->
       s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
          |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin,

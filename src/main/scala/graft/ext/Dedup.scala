@@ -166,6 +166,39 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "n_common", "n_union", "jaccard_pct")
   }
 
+  /** Persist the corpus's LSH band table bucketed by band key — the
+    * build-once half of INCREMENTAL dedup (`new crawl vs existing corpus`):
+    * the MinHash pipeline runs over the corpus exactly once, at build time,
+    * and every subsequent [[dedupAgainstIndex]] batch joins its bands
+    * against the stored layout with NO shuffle on the index side. Same
+    * build-is-a-job / probe-is-a-scan posture as
+    * [[Similarity.buildIvfIndex]]. band_idx folds into the key so the join
+    * has ONE equi-column — the bucketing satisfies it directly.
+    */
+  def buildLshIndex(documents: DataFrame, table: String, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      lshBands(documents).select(
+        concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
+      table, "bkey", buckets)
+
+  /** Near-dup candidates of NEW documents against a persisted LSH index:
+    * distinct (new, corpus) pairs sharing any band. Only the new batch pays
+    * the MinHash pipeline; the corpus side is the pre-bucketed band table
+    * (exchange-free under the join — asserted in ExtSpec). Downstream
+    * verification/clustering composes exactly as for [[minhashCandidates]]
+    * output. At 100 TB this is the nightly-crawl shape: index once,
+    * probe each increment, append verified survivors to the index.
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        newDocs: DataFrame, table: String): DataFrame =
+    lshBands(newDocs)
+      .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
+        col("doc_id").as("doc_id_new"))
+      .join(spark.table(table).select(col("bkey"), col("doc_id").as("doc_id_corpus")),
+        "bkey")
+      .select("doc_id_new", "doc_id_corpus")
+      .distinct()
+
   /** Near-dup clustering: connected components over the LSH candidate-pair
     * graph, each doc labeled with its component's minimum doc_id (the
     * canonical survivor — the "keep list" a dedup pipeline actually needs).

@@ -415,6 +415,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH index: incremental probe matches one-shot candidates, index side unshuffled") {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.buildLshIndex(docs, "lsh_idx_test", buckets = 4)
+    try {
+      val newHalf = Dedup.withPerturbedCopies(docs).filter(col("doc_id") >= 1000000L)
+      val viaIndex = Dedup.dedupAgainstIndex(spark, newHalf, "lsh_idx_test")
+      // the one-shot candidate generator over the union corpus, restricted
+      // to cross (corpus, new) pairs, is the semantic ground truth
+      val oneShot = Dedup.minhashCandidates(Dedup.withPerturbedCopies(docs))
+        .filter(col("doc_id_a") < 1000000L && col("doc_id_b") >= 1000000L)
+        .select(col("doc_id_b").as("doc_id_new"), col("doc_id_a").as("doc_id_corpus"))
+      assert(viaIndex.as[(Long, Long)].collect().toSet ==
+        oneShot.as[(Long, Long)].collect().toSet)
+      // probe pays its own MinHash + one shuffle; the INDEX side must read
+      // co-located off the bucketed layout. Small corpora broadcast the
+      // index (also shuffle-free); force the sort-merge path to pin the
+      // bucketed layout's contract: exactly TWO shuffle exchanges — the
+      // probe side's join shuffle and the final distinct — never a third
+      // for the index side
+      val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = Dedup.dedupAgainstIndex(spark, newHalf, "lsh_idx_test")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+        assert(p.contains("lsh_idx_test"), p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+  }
+
   test("persisted IVF index: search is exchange-free and matches direct top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
