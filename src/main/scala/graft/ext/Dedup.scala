@@ -199,6 +199,47 @@ object Dedup {
       .select("doc_id_new", "doc_id_corpus")
       .distinct()
 
+  /** Streaming incremental-dedup loop over a persisted LSH index
+    * ([[buildLshIndex]]): each micro-batch bands its documents, probes the
+    * index, and splits — docs with ANY banded match are duplicates and are
+    * dropped; survivors are written to `survivorsPath` AND their bands are
+    * appended to the index (same bucket spec), so later batches dedup
+    * against earlier survivors too. The checkpoint makes the append
+    * effectively-once across restarts. This is the nightly-crawl loop as a
+    * stream: the corpus side never recomputes its MinHash (paid at
+    * build/append time), each increment pays one banding pass and one
+    * bucketed join.
+    *
+    * Within-batch near-dups that match nothing in the index BOTH survive —
+    * run [[minhashCandidates]] on the increment upstream if intra-batch
+    * collapse is also required (micro-batches are small; the index is the
+    * scale axis).
+    */
+  def maintainLshDedup(stream: DataFrame, table: String, checkpointDir: String,
+                       survivorsPath: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val bands = lshBands(batch)
+          .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
+            col("doc_id"))
+          .persist()
+        try {
+          val dupIds = bands
+            .join(session.table(table).select("bkey"), "bkey")
+            .select("doc_id").distinct()
+          batch.join(dupIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(survivorsPath)
+          bands.join(dupIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").format("parquet")
+            .bucketBy(buckets, "bkey").saveAsTable(table)
+        } finally bands.unpersist()
+      }
+      .start()
+
   /** Near-dup clustering: connected components over the LSH candidate-pair
     * graph, each doc labeled with its component's minimum doc_id (the
     * canonical survivor — the "keep list" a dedup pipeline actually needs).

@@ -107,6 +107,56 @@ class RecoverySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_maint_test")
   }
 
+  test("streaming LSH dedup loop: survivors extend the index across restarts") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("lshmaint")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/survivors"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(20)
+    Dedup.buildLshIndex(base, "lsh_maint_test", buckets = 4)
+    val baseRows = spark.table("lsh_maint_test").count()
+    // batch 1: a near-dup of corpus doc 0 (first token dropped — the
+    // perturbation minhash banding is known to catch) + a fresh doc
+    val freshText1 = "zqx wvu tsr qpo nml kji hgf edc ba nine eight seven six five"
+    base.filter(col("doc_id") === 0L)
+      .select(lit(1000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionByName(Seq((2000L, freshText1)).toDF("doc_id", "text"))
+      .write.mode("append").parquet(srcDir)
+    def start() = Dedup.maintainLshDedup(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "lsh_maint_test", ckpt, outDir, buckets = 4)
+    try {
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // batch 2 arrives while the maintainer is down: a near-dup of the
+      // batch-1 SURVIVOR (must be caught — proves appends took effect) +
+      // another fresh doc
+      Seq(
+        (3000L, freshText1.substring(freshText1.indexOf(' ') + 1)),
+        (4000L, "completely different content one two three four five six seven"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(2000L, 4000L),
+        s"dup-of-corpus and dup-of-survivor must drop, got $survivors")
+      // index grew by exactly the survivors' bands (NumBands each); refresh
+      // first — this session cached the table's file listing for the
+      // pre-stream baseline count, and foreachBatch appends don't
+      // invalidate the outer session's relation cache
+      spark.catalog.refreshTable("lsh_maint_test")
+      assert(spark.table("lsh_maint_test").count() ==
+        baseRows + 2L * Dedup.NumBands)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_maint_test")
+  }
+
   test("crossing detector state survives restart: no threshold re-emitted") {
     import graft.operators.Achievements
     val root = managedTempDir("xrecovery")

@@ -83,6 +83,28 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty) // the footer phrase must actually be phi-heavy here
   }
 
+  test("MG sketch aggregates in streaming update mode; candidates stay a superset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val sketch = in.toDF().toDF("h")
+      .agg(graft.functions.MgSketch.mg(col("h"), 4).as("cand"))
+    val q = sketch.writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // heavy item 7 at ~40% of the stream, noise ids distinct
+      in.addData(7L, 100L, 7L, 101L, 7L, 102L)
+      q.processAllAvailable()
+      in.addData(7L, 103L, 104L, 7L, 105L, 106L)
+      q.processAllAvailable()
+      val last = spark.table("mg_stream").select("cand")
+        .as[Seq[Long]].collect().last
+      assert(last.contains(7L), s"phi-heavy item evicted: $last")
+      assert(last.size <= 4)
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates in streaming update mode with exact state") {
     // the buffer is mergeable + idempotent, so the same aggregator runs as
     // streaming state: two batches that re-send overlapping tokens must
