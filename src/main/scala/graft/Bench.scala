@@ -86,8 +86,23 @@ object Bench {
     // — same information, ~15 fewer bytes across the suite
     def num(v: Double): String =
       f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) num(v) else "-1") }
-      .mkString("{", ",", "}")
+    // the 93-query suite no longer fits flat full names in the window
+    // (2107 bytes measured), so the map nests by family prefix:
+    // {"":{...},"ann":{...},"ext":{...}} — a query's full name is
+    // prefix + "_" + key (the "" group holds unprefixed names verbatim).
+    // Reversible, self-describing, ~200 bytes back (1928 measured).
+    val qs = results
+      .groupBy { case (k, _, _) =>
+        if (k.startsWith("ext_")) "ext" else if (k.startsWith("ann_")) "ann" else ""
+      }
+      .toSeq.sortBy(_._1)
+      .map { case (p, rs) =>
+        val inner = rs.sortBy(_._1).map { case (k, v, ok) =>
+          val key = if (p.isEmpty) k else k.drop(p.length + 1)
+          "\"" + key + "\":" + (if (ok) num(v) else "-1")
+        }.mkString("{", ",", "}")
+        "\"" + p + "\":" + inner
+      }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
