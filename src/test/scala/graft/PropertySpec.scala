@@ -281,4 +281,38 @@ class PropertySpec extends SparkSpec {
       assert(changed.count() == 0)
     }
   }
+
+  test("span dup invariants over random corpora; verbatim twin means full coverage") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(3, 30).flatMap(len =>
+      Gen.listOfN(len, wordGen).map(_.mkString(" ")))
+    val n = 3 // span length for the test
+    (1 to 3).foreach { i =>
+      val texts = Gen.listOfN(25, docGen)(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(sys.error("gen failed"))
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ext.Dedup.spanDups(docs, n).collect()
+      assert(out.length == texts.length) // every doc gets a row
+      out.foreach { r =>
+        val Seq(id, spans, dup, run, cov) = (0 to 4).map(r.getLong)
+        val tokens = texts(id.toInt).split(" ").length
+        assert(spans == math.max(tokens - n + 1, 0))
+        assert(dup <= spans)
+        assert(run <= dup)
+        // coverage: bounded by the doc, at least the longest run's stretch,
+        // never more than the per-span sum
+        assert(cov <= tokens && cov <= dup * n)
+        if (dup > 0) assert(cov >= run + n - 1)
+        else assert(run == 0 && cov == 0)
+      }
+    }
+    // a corpus of two identical docs: every span duplicated, full coverage
+    val twins = Seq((1L, "p q r s t u v"), (2L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.spanDups(twins, n).collect().foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L)
+      assert(r.getLong(3) == 5L && r.getLong(4) == 7L) // all 7 tokens covered
+    }
+  }
 }
