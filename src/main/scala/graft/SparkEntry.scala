@@ -141,6 +141,9 @@ object SparkEntry {
     "ext_length_quantiles" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
+    // SQ8 search: integer dot products over int8 codes — exact on any engine
+    "ann_sq8_topk" -> ((s, d) =>
+      Similarity.sq8TopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
 
     // ---- ext: corpus curation ----
     "ext_pii_scrub" -> ((s, d) =>
@@ -894,6 +897,25 @@ object SparkEntry {
         |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    "ann_sq8_topk" ->
+      """WITH sqm AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+        |  FROM embeddings),
+        |sq8 AS (SELECT vec_id,
+        |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT)) END AS qv
+        |  FROM sqm),
+        |sqq AS (SELECT vec_id AS query_id, qv AS q FROM sq8 WHERE vec_id < 20),
+        |sqs AS (SELECT sqq.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> sqq.q[i] * c.qv[i])) AS BIGINT) AS dot
+        |  FROM sq8 c CROSS JOIN sqq
+        |  WHERE sqq.query_id != c.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot FROM (
+        |  SELECT query_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+        |  FROM sqs) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ext_fingerprint" ->
       s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id,

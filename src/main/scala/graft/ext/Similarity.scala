@@ -1121,6 +1121,50 @@ object Similarity {
     * with floor (floor, not round — identical semantics on both engines).
     * Output is integer summary columns so the oracle compares exactly.
     */
+  /** SQ8 approximate top-k — the scalar-quantization sibling of the PQ-ADC
+    * path (FAISS's SQ8 posture): every vector compresses to int8 codes
+    * under a per-vector max-abs scale (4× smaller than float32, 16× vs
+    * float64), and search ranks candidates by the INTEGER dot product of
+    * the quantized codes — exact 64-bit arithmetic, so ranking and
+    * tie-breaks are bit-identical on any engine/partitioning (floats never
+    * touch the score). Per-vector scales make the integer dot a
+    * direction-only proxy (like cosine, magnitudes normalize away) — the
+    * recall trade documented by the measured harness, not hidden.
+    *
+    * Shape: quantization is a narrow pass; queries (Q rows of codes)
+    * broadcast; scoring is Q×N integer HOF dots in codegen, ranked by a
+    * per-query window (WindowGroupLimit prunes top-k map-side before the
+    * per-query shuffle). This flat Q×N form is the exhaustive/measurement
+    * shape, matching the oracle; at corpus scale SQ8 composes with the IVF
+    * coarse quantizer — quantize each posting list and integer-dot
+    * bucket-locally — so the search fleet holds the 4× smaller codes
+    * table and never scans it exhaustively.
+    */
+  def sq8TopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q8 = embeddings
+      .withColumn("maxabs", expr(
+        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(double(x))))"))
+      .withColumn("q8", expr(
+        "CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> 0L) " +
+          "ELSE transform(embedding, x -> cast(floor(double(x) * 127.0 / maxabs) as long)) END"))
+      .select(col("vec_id"), col("q8"))
+    val queries = q8.filter(col("vec_id") < numQueries)
+      .agg(collect_list(struct(col("vec_id").as("qid"), col("q8").as("qv"))).as("qs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    q8.crossJoin(broadcast(queries))
+      .select(col("vec_id").as("neighbor_id"), explode(expr(
+        """transform(qs, q -> named_struct(
+          |  'query_id', q.qid,
+          |  'dot', aggregate(zip_with(q.qv, q8, (x, y) -> x * y), 0L, (s, v) -> s + v)))"""
+          .stripMargin)).as("s"))
+      .select(col("s.query_id").as("query_id"), col("neighbor_id"), col("s.dot").as("dot"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
   def quantizeStats(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("maxabs", expr(

@@ -180,6 +180,19 @@ class ExtSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("sq8: scaled twin has identical codes and tops its original's ranking") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val out = Similarity.sq8TopK(Similarity.withScaledCopies(e), 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact doubling leaves maxabs ratios unchanged -> twin codes identical
+    // -> twin's integer dot equals the query's self-dot, the top candidate
+    // on this corpus; ranks are deterministic via the id tie-break
+    (0L until 20L).foreach { q =>
+      val top = out.filter(_._1 == q).minBy(_._2)
+      assert(top._3 == q + 1000000L, s"query $q top-1 was ${top._3}")
+    }
+  }
+
   test("semdedup collapses scaled copies; keep-set is one per component") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)
