@@ -378,6 +378,28 @@ object Curation {
         lit(" and http://mirror"), (col("doc_id") % 3).cast("string"),
         lit(".example.com/x")).as("text"))
 
+  /** Write a curated corpus as training shards: hive-partitioned by
+    * `partitionBy` (language/source — the keys training jobs select on),
+    * sorted within partitions for compression locality, shard size bounded
+    * by `maxRecordsPerFile`. The repartition-by-key before the write is
+    * what keeps file counts sane at scale: without it every task writes a
+    * file into every partition directory (tasks × partitions small files —
+    * the classic layout mistake); with it each key's rows coalesce into
+    * ceil(rows/maxRecordsPerFile) shards. Readers prune partitions: a
+    * `lang = 'en'` training job never lists, let alone scans, other
+    * languages' shards (asserted at the plan level in ExtSpec).
+    */
+  def writeCorpusShards(df: DataFrame, path: String,
+                        partitionBy: Seq[String] = Seq("lang"),
+                        sortWithin: Seq[String] = Seq("doc_id"),
+                        maxRecordsPerFile: Long = 100000L): Unit =
+    df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions(sortWithin.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+
   /** A corpus whose injected URLs carry the mess canonicalization must
     * erase: mixed-case hosts, default ports, utm_* tracking params,
     * fragments, trailing slashes — deterministic mod-based variants so the

@@ -180,6 +180,28 @@ class ExtSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("corpus shards: partitioned layout, bounded files, pruned reads") {
+    val out = managedTempDir("shards") + "/corpus"
+    val docs = Tables.documents(spark, sfDir) // 500 docs, 2 langs
+    Curation.writeCorpusShards(docs, out, maxRecordsPerFile = 100L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // per-lang counts survive the layout round-trip
+    val want = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = back.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+    // shard size bound respected: every lang dir has ceil(n/100)+ files
+    want.foreach { case (lang, n) =>
+      val files = new java.io.File(s"$out/lang=$lang")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= (n + 99) / 100, s"$lang: $files files for $n rows")
+    }
+    // a lang filter prunes at the partition level, not the row level
+    val plan = back.filter(col("lang") === want.keySet.head)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+
   test("sq8: scaled twin has identical codes and tops its original's ranking") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val out = Similarity.sq8TopK(Similarity.withScaledCopies(e), 20, 5)
