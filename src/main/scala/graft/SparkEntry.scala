@@ -140,6 +140,9 @@ object SparkEntry {
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
     "ext_length_quantiles" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // the BPE training inner loop: next merge candidates by pair frequency
+    "ext_bpe_merge" -> ((s, d) =>
+      TextAnalysis.bpeMergeStep(docs(s, d)).orderBy("rank")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
     // SQ8 search: integer dot products over int8 codes — exact on any engine
     "ann_sq8_topk" -> ((s, d) =>
@@ -885,6 +888,15 @@ object SparkEntry {
          |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
          |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END) AS p99_tokens
          |FROM lr GROUP BY source ORDER BY source""".stripMargin,
+    "ext_bpe_merge" ->
+      s"""WITH bpt AS (SELECT string_split($NORM, ' ') AS t FROM documents),
+         |bpp AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS pair
+         |  FROM bpt WHERE len(t) >= 2),
+         |bpc AS (SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM bpp GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank,
+         |  pair, freq
+         |FROM bpc ORDER BY freq DESC, pair ASC LIMIT 10""".stripMargin,
     "ext_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs

@@ -154,6 +154,33 @@ object TextAnalysis {
         max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tokens"))).as("p99_tokens"))
   }
 
+  /** One BPE training step: the `topK` most frequent ADJACENT token pairs
+    * across the corpus — the argmax the byte-pair-encoding training loop
+    * merges next (Sennrich et al. 2016, word-level granularity here). The
+    * driver loop that applies merges and recounts is control flow; this
+    * operator IS each iteration's distributed work.
+    *
+    * Scale shape: pair emission is narrow (posexplode over the token array
+    * — one (pair) row per adjacent position, no self-join of positions);
+    * the count is one hash-agg shuffle on the pair string with map-side
+    * combine; top-k plans as TakeOrderedAndProject (never a global sort).
+    * Rank ties break lexicographically so the merge choice is deterministic.
+    */
+  def bpeMergeStep(documents: DataFrame, topK: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("pair").asc)
+    documents
+      .select(tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(toks) - 2), j -> concat_ws(' ', slice(toks, j + 1, 2)))")))
+      .toDF("p", "pair")
+      .groupBy("pair")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("rank", "pair", "freq")
+  }
+
   /** BPE-ish token classes: counts of alpha runs, digit runs, and single
     * non-alphanumeric symbols — the regex-class pre-tokenization a BPE
     * tokenizer applies before merges. Integer outputs on both engines.

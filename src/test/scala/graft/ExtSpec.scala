@@ -180,6 +180,19 @@ class ExtSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("bpe merge step: argmax pair on a known corpus, deterministic ties") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" x3, "b a" x2
+      (2L, "a b c"),         // "a b", "b c"
+      (3L, "z")              // too short: no pairs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "a b", 4L)))
+    assert(out(1) == ((2L, "b a", 2L)))
+    assert(out(2) == ((3L, "b c", 1L))) // lexicographic tie-break at freq 1
+  }
+
   test("corpus shards: partitioned layout, bounded files, pruned reads") {
     val out = managedTempDir("shards") + "/corpus"
     val docs = Tables.documents(spark, sfDir) // 500 docs, 2 langs
