@@ -80,12 +80,12 @@ object Bench {
     // query can never be mistaken for a fast one.
     // The driver captures only the LAST 2000 chars of stdout (r6/r7 BENCH
     // JSONs lost their leading per-query entries to that window), so the
-    // line is kept compact: centisecond precision (bench noise is an order
-    // of magnitude above 10 ms), basename-only sf, and a hard length check.
-    // centiseconds with trailing zeros stripped ("0.30"->"0.3", "1.00"->"1")
-    // — same information, ~15 fewer bytes across the suite
+    // line is kept compact: DECISECOND per-query precision (median-of-3
+    // noise at sf0.1 is itself ~0.1 s, so centiseconds were false
+    // precision), trailing zeros stripped ("1.0"->"1"), basename-only sf,
+    // nested family groups, and a hard length check.
     def num(v: Double): String =
-      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     // the 93-query suite no longer fits flat full names in the window
     // (2107 bytes measured), so the map nests by family prefix:
     // {"":{...},"ann":{...},"ext":{...}} — a query's full name is
