@@ -126,6 +126,21 @@ class SurfaceSpec extends SparkSpec {
         |  named_struct('doc_id', 2L, 'simhash', 1L)), 3) AS p""".stripMargin)
       .selectExpr("size(p)", "p[0].hamming").head
     assert(p.getInt(0) == 1 && p.getLong(1) == 1L)
+    // the bucket-ANN kernel family injects and evaluates too
+    graft.functions.AnnKernels.register(spark)
+    val t1 = spark.sql(
+      """SELECT bucket_top1(
+        |  array(named_struct('id', 1L, 'emb', array(1.0f, 0.0f)),
+        |        named_struct('id', 2L, 'emb', array(0.9f, 0.1f))),
+        |  array(named_struct('id', 1L, 'emb', array(1.0f, 0.0f)))) AS w""".stripMargin)
+      .selectExpr("w[0].vec_id", "w[0].neighbor_id").head
+    assert(t1.getLong(0) == 1L && t1.getLong(1) == 2L)
+    val nc = spark.sql(
+      """SELECT nearest_centroids(array(1.0f, 0.0f),
+        |  array(named_struct('id', 0L, 'emb', array(1.0f, 0.0f)),
+        |        named_struct('id', 1L, 'emb', array(0.0f, 1.0f))), 1) AS a""".stripMargin)
+      .selectExpr("a[0].cluster_id", "a[0].crank").head
+    assert(nc.getLong(0) == 0L && nc.getLong(1) == 1L)
   }
 
   test("as-of join picks latest update at-or-before event time, null before first") {
