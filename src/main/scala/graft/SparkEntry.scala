@@ -1501,6 +1501,23 @@ object SparkEntry {
          |  FROM (SELECT query_id, vec_id AS neighbor_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
          |        FROM rptadcs) WHERE r = 1),
+         |rsqm AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+         |  FROM embeddings),
+         |rsq8 AS (SELECT vec_id,
+         |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> 0::BIGINT)
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT)) END AS sqv
+         |  FROM rsqm),
+         |rsqq AS (SELECT vec_id AS query_id, sqv AS sq FROM rsq8 WHERE vec_id < 100),
+         |rsqs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> q.sq[i] * c.sqv[i])) AS BIGINT) AS dot
+         |  FROM rsq8 c CROSS JOIN rsqq q WHERE q.query_id != c.vec_id),
+         |rsqa AS (SELECT query_id AS vec_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY dot DESC, neighbor_id ASC) AS r
+         |        FROM rsqs) WHERE r = 1),
          |${trainedCentCtes(2)},
          |rtsc AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |    ${cos64("e.embedding", "c.c_emb")} AS csim
@@ -1543,7 +1560,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'pq_adc_trained', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
-         |  FROM rtruth t LEFT JOIN rpta a ON a.vec_id = t.vec_id)
+         |  FROM rtruth t LEFT JOIN rpta a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'sq8', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rsqa a ON a.vec_id = t.vec_id)
          |SELECT method, n_queries, n_answered, n_correct FROM res ORDER BY method""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH ${trainedCentCtes(2)},

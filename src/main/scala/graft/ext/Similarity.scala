@@ -788,6 +788,8 @@ object Similarity {
       .unionByName(hits("ivf_trained", winners1(trainedIvf)))
       .unionByName(hits("pq_adc", pqAdc1))
       .unionByName(hits("pq_adc_trained", pqAdcT))
+      .unionByName(hits("sq8", sq8TopK(emb, numQueries, 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"))))
       .select("method", "n_queries", "n_answered", "n_correct")
     // materialize the one-row-per-method result, then release the big shared
     // blocks immediately — only the tiny final frame stays resident (same
