@@ -495,6 +495,14 @@ object Similarity {
     // here, at build time, where the counts pass amortizes over every
     // subsequent search — each row stores its posting list's shard count m
     // and its own shard, and search consumes them with no probe at all
+    graft.sources.Bucketing.writeBucketed(
+      withShardFactors(assigned, maxBucket), table, "cluster_id", buckets)
+  }
+
+  /** Shard-factor stamping shared by build and compaction: each row stores
+    * its posting list's shard count m and its own hash shard.
+    */
+  private def withShardFactors(assigned: DataFrame, maxBucket: Int): DataFrame = {
     val withShard =
       if (maxBucket > 0) {
         val counts = assigned.groupBy("cluster_id")
@@ -502,9 +510,28 @@ object Similarity {
         assigned.join(broadcast(counts), "cluster_id")
           .withColumn("shard", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
       } else assigned.withColumn("m", lit(1)).withColumn("shard", lit(0))
-    graft.sources.Bucketing.writeBucketed(
-      withShard.select("cluster_id", "shard", "m", "vec_id", "embedding"),
-      table, "cluster_id", buckets)
+    withShard.select("cluster_id", "shard", "m", "vec_id", "embedding")
+  }
+
+  /** Compaction — the re-balance half of index maintenance that
+    * [[maintainIvfIndex]] defers: appends arrive unsharded (m = 1), so a
+    * posting list that grows past `maxBucket` accumulates into one task's
+    * gather until compaction re-stamps shard factors from CURRENT counts
+    * and rewrites the bucketed layout. Assignments are NOT recomputed —
+    * cluster ids are already stored, so compaction is a layout pass, not a
+    * model pass. The rows are eagerly materialized before the overwrite
+    * (this single-table form rewrites in place; a production deployment
+    * writes generation N+1 and swaps a view — same shapes, plus an atomic
+    * cutover).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      buckets: Int = 8, maxBucket: Int = NoMaxBucket): Unit = {
+    val rows = spark.table(table)
+      .select("cluster_id", "vec_id", "embedding").localCheckpoint(true)
+    try
+      graft.sources.Bucketing.writeBucketed(
+        withShardFactors(rows, maxBucket), table, "cluster_id", buckets)
+    finally rows.unpersist()
   }
 
   /** Streaming maintenance of a persisted IVF index: each micro-batch is

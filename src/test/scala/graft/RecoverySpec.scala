@@ -104,6 +104,16 @@ class RecoverySpec extends SparkSpec {
       val direct = Similarity.ivfTopKNeighbors(frame(0 until 200), 3)
         .as[(Long, Long, Long)].collect().toSet
       assert(got.toSet == direct)
+      // compaction: appends arrived unsharded (m=1); re-stamping shard
+      // factors at maxBucket=8 must shard the grown lists, keep search
+      // exchange-free, and change no answer
+      Similarity.compactIvfIndex(spark, "ivf_maint_test", buckets = 4, maxBucket = 8)
+      spark.catalog.refreshTable("ivf_maint_test")
+      assert(spark.table("ivf_maint_test").count() == 200L)
+      assert(spark.table("ivf_maint_test").filter(col("m") > 1).count() > 0)
+      val compacted = Similarity.searchIvfIndex(spark, "ivf_maint_test", 3)
+      assert(!compacted.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(compacted.as[(Long, Long, Long)].collect().toSet == direct)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_maint_test")
   }
 
