@@ -103,6 +103,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("span dedup: no count-distinct Expand; dup detection is min/max per hash") {
+    val df = graft.ext.Dedup.spanDups(
+      graft.ext.Dedup.withPerturbedCopies(Tables.documents(spark, sfDir)))
+    val p = df.queryExecution.executedPlan.toString
+    // the min(doc)!=max(doc) trick must plan as a plain hash aggregate —
+    // a count(DISTINCT doc_id) formulation would materialize an Expand
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("min(doc_id") && p.contains("max(doc_id"), p)
+  }
+
+  test("bpe merge step tops out as TakeOrderedAndProject, never a global sort") {
+    val df = graft.ext.TextAnalysis.bpeMergeStep(Tables.documents(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"), p)
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
