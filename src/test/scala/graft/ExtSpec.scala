@@ -49,6 +49,9 @@ class ExtSpec extends SparkSpec {
     assert(out(3) == ((4L, 5L, 2L, 1L, 5L)))
     // doc 5: dup starts 0 and 4 — gap 4 > n-1, two islands, 3+3 tokens
     assert(out(4) == ((5L, 5L, 2L, 1L, 6L)))
+    // spanDups keeps its span-table checkpoint alive by design (the returned
+    // frame reads from those blocks); drop it now that results are collected
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
   test("exact dedup flags identical normalized text") {
@@ -79,13 +82,16 @@ class ExtSpec extends SparkSpec {
       (1000001L, "a b c d e f g h i j"), // forces a candidate pair via LSH
       (2L, "k l m n o p q r s t"),
       (1000002L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = Dedup.ngramJaccard(docs).collect()
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("jaccard_pct") == 100L))
     // regression: the operator must leave NOTHING persisted behind — an
-    // earlier persist() of the shingle base leaked into long-lived sessions
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keySet}")
+    // earlier persist() of the shingle base leaked into long-lived sessions.
+    // Delta-based: other tests' by-design checkpoints (spanDups) are not
+    // this operator's leak.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    assert(leaked.isEmpty, s"leaked persists: $leaked")
   }
 
   test("dedup clustering: transitive chain collapses to one canonical id") {
