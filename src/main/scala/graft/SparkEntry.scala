@@ -155,6 +155,9 @@ object SparkEntry {
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
+    // RAG/pretraining sliding-window chunker (32-token windows, stride 24)
+    "ext_chunk_overlap" -> ((s, d) =>
+      Curation.chunkDocuments(docs(s, d)).orderBy("doc_id", "chunk_id")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
     // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
@@ -1044,6 +1047,15 @@ object SparkEntry {
          |  (cum_tokens - 1) // 64 AS bin_last,
          |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_chunk_overlap" ->
+      s"""WITH ckt AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents),
+         |cks AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CAST(unnest(range(0, len(t), 24)) AS BIGINT) AS s
+         |  FROM ckt)
+         |SELECT doc_id, s // 24 AS chunk_id, s AS start_tok,
+         |  least(32, n - s) AS chunk_tokens,
+         |  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+         |FROM cks ORDER BY doc_id, chunk_id""".stripMargin,
     "ext_source_mix" ->
       s"""WITH q AS (SELECT doc_id,
          |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000

@@ -254,6 +254,39 @@ object Curation {
         (col("bin_last") - col("bin_first") + 1).as("n_bins_spanned"))
   }
 
+  /** Sliding-window chunking (RAG indexing / long-doc pretraining prep):
+    * each doc yields windows of `chunkLen` tokens advancing by `stride`
+    * (`chunkLen - stride` tokens of overlap), the standard fixed-window
+    * chunker every retrieval pipeline runs before embedding. Emits
+    * (doc_id, chunk_id, start_tok, chunk_tokens, chunk_text); the final
+    * window may be shorter than `chunkLen`.
+    *
+    * Scale shape: fully narrow — tokenize, `sequence` the start offsets,
+    * explode, slice — no shuffle anywhere, so it pipelines into whatever
+    * consumes the chunks (the embedding UDF, the ANN index build). Output
+    * rows ≈ n_tokens/stride per doc, each carrying only its own slice, so
+    * the expansion factor is chunkLen/stride (~1.3 at the defaults), not
+    * O(windows × doc length).
+    */
+  def chunkDocuments(documents: DataFrame, chunkLen: Int = 32,
+                     stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkLen >= stride,
+      s"need 0 < stride <= chunkLen, got stride=$stride chunkLen=$chunkLen")
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(expr(s"sequence(0L, n_tokens - 1, ${stride}L)")).as("start_tok"))
+      .select(
+        col("doc_id"),
+        expr(s"start_tok div $stride").as("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkLen.toLong), col("n_tokens") - col("start_tok"))
+          .as("chunk_tokens"),
+        expr(s"array_join(slice(toks, CAST(start_tok AS INT) + 1, $chunkLen), ' ')")
+          .as("chunk_text"))
+  }
+
   /** The full curation pipeline in one call — what a training-data job runs
     * daily at 100 TB: quality gate (integer-arithmetic thresholds) →
     * exact-dedup canonical survivors → language targeting → per-source

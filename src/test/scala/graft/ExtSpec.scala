@@ -54,6 +54,27 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("chunking: windows advance by stride, overlap and tail are exact") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, chunkLen = 8, stride = 5)
+    // narrow by construction: the chunker must not introduce any shuffle
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunkDocuments plan must be exchange-free")
+    val out = chunks.orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 10) // starts 0,5,...,45
+    assert(d1.head.getAs[String]("chunk_text") == (1 to 8).map("t" + _).mkString(" "))
+    // consecutive windows overlap by chunkLen - stride = 3 tokens
+    assert(d1(1).getAs[String]("chunk_text") == (6 to 13).map("t" + _).mkString(" "))
+    // tail window is short: start 45 covers the last 5 tokens only
+    assert(d1.last.getAs[Long]("chunk_tokens") == 5L)
+    assert(d1.last.getAs[String]("chunk_text") == (46 to 50).map("t" + _).mkString(" "))
+    // single-token and empty docs each yield exactly one chunk
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.count(_.getLong(0) == 3L) == 1)
+  }
+
   test("exact dedup flags identical normalized text") {
     val docs = Seq(
       (1L, "Hello  World"),
