@@ -189,6 +189,8 @@ object SparkEntry {
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
+    // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
+    "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
     // Misra-Gries two-pass heavy hitters: the injected footers are the
     // φ-heavy phrases the sketch must surface
     "ext_heavy_shingles" -> ((s, d) =>
@@ -1275,6 +1277,23 @@ object SparkEntry {
          |    ELSE (${Sketches.KmvK - 1}::HUGEINT * ${Sketches.HashSpace}::HUGEINT)
          |      // max(hv) END AS BIGINT) AS distinct_est
          |FROM sr WHERE rn <= ${Sketches.KmvK} GROUP BY lang ORDER BY lang""".stripMargin,
+    // CMS cells: the md5-seeded row hashes reproduce the aggregator's
+    // matrix exactly — the sketch is a pure function of the token multiset
+    "ext_freq_cms" ->
+      s"""WITH cmt AS (SELECT unnest(string_split($NORM, ' ')) AS tok FROM documents),
+         |cmf AS (SELECT tok FROM cmt WHERE tok != ''),
+         |cmr AS (SELECT unnest(range(0, ${Sketches.CmsD})) AS r),
+         |cmc AS (SELECT r, ${h60("CAST(r AS VARCHAR) || ':' || tok")} % ${Sketches.CmsW} AS cell,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM cmf CROSS JOIN cmr GROUP BY 1, 2),
+         |cmtop AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_freq
+         |  FROM cmf GROUP BY tok ORDER BY exact_freq DESC, tok LIMIT 20)
+         |SELECT t.tok AS token, t.exact_freq, min(c.c) AS est_freq
+         |FROM cmtop t CROSS JOIN cmr rr
+         |JOIN cmc c ON c.r = rr.r
+         |  AND c.cell = ${h60("CAST(rr.r AS VARCHAR) || ':' || t.tok")} % ${Sketches.CmsW}
+         |GROUP BY t.tok, t.exact_freq
+         |ORDER BY exact_freq DESC, token""".stripMargin,
     "ext_heavy_shingles" ->
       s"""WITH hhbp AS (SELECT doc_id,
          |    text || '. all rights reserved'

@@ -1,9 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exact, KmvSketch, MgSketch}
+import graft.functions.{CmsSketch, Exact, KmvSketch, MgSketch}
 
 /** Deterministic cardinality sketches for corpus-scale profiling.
   *
@@ -136,6 +136,57 @@ object Sketches {
         .agg(count(lit(1)).as("freq"))
         .filter(col("freq") * k > total)
         .select("shingle", "freq")
+  }
+
+  /** Count-Min rows (depth) and width: 4×256 cells = 8 KiB of state. Width
+    * rules the overestimate (ε ≈ e/w of the stream length per point query);
+    * depth rules the failure probability of that bound (e^-d).
+    */
+  val CmsD = 4
+  val CmsW = 256
+
+  /** The d per-row cell indices for one key — md5-seeded like the MinHash
+    * permutation family, so the DuckDB oracle reproduces every cell exactly:
+    * row r's cell is `h60("r:" || key) % w`.
+    */
+  def cmsCells(key: Column, d: Int = CmsD, w: Int = CmsW): Column =
+    array((0 until d).map(r =>
+      (Exact.md5Hash60Seeded(r, key) % w).cast("int")): _*)
+
+  /** CMS point estimate for `key` against a sketch-matrix column: min over
+    * rows of the addressed cell (element_at is 1-based).
+    */
+  def cmsEstimate(sketch: Column, key: Column, d: Int = CmsD, w: Int = CmsW): Column =
+    least((0 until d).map(r =>
+      element_at(sketch, (Exact.md5Hash60Seeded(r, key) % w).cast("int") + lit(r * w) + 1)): _*)
+
+  /** CMS-estimated vs exact frequencies for the corpus's `topK` tokens.
+    *
+    * The sketch half is the 100 TB path: ONE aggregation folds the token
+    * stream into d×w longs per map task (the stream itself never shuffles),
+    * and the finished 8 KiB matrix broadcasts to wherever point queries run —
+    * here a crossJoin(broadcast) against the query keys, in a streaming job
+    * the same matrix would answer per-batch lookups. The exact half is test
+    * scaffolding: it both picks a deterministic query set (top-k by true
+    * frequency, doc-id-free so the oracle agrees) and pins the textbook
+    * invariant est ≥ exact on every reported row.
+    */
+  def freqCms(documents: DataFrame, d: Int = CmsD, w: Int = CmsW,
+              topK: Int = 20): DataFrame = {
+    val toks = documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val sketch = toks
+      .select(cmsCells(col("token"), d, w).as("cells"))
+      .agg(CmsSketch.cms(col("cells"), d, w).as("sk"))
+    val top = toks.groupBy("token")
+      .agg(count(lit(1)).as("exact_freq"))
+      .orderBy(col("exact_freq").desc, col("token").asc)
+      .limit(topK)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact_freq"),
+        cmsEstimate(col("sk"), col("token"), d, w).as("est_freq"))
+      .orderBy(col("exact_freq").desc, col("token").asc)
   }
 
   /** Exact per-language distinct-token counts — the ground truth the sketch

@@ -83,6 +83,63 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty) // the footer phrase must actually be phi-heavy here
   }
 
+  test("CMS estimates over-count only, and are partition-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.freqCms(docs)
+      .select($"token", $"exact_freq", $"est_freq").as[(String, Long, Long)]
+      .collect()
+    assert(out.length == 20)
+    // the textbook one-sided bound: a CMS cell only ever ADDS collisions
+    for ((tok, exact, est) <- out)
+      assert(est >= exact, s"$tok: est=$est < exact=$exact")
+    // elementwise-sum merge => the matrix is a pure function of the input
+    // multiset: a differently-partitioned stream yields the IDENTICAL rows
+    val repart = Sketches.freqCms(docs.repartition(7))
+      .select($"token", $"exact_freq", $"est_freq").as[(String, Long, Long)]
+      .collect()
+    assert(repart.sameElements(out), "CMS output depends on partitioning")
+  }
+
+  test("CMS point queries are exact when width swallows the key universe") {
+    // 5 distinct tokens into a 256-wide row: P(any collision) is tiny but
+    // not zero — this corpus is fixed and collision-free, so est == exact
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "b c d e a")).toDF("doc_id", "text")
+    val out = Sketches.freqCms(docs, topK = 5)
+      .select($"token", $"exact_freq", $"est_freq").as[(String, Long, Long)]
+      .collect()
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 1L))
+    for ((tok, exact, est) <- out) assert(est == exact, s"$tok: $est != $exact")
+  }
+
+  test("CMS sketch aggregates in streaming update mode; estimates track the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sketch = in.toDF().toDF("token")
+      .select(Sketches.cmsCells(col("token")).as("cells"))
+      .agg(graft.functions.CmsSketch.cms(col("cells"),
+        Sketches.CmsD, Sketches.CmsW).as("sk"))
+    val q = sketch.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData("x", "y", "x")
+      q.processAllAvailable()
+      in.addData("x", "z")
+      q.processAllAvailable()
+      val sk = spark.table("cms_stream").select("sk").as[Seq[Long]].collect().last
+      val est = Seq("x", "y", "z").toDF("token")
+        .crossJoin(Seq(sk).toDF("sk"))
+        .select(Sketches.cmsEstimate(col("sk"), col("token")))
+        .as[Long].collect()
+      assert(est(0) == 3L && est(1) == 1L && est(2) == 1L,
+        s"streamed estimates ${est.toSeq} != Seq(3, 1, 1)")
+    } finally q.stop()
+  }
+
   test("MG sketch aggregates in streaming update mode; candidates stay a superset") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
