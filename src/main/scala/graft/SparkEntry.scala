@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Curation, Dedup, Layout, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -128,6 +128,8 @@ object SparkEntry {
       s.sql(oracleSql("q1_sql"))
     }),
     "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
+    // z-order layout audit: per-quadtree-cell occupancy + bounding boxes
+    "ext_zorder" -> ((s, d) => Layout.zorderCells(Tables.lineitem(s, d)).orderBy("cell")),
     "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d).orderBy("n_name")),
 
     // ---- ext: text analysis ----
@@ -839,6 +841,17 @@ object SparkEntry {
          |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // Morton interleave as list_sum over disjoint bits (sum == or); cell =
+    // top 2*cellDepth z-bits, boxes are the would-be file statistics
+    "ext_zorder" ->
+      """WITH zl AS (SELECT l_partkey % 256 AS p, l_suppkey % 256 AS s FROM lineitem),
+        |zv AS (SELECT p, s, CAST(list_sum(list_transform(range(0, 8), i ->
+        |    (((p >> i) & 1) << (2*i)) + (((s >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+        |  FROM zl)
+        |SELECT zval >> 12 AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(p) AS BIGINT) AS p_min, CAST(max(p) AS BIGINT) AS p_max,
+        |  CAST(min(s) AS BIGINT) AS s_min, CAST(max(s) AS BIGINT) AS s_max
+        |FROM zv GROUP BY 1 ORDER BY cell""".stripMargin,
     "q5_nation_revenue" ->
       s"""SELECT n_name,
          |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -75,6 +75,43 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("z-order: interleave is bit-exact; per-file boxes beat a single-column sort") {
+    // hand-computed Morton value: x=3 (011), y=5 (101) ->
+    // bit0: 1<<0 + 1<<1, bit1: 1<<2 + 0<<3, bit2: 0<<4 + 1<<5 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 8)).as[Long].head()
+    assert(z == 39L)
+
+    // two keys of real cardinality (a near-degenerate dim makes any layout
+    // comparison vacuous): orderkey folded to 0..255, partkey 0..199
+    val li = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") % 256).as("p"), (col("l_partkey") % 256).as("s"))
+    val base = TestSpark.managedTempDir("graft-zorder")
+    Layout.writeZordered(li, s"$base/z", "p", "s", bits = 8, nFiles = 16)
+    // the competing layout: same file count, sorted on p alone
+    li.repartitionByRange(16, col("p")).sortWithinPartitions("p")
+      .write.mode("overwrite").parquet(s"$base/naive")
+    // pruning metric: expected number of files a point predicate on one dim
+    // cannot skip = sum over files of (per-file range / total range). The
+    // 1-D sort is perfect on p and prunes NOTHING on s; z-order must bound
+    // the WORST dimension — that is the whole point of interleaving
+    def expectedFilesHit(path: String): (Double, Double) = {
+      val (pSpan, sSpan) = (256.0, 200.0)
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("p") - min("p") + 1).as("pr"), (max("s") - min("s") + 1).as("sr"))
+        .agg(sum(col("pr") / pSpan), sum(col("sr") / sSpan))
+        .as[(Double, Double)].head()
+      r
+    }
+    val (zP, zS) = expectedFilesHit(s"$base/z")
+    val (nP, nS) = expectedFilesHit(s"$base/naive")
+    assert(nS > 15.0, s"sanity: single-column sort should not prune s, got $nS")
+    assert(math.max(zP, zS) < math.max(nP, nS) * 0.5,
+      s"z-order worst-dim files-hit ${math.max(zP, zS)} not clearly under " +
+        s"single-sort ${math.max(nP, nS)} (z: p=$zP s=$zS, naive: p=$nP s=$nS)")
+  }
+
   test("exact dedup flags identical normalized text") {
     val docs = Seq(
       (1L, "Hello  World"),
