@@ -160,6 +160,9 @@ object SparkEntry {
     // RAG/pretraining sliding-window chunker (32-token windows, stride 24)
     "ext_chunk_overlap" -> ((s, d) =>
       Curation.chunkDocuments(docs(s, d)).orderBy("doc_id", "chunk_id")),
+    // weighted round-robin epoch schedule (the trainer's data order)
+    "ext_mix_schedule" -> ((s, d) =>
+      Curation.mixSchedule(docs(s, d)).orderBy("global_pos")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
     // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
@@ -1062,6 +1065,23 @@ object SparkEntry {
          |  (cum_tokens - 1) // 64 AS bin_last,
          |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_mix_schedule" ->
+      """WITH msw AS (SELECT DISTINCT source,
+        |    CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3 + 1 AS w FROM documents),
+        |msd AS (SELECT source, w,
+        |    CAST(coalesce(sum(w) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base,
+        |    CAST(sum(w) OVER () AS BIGINT) AS tot
+        |  FROM msw),
+        |msr AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS r
+        |  FROM documents)
+        |SELECT r.doc_id, r.source,
+        |  r.r // m.w AS cycle,
+        |  m.base + r.r % m.w AS slot,
+        |  (r.r // m.w) * m.tot + m.base + r.r % m.w AS global_pos
+        |FROM msr r JOIN msd m USING (source)
+        |ORDER BY global_pos""".stripMargin,
     "ext_chunk_overlap" ->
       s"""WITH ckt AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents),
          |cks AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,

@@ -254,6 +254,43 @@ object Curation {
         (col("bin_last") - col("bin_first") + 1).as("n_bins_spanned"))
   }
 
+  /** Deterministic weighted-round-robin mixing schedule — the "data order"
+    * step between curation and training: each cycle interleaves `w_s` docs
+    * from every source s (weights here derived from the source's numeric
+    * suffix, `suffix % 3 + 1`, standing in for the tuned mixing weights a
+    * real run feeds in), so a source with twice the weight appears twice as
+    * often in the global stream. Emits (doc_id, source, cycle, slot,
+    * global_pos): slot = alphabetical-prefix-sum base + within-cycle offset,
+    * global_pos = cycle × Σw + slot. Sources that exhaust early leave gaps
+    * — the schedule is sparse, consumers skip missing positions.
+    *
+    * Scale shape: ONE window shuffle (per-source row_number, same key as
+    * sequencePack); the weight/prefix-sum dimension is per-source-distinct
+    * rows — broadcast-joined, never a second shuffle of the corpus. All
+    * arithmetic is integral, so the schedule is a pure function of the
+    * (doc_id, source) set on any engine and any partitioning.
+    */
+  def mixSchedule(documents: DataFrame): DataFrame = {
+    val weightOf = expr("CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 + 1")
+    val wAll = Window.partitionBy(lit(1))
+      .orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrefix = Window.partitionBy(lit(1))
+      .orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    val dim = documents.select(col("source")).distinct()
+      .withColumn("w", weightOf)
+      .withColumn("base", coalesce(sum("w").over(wPrefix), lit(0L)).cast("long"))
+      .withColumn("tot", sum("w").over(wAll).cast("long"))
+    val ranked = documents.select("doc_id", "source")
+      .withColumn("r",
+        (row_number().over(Window.partitionBy("source").orderBy("doc_id")) - 1).cast("long"))
+    ranked.join(broadcast(dim), Seq("source"))
+      .select(
+        col("doc_id"), col("source"),
+        expr("r div w").as("cycle"),
+        (col("base") + col("r") % col("w")).as("slot"),
+        (expr("r div w") * col("tot") + col("base") + col("r") % col("w")).as("global_pos"))
+  }
+
   /** Sliding-window chunking (RAG indexing / long-doc pretraining prep):
     * each doc yields windows of `chunkLen` tokens advancing by `stride`
     * (`chunkLen - stride` tokens of overlap), the standard fixed-window

@@ -75,6 +75,33 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("mix schedule: weighted round-robin interleave, positions unique and ordered") {
+    // weights from the numeric suffix % 3 + 1: src1 -> 2, src2 -> 3, src3 -> 1
+    // cycle layout (alphabetical): [src1, src1, src2, src2, src2, src3], W = 6
+    val docs = (1 to 4).map(i => (i.toLong, "src1")) ++
+      (11 to 16).map(i => (i.toLong, "src2")) ++ Seq((21L, "src3"))
+    val out = Curation.mixSchedule(docs.toDF("doc_id", "source"))
+      .orderBy("global_pos")
+      .select("doc_id", "source", "cycle", "slot", "global_pos")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // cycle 0: src1 docs 1,2 at slots 0,1; src2 docs 11,12,13 at 2,3,4; src3 21 at 5
+    assert(out.take(6).map(r => (r._1, r._5)).toSeq ==
+      Seq((1L, 0L), (2L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (21L, 5L)))
+    // cycle 1: src1 3,4 at 6,7; src2 14,15,16 at 8,9,10; src3 exhausted -> gap at 11
+    assert(out.drop(6).map(r => (r._1, r._5)).toSeq ==
+      Seq((3L, 6L), (4L, 7L), (14L, 8L), (15L, 9L), (16L, 10L)))
+    // schedule invariants on the real corpus: positions unique, and each
+    // source's docs appear in doc_id order along the global stream
+    val real = Curation.mixSchedule(Tables.documents(spark, sfDir))
+      .select("doc_id", "source", "global_pos")
+      .as[(Long, String, Long)].collect()
+    assert(real.map(_._3).distinct.length == real.length, "global_pos collision")
+    for ((_, grp) <- real.groupBy(_._2)) {
+      val byPos = grp.sortBy(_._3).map(_._1)
+      assert(byPos.sameElements(byPos.sorted), "source stream out of doc_id order")
+    }
+  }
+
   test("z-order: interleave is bit-exact; per-file boxes beat a single-column sort") {
     // hand-computed Morton value: x=3 (011), y=5 (101) ->
     // bit0: 1<<0 + 1<<1, bit1: 1<<2 + 0<<3, bit2: 0<<4 + 1<<5 = 39
