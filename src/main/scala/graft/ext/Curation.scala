@@ -324,6 +324,49 @@ object Curation {
           .as("chunk_text"))
   }
 
+  case class PackIn(doc_id: Long, source: String, n_tokens: Long)
+  case class PackOut(doc_id: Long, source: String, n_tokens: Long,
+                     start_off: Long, bin_first: Long, bin_last: Long,
+                     n_bins_spanned: Long)
+
+  /** Streaming [[sequencePack]]: the per-source running token offset lives
+    * in `GroupState`, so an INCREMENTAL corpus keeps filling L-token
+    * training bins across micro-batches (and across restarts — the offset
+    * is checkpointed state) instead of re-packing the whole corpus per
+    * delivery. Docs are packed in doc_id order within each batch; across
+    * batches the order is arrival order, exactly like a real ingestion
+    * feed. Token counting stays in codegen'd columns BEFORE the stateful
+    * op — the state function only does integer arithmetic on
+    * (doc_id, n_tokens), so per-group work is O(batch docs), state is one
+    * long per source.
+    */
+  def sequencePackStreaming(docs: DataFrame, seqLen: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[PackIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, it: Iterator[PackIn],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          var off = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tokens
+            val binFirst = start / seqLen
+            val binLast = (start + d.n_tokens - 1) / seqLen
+            PackOut(d.doc_id, source, d.n_tokens, start,
+              binFirst, binLast, binLast - binFirst + 1)
+          }
+          state.update(off)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** The full curation pipeline in one call — what a training-data job runs
     * daily at 100 TB: quality gate (integer-arithmetic thresholds) →
     * exact-dedup canonical survivors → language targeting → per-source

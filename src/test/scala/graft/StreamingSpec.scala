@@ -173,6 +173,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming sequence packing carries per-source token offsets across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val packed = graft.ext.Curation.sequencePackStreaming(
+      mem.toDF().toDF("doc_id", "source", "text"), seqLen = 4L)
+    val q = Topology.startMemorySink(packed, "packed_test", tick)
+    // batch 1: src a gets 3 + 2 tokens, src b gets 5
+    mem.addData((1L, "a", "t1 t2 t3"), (2L, "a", "t4 t5"), (10L, "b", "u1 u2 u3 u4 u5"))
+    q.processAllAvailable()
+    // batch 2: src a continues AT OFFSET 5, not 0 — the state is the point
+    mem.addData((3L, "a", "t6 t7 t8"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("packed_test")
+      .select("doc_id", "start_off", "bin_first", "bin_last", "n_bins_spanned")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),   // tokens [0,3) -> bin 0
+      (2L, 3L, 0L, 1L, 2L),   // tokens [3,5) -> spans bins 0-1
+      (3L, 5L, 1L, 1L, 1L),   // batch 2 resumes at offset 5 -> bin 1
+      (10L, 0L, 0L, 1L, 2L))) // source b has its own offset stream
+    // and the single-batch prefix agrees with the batch operator
+    val batch = graft.ext.Curation.sequencePack(
+      Seq((1L, "a", "t1 t2 t3"), (2L, "a", "t4 t5"), (10L, "b", "u1 u2 u3 u4 u5"))
+        .toDF("doc_id", "source", "text"), seqLen = 4L)
+      .select("doc_id", "start_off", "bin_first", "bin_last", "n_bins_spanned")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(batch.toSeq == got.toSeq.filter(_._1 != 3L))
+  }
+
   test("streaming threshold crossings emit exactly once per threshold") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
