@@ -163,6 +163,9 @@ object SparkEntry {
     // weighted round-robin epoch schedule (the trainer's data order)
     "ext_mix_schedule" -> ((s, d) =>
       Curation.mixSchedule(docs(s, d)).orderBy("global_pos")),
+    // hash-salted train/val/test split, audited per source x split
+    "ext_split_audit" -> ((s, d) =>
+      Curation.splitAudit(docs(s, d)).orderBy("source", "split")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
     // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
@@ -1065,6 +1068,17 @@ object SparkEntry {
          |  (cum_tokens - 1) // 64 AS bin_last,
          |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_split_audit" ->
+      s"""WITH spb AS (SELECT source,
+         |    ${h60("'v1:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM spb GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "ext_mix_schedule" ->
       """WITH msw AS (SELECT DISTINCT source,
         |    CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3 + 1 AS w FROM documents),

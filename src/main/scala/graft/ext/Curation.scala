@@ -324,6 +324,36 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** Deterministic train/validation/test split: a salted content-free hash
+    * of doc_id lands each doc in one of 1000 buckets; buckets [0,900) →
+    * train, [900,950) → val, rest → test. Hash-of-key (not random()) makes
+    * the assignment reproducible across runs, engines, partitionings and
+    * re-ingestions — the property a leakage audit needs — and the salt
+    * creates INDEPENDENT splits for different experiments (same salt =
+    * same split, new salt = fresh re-randomization). Emits the assignment
+    * plus per-(source, split) doc/token counts so stratification imbalance
+    * is visible at a glance. Shuffle profile: the assignment is narrow;
+    * the audit is one hash-agg over source × 3 groups.
+    */
+  def splitAssign(documents: DataFrame, salt: String = "v1"): DataFrame =
+    documents
+      .withColumn("bucket",
+        Exact.md5Hash60(concat(lit(s"$salt:"), col("doc_id"))) % 1000)
+      .withColumn("split",
+        when(col("bucket") < 900, lit("train"))
+          .when(col("bucket") < 950, lit("val"))
+          .otherwise(lit("test")))
+
+  /** Per-(source, split) doc/token counts over [[splitAssign]] — the
+    * stratification-imbalance audit a split ships with.
+    */
+  def splitAudit(documents: DataFrame, salt: String = "v1"): DataFrame =
+    splitAssign(documents, salt)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .select("source", "split", "n_docs", "n_tokens")
+
   case class PackIn(doc_id: Long, source: String, n_tokens: Long)
   case class PackOut(doc_id: Long, source: String, n_tokens: Long,
                      start_off: Long, bin_first: Long, bin_last: Long,

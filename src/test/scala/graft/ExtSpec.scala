@@ -75,6 +75,26 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("split assignment: deterministic, salt-independent re-randomization, ~90/5/5") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Curation.splitAssign(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // reproducible under re-partitioning (hash of key, not random())
+    val b = Curation.splitAssign(docs.repartition(7))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // every doc gets exactly one split; ratios land near 90/5/5
+    assert(a.size == docs.count())
+    val bySplit = a.values.groupBy(identity).view.mapValues(_.size)
+    val n = a.size.toDouble
+    assert(bySplit("train") / n > 0.85 && bySplit("train") / n < 0.95)
+    assert(bySplit("val") / n < 0.10 && bySplit("test") / n < 0.10)
+    // a new salt re-randomizes: some docs must move between splits
+    val c = Curation.splitAssign(docs, salt = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.exists { case (k, v) => c(k) != v }, "salt change moved no docs")
+  }
+
   test("mix schedule: weighted round-robin interleave, positions unique and ordered") {
     // weights from the numeric suffix % 3 + 1: src1 -> 2, src2 -> 3, src3 -> 1
     // cycle layout (alphabetical): [src1, src1, src2, src2, src2, src3], W = 6

@@ -86,6 +86,37 @@ class PropertySpec extends SparkSpec {
         .distinctBy(_._1) // unique doc_ids
     }
 
+  test("chunker: full coverage, stride-aligned starts, reconstruction from prefixes") {
+    docFrames(4).foreach { docs =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val chunks = graft.ext.Curation.chunkDocuments(df, chunkLen = 8, stride = 5)
+        .orderBy("doc_id", "chunk_id")
+        .select("doc_id", "chunk_id", "start_tok", "chunk_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+      val norm = df.select(col("doc_id"),
+          graft.ext.TextAnalysis.normalized(col("text")).as("n"))
+        .as[(Long, String)].collect().toMap
+      for ((docId, grp0) <- chunks.groupBy(_._1)) {
+        val grp = grp0.sortBy(_._2)
+        val n = norm(docId).split(" ", -1).length
+        // starts advance by exactly stride from 0; ids are dense
+        assert(grp.map(_._3).toSeq == grp.indices.map(_ * 5L))
+        assert(grp.map(_._2).toSeq == grp.indices.map(_.toLong))
+        // every token index is covered: last chunk reaches the end, and
+        // consecutive windows overlap (stride < chunkLen) or abut
+        assert(grp.last._3 + grp.last._4 == n)
+        assert(grp.forall(c => c._4 > 0))
+        // reconstruction: the stride-prefix of each window (all of the last)
+        // concatenates back to the normalized text
+        val rebuilt = grp.zipWithIndex.flatMap { case (c, i) =>
+          val toks = c._5.split(" ", -1)
+          if (i == grp.length - 1) toks else toks.take(5)
+        }.mkString(" ")
+        assert(rebuilt == norm(docId), s"doc $docId reconstruction mismatch")
+      }
+    }
+  }
+
   test("token budget: in_budget is prefix-closed per source (monotone running sum)") {
     docFrames(5).foreach { docs =>
       val out = graft.ext.Curation.tokenBudget(

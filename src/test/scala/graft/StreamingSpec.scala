@@ -203,6 +203,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == got.toSeq.filter(_._1 != 3L))
   }
 
+  test("chunker runs unchanged on a stream (stateless narrow op, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Topology.startMemorySink(
+      graft.ext.Curation.chunkDocuments(
+        mem.toDF().toDF("doc_id", "text"), chunkLen = 4, stride = 3),
+      "chunk_stream", tick)
+    mem.addData((1L, "a b c d e"))
+    q.processAllAvailable()
+    mem.addData((2L, "f g"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunk_stream")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "a b c d"), (1L, 1L, "d e"), (2L, 0L, "f g")))
+  }
+
   test("streaming threshold crossings emit exactly once per threshold") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
