@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Layout, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -176,6 +176,9 @@ object SparkEntry {
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
+    // co-citation domain PageRank, 2 iterations of exact ppm fixed point
+    "ext_domain_rank" -> ((s, d) =>
+      Graphs.domainRank(Curation.withUrlsInjected(docs(s, d)))),
     // canonicalization collapses case/port/utm/fragment/slash variants
     "ext_url_dedup" -> ((s, d) =>
       Curation.urlDedup(Curation.withMessyUrlsInjected(docs(s, d)))
@@ -1207,6 +1210,37 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
+    // PageRank unrolled to 2 iterations: ppm floor-division fixed point is
+    // engine-exact, so the ranks hash-match with no float tolerance
+    "ext_domain_rank" ->
+      """WITH pru AS (SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 50) || '.example.org/p' ||
+        |    (doc_id % 7) || ' and http://mirror' || (doc_id % 3) || '.example.com/x' AS text
+        |  FROM documents),
+        |prl AS (SELECT DISTINCT doc_id, domain FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1)) AS domain
+        |    FROM pru)),
+        |pre AS (SELECT DISTINCT a.domain AS src, b.domain AS dst
+        |  FROM prl a JOIN prl b USING (doc_id) WHERE a.domain != b.domain),
+        |prd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pre GROUP BY 1),
+        |prn AS (SELECT DISTINCT domain FROM prl),
+        |pr0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS rank_ppm FROM prn),
+        |prc1 AS (SELECT e.dst AS domain,
+        |    CAST(sum(r.rank_ppm // d.outdeg) AS BIGINT) AS in_ppm
+        |  FROM pre e JOIN pr0 r ON r.domain = e.src JOIN prd d ON d.src = e.src
+        |  GROUP BY 1),
+        |pr1 AS (SELECT n.domain,
+        |    CAST(150000 + (850000 * coalesce(c.in_ppm, 0)) // 1000000 AS BIGINT) AS rank_ppm
+        |  FROM prn n LEFT JOIN prc1 c USING (domain)),
+        |prc2 AS (SELECT e.dst AS domain,
+        |    CAST(sum(r.rank_ppm // d.outdeg) AS BIGINT) AS in_ppm
+        |  FROM pre e JOIN pr1 r ON r.domain = e.src JOIN prd d ON d.src = e.src
+        |  GROUP BY 1),
+        |pr2 AS (SELECT n.domain,
+        |    CAST(150000 + (850000 * coalesce(c.in_ppm, 0)) // 1000000 AS BIGINT) AS rank_ppm
+        |  FROM prn n LEFT JOIN prc2 c USING (domain))
+        |SELECT domain, rank_ppm FROM pr2 ORDER BY rank_ppm DESC, domain""".stripMargin,
     "ext_url_dedup" ->
       """WITH ucorp AS (SELECT doc_id,
         |    text || ' read https://Site' || (doc_id % 5) || '.Example.ORG:443/page'

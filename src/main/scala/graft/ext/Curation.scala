@@ -601,7 +601,7 @@ object Curation {
         countDistinct("doc_id").as("n_docs"),
         min("doc_id").as("first_doc_id"))
 
-  private val UrlDomainRe = "https?://([a-z0-9.-]+)/"
+  private[ext] val UrlDomainRe = "https?://([a-z0-9.-]+)/"
 
   /** Per-domain link rollup (the blocklist/allowlist signal of web-corpus
     * curation): extract every URL's domain, count documents and link

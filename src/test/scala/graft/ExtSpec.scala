@@ -75,6 +75,26 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("domain rank: hand-computed star graph, exact ppm fixed point") {
+    // star: A co-cited with B, C, D (one doc each) -> edges A<->B, A<->C,
+    // A<->D; outdeg A=3, leaves=1. By hand in ppm floor arithmetic:
+    // iter1: A = 150000 + 850000*3000000//1M = 2700000
+    //        leaf = 150000 + 850000*(1000000//3)//1M = 433333
+    // iter2: A = 150000 + 850000*(3*433333)//1M = 1254999
+    //        leaf = 150000 + 850000*(2700000//3)//1M = 915000
+    val docs = Seq(
+      (1L, "x https://a.org/ y https://b.org/ z"),
+      (2L, "x https://a.org/ y https://c.org/ z"),
+      (3L, "x https://a.org/ y https://d.org/ z")).toDF("doc_id", "text")
+    val got = Graphs.domainRank(docs).as[(String, Long)].collect().toSeq
+    assert(got.head == (("a.org", 1254999L)))
+    assert(got.tail.toSet == Set(("b.org", 915000L), ("c.org", 915000L), ("d.org", 915000L)))
+    // the fixpoint loop must release every checkpoint it takes
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1, // the returned frame
+      s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keySet}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("split assignment: deterministic, salt-independent re-randomization, ~90/5/5") {
     val docs = Tables.documents(spark, sfDir)
     val a = Curation.splitAssign(docs)
