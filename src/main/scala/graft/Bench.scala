@@ -84,8 +84,10 @@ object Bench {
     // noise at sf0.1 is itself ~0.1 s, so centiseconds were false
     // precision), trailing zeros stripped ("1.0"->"1"), basename-only sf,
     // nested family groups, and a hard length check.
-    def num(v: Double): String =
-      f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    // per-query values are INTEGER DECISECONDS ("qunit":"ds" below): "0.3 s"
+    // prints as 3. At 101 queries the former 0.1-precision decimals overflow
+    // the window ("0.3" is three bytes, "3" is one — ~150 bytes back)
+    def num(v: Double): String = math.rint(v * 10).toLong.toString
     // the 93-query suite no longer fits flat full names in the window
     // (2107 bytes measured), so the map nests by family prefix:
     // {"":{...},"ann":{...},"ext":{...}} — a query's full name is
@@ -112,7 +114,7 @@ object Bench {
     // the tail window, and an absent field reads the same as an empty one
     val extras = (if (failed == "[]") "" else s""","failed":$failed""") +
       (if (unknownJson == "[]") "" else s""","unknown":$unknownJson""")
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$extras,"sf":"$sfName"}"""
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"ds","queries":$qs$extras,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"BENCH LINE TOO LONG (${line.length} > 1950): the driver's " +
         "2000-char tail capture will truncate it — shrink the encoding further")
