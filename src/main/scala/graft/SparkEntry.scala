@@ -166,6 +166,10 @@ object SparkEntry {
     // hash-salted train/val/test split, audited per source x split
     "ext_split_audit" -> ((s, d) =>
       Curation.splitAudit(docs(s, d)).orderBy("source", "split")),
+    // single-pass ingest-batch profile: null/distinct/min/max per column
+    "ext_profile" -> ((s, d) =>
+      Curation.profile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column_name")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
     // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
@@ -1071,6 +1075,23 @@ object SparkEntry {
          |  (cum_tokens - 1) // 64 AS bin_last,
          |  (cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1 AS n_bins_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ext_profile" ->
+      """SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        |  SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+        |  FROM documents
+        |  UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY column_name""".stripMargin,
     "ext_split_audit" ->
       s"""WITH spb AS (SELECT source,
          |    ${h60("'v1:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,

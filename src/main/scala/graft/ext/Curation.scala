@@ -324,6 +324,38 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** Single-pass per-column data-quality profile — the "profile every
+    * ingest batch" monitor a 100 TB pipeline runs before admitting a crawl
+    * delivery: row count plus per-column null count, distinct count, and
+    * min/max (stringified for a uniform schema). ALL columns' stats come
+    * from ONE aggregation — Spark plans the multiple count-distincts as a
+    * single Expand (one scan, one shuffle of |cols|-way expanded partials),
+    * not one job per column — and the wide one-row result unpivots to one
+    * row per column with a narrow stack(). min/max are computed in the
+    * column's native type and cast after, so numeric columns profile
+    * numerically.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__null"),
+        countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}__null").as("n_null"),
+      col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_val"),
+      col(s"${c}__max").as("max_val"))): _*)
+    df.agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(perCol).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
   /** Deterministic train/validation/test split: a salted content-free hash
     * of doc_id lands each doc in one of 1000 buckets; buckets [0,900) →
     * train, [900,950) → val, rest → test. Hash-of-key (not random()) makes

@@ -75,6 +75,22 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("profiler: null/distinct/minmax per column from one Expand aggregation") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a"))).toDF("k", "v")
+    val out = Curation.profile(df, Seq("k", "v"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(out(0) == (("k", 4L, 1L, 2L, "1", "2")))
+    assert(out(1) == (("v", 4L, 1L, 2L, "a", "c")))
+    // single-pass shape: exactly one Expand (the multi-count-distinct
+    // rewrite), not one scan per column
+    val plan = Curation.profile(df, Seq("k", "v")).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "multi-distinct should plan as Expand")
+    assert("(?s)Scan".r.findAllIn(plan).size <= 2, s"profiler re-scans per column:\n$plan")
+  }
+
   test("domain rank: hand-computed star graph, exact ppm fixed point") {
     // star: A co-cited with B, C, D (one doc each) -> edges A<->B, A<->C,
     // A<->D; outdeg A=3, leaves=1. By hand in ppm floor arithmetic:
