@@ -19,6 +19,16 @@ class SurfaceSpec extends SparkSpec {
                  k: Int = 1): TestEv =
     TestEv(id, Timestamp.valueOf(t), u, et, v, s"""{"k": $k}""")
 
+  test("driver contract: oracle keys map onto queries; rows-only set is documented") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle SQL without a query: ${o.diff(q)}")
+    // a query without oracle SQL gets only the driver's weaker rows>0 check;
+    // every such case must be a deliberate, named exception
+    assert(q.diff(o) == Set("ext_decontaminate_bloom"),
+      s"undocumented rows-only queries: ${q.diff(o) - "ext_decontaminate_bloom"}")
+  }
+
   test("typed Aggregator path equals untyped answerCounts") {
     val e = Tables.events(spark, sfDir)
     val typed = Achievements.typedAnswerCounts(spark, e)
