@@ -145,6 +145,9 @@ object SparkEntry {
     // the BPE training inner loop: next merge candidates by pair frequency
     "ext_bpe_merge" -> ((s, d) =>
       TextAnalysis.bpeMergeStep(docs(s, d)).orderBy("rank")),
+    // one full BPE iteration: apply the corpus argmax merge leftmost-greedy
+    "ext_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApplyStep(docs(s, d)).orderBy("doc_id")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
     // SQ8 search: integer dot products over int8 codes — exact on any engine
     "ann_sq8_topk" -> ((s, d) =>
@@ -928,6 +931,46 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank,
          |  pair, freq
          |FROM bpc ORDER BY freq DESC, pair ASC LIMIT 10""".stripMargin,
+    // leftmost-greedy merge as windows: match islands chain only when a=b,
+    // so greedy = even offsets from each island start — no recursion needed
+    "ext_bpe_apply" ->
+      s"""WITH bat AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents),
+         |bapp AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS pair
+         |  FROM bat WHERE len(t) >= 2),
+         |bacc AS (SELECT pair, count(*) AS freq FROM bapp GROUP BY 1),
+         |bab AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         |  FROM bacc ORDER BY freq DESC, pair LIMIT 1),
+         |bax AS (SELECT doc_id, unnest(t) AS tok,
+         |    CAST(generate_subscripts(t, 1) AS BIGINT) AS pos FROM bat),
+         |baf AS (SELECT doc_id, pos, tok,
+         |    coalesce(tok = (SELECT a FROM bab) AND
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT b FROM bab),
+         |      false) AS m
+         |  FROM bax),
+         |bai AS (SELECT doc_id, pos, tok, m,
+         |    m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+         |      AS isl_start
+         |  FROM baf),
+         |bap0 AS (SELECT doc_id, pos, tok, m,
+         |    max(CASE WHEN isl_start THEN pos END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS p0
+         |  FROM bai),
+         |bam AS (SELECT doc_id, pos, tok,
+         |    m AND (pos - p0) % 2 = 0 AS merged FROM bap0),
+         |bacn AS (SELECT doc_id, pos, tok, merged,
+         |    coalesce(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos), false)
+         |      AS consumed
+         |  FROM bam),
+         |bao AS (SELECT doc_id, pos, merged,
+         |    CASE WHEN merged THEN (SELECT a || '_' || b FROM bab)
+         |         WHEN NOT consumed THEN tok END AS out
+         |  FROM bacn)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before,
+         |  CAST(count(CASE WHEN merged THEN 1 END) AS BIGINT) AS n_merges,
+         |  CAST(count(*) - count(CASE WHEN merged THEN 1 END) AS BIGINT) AS n_after,
+         |  ${h60("string_agg(out, ' ' ORDER BY pos)")} AS merged_hash
+         |FROM bao GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ext_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs

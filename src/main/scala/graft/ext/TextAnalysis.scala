@@ -181,6 +181,59 @@ object TextAnalysis {
       .select("rank", "pair", "freq")
   }
 
+  /** The OTHER half of the BPE training iteration: apply one learned merge
+    * (a, b) to every document's token stream, leftmost-greedy and
+    * non-overlapping — exactly the order a sequential tokenizer merges.
+    *
+    * The greedy recurrence merged(i) = match(i) ∧ ¬merged(i-1) looks
+    * sequential, but has a closed form over windows: consecutive match
+    * positions can only chain when a = b (match(i) ∧ match(i+1) forces
+    * t(i+1) = a = b), so within each ISLAND of consecutive matches greedy
+    * merges exactly the even offsets from the island start. Match flags,
+    * island starts, the running island-start position, parity, and the
+    * consumed-successor flag are all windows over ONE (doc_id, pos)
+    * sort — a single shuffle, no recursion, no UDF; identical SQL runs in
+    * the oracle. Merged pairs emit as "a_b"; the per-doc output carries
+    * counts plus a 60-bit hash of the rebuilt stream, so the verification
+    * pins the actual merged sequence, not just how often it merged.
+    */
+  def bpeApplyMerge(documents: DataFrame, a: String, b: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("m",
+        coalesce(col("tok") === lit(a) && lead("tok", 1).over(byDoc) === lit(b),
+          lit(false)))
+      .withColumn("isl_start",
+        col("m") && !coalesce(lag("m", 1).over(byDoc), lit(false)))
+      .withColumn("p0", max(when(col("isl_start"), col("pos"))).over(byDoc))
+      .withColumn("merged", col("m") && (col("pos") - col("p0")) % 2 === 0)
+      .withColumn("consumed", coalesce(lag("merged", 1).over(byDoc), lit(false)))
+      .withColumn("out",
+        when(col("merged"), lit(s"${a}_$b"))
+          .when(!col("consumed"), col("tok")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(col("merged").cast("long")).as("n_merges"),
+        (count(lit(1)) - sum(col("merged").cast("long"))).as("n_after"),
+        graft.functions.Exact.md5Hash60(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("out").isNotNull,
+            struct(col("pos"), col("out"))))),
+          x => x.getField("out")))).as("merged_hash"))
+  }
+
+  /** [[bpeApplyMerge]] driven by the corpus's own argmax pair — one full
+    * BPE training iteration (count → choose → apply). The top-1 pair is
+    * driver-collected control flow, like the heavy-hitter sketch: one
+    * broadcast-sized row decides the next distributed pass.
+    */
+  def bpeApplyStep(documents: DataFrame): DataFrame = {
+    val top = bpeMergeStep(documents, 1).select("pair").head().getString(0)
+    val Array(a, b) = top.split(" ", 2)
+    bpeApplyMerge(documents, a, b)
+  }
+
   /** BPE-ish token classes: counts of alpha runs, digit runs, and single
     * non-alphanumeric symbols — the regex-class pre-tokenization a BPE
     * tokenizer applies before merges. Integer outputs on both engines.

@@ -327,6 +327,32 @@ class ExtSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("bpe apply: leftmost-greedy non-overlapping merge, chain parity exact") {
+    val docs = Seq(
+      (1L, "a a a"),          // greedy on (a,a): [a_a, a] — NOT two merges
+      (2L, "a a a a"),        // [a_a, a_a]
+      (3L, "x a b a b y"),    // (a,a) misses; (a,b) merges both
+      (4L, "solo")).toDF("doc_id", "text")
+    def run(a: String, b: String) =
+      graft.ext.TextAnalysis.bpeApplyMerge(docs, a, b).orderBy("doc_id")
+        .select("doc_id", "n_before", "n_merges", "n_after", "merged_hash")
+        .as[(Long, Long, Long, Long, Long)].collect()
+    val aa = run("a", "a")
+    assert(aa.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 3L, 1L, 2L), (2L, 4L, 2L, 2L), (3L, 6L, 0L, 6L), (4L, 1L, 0L, 1L)))
+    val ab = run("a", "b")
+    assert(ab.map(r => (r._1, r._3)).toSeq == Seq((1L, 0L), (2L, 0L), (3L, 2L), (4L, 0L)))
+    // the hash pins the rebuilt streams, not just the counts
+    val expect = Seq("a_a a", "a_a a_a", "x a b a b y", "solo").zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.Exact.md5Hash60(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    for (r <- aa) assert(r._5 == expect(r._1), s"doc ${r._1} stream hash mismatch")
+    assert(ab.find(_._1 == 3L).get._5 ==
+      Seq(("x a_b a_b y")).toDF("t")
+        .select(graft.functions.Exact.md5Hash60(col("t"))).as[Long].head())
+  }
+
   test("bpe merge step: argmax pair on a known corpus, deterministic ties") {
     val docs = Seq(
       (1L, "a b a b a b"),   // "a b" x3, "b a" x2
