@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, TextAnalysis}
+
+/** Scale-evidence probe for the round-8 text/curation operators (SCALE.md
+  * "Measured evidence"): wall-clock for the chunker, the BPE apply step,
+  * and the mixing schedule at 1× and 10× corpus size. All three claim
+  * linear shapes (narrow; one doc-keyed window shuffle; one source-keyed
+  * window + broadcast dim) — the probe measures the actual exponent.
+  * Copies carry a per-copy token prefix so corpus-level statistics shift
+  * rather than replicate (and per-copy doc_ids stay distinct).
+  */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    def scaled(times: Int): DataFrame =
+      (0 until times).map { c =>
+        base.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat(lit(s"c$c "), col("text")).as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+
+    def median3(mk: => DataFrame): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+
+    // warmup
+    Curation.chunkDocuments(base).write.format("noop").mode("overwrite").save()
+
+    Seq(1, 10, 100).foreach { times =>
+      val docs = scaled(times).localCheckpoint(true)
+      val n = docs.count()
+      val chunk = median3(Curation.chunkDocuments(docs))
+      val bpe = median3(TextAnalysis.bpeApplyMerge(docs, "the", "data"))
+      val mix = median3(Curation.mixSchedule(docs))
+      println(f"""{"probe":"textops","scale":$times,"n_docs":$n,""" +
+        f""""chunk_s":$chunk%.2f,"bpe_apply_s":$bpe%.2f,"mix_s":$mix%.2f}""")
+      docs.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+}
