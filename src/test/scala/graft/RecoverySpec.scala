@@ -167,6 +167,52 @@ class RecoverySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_maint_test")
   }
 
+  test("streaming sequence packing: per-source offsets survive restart") {
+    val root = managedTempDir("packrec")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").write.mode("append").parquet(srcDir)
+
+    val outDir = s"$root/out"
+    def startQuery() = {
+      val in = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING").parquet(srcDir)
+      graft.ext.Curation.sequencePackStreaming(in, seqLen = 4L)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    }
+
+    // 5 tokens for source a land before the stop
+    writeDocs(Seq((1L, "a", "t1 t2 t3"), (2L, "a", "t4 t5")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // docs arriving while the query is down must resume AT OFFSET 5 — the
+    // GroupState offset is checkpointed state, not per-run memory
+    writeDocs(Seq((3L, "a", "t6 t7 t8")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "start_off", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 3L, 0L, 1L),
+      (3L, 5L, 1L, 1L)), s"offsets did not survive restart: ${got.toSeq}")
+  }
+
   test("crossing detector state survives restart: no threshold re-emitted") {
     import graft.operators.Achievements
     val root = managedTempDir("xrecovery")
