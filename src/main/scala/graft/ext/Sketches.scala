@@ -145,13 +145,17 @@ object Sketches {
   val CmsD = 4
   val CmsW = 256
 
-  /** The d per-row cell indices for one key — md5-seeded like the MinHash
-    * permutation family, so the DuckDB oracle reproduces every cell exactly:
+  /** The d per-row cell indices for one key, bit-packed into 16-bit lanes
+    * of one long (row r's cell at bits [16r, 16r+16)) — the primitive form
+    * [[graft.functions.CmsSketch.CmsAgg]] consumes without per-row
+    * allocation. Hashes are md5-seeded like the MinHash permutation
+    * family, so the DuckDB oracle reproduces every cell exactly:
     * row r's cell is `h60("r:" || key) % w`.
     */
   def cmsCells(key: Column, d: Int = CmsD, w: Int = CmsW): Column =
-    array((0 until d).map(r =>
-      (Exact.md5Hash60Seeded(r, key) % w).cast("int")): _*)
+    (0 until d).map(r =>
+      shiftleft(Exact.md5Hash60Seeded(r, key) % w, 16 * r))
+      .reduce(_.bitwiseOR(_))
 
   /** CMS point estimate for `key` against a sketch-matrix column: min over
     * rows of the addressed cell (element_at is 1-based).

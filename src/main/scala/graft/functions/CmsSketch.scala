@@ -33,15 +33,26 @@ object CmsSketch {
 
   /** Named (not anonymous) so physical plans read `CmsAgg` at the
     * aggregate nodes instead of an opaque `$$anon$1`.
+    *
+    * Input is ONE long with the d cell indices bit-packed into 16-bit
+    * lanes (row r's cell = bits [16r, 16r+16)) rather than a Seq[Int]:
+    * the packed form crosses the udaf boundary as a primitive — no
+    * per-row array allocation/deserialization in the hot loop. Measured
+    * ~10% on the whole sf0.1 query (1.35 → 1.21 s — the two corpus scans
+    * dominate there); the allocation-free boundary is what matters when
+    * the aggregator IS the job, i.e. the 100 TB single-pass profile.
+    * Caps: d ≤ 4, w ≤ 65536.
     */
-  final class CmsAgg(d: Int, w: Int) extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+  final class CmsAgg(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(d >= 1 && d <= 4 && w >= 1 && w <= 65536,
+      s"packed CMS needs d in [1,4], w in [1,65536]; got d=$d w=$w")
+
     override def zero: Array[Long] = new Array[Long](d * w)
 
-    override def reduce(b: Array[Long], cells: Seq[Int]): Array[Long] = {
+    override def reduce(b: Array[Long], packed: Long): Array[Long] = {
       var r = 0
-      val it = cells.iterator
-      while (r < d && it.hasNext) {
-        b(r * w + it.next()) += 1L
+      while (r < d) {
+        b(r * w + ((packed >>> (16 * r)) & 0xFFFFL).toInt) += 1L
         r += 1
       }
       b
@@ -59,13 +70,12 @@ object CmsSketch {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  def agg(d: Int, w: Int): Aggregator[Seq[Int], Array[Long], Array[Long]] = new CmsAgg(d, w)
+  def agg(d: Int, w: Int): Aggregator[Long, Array[Long], Array[Long]] = new CmsAgg(d, w)
 
-  /** The sketch as an aggregate Column over an array-of-cell-indices column
-    * (element r ∈ [0, w) addresses row r; build it with
-    * [[graft.ext.Sketches.cmsCells]] so both engines hash identically).
-    * Output: the d×w matrix, row-major.
+  /** The sketch as an aggregate Column over a bit-packed cell column
+    * (build it with [[graft.ext.Sketches.cmsCells]] so both engines hash
+    * identically). Output: the d×w matrix, row-major.
     */
   def cms(c: Column, d: Int, w: Int): Column =
-    udaf(agg(d, w), ExpressionEncoder[Seq[Int]]()).apply(c)
+    udaf(agg(d, w), org.apache.spark.sql.Encoders.scalaLong).apply(c)
 }
