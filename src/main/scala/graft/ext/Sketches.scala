@@ -193,6 +193,32 @@ object Sketches {
       .orderBy(col("exact_freq").desc, col("token").asc)
   }
 
+  /** Per-window trending-token candidates: event-time tumbling windows,
+    * each folding its token stream into a ≤ m-entry MG sketch (candidate
+    * hashes) plus the exact window total. The streaming form is the point:
+    * watermark + window keeps only open windows' state, and each window's
+    * state is ≤ m longs REGARDLESS of vocabulary — per-window top-k by
+    * exact counts would hold the window's whole token dictionary in the
+    * state store. Candidates resolve hash→string through any batch-side
+    * dictionary join downstream (the two-pass discipline heavyShingles
+    * uses). Works identically over a batch frame (event-time column +
+    * same aggregation), which is how the spec pins streaming parity.
+    */
+  def trendingTokens(docs: DataFrame, windowDur: String = "1 hour",
+                     watermark: String = "30 minutes", m: Int = 64,
+                     streaming: Boolean = false): DataFrame = {
+    val base = if (streaming) docs.withWatermark("ts", watermark) else docs
+    base
+      .select(col("ts"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .select(col("ts"), Exact.md5Hash60(col("token")).as("h"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(MgSketch.mg(col("h"), m).as("candidates"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("candidates"), col("n_tokens"))
+  }
+
   /** Exact per-language distinct-token counts — the ground truth the sketch
     * approximates. Not a `queries` entry (it IS the expensive full-dedup the
     * sketch avoids); used by SketchesSpec to pin the estimator's error.

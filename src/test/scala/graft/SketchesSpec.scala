@@ -140,6 +140,49 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending tokens: per-window MG candidates, streaming matches batch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // window 1 spammed with "viral", window 2 with "quiet"; noise is distinct
+    val rows = Seq(
+      (t("2024-01-01 00:10:00"), "viral viral viral n1 n2"),
+      (t("2024-01-01 00:40:00"), "viral viral n3"),
+      (t("2024-01-01 01:20:00"), "quiet quiet quiet n4"))
+    val batch = Sketches.trendingTokens(rows.toDF("ts", "text"), m = 4)
+      .orderBy("win_start")
+      .select("win_start", "candidates", "n_tokens")
+      .as[(Timestamp, Seq[Long], Long)].collect()
+    val hViral = Seq("viral").toDF("t")
+      .select(graft.functions.Exact.md5Hash60(col("t"))).as[Long].head()
+    val hQuiet = Seq("quiet").toDF("t")
+      .select(graft.functions.Exact.md5Hash60(col("t"))).as[Long].head()
+    assert(batch.length == 2)
+    assert(batch(0)._2.contains(hViral) && batch(0)._3 == 8L)
+    assert(batch(1)._2.contains(hQuiet) && batch(1)._3 == 4L)
+    // streaming (update mode, watermark-bounded state) converges to batch
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Sketches.trendingTokens(in.toDF().toDF("ts", "text"),
+        m = 4, streaming = true)
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val fin = spark.table("trend_stream")
+        .groupBy("win_start")
+        .agg(last("candidates").as("c"), last("n_tokens").as("n"))
+        .orderBy("win_start")
+        .as[(Timestamp, Seq[Long], Long)].collect()
+      assert(fin.map(r => (r._1, r._3)).toSeq == batch.map(r => (r._1, r._3)).toSeq)
+      assert(fin(0)._2.contains(hViral) && fin(1)._2.contains(hQuiet))
+    } finally q.stop()
+  }
+
   test("MG sketch aggregates in streaming update mode; candidates stay a superset") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
