@@ -86,6 +86,49 @@ class PropertySpec extends SparkSpec {
         .distinctBy(_._1) // unique doc_ids
     }
 
+  test("bpe apply: window-parity form equals the sequential greedy reference") {
+    // the obviously-correct sequential tokenizer pass the windows replace
+    def greedyRef(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"${a}_$b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // tiny alphabet maximizes chains ("a a a a"), boundary pairs, a = b runs
+    val wordGen = Gen.oneOf("a", "b", "c")
+    val docGen2 = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    (1 to 6).foreach { seed =>
+      val docs = (1 to 30).map { i =>
+        (i.toLong, Gen.resize(12, docGen2)(Gen.Parameters.default, Seed(seed * 100L + i))
+          .getOrElse(sys.error("gen failed")))
+      }
+      val (pa, pb) = Seq(("a", "a"), ("a", "b"), ("b", "c"))(seed % 3)
+      val got = graft.ext.TextAnalysis.bpeApplyMerge(docs.toDF("doc_id", "text"), pa, pb)
+        .select("doc_id", "n_before", "n_merges", "n_after", "merged_hash")
+        .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val expectStr = docs.map { case (id, text) =>
+        id -> greedyRef(text.split(" ", -1).toSeq, pa, pb)
+      }.toMap
+      val expectHash = expectStr.toSeq.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "t")
+        .select(col("doc_id"), graft.functions.Exact.md5Hash60(col("t")).as("h"))
+        .as[(Long, Long)].collect().toMap
+      for ((id, text) <- docs) {
+        val n = text.split(" ", -1).length
+        val ref = expectStr(id)
+        val r = got(id)
+        assert(r._2 == n && r._4 == ref.length && r._3 == n - ref.length,
+          s"seed=$seed doc=$id pair=($pa,$pb) text='$text': got $r want ${ref.mkString(" ")}")
+        assert(r._5 == expectHash(id),
+          s"seed=$seed doc=$id pair=($pa,$pb) stream mismatch: want '${ref.mkString(" ")}'")
+      }
+    }
+  }
+
   test("chunker: full coverage, stride-aligned starts, reconstruction from prefixes") {
     docFrames(4).foreach { docs =>
       val df = docs.toDF("doc_id", "text", "lang", "source")
