@@ -234,6 +234,10 @@ object SparkEntry {
     "ext_dedup_keepbest" -> ((s, d) =>
       Dedup.dedupClustersKeepBest(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("cluster_id")),
+    // the dedup-audit report: cluster-size histogram incl. singletons
+    "ext_dedup_sizes" -> ((s, d) =>
+      Dedup.dedupClusterSizes(Dedup.withPerturbedCopies(docs(s, d)))
+        .orderBy("cluster_size")),
     // substring-granularity dedup (Lee et al. ACL 2022): perturbed copies
     // share all but their first token with the original, so every doc pair
     // (d, d+1M) has long duplicated runs — the construction the span
@@ -1070,6 +1074,21 @@ object SparkEntry {
          |          UNION
          |          SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "ext_dedup_sizes" ->
+      s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
+         |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+         |         UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM cand),
+         |reach AS (SELECT a, a AS b FROM (SELECT DISTINCT a FROM edge) base
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+         |dscanon AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY 1),
+         |dscid AS (SELECT n.doc_id, coalesce(c.canonical_id, n.doc_id) AS cid
+         |  FROM ncte n LEFT JOIN dscanon c USING (doc_id)),
+         |dscs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM dscid GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM dscs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "ext_pii_scrub" ->
       """WITH pii AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 555-' ||

@@ -261,6 +261,24 @@ object Dedup {
       minhashCandidates(documents).select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
       .select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
 
+  /** Cluster-size histogram over [[dedupClusters]] — the dedup-audit report
+    * (how much corpus mass sits in duplicate clusters, and how big the
+    * worst families are). Singletons count: docs in no candidate pair are
+    * size-1 clusters, so Σ n_docs is the whole corpus and the size-1 row
+    * reads off the unduplicated fraction directly. Adds two small hash-agg
+    * shuffles on top of the clustering (per-cluster count, then the ≤
+    * max-size histogram).
+    */
+  def dedupClusterSizes(documents: DataFrame): DataFrame =
+    documents.select("doc_id")
+      .join(dedupClusters(documents), Seq("doc_id"), "left")
+      .select(coalesce(col("canonical_id"), col("doc_id")).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Connected components by iterative min-label propagation + pointer
     * jumping over an undirected pair list `(a, b)` — the clustering engine
     * shared by MinHash doc dedup ([[dedupClusters]]) and semantic embedding

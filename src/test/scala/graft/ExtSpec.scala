@@ -249,6 +249,21 @@ class ExtSpec extends SparkSpec {
     assert(!got.contains(99L)) // no pairs -> not in the cluster output
   }
 
+  test("dedup cluster sizes: histogram covers the whole corpus incl. singletons") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, text),
+      (11L, text.split(" ").drop(1).mkString(" ")),
+      (12L, text.split(" ").drop(2).mkString(" ")),
+      (99L, (1 to 30).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.dedupClusterSizes(docs).orderBy("cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the 10-11-12 chain is one size-3 family; 99 is a singleton; mass sums
+    // to the corpus
+    assert(got == Seq((1L, 1L, 1L), (3L, 1L, 3L)))
+    assert(got.map(_._3).sum == 4L)
+  }
+
   test("native hash kernels match HOF formulations bit-for-bit") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val a = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
