@@ -45,6 +45,7 @@ object Similarity {
     */
   private def registerKernels(df: DataFrame): Unit = {
     CosineSimilarity.register(df.sparkSession)
+    graft.functions.IntDot.register(df.sparkSession)
     AnnKernels.register(df.sparkSession)
   }
 
@@ -737,8 +738,21 @@ object Similarity {
     * top-1 against the brute-force ground truth and report hit counts as
     * exact integers. At scale the ground-truth side stays Q×N (queries
     * broadcast), never N×N.
+    *
+    * `trainedCentroids` / `trainedCodebook` let a caller that already holds
+    * trained artifacts (the build-once/measure-many posture — training runs
+    * as its own job, exactly like [[buildIvfIndex]] vs [[searchIvfIndex]])
+    * drop them in, so the harness measures SEARCH recall instead of
+    * re-running the Lloyd / per-subspace training pipelines inside the
+    * measurement. They must equal [[trainIvfCentroids]] /
+    * [[trainPqCodebook]] output on the same corpus (both are exact
+    * fixed-point and deterministic, so a persisted copy is bit-identical
+    * and the harness output does not depend on which path supplied them);
+    * the self-contained default trains in-line.
     */
-  def annRecall(embeddings: DataFrame, numQueries: Int = 100): DataFrame = {
+  def annRecall(embeddings: DataFrame, numQueries: Int = 100,
+                trainedCentroids: Option[DataFrame] = None,
+                trainedCodebook: Option[DataFrame] = None): DataFrame = {
     import Checkpoints._
     registerKernels(embeddings)
     // the harness fans ONE corpus into five method pipelines plus the
@@ -759,12 +773,17 @@ object Similarity {
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
     // pqCodes has exactly one consumer per codebook (the ADC branch) — no
     // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny
-    // k-row result is checkpointed to run its training pass once
+    // k-row result is checkpointed to run its training pass once — unless
+    // the caller supplied it already materialized, in which case both
+    // consumers read the supplied frame directly
     val cbFirst = firstKCodebook(emb, 16)
     val pqAdc1 = pqAdcFromCodes(pqCodesFrom(emb, cbFirst, 8, 8), cbFirst, emb,
       numQueries, 1, 8, 8, 16)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
-    val (cbT, cbTIds) = checkpointTracked(trainPqCodebook(emb))
+    val (cbT, cbTIds) = trainedCodebook match {
+      case Some(cb) => (cb, Set.empty[Int])
+      case None     => checkpointTracked(trainPqCodebook(emb))
+    }
     val pqAdcT = pqAdcFromCodes(pqCodesFrom(emb, cbT, 8, 8), cbT, emb,
       numQueries, 1, 8, 8, 16)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
@@ -778,9 +797,11 @@ object Similarity {
     val isProbe = col("vec_id") < numQueries
     // the trained coarse quantizer's first Lloyd iteration IS the first-K
     // assignment already checkpointed for the untrained branches — reuse it
+    // when training in-line; a supplied centroid frame skips training here
+    val tCents = trainedCentroids.getOrElse(trainIvfCentroids(emb,
+      initAssign = Some(ranked.filter(col("crank") === 1))))
     val trainedIvf = probeScopedTop1(
-      assignTo(emb, trainIvfCentroids(emb,
-        initAssign = Some(ranked.filter(col("crank") === 1))), 1)
+      assignTo(emb, tCents, 1)
         .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
       isProbe)
     val lshBucketed = emb.select(col("vec_id"), col("embedding"),
@@ -1170,6 +1191,7 @@ object Similarity {
     * table and never scans it exhaustively.
     */
   def sq8TopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    registerKernels(embeddings)
     val q8 = embeddings
       .withColumn("maxabs", expr(
         "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(double(x))))"))
@@ -1179,19 +1201,32 @@ object Similarity {
       .select(col("vec_id"), col("q8"))
     val queries = q8.filter(col("vec_id") < numQueries)
       .agg(collect_list(struct(col("vec_id").as("qid"), col("q8").as("qv"))).as("qs"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    q8.crossJoin(broadcast(queries))
-      .select(col("vec_id").as("neighbor_id"), explode(expr(
-        """transform(qs, q -> named_struct(
-          |  'query_id', q.qid,
-          |  'dot', aggregate(zip_with(q.qv, q8, (x, y) -> x * y), 0L, (s, v) -> s + v)))"""
-          .stripMargin)).as("s"))
-      .select(col("s.query_id").as("query_id"), col("neighbor_id"), col("s.dot").as("dot"))
+    // explode the query list FIRST, then score: the dot runs as the native
+    // codegen'd int_dot expression (one fused loop, no intermediate zipped
+    // array) instead of inside a HOF lambda — at Q×N scored pairs the
+    // lambda interpretation was the dominant cost of this query
+    val scored = q8.crossJoin(broadcast(queries))
+      .select(col("vec_id").as("neighbor_id"), col("q8"), explode(col("qs")).as("q"))
+      .select(col("q.qid").as("query_id"), col("neighbor_id"),
+        expr("int_dot(q.qv, q8)").as("dot"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "dot")
+    if (k == 1)
+      // argmax as an aggregation, not a window (same trade as the ADC top-1
+      // path): max(struct) is lexicographic — dot desc wants max, the id
+      // asc tie-break negates — and it partial-aggregates map-side instead
+      // of shuffling all Q×N scored rows into a per-query sort
+      scored.groupBy("query_id")
+        .agg(max(struct(col("dot").as("dot"), (-col("neighbor_id")).as("negid"))).as("m"))
+        .select(col("query_id"), lit(1L).as("rank"),
+          (-col("m.negid")).as("neighbor_id"), col("m.dot").as("dot"))
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    }
   }
 
   def quantizeStats(embeddings: DataFrame): DataFrame =

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Train-once parquet store for deterministic trained artifacts (IVF coarse
+  * centroids, PQ codebooks). Production ANN systems separate training from
+  * search — train is a job, its artifact persists, every search/measurement
+  * consumes the persisted copy (same posture as [[Similarity.buildIvfIndex]]
+  * vs [[Similarity.searchIvfIndex]]). This store gives callers that posture
+  * for the k-row artifact frames: the first request for a key runs the
+  * builder and writes the result to parquet; every later request reads the
+  * parquet back.
+  *
+  * Both trainers are exact fixed-point and deterministic, and floats
+  * round-trip parquet bit-exactly, so a consumer cannot distinguish a
+  * cached artifact from a fresh training run — outputs hash identically.
+  *
+  * The store is scoped to the JVM (a fresh temp dir per process, wiped on
+  * exit): no staleness across code versions, no cross-process coordination.
+  * A cluster deployment would point `root` at shared storage instead.
+  */
+object TrainedStore {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-trained-")
+    sys.addShutdownHook {
+      // best-effort sweep; temp-dir GC covers anything left behind
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The parquet-backed artifact for `key` (a caller-chosen name that must
+    * capture everything the builder's output depends on — corpus path and
+    * training parameters). Builds at most once per JVM.
+    */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = root.resolve(safe).toString
+    built.getOrElseUpdate(safe, build.write.mode("overwrite").parquet(path))
+    spark.read.parquet(path)
+  }
+}
