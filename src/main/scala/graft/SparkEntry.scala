@@ -214,6 +214,13 @@ object SparkEntry {
     "ext_heavy_shingles" -> ((s, d) =>
       Sketches.heavyShingles(Curation.withBoilerplateInjected(docs(s, d)))
         .orderBy("shingle")),
+    // windowed trending tokens, sketch-then-verified: deterministic event
+    // times derived from doc_id spread the corpus over four hourly windows
+    "ext_trending" -> ((s, d) =>
+      Sketches.trendingHeavy(docs(s, d).withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + (col("doc_id") % 4) * 3600
+          + (col("doc_id") % 57) * 13)))
+        .orderBy("win_start", "token")),
 
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
@@ -258,6 +265,12 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    // the hot-bucket cap ENGAGED under the oracle: maxBucket=3 shards the
+    // largest sign buckets at every test SF (max bucket size is 6-16), so
+    // this row proves shard-and-compose returns winners identical to the
+    // uncapped rank-window semantics the oracle computes
+    "ann_lsh_capped" -> ((s, d) =>
+      Similarity.lshTopNeighbor(emb(s, d), maxBucket = 3).orderBy("vec_id")),
     "ann_lsh_multi" -> ((s, d) => Similarity.lshTopNeighborMulti(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_topk" -> ((s, d) =>
@@ -1480,6 +1493,20 @@ object SparkEntry {
          |FROM hhit GROUP BY 1
          |HAVING count(*) * ${Sketches.HhK} > (SELECT total FROM hht)
          |ORDER BY shingle""".stripMargin,
+    "ext_trending" ->
+      s"""WITH tdoc AS (SELECT doc_id, text,
+         |    make_timestamp((1704067200 + (doc_id % 4) * 3600 + (doc_id % 57) * 13) * 1000000) AS ts
+         |  FROM documents),
+         |ttok AS (SELECT date_trunc('hour', ts) AS win_start,
+         |    unnest(string_split($NORM, ' ')) AS token
+         |  FROM tdoc),
+         |ttk AS (SELECT * FROM ttok WHERE token != ''),
+         |twt AS (SELECT win_start, count(*) AS total FROM ttk GROUP BY 1)
+         |SELECT t.win_start, t.token, CAST(count(*) AS BIGINT) AS freq
+         |FROM ttk t JOIN twt w USING (win_start)
+         |GROUP BY t.win_start, t.token, w.total
+         |HAVING count(*) * ${Sketches.HhK} > w.total
+         |ORDER BY win_start, token""".stripMargin,
     "ext_tfidf_keywords" ->
       s"""WITH kt AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
          |  FROM documents),
@@ -1559,6 +1586,19 @@ object SparkEntry {
          |      FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_top1" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |pairs AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id)
+         |SELECT vec_id, neighbor_id
+         |FROM (SELECT vec_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    // identical SQL to ann_lsh_top1: the cap is a physical execution knob
+    // (shard the kernel's bucket groups), not a semantic one — the oracle
+    // IS the proof that capped output matches uncapped semantics
+    "ann_lsh_capped" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
          |pairs AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
          |    ${cos64("l.embedding", "r.embedding")} AS sim

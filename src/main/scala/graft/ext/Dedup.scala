@@ -270,8 +270,19 @@ object Dedup {
     * max-size histogram).
     */
   def dedupClusterSizes(documents: DataFrame): DataFrame =
+    clusterSizesFrom(documents, dedupClusters(documents))
+
+  /** The histogram over an ALREADY-materialized clusters frame
+    * (doc_id, canonical_id) — the production path: the CC fixpoint runs
+    * once ([[dedupClusters]], persisted like any index), and every audit
+    * reads its output with two tiny hash-aggs instead of re-running the
+    * clustering. [[dedupClusterSizes]] is this over a freshly computed
+    * clusters frame, kept standalone so the oracle checks the whole chain
+    * end-to-end; an sbt test pins the two forms equal.
+    */
+  def clusterSizesFrom(documents: DataFrame, clusters: DataFrame): DataFrame =
     documents.select("doc_id")
-      .join(dedupClusters(documents), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(coalesce(col("canonical_id"), col("doc_id")).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")

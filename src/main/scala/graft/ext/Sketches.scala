@@ -219,6 +219,51 @@ object Sketches {
         col("window.end").as("win_end"), col("candidates"), col("n_tokens"))
   }
 
+  /** Batch-verified trending tokens — [[trendingTokens]]' candidates
+    * resolved to exact answers, per window: pass 1 folds each window's
+    * token stream into an MG candidate sketch (superset guarantee per
+    * window: sketchSize > k slots means any token with in-window frequency
+    * > total/k survives) plus the exact window total; pass 2 exact-counts
+    * ONLY candidate hashes (INSET-pushed, same discipline as
+    * [[heavyShingles]]) and keeps tokens above their window's φ = 1/k bar.
+    * The union of candidate sets across windows is used for the one INSET
+    * filter — cross-window spurious candidates only ADD rows to the exact
+    * verify, which the per-window threshold then prunes, so the output
+    * equals the exact windowed heavy-hitter query the oracle runs. The
+    * driver hop is O(windows × sketchSize) — the runtime-filter-style
+    * exception to the no-collect rule, same as [[heavyShingles]].
+    */
+  def trendingHeavy(docs: DataFrame, windowDur: String = "1 hour",
+                    k: Int = HhK, sketchSize: Int = HhSketch): DataFrame = {
+    require(sketchSize > k, s"sketch size $sketchSize must exceed threshold denom $k")
+    val items = docs
+      .select(col("ts"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .select(window(col("ts"), windowDur).getField("start").as("win_start"),
+        col("token"), Exact.md5Hash60(col("token")).as("h"))
+    val sketches = items.groupBy("win_start")
+      .agg(MgSketch.mg(col("h"), sketchSize).as("cand"), count(lit(1)).as("total"))
+      .collect()
+    val cands = sketches.flatMap(_.getSeq[Long](1)).distinct.toSeq
+    if (cands.isEmpty)
+      items.select(col("win_start"), col("token"), lit(0L).as("freq")).limit(0)
+    else {
+      // window totals ride along from the sketch pass (they are exact
+      // counts) instead of a third scan of the token stream
+      val session = docs.sparkSession
+      import session.implicits._
+      val totals = sketches
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"), r.getAs[Long]("total")))
+        .toSeq.toDF("win_start", "total")
+      items.filter(col("h").isInCollection(cands))
+        .groupBy("win_start", "token")
+        .agg(count(lit(1)).as("freq"))
+        .join(broadcast(totals), "win_start")
+        .filter(col("freq") * k > col("total"))
+        .select("win_start", "token", "freq")
+    }
+  }
+
   /** Exact per-language distinct-token counts — the ground truth the sketch
     * approximates. Not a `queries` entry (it IS the expensive full-dedup the
     * sketch avoids); used by SketchesSpec to pin the estimator's error.

@@ -264,6 +264,22 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._3).sum == 4L)
   }
 
+  test("cluster sizes over materialized clusters equal the standalone form") {
+    // the production audit path: dedupClusters' output is materialized once
+    // (an index, not a per-audit recompute) and clusterSizesFrom reads it —
+    // must histogram identically to the standalone end-to-end query
+    val docs = Dedup.withPerturbedCopies(Tables.documents(spark, sfDir).limit(120))
+    val materialized = Dedup.dedupClusters(docs).localCheckpoint(true)
+    try {
+      val fromIndex = Dedup.clusterSizesFrom(docs, materialized)
+        .orderBy("cluster_size").as[(Long, Long, Long)].collect().toSeq
+      val standalone = Dedup.dedupClusterSizes(docs)
+        .orderBy("cluster_size").as[(Long, Long, Long)].collect().toSeq
+      assert(fromIndex == standalone)
+      assert(fromIndex.map(_._3).sum == docs.count())
+    } finally materialized.unpersist()
+  }
+
   test("native hash kernels match HOF formulations bit-for-bit") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val a = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
