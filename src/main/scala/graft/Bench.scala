@@ -82,8 +82,8 @@ object Bench {
     // JSONs lost their leading per-query entries to that window), so the
     // line is kept compact: DECISECOND per-query precision (median-of-3
     // noise at sf0.1 is itself ~0.1 s, so centiseconds were false
-    // precision), trailing zeros stripped ("1.0"->"1"), basename-only sf,
-    // nested family groups, and a hard length check.
+    // precision), basename-only sf, nested family groups, and a hard
+    // length check.
     // per-query values are INTEGER DECISECONDS ("qunit":"ds" below): "0.3 s"
     // prints as 3. At 101 queries the former 0.1-precision decimals overflow
     // the window ("0.3" is three bytes, "3" is one — ~150 bytes back)

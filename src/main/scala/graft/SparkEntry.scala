@@ -1189,7 +1189,8 @@ object SparkEntry {
          |FROM spb GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "ext_mix_schedule" ->
       """WITH msw AS (SELECT DISTINCT source,
-        |    CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3 + 1 AS w FROM documents),
+        |    coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3 + 1,
+        |             CAST(1 AS BIGINT)) AS w FROM documents),
         |msd AS (SELECT source, w,
         |    CAST(coalesce(sum(w) OVER (ORDER BY source
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base,
@@ -1212,7 +1213,8 @@ object SparkEntry {
          |SELECT doc_id, s // 24 AS chunk_id, s AS start_tok,
          |  least(32, n - s) AS chunk_tokens,
          |  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
-         |FROM cks ORDER BY doc_id, chunk_id""".stripMargin,
+         |FROM cks WHERE s = 0 OR s + 32 - 24 < n
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "ext_source_mix" ->
       s"""WITH q AS (SELECT doc_id,
          |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000

@@ -7,11 +7,14 @@ import graft.ext.{Curation, TextAnalysis}
 
 /** Scale-evidence probe for the round-8 text/curation operators (SCALE.md
   * "Measured evidence"): wall-clock for the chunker, the BPE apply step,
-  * and the mixing schedule at 1× and 10× corpus size. All three claim
-  * linear shapes (narrow; one doc-keyed window shuffle; one source-keyed
-  * window + broadcast dim) — the probe measures the actual exponent.
-  * Copies carry a per-copy token prefix so corpus-level statistics shift
-  * rather than replicate (and per-copy doc_ids stay distinct).
+  * and the mixing schedule at 1×, 10× and 100× corpus size. All three
+  * claim linear shapes (narrow; one doc-keyed window shuffle; one
+  * source-keyed window + broadcast dim) — the probe measures the actual
+  * exponent. Copies carry a per-copy token prefix so corpus-level
+  * statistics shift rather than replicate (and per-copy doc_ids stay
+  * distinct); the 100× leg builds its input as a 100-way unionByName
+  * reduce, localCheckpointed before timing so union construction is not
+  * measured.
   */
 object TextScaleProbe {
   def main(args: Array[String]): Unit = {

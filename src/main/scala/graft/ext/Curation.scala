@@ -271,7 +271,11 @@ object Curation {
     * (doc_id, source) set on any engine and any partitioning.
     */
   def mixSchedule(documents: DataFrame): DataFrame = {
-    val weightOf = expr("CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 + 1")
+    // a source with no digits extracts '' and casts to NULL in Spark (but
+    // ERRORS in DuckDB) — default such sources to weight 1 so both engines
+    // agree loudly on the same defined value instead of diverging
+    val weightOf = expr(
+      "coalesce(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 + 1, 1L)")
     val wAll = Window.partitionBy(lit(1))
       .orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wPrefix = Window.partitionBy(lit(1))
@@ -314,6 +318,12 @@ object Curation {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"), col("n_tokens"),
         explode(expr(s"sequence(0L, n_tokens - 1, ${stride}L)")).as("start_tok"))
+      // a tail start whose PREVIOUS window already reached the doc's end
+      // would emit a chunk fully contained in that window (duplicate
+      // embeddings downstream) — stop the sequence there. Kept starts are
+      // a prefix of the stride grid, so chunk ids stay dense.
+      .filter(col("start_tok") === 0 ||
+        col("start_tok") + lit((chunkLen - stride).toLong) < col("n_tokens"))
       .select(
         col("doc_id"),
         expr(s"start_tok div $stride").as("chunk_id"),

@@ -229,7 +229,10 @@ object TextAnalysis {
     * broadcast-sized row decides the next distributed pass.
     */
   def bpeApplyStep(documents: DataFrame): DataFrame = {
-    val top = bpeMergeStep(documents, 1).select("pair").head().getString(0)
+    val top = bpeMergeStep(documents, 1).select("pair").collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "bpeApplyStep: no bigram to merge — no document has >= 2 tokens"))
+      .getString(0)
     val Array(a, b) = top.split(" ", 2)
     bpeApplyMerge(documents, a, b)
   }

@@ -75,6 +75,22 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)
   }
 
+  test("chunking: tail start contained in the previous window is dropped") {
+    // 30 tokens, chunkLen=32, stride=24: start 24's window (tokens 25-30)
+    // sits entirely inside window 0 (tokens 1-30) — emitting it would
+    // duplicate embeddings downstream, so only one chunk comes out
+    val docs = Seq((1L, (1 to 30).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkLen = 32, stride = 24).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("chunk_tokens") == 30L)
+    // 40 tokens: start 24's window reaches past window 0's end — kept short
+    val docs2 = Seq((1L, (1 to 40).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out2 = Curation.chunkDocuments(docs2, chunkLen = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+    assert(out2.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 24L))
+    assert(out2.last.getAs[Long]("chunk_tokens") == 16L)
+  }
+
   test("profiler: null/distinct/minmax per column from one Expand aggregation") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),
