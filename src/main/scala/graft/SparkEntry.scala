@@ -1011,12 +1011,15 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
     "ann_sq8_topk" ->
       """WITH sqm AS (SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+        |    list_max(list_transform(embedding,
+        |      x -> CASE WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE)
+        |           THEN 0.0 ELSE abs(x::DOUBLE) END)) AS maxabs
         |  FROM embeddings),
         |sq8 AS (SELECT vec_id,
         |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> 0::BIGINT)
         |         ELSE list_transform(embedding,
-        |                x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT)) END AS qv
+        |                x -> CASE WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE) THEN 0::BIGINT
+        |                     ELSE CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT) END) END AS qv
         |  FROM sqm),
         |sqq AS (SELECT vec_id AS query_id, qv AS q FROM sq8 WHERE vec_id < 20),
         |sqs AS (SELECT sqq.query_id, c.vec_id AS neighbor_id,
@@ -1748,12 +1751,15 @@ object SparkEntry {
          |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
          |        FROM rptadcs) WHERE r = 1),
          |rsqm AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+         |    list_max(list_transform(embedding,
+         |      x -> CASE WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE)
+         |           THEN 0.0 ELSE abs(x::DOUBLE) END)) AS maxabs
          |  FROM embeddings),
          |rsq8 AS (SELECT vec_id,
          |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> 0::BIGINT)
          |         ELSE list_transform(embedding,
-         |                x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT)) END AS sqv
+         |                x -> CASE WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE) THEN 0::BIGINT
+         |                     ELSE CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT) END) END AS sqv
          |  FROM rsqm),
          |rsqq AS (SELECT vec_id AS query_id, sqv AS sq FROM rsq8 WHERE vec_id < 100),
          |rsqs AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -1192,12 +1192,20 @@ object Similarity {
     */
   def sq8TopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
     registerKernels(embeddings)
+    // non-finite components are sanitized to 0 BEFORE scaling: NaN/Inf in a
+    // real corpus would otherwise poison maxabs (NaN compares greatest) and
+    // the ANSI float->long cast would throw on the whole partition. Zero is
+    // the deterministic choice both engines express identically.
     val q8 = embeddings
       .withColumn("maxabs", expr(
-        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(double(x))))"))
+        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, " +
+          "CASE WHEN isnan(double(x)) OR abs(double(x)) = double('Infinity') " +
+          "THEN cast(0.0 as double) ELSE abs(double(x)) END))"))
       .withColumn("q8", expr(
         "CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> 0L) " +
-          "ELSE transform(embedding, x -> cast(floor(double(x) * 127.0 / maxabs) as long)) END"))
+          "ELSE transform(embedding, x -> CASE WHEN isnan(double(x)) " +
+          "OR abs(double(x)) = double('Infinity') THEN 0L " +
+          "ELSE cast(floor(double(x) * 127.0 / maxabs) as long) END) END"))
       .select(col("vec_id"), col("q8"))
     val queries = q8.filter(col("vec_id") < numQueries)
       .agg(collect_list(struct(col("vec_id").as("qid"), col("q8").as("qv"))).as("qs"))

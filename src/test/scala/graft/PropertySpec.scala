@@ -389,4 +389,47 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(3) == 5L && r.getLong(4) == 7L) // all 7 tokens covered
     }
   }
+
+  test("ANN kernels: NaN/Inf/short vectors are partition-order invariant") {
+    // pins the kernel guard contracts (beats()'s NaN total order, PqEncode's
+    // short-vector null, length-mismatch skips, SQ8's non-finite sanitize):
+    // a corpus laced with NaN/Inf components and mixed vector lengths must
+    // produce IDENTICAL results under different partitionings — i.e. under
+    // different collect_list input orders — for every kernel-backed operator
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(7)
+    def mkVec(len: Int): Array[Float] =
+      Array.tabulate(len) { _ =>
+        rnd.nextInt(20) match {
+          case 0 => Float.NaN
+          case 1 => Float.PositiveInfinity
+          case 2 => Float.NegativeInfinity
+          case 3 => -0.0f
+          case _ => (rnd.nextInt(2001) - 1000) / 100.0f
+        }
+      }
+    (1 to 3).foreach { trial =>
+      val rows = (0L until 40L).map { id =>
+        // lengths 8/12 exercise pair-length-mismatch skips; 4 is shorter
+        // than PqEncode's subs*subDim = 8 and must encode as null
+        val len = if (id % 11 == 3) 4 else if (id % 2 == 0) 8 else 12
+        (id, mkVec(len))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      def ops(d: org.apache.spark.sql.DataFrame) = Seq(
+        "lsh" -> Similarity.lshTopNeighbor(d, signBits = 3),
+        "lsh_capped" -> Similarity.lshTopNeighbor(d, signBits = 3, maxBucket = 4),
+        "ivf_top1" -> Similarity.ivfTopNeighbor(d, k = 4),
+        "ivf_topk" -> Similarity.ivfTopKNeighbors(d, topK = 2, k = 4),
+        "pq_codes" -> Similarity.pqCodes(d, subs = 2, subDim = 4, k = 4),
+        "sq8" -> Similarity.sq8TopK(d, numQueries = 5, k = 2))
+      val one = ops(df.repartition(1))
+      val many = ops(df.repartition(7, col("vec_id")))
+      one.zip(many).foreach { case ((name, a), (_, b)) =>
+        val ra = a.collect().map(_.toString).sorted.toSeq
+        val rb = b.collect().map(_.toString).sorted.toSeq
+        assert(ra == rb, s"trial $trial op $name diverged between partitionings")
+      }
+    }
+  }
 }
