@@ -282,6 +282,10 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
+    // the combined IVF-PQ index (coarse cell + PQ-coded residuals +
+    // per-probed-cell ADC) — the FAISS-IVFPQ composition of the two halves
+    "ann_ivfpq_top1" -> ((s, d) =>
+      Similarity.ivfPqTop1(emb(s, d), 20).orderBy("query_id")),
     "ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTopNeighborTrained(emb(s, d)).orderBy("vec_id")),
     // build-once/search-many with the hot-bucket cap ENGAGED (maxBucket=32
@@ -592,6 +596,63 @@ object SparkEntry {
        |${p}lut AS (SELECT query_id, $lutLists AS lut FROM ${p}lutr GROUP BY 1),
        |${p}adcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
        |  FROM $codesTbl p CROSS JOIN ${p}lut l WHERE p.vec_id != l.query_id)""".stripMargin
+  }
+
+  /** Combined IVF-PQ (Similarity.ivfPqTop1): coarse crank-1 assignment,
+    * float-exact residuals, residual-codebook encode (min struct_pack =
+    * the kernel's ascending-position strict-< argmin on a dense codebook),
+    * per-(query, probed-cell) LUTs, ADC top-1. All CTEs `ip`-prefixed.
+    */
+  private def ivfPqSql(numQueries: Int, nprobe: Int): String = {
+    val (subs, subDim, kpq) = (8, 8, 16)
+    val encDCols = (0 until subs).map { s =>
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (e.r_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE)
+         |         * (e.r_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+    }.mkString(",\n    ")
+    val codeCols = (0 until subs)
+      .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
+    val pack = (0 until subs)
+      .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
+    val lutDCols = (0 until subs).map { s =>
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (q.q_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE)
+         |         * (q.q_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
+    }.mkString(",\n    ")
+    val lutLists = (0 until subs).map(s => s"list(d_$s ORDER BY cid)").mkString(" || ")
+    val adc = (0 until subs)
+      .map(s => s"lut[${s * kpq} + ((pq_code >> ${4 * s}) & 15) + 1]").mkString(" + ")
+    s"""ipc AS (SELECT vec_id AS cluster_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < ${Similarity.IvfClusters}),
+       |ipsc AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+       |    ${cos64("e.embedding", "c.c_emb")} AS csim
+       |  FROM embeddings e CROSS JOIN ipc c),
+       |ipa AS (SELECT vec_id, embedding, cluster_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cluster_id ASC) AS crank FROM ipsc),
+       |ipres AS (SELECT a.vec_id, a.cluster_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(a.embedding[i] - c.c_emb[i] AS FLOAT)) AS r_emb
+       |  FROM (SELECT * FROM ipa WHERE crank = 1) a JOIN ipc c USING (cluster_id)),
+       |iprcb AS (SELECT vec_id AS cid, r_emb AS ce FROM ipres WHERE vec_id < $kpq),
+       |ippj AS (SELECT e.vec_id, e.cluster_id, c.cid,
+       |    $encDCols
+       |  FROM ipres e CROSS JOIN iprcb c),
+       |ipcodes AS (SELECT vec_id, cluster_id, $codeCols FROM ippj GROUP BY 1, 2),
+       |ippq AS (SELECT vec_id, cluster_id, CAST($pack AS BIGINT) AS pq_code FROM ipcodes),
+       |ipqres AS (SELECT a.vec_id AS query_id, a.cluster_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(a.embedding[i] - c.c_emb[i] AS FLOAT)) AS q_emb
+       |  FROM (SELECT * FROM ipa WHERE vec_id < $numQueries AND crank <= $nprobe) a
+       |  JOIN ipc c USING (cluster_id)),
+       |iplutr AS (SELECT q.query_id, q.cluster_id, c.cid,
+       |    $lutDCols
+       |  FROM ipqres q CROSS JOIN iprcb c),
+       |iplut AS (SELECT query_id, cluster_id, $lutLists AS lut
+       |  FROM iplutr GROUP BY 1, 2),
+       |ipadcs AS (SELECT l.query_id, p.vec_id, $adc AS adc
+       |  FROM ippq p JOIN iplut l USING (cluster_id)
+       |  WHERE p.vec_id != l.query_id)""".stripMargin
   }
 
   /** Multi-table sign-LSH candidate pairs (Similarity.lshTopNeighborMulti):
@@ -1686,6 +1747,12 @@ object SparkEntry {
     "ann_pq_trained" ->
       s"""WITH $pqTrainedCtes
          |SELECT vec_id, pq_code FROM ptq ORDER BY vec_id""".stripMargin,
+    "ann_ivfpq_top1" ->
+      s"""WITH ${ivfPqSql(20, 2)}
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
+         |  FROM ipadcs) WHERE r = 1 ORDER BY query_id""".stripMargin,
     "ann_pq_adc" ->
       s"""WITH $pqCodesCtes,
          |${pqAdcCtes(20, "a")}

@@ -1105,6 +1105,82 @@ object Similarity {
     * N×N); ranking is per-query top-k, distance asc, id tie-break.
     * Output (query_id, rank, neighbor_id).
     */
+  /** Combined IVF-PQ index search — the composition deployed ANN systems
+    * (FAISS IVFPQ) actually run, assembled from this file's two halves:
+    * the coarse quantizer picks each vector's posting list, and the PQ
+    * code stores the RESIDUAL x − c(x) — quantization error is measured
+    * inside the already-chosen cell, so the codebook's 4 bits/subspace
+    * encode local structure instead of re-encoding the cell offset (the
+    * standard IVF-PQ residual trick). Search probes the query's `nprobe`
+    * nearest cells, builds ONE LUT per (query, probed cell) from the
+    * query's residual against that cell's centroid, and ADC-scores only
+    * the probed lists' codes.
+    *
+    * Scale shape: build is one coarse-assignment kernel pass + one encode
+    * kernel pass (nothing wider than (vec_id, cluster, BIGINT code) in any
+    * shuffle); search broadcasts numQueries×nprobe LUT rows against the
+    * codes table and partial-aggregates min(struct) map-side — scored rows
+    * never shuffle. At 100 TB the fleet holds the codes table (one BIGINT
+    * per vector) and two k-row codebooks; float vectors are touched only
+    * at build.
+    *
+    * Deterministic like its halves: first-K coarse centroids, first-K
+    * residual codebook, position tie-breaks — fully oracle-reproducible.
+    * Output (query_id, neighbor_id): ADC top-1 within probed cells,
+    * distance asc, id tie-break, self excluded; a query whose probed
+    * cells hold no other vector is absent (approximate by design).
+    */
+  def ivfPqTop1(embeddings: DataFrame, numQueries: Int = 20,
+                k: Int = IvfClusters, nprobe: Int = 2,
+                subs: Int = 8, subDim: Int = 8, kpq: Int = 16): DataFrame = {
+    require(kpq <= 16 && subs <= 16,
+      "4-bit packing requires kpq <= 16 (and subs <= 16 per BIGINT)")
+    registerKernels(embeddings)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val cellCents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
+    // float−float residuals: exact and engine-identical (a float difference
+    // double-rounds innocuously — 53 >= 2·24+2)
+    val resid = assignToCentroids(base, k, 1).drop("crank")
+      .join(broadcast(cellCents), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("r_emb"))
+    val rcb = resid.filter(col("vec_id") < kpq)
+      .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
+    val rcbRow = rcb.agg(sort_array(collect_list(
+      struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+    val codes = resid.crossJoin(broadcast(rcbRow))
+      .select(col("vec_id"), col("cluster_id"),
+        expr(s"pq_encode(r_emb, cb, $subs, $subDim)").as("pq_code"))
+    val qres = assignToCentroids(base.filter(col("vec_id") < numQueries), k, nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster_id"), col("embedding"))
+      .join(broadcast(cellCents), "cluster_id")
+      .select(col("query_id"), col("cluster_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("q_emb"))
+    val rcents = rcb.select(col("centroid_id").as("cid"), col("embedding").as("ce"))
+    def dSub(s: Int) = expr(
+      s"""aggregate(zip_with(slice(q_emb, ${s * subDim + 1}, $subDim),
+         |                   slice(ce, ${s * subDim + 1}, $subDim),
+         |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+         |          0.0D, (a, v) -> a + v)""".stripMargin)
+    val lut = qres.crossJoin(broadcast(rcents))
+      .select(col("query_id") +: col("cluster_id") +: col("cid") +:
+        (0 until subs).map(s => dSub(s).as(s"d_$s")): _*)
+      .groupBy("query_id", "cluster_id")
+      .agg(flatten(array((0 until subs).map(s =>
+        expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
+        .as("lut"))
+    val adc = (0 until subs).map { s =>
+      expr(s"element_at(lut, ${s * kpq} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
+    }.reduce(_ + _)
+    codes.join(broadcast(lut), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .groupBy("query_id")
+      .agg(min(struct(col("adc").as("adc"), col("vec_id").as("vid"))).as("m"))
+      .select(col("query_id"), col("m.vid").as("neighbor_id"))
+  }
+
   def pqAdcTopK(embeddings: DataFrame, numQueries: Int = 20, topK: Int = 5,
                 subs: Int = 8, subDim: Int = 8, k: Int = 16,
                 trainIters: Int = 0): DataFrame = {

@@ -435,6 +435,29 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("ivf-pq: twin guarantees an ADC-minimal neighbor; partition invariant") {
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    // an exact duplicate lands in its original's coarse cell with an
+    // identical residual, hence the query's own code, hence the MINIMAL
+    // possible ADC — so every query must return a neighbor, and that
+    // neighbor's id can only differ from the twin's when another vector
+    // ties the minimal ADC exactly (correlated corpora do produce code
+    // collisions, so identity is NOT the contract; minimality is)
+    val dup = e.select("vec_id", "embedding")
+      .unionByName(e.select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val got = Similarity.ivfPqTop1(dup, numQueries = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet,
+      s"every query's probed cells contain its twin, got ${got.keySet}")
+    got.foreach { case (q, n) => assert(n != q) }
+    // search result independent of input partitioning (kernel/agg orders)
+    val a = Similarity.ivfPqTop1(dup.repartition(1), 20)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.ivfPqTop1(dup.repartition(7, col("vec_id")), 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("sq8: scaled twin has identical codes and tops its original's ranking") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val out = Similarity.sq8TopK(Similarity.withScaledCopies(e), 20, 5)
