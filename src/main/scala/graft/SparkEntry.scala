@@ -304,7 +304,9 @@ object SparkEntry {
       trainedCentroids = Some(TrainedStore.cached(s, s"$d-ivf-cents-k16-i2")(
         Similarity.trainIvfCentroids(emb(s, d)))),
       trainedCodebook = Some(TrainedStore.cached(s, s"$d-pq-cb-8x8x16-i1")(
-        Similarity.trainPqCodebook(emb(s, d))))).orderBy("method")),
+        Similarity.trainPqCodebook(emb(s, d)))),
+      ivfPqCodesTbl = Some(TrainedStore.cached(s, s"$d-ivfpq-codes")(
+        Similarity.ivfPqCodes(emb(s, d))))).orderBy("method")),
     "ann_kmeans_step" -> ((s, d) =>
       Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),
     "ext_dedup_embed" -> ((s, d) =>
@@ -1817,6 +1819,11 @@ object SparkEntry {
          |  FROM (SELECT query_id, vec_id AS neighbor_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
          |        FROM rptadcs) WHERE r = 1),
+         |${ivfPqSql(100, 2)},
+         |ripq AS (SELECT query_id AS vec_id, neighbor_id
+         |  FROM (SELECT query_id, vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
+         |        FROM ipadcs) WHERE r = 1),
          |rsqm AS (SELECT vec_id, embedding,
          |    list_max(list_transform(embedding,
          |      x -> CASE WHEN isnan(x::DOUBLE) OR isinf(x::DOUBLE)
@@ -1880,6 +1887,10 @@ object SparkEntry {
          |  SELECT 'pq_adc_trained', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
          |  FROM rtruth t LEFT JOIN rpta a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'ivfpq', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN ripq a ON a.vec_id = t.vec_id
          |  UNION ALL
          |  SELECT 'sq8', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)

@@ -752,7 +752,8 @@ object Similarity {
     */
   def annRecall(embeddings: DataFrame, numQueries: Int = 100,
                 trainedCentroids: Option[DataFrame] = None,
-                trainedCodebook: Option[DataFrame] = None): DataFrame = {
+                trainedCodebook: Option[DataFrame] = None,
+                ivfPqCodesTbl: Option[DataFrame] = None): DataFrame = {
     import Checkpoints._
     registerKernels(embeddings)
     // the harness fans ONE corpus into five method pipelines plus the
@@ -836,6 +837,8 @@ object Similarity {
       .unionByName(hits("ivf_trained", winners1(trainedIvf)))
       .unionByName(hits("pq_adc", pqAdc1))
       .unionByName(hits("pq_adc_trained", pqAdcT))
+      .unionByName(hits("ivfpq", ivfPqTop1(emb, numQueries, codes = ivfPqCodesTbl)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"))))
       .unionByName(hits("sq8", sq8TopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id"))))
       .select("method", "n_queries", "n_answered", "n_correct")
@@ -1132,27 +1135,27 @@ object Similarity {
     */
   def ivfPqTop1(embeddings: DataFrame, numQueries: Int = 20,
                 k: Int = IvfClusters, nprobe: Int = 2,
-                subs: Int = 8, subDim: Int = 8, kpq: Int = 16): DataFrame = {
+                subs: Int = 8, subDim: Int = 8, kpq: Int = 16,
+                codes: Option[DataFrame] = None): DataFrame = {
     require(kpq <= 16 && subs <= 16,
       "4-bit packing requires kpq <= 16 (and subs <= 16 per BIGINT)")
     registerKernels(embeddings)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cellCents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
-    // float−float residuals: exact and engine-identical (a float difference
-    // double-rounds innocuously — 53 >= 2·24+2)
-    val resid = assignToCentroids(base, k, 1).drop("crank")
-      .join(broadcast(cellCents), "cluster_id")
-      .select(col("vec_id"), col("cluster_id"),
-        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("r_emb"))
-    val rcb = resid.filter(col("vec_id") < kpq)
+    // the codes table IS the index (build-once; deterministic, so a caller
+    // holding a persisted copy passes it in and search skips the build) —
+    // the residual codebook is re-derived from the first kpq vectors, a
+    // kpq-row mini-assignment
+    val codesTbl = codes.getOrElse(ivfPqCodes(embeddings, k, subs, subDim, kpq))
+    val rcb = ivfPqResiduals(base.filter(col("vec_id") < kpq), cellCents, k)
       .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
-    val rcbRow = rcb.agg(sort_array(collect_list(
-      struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
-    val codes = resid.crossJoin(broadcast(rcbRow))
-      .select(col("vec_id"), col("cluster_id"),
-        expr(s"pq_encode(r_emb, cb, $subs, $subDim)").as("pq_code"))
-    val qres = assignToCentroids(base.filter(col("vec_id") < numQueries), k, nprobe)
+    // assignTo with the EXPLICIT centroid frame: the query subset may hold
+    // fewer than k vectors, so deriving centroids from the subset's own
+    // first-K rows would silently shrink the quantizer
+    val qres = assignTo(base.filter(col("vec_id") < numQueries),
+        cellCents.select(col("cluster_id").as("centroid_id"),
+          col("c_emb").as("embedding")), nprobe)
       .select(col("vec_id").as("query_id"), col("cluster_id"), col("embedding"))
       .join(broadcast(cellCents), "cluster_id")
       .select(col("query_id"), col("cluster_id"),
@@ -1173,12 +1176,49 @@ object Similarity {
     val adc = (0 until subs).map { s =>
       expr(s"element_at(lut, ${s * kpq} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
     }.reduce(_ + _)
-    codes.join(broadcast(lut), Seq("cluster_id"))
+    codesTbl.join(broadcast(lut), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
       .groupBy("query_id")
       .agg(min(struct(col("adc").as("adc"), col("vec_id").as("vid"))).as("m"))
       .select(col("query_id"), col("m.vid").as("neighbor_id"))
+  }
+
+  /** Coarse residuals against an explicit cell-centroid frame — shared by
+    * the IVF-PQ build (full corpus) and search (the kpq codebook rows and
+    * the query set). Float−float subtraction is exact and engine-identical
+    * (a float difference double-rounds innocuously — 53 >= 2·24+2).
+    */
+  private def ivfPqResiduals(subset: DataFrame, cellCents: DataFrame,
+                             k: Int): DataFrame =
+    assignTo(subset,
+      cellCents.select(col("cluster_id").as("centroid_id"),
+        col("c_emb").as("embedding")), 1)
+      .drop("crank")
+      .join(broadcast(cellCents), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("r_emb"))
+
+  /** The IVF-PQ index build — (vec_id, cluster_id, pq_code), one BIGINT of
+    * 4-bit residual codes per vector plus its posting cell. Deterministic
+    * (first-K coarse centroids, first-K residual codebook), so a persisted
+    * copy is bit-identical to a rebuild; [[ivfPqTop1]] consumes it via its
+    * `codes` parameter.
+    */
+  def ivfPqCodes(embeddings: DataFrame, k: Int = IvfClusters,
+                 subs: Int = 8, subDim: Int = 8, kpq: Int = 16): DataFrame = {
+    registerKernels(embeddings)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val cellCents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
+    val resid = ivfPqResiduals(base, cellCents, k)
+    val rcbRow = resid.filter(col("vec_id") < kpq)
+      .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
+      .agg(sort_array(collect_list(
+        struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+    resid.crossJoin(broadcast(rcbRow))
+      .select(col("vec_id"), col("cluster_id"),
+        expr(s"pq_encode(r_emb, cb, $subs, $subDim)").as("pq_code"))
   }
 
   def pqAdcTopK(embeddings: DataFrame, numQueries: Int = 20, topK: Int = 5,
