@@ -117,6 +117,49 @@ class RecoverySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_maint_test")
   }
 
+  test("streaming trending tokens: window sketch state survives restart") {
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("trendrec")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def startQuery() =
+      graft.ext.Sketches.trendingTokens(
+          spark.readStream.schema(schema).parquet(srcDir), m = 4, streaming = true)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the watermark's trailing no-data micro-batch emits nothing in
+          // update mode — don't let it overwrite the last real emission
+          if (!batch.isEmpty) batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+    // batch 1: "viral" spammed inside the 00:00 window
+    Seq((t("2024-01-01 00:10:00"), "viral viral viral n1 n2"))
+      .toDF("ts", "text").write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // batch 2 lands in the SAME window while the query is down — the
+    // restarted agg must fold it into the checkpointed sketch state, so
+    // the window total counts both batches and candidates still hold the
+    // heavy token (a recount-from-zero would report n_tokens = 3)
+    Seq((t("2024-01-01 00:40:00"), "viral viral n3"))
+      .toDF("ts", "text").write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val row = spark.read.parquet(outDir)
+      .select("win_start", "candidates", "n_tokens")
+      .as[(java.sql.Timestamp, Seq[Long], Long)].collect()
+    assert(row.length == 1 && row.head._1 == t("2024-01-01 00:00:00"))
+    assert(row.head._3 == 8L, s"resumed window must total both batches, got ${row.head._3}")
+    val hViral = Seq("viral").toDF("tok")
+      .select(graft.functions.Exact.md5Hash60(col("tok"))).as[Long].head()
+    assert(row.head._2.contains(hViral))
+  }
+
   test("streaming LSH dedup loop: survivors extend the index across restarts") {
     import graft.ext.Dedup
     import org.apache.spark.sql.types._
