@@ -204,6 +204,11 @@ object SparkEntry {
     "ext_vocab_top" -> ((s, d) =>
       TextAnalysis.vocabTop(docs(s, d)).orderBy(col("tf").desc, col("token").asc)),
     "ext_oov_rate" -> ((s, d) => TextAnalysis.oovRate(docs(s, d)).orderBy("doc_id")),
+    // collocation extraction: top bigrams by exact PMI-equivalent lift
+    // (integer score_ppm; rare-pair noise floored by minCount)
+    "ext_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d))
+        .orderBy(col("score_ppm").desc, col("a"), col("b"))),
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
@@ -1459,6 +1464,20 @@ object SparkEntry {
          |  FROM oj GROUP BY 1)
          |SELECT doc_id, n_tokens, n_oov, CAST(n_oov * 100 // n_tokens AS BIGINT) AS oov_pct
          |FROM oa ORDER BY doc_id""".stripMargin,
+    "ext_collocations" ->
+      s"""WITH ctk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents),
+         |cuni AS (SELECT unnest(t) AS token FROM ctk),
+         |cunic AS (SELECT token, count(*) AS c FROM cuni WHERE token != '' GROUP BY 1),
+         |cn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cunic),
+         |cbi AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    j -> struct_pack(a := t[j], b := t[j+1]))) AS p FROM ctk),
+         |cbic AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS pair_n
+         |  FROM cbi WHERE p.a != '' AND p.b != '' GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT bb.a, bb.b, bb.pair_n,
+         |  (bb.pair_n * n.n * 1000000) // (ua.c * ub.c) AS score_ppm
+         |FROM cbic bb JOIN cunic ua ON ua.token = bb.a
+         |JOIN cunic ub ON ub.token = bb.b CROSS JOIN cn n
+         |ORDER BY score_ppm DESC, a, b LIMIT 50""".stripMargin,
     "ext_quality_gopher" ->
       s"""WITH g AS (SELECT doc_id,
          |    CASE WHEN doc_id % 13 = 0 THEN '00 11 22 33 44 55 66 77 88 99'

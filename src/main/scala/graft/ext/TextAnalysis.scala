@@ -313,6 +313,50 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Top bigram collocations by a PMI-equivalent exact score — the
+    * collocation-extraction report (multi-word terms, named entities,
+    * boilerplate phrases) that vocabulary analysis at corpus scale needs.
+    * Score: `score_ppm = floor(1e6 · c(ab) · N / (c(a) · c(b)))`, with
+    * c(a) unigram counts and N the non-empty token total. True PMI is
+    * `log(c(ab)·N²/(N_bi·c(a)·c(b)))` — a per-corpus constant factor and a
+    * monotone log away, so the RANKING is identical while the arithmetic
+    * stays in exact BIGINT (a transcendental log could never hash-match
+    * across engines; at trillion-token scale the product needs DECIMAL(38),
+    * same shapes). `minCount` floors pair support — PMI's classic failure
+    * mode is rare-pair noise at the top.
+    *
+    * Scale shape: one narrow pass builds adjacent-pair rows from the
+    * materialized token array (no self-join on positions), one hash-agg
+    * per side (map-side combined), two joins keyed by token (each side a
+    * token-aggregate, orders of magnitude smaller than the stream), top-k
+    * as TakeOrderedAndProject — never a global sort.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toks
+      .select(explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    val pairs = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "j -> named_struct('a', toks[j], 'b', toks[j + 1]))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    pairs
+      .join(uni.select(col("token").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nTok))
+      .select(col("a"), col("b"), col("pair_n"),
+        expr("(pair_n * n * 1000000L) div (ca * cb)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Per-doc out-of-vocabulary rate against the corpus's top-`vocabSize`
     * tokens — an integer-exact quality score (unlike log-prob LM scoring,
     * whose transcendental math cannot hash-match across engines): garbled /

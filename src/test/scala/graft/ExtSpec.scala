@@ -1066,6 +1066,19 @@ class ExtSpec extends SparkSpec {
     assert(empties.forall(_.getAs[Long]("kept_hash") == emptyHash))
   }
 
+  test("collocations: hand-computed PMI-lift scores, top-k plan shape") {
+    // "x y x y x y": bigrams (x,y)x3, (y,x)x2; unigrams x:3 y:3, N=6
+    // score(x,y) = floor(3*6*1e6/9) = 2000000; (y,x) = floor(2*6*1e6/9)
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 2, topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", "y", 3L, 2000000L), ("y", "x", 2L, 1333333L)))
+    // top-k plans as TakeOrderedAndProject, never a global sort
+    val plan = TextAnalysis.collocations(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("vocab top-k is tf-sorted and bounded; df never exceeds tf") {
     val out = TextAnalysis.vocabTop(Tables.documents(spark, sfDir), 20).collect()
     assert(out.length == 20)
