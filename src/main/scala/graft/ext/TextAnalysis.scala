@@ -325,11 +325,15 @@ object TextAnalysis {
     * same shapes). `minCount` floors pair support — PMI's classic failure
     * mode is rare-pair noise at the top.
     *
-    * Scale shape: one narrow pass builds adjacent-pair rows from the
-    * materialized token array (no self-join on positions), one hash-agg
-    * per side (map-side combined), two joins keyed by token (each side a
-    * token-aggregate, orders of magnitude smaller than the stream), top-k
-    * as TakeOrderedAndProject — never a global sort.
+    * Scale shape: TWO corpus scans total — one narrow pass builds
+    * adjacent-pair rows from the materialized token array (no self-join on
+    * positions), one builds the unigram counts. The unigram aggregate is
+    * VOCABULARY-sized, so it is eagerly checkpointed and read three times
+    * (join side a, join side b, the N total) instead of re-deriving each
+    * from its own corpus scan — without it the plan scans the parquet four
+    * times. Both token-aggregate join sides broadcast; top-k plans as
+    * TakeOrderedAndProject — never a global sort. (The Bench/Verify
+    * harness sweep releases the checkpoint blocks after consumption.)
     */
   def collocations(documents: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
     val toks = documents
@@ -338,6 +342,7 @@ object TextAnalysis {
       .select(explode(col("toks")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nTok = uni.agg(coalesce(sum("c"), lit(0L)).as("n"))
     val pairs = toks.where(size(col("toks")) >= 2)
       .select(explode(expr(

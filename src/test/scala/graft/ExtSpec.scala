@@ -1073,10 +1073,13 @@ class ExtSpec extends SparkSpec {
     val got = TextAnalysis.collocations(docs, minCount = 2, topK = 10)
       .as[(String, String, Long, Long)].collect().toSeq
     assert(got == Seq(("x", "y", 3L, 2000000L), ("y", "x", 2L, 1333333L)))
-    // top-k plans as TakeOrderedAndProject, never a global sort
+    // top-k plans as TakeOrderedAndProject, never a global sort; the
+    // checkpointed unigram aggregate caps the corpus at TWO parquet scans
+    // (pair pass + unigram pass), not one per unigram consumer
     val plan = TextAnalysis.collocations(Tables.documents(spark, sfDir))
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan.take(600))
   }
 
   test("vocab top-k is tf-sorted and bounded; df never exceeds tf") {
