@@ -237,6 +237,11 @@ object SparkEntry {
     "ext_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
+    // exact (no-false-negative) τ-Jaccard join, prefix-filter bounded;
+    // mod-7 doc universe keeps the oracle's all-pairs twin tractable
+    "ext_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoin(docs(s, d).filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_a", "doc_b")),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "ext_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
@@ -1144,6 +1149,21 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = c.doc_id_a
          |JOIN sizes sb ON sb.doc_id = c.doc_id_b
          |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin,
+    // oracle uses the naive all-pairs form: the prefix filter is lossless,
+    // so the qualifying-pair SET is identical by construction
+    "ext_jaccard_join" ->
+      s"""WITH jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
+         |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
+         |jpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM jtc a JOIN jtc b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
+         |FROM jpr JOIN jsz sa ON sa.doc_id = doc_a JOIN jsz sb ON sb.doc_id = doc_b
+         |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "ext_simhash" ->
       s"""WITH ${simhashCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,

@@ -166,6 +166,62 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "n_common", "n_union", "jaccard_pct")
   }
 
+  /** EXACT Jaccard similarity join via prefix filtering (AllPairs/PPJoin
+    * family, Bayardo et al. WWW'07): every pair of docs with token-set
+    * Jaccard ≥ τ, with NO false negatives — the complement to the
+    * probabilistic MinHash path when the dedup policy must be provably
+    * complete (compliance-grade dedup, eval decontamination audits).
+    *
+    * Losslessness: order the vocabulary by ascending document frequency
+    * (ties by token — one deterministic global order). A doc's PREFIX is
+    * its first `n − ⌈τ·n⌉ + 1` tokens in that order. For any pair with
+    * J ≥ τ, the globally-rarest common token must sit inside BOTH prefixes
+    * (if it fell outside doc a's prefix, every common token would, leaving
+    * |∩| ≤ ⌈τ·n_a⌉ − 1 < τ·n_a ≤ τ·|∪| ≤ |∩|— contradiction), so a
+    * prefix×prefix equi-join on token generates every qualifying pair.
+    *
+    * Scale shape: the tokenized corpus is checkpointed once and feeds all
+    * three consumers (df counts, prefix build, verification). Candidate
+    * volume is Σ_t prefDf(t)² — rarest-first prefixes make this near-linear
+    * on Zipfian corpora because prefixes are built from the LOW-df tail
+    * (on a pathological uniform vocabulary it degrades toward all-pairs;
+    * that corner belongs to [[minhashCandidates]]). The τ-size filter
+    * (min·10⁶ ≥ max·τppm) prunes candidates before the verify join, and
+    * verification shuffles 8-byte keys. All arithmetic is integer ppm so
+    * the DuckDB twin (which can afford the naive all-pairs form — the
+    * result SET is identical because the filter is lossless) hash-matches.
+    */
+  def jaccardJoin(documents: DataFrame, tauPpm: Long = 850000L): DataFrame = {
+    val tk = documents
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(true)
+    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val ranked = tk.join(broadcast(dfreq), "token")
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
+    val prefix = ranked
+      .filter(col("rn") <= expr(s"n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
+      .select(col("doc_id"), col("token"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.token") === col("y.token") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .filter(expr(s"least(na, nb) * 1000000L >= greatest(na, nb) * ${tauPpm}L"))
+      .distinct()
+    val ta = tk.select(col("doc_id").as("doc_a"), col("token"))
+    val tb = tk.select(col("doc_id").as("doc_b"), col("token"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))
+      .filter(col("j_ppm") >= tauPpm)
+  }
+
   /** Persist the corpus's LSH band table bucketed by band key — the
     * build-once half of INCREMENTAL dedup (`new crawl vs existing corpus`):
     * the MinHash pipeline runs over the corpus exactly once, at build time,

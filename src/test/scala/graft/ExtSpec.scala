@@ -251,6 +251,40 @@ class ExtSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persists: $leaked")
   }
 
+  test("jaccardJoin: hand-computed scores; prefix filter lossless vs all-pairs") {
+    // (1,2): |∩|=3, |∪|=5 → 600000; (1,3): 4/5 → 800000; (2,3): 3/6 → 500000 (out)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c d x"), (4L, "zz yy"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, tauPpm = 600000L)
+      .select("doc_a", "doc_b", "n_common", "j_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 600000L), (1L, 3L, 4L, 800000L)))
+
+    // losslessness on a real corpus slice: the prefix-filtered join returns
+    // EXACTLY the naive all-pairs result — the no-false-negative guarantee
+    // that separates this path from MinHash LSH
+    val corpus = Tables.documents(spark, sfDir).filter($"doc_id" % 17 === 0)
+    val tau = 800000L
+    val fast = Dedup.jaccardJoin(corpus, tau)
+      .select("doc_a", "doc_b", "n_common", "j_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val tk = corpus.select($"doc_id",
+      array_remove(array_distinct(TextAnalysis.tokens($"text")), "").as("ts"))
+    val naive = tk.as("x").crossJoin(tk.as("y"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        size(array_intersect($"x.ts", $"y.ts")).cast("long").as("n_common"),
+        (size($"x.ts") + size($"y.ts")).cast("long").as("sz"))
+      .filter($"sz" > $"n_common") // union > 0
+      .select($"doc_a", $"doc_b", $"n_common",
+        expr("(n_common * 1000000L) div (sz - n_common)").as("j_ppm"))
+      .filter($"j_ppm" >= tau)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == naive, s"fast ${fast.size} vs naive ${naive.size}")
+    assert(fast.nonEmpty) // the slice must actually exercise the join
+  }
+
   test("dedup clustering: transitive chain collapses to one canonical id") {
     // a ~ b (drop 1 token) ~ c (drop 2 tokens): LSH links the chain even if
     // a ~ c alone were below a band match; all three must share canonical a
