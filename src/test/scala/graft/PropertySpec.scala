@@ -432,4 +432,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("jaccardJoin losslessness holds over random corpora and thresholds") {
+    // the prefix filter's no-false-negative proof, exercised empirically:
+    // on random token-bag corpora (Zipf-ish via geometric word draw), the
+    // prefix-filtered join equals the naive all-pairs join at every τ
+    val words = (0 until 40).map(i => s"w$i")
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(1000L + trial)
+      val docs = (0L until 50L).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        // geometric-ish draw: low ids common, tail rare — realistic df skew
+        val toks = (0 until n).map { _ =>
+          var i = 0
+          while (i < words.size - 1 && rnd.nextBoolean()) i += 1
+          words(i)
+        }
+        (id, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      Seq(500000L, 700000L, 900000L).foreach { tau =>
+        val fast = ext.Dedup.jaccardJoin(docs, tau)
+          .select("doc_a", "doc_b", "n_common", "j_ppm")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val tk = docs.select($"doc_id",
+          array_remove(array_distinct(ext.TextAnalysis.tokens($"text")), "").as("ts"))
+        val naive = tk.as("x").crossJoin(tk.as("y"))
+          .filter($"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+            size(array_intersect($"x.ts", $"y.ts")).cast("long").as("n_common"),
+            (size($"x.ts") + size($"y.ts")).cast("long").as("sz"))
+          .filter($"sz" > $"n_common")
+          .select($"doc_a", $"doc_b", $"n_common",
+            expr("(n_common * 1000000L) div (sz - n_common)").as("j_ppm"))
+          .filter($"j_ppm" >= tau)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(fast == naive, s"trial $trial tau $tau: ${fast.size} vs ${naive.size}")
+      }
+    }
+  }
 }
