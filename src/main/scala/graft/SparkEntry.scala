@@ -310,13 +310,23 @@ object SparkEntry {
     // it), so repeated runs measure search recall, not re-training; the
     // trainers are deterministic so the cached copies are bit-identical to
     // in-line training and the output hash is unchanged
-    "ann_recall" -> ((s, d) => Similarity.annRecall(emb(s, d), 100,
-      trainedCentroids = Some(TrainedStore.cached(s, s"$d-ivf-cents-k16-i2")(
-        Similarity.trainIvfCentroids(emb(s, d)))),
-      trainedCodebook = Some(TrainedStore.cached(s, s"$d-pq-cb-8x8x16-i1")(
-        Similarity.trainPqCodebook(emb(s, d)))),
-      ivfPqCodesTbl = Some(TrainedStore.cached(s, s"$d-ivfpq-codes")(
-        Similarity.ivfPqCodes(emb(s, d))))).orderBy("method")),
+    "ann_recall" -> ((s, d) => {
+      // store keys are DERIVED from the hyperparameters actually passed, so
+      // a default change cannot silently stale a hardcoded key name
+      val (ivfK, ivfIters) = (Similarity.IvfClusters, 2)
+      val (pqSubs, pqSubDim, pqK, pqIters) = (8, 8, 16, 1)
+      Similarity.annRecall(emb(s, d), 100,
+        trainedCentroids = Some(
+          TrainedStore.cached(s, s"$d-ivf-cents-k$ivfK-i$ivfIters")(
+            Similarity.trainIvfCentroids(emb(s, d), k = ivfK, iters = ivfIters))),
+        trainedCodebook = Some(
+          TrainedStore.cached(s, s"$d-pq-cb-${pqSubs}x${pqSubDim}x$pqK-i$pqIters")(
+            Similarity.trainPqCodebook(emb(s, d), pqSubs, pqSubDim, pqK, pqIters))),
+        ivfPqCodesTbl = Some(
+          TrainedStore.cached(s, s"$d-ivfpq-codes-k$ivfK-${pqSubs}x$pqSubDim")(
+            Similarity.ivfPqCodes(emb(s, d), k = ivfK,
+              subs = pqSubs, subDim = pqSubDim)))).orderBy("method")
+    }),
     "ann_kmeans_step" -> ((s, d) =>
       Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),
     "ext_dedup_embed" -> ((s, d) =>
@@ -617,13 +627,17 @@ object SparkEntry {
     */
   private def ivfPqSql(numQueries: Int, nprobe: Int): String = {
     val (subs, subDim, kpq) = (8, 8, 16)
+    val kc = Similarity.IvfClusters
     val encDCols = (0 until subs).map { s =>
       s"""list_sum(list_transform(range(1, ${subDim + 1}),
          |      i -> (e.r_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE)
          |         * (e.r_emb[${s * subDim} + i]::DOUBLE - c.ce[${s * subDim} + i]::DOUBLE))) AS d_$s""".stripMargin
     }.mkString(",\n    ")
+    // pq_encode codes are POSITIONS in the id-sorted codebook; the ivfpq
+    // codebook ids are the dense range [kc, kc+kpq), so position = cid - kc
     val codeCols = (0 until subs)
-      .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c AS code_$s").mkString(", ")
+      .map(s => s"(min(struct_pack(d := d_$s, c := cid))).c - $kc AS code_$s")
+      .mkString(", ")
     val pack = (0 until subs)
       .map(s => s"code_$s * CAST(${1L << (4 * s)} AS BIGINT)").mkString(" + ")
     val lutDCols = (0 until subs).map { s =>
@@ -646,7 +660,8 @@ object SparkEntry {
        |    list_transform(range(1, 65),
        |      i -> CAST(a.embedding[i] - c.c_emb[i] AS FLOAT)) AS r_emb
        |  FROM (SELECT * FROM ipa WHERE crank = 1) a JOIN ipc c USING (cluster_id)),
-       |iprcb AS (SELECT vec_id AS cid, r_emb AS ce FROM ipres WHERE vec_id < $kpq),
+       |iprcb AS (SELECT vec_id AS cid, r_emb AS ce FROM ipres
+       |  WHERE vec_id >= $kc AND vec_id < ${kc + kpq}),
        |ippj AS (SELECT e.vec_id, e.cluster_id, c.cid,
        |    $encDCols
        |  FROM ipres e CROSS JOIN iprcb c),

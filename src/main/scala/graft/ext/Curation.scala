@@ -271,11 +271,13 @@ object Curation {
     * (doc_id, source) set on any engine and any partitioning.
     */
   def mixSchedule(documents: DataFrame): DataFrame = {
-    // a source with no digits extracts '' and casts to NULL in Spark (but
-    // ERRORS in DuckDB) — default such sources to weight 1 so both engines
-    // agree loudly on the same defined value instead of diverging
+    // a source with no digits extracts '' — under Spark 4's default ANSI
+    // mode a plain CAST('' AS BIGINT) THROWS, so try_cast is required for
+    // the NULL that coalesce defaults to weight 1 (the DuckDB twin uses
+    // TRY_CAST for the same reason); both engines then agree on the same
+    // defined value instead of one crashing
     val weightOf = expr(
-      "coalesce(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 + 1, 1L)")
+      "coalesce(try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 + 1, 1L)")
     val wAll = Window.partitionBy(lit(1))
       .orderBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wPrefix = Window.partitionBy(lit(1))

@@ -185,11 +185,20 @@ object Dedup {
     * volume is Σ_t prefDf(t)² — rarest-first prefixes make this near-linear
     * on Zipfian corpora because prefixes are built from the LOW-df tail
     * (on a pathological uniform vocabulary it degrades toward all-pairs;
-    * that corner belongs to [[minhashCandidates]]). The τ-size filter
-    * (min·10⁶ ≥ max·τppm) prunes candidates before the verify join, and
-    * verification shuffles 8-byte keys. All arithmetic is integer ppm so
-    * the DuckDB twin (which can afford the naive all-pairs form — the
-    * result SET is identical because the filter is lossless) hash-matches.
+    * that corner belongs to [[minhashCandidates]]). Three prunes run BEFORE
+    * the candidate dedup shuffle: the τ-size filter (min·10⁶ ≥ max·τppm)
+    * and the PPJoin POSITIONAL filter — a match at prefix positions
+    * (rx, ry) bounds the overlap by min(n_a−rx, n_b−ry)+1, and J ≥ τ needs
+    * o·(10⁶+τppm) ≥ τppm·(n_a+n_b); lossless because the globally-rarest
+    * common token of a true pair sits in both prefixes and every common
+    * token sits at or after its position. Verification is SET-at-a-time
+    * (the [[nearDupPairs]] shape): each doc's distinct-token array rides
+    * the join once and n_common is one array_intersect per surviving pair
+    * — not a pairs×tokens row explosion through a re-shuffle, which costs
+    * ~|pairs|·n̄ shuffled rows exactly where the corpus is most duplicated.
+    * All arithmetic is integer ppm so the DuckDB twin (which can afford
+    * the naive all-pairs form — the result SET is identical because the
+    * filters are lossless) hash-matches.
     */
   def jaccardJoin(documents: DataFrame, tauPpm: Long = 850000L): DataFrame = {
     val tk = documents
@@ -197,26 +206,45 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
       .localCheckpoint(true)
+    // dictionary-encode the vocabulary with its PREFIX order (df asc, token
+    // asc) as the id: tid is simultaneously the global sort key, a 4-byte
+    // join key for candidate generation, and an int element for the
+    // verification intersect (int equality, no string hashing). The
+    // single-partition window is over DISTINCT TOKENS — vocabulary-sized,
+    // not corpus-sized (the [[TextAnalysis.collocations]] posture).
     val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    val ranked = tk.join(broadcast(dfreq), "token")
-      .withColumn("n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
-    val prefix = ranked
-      .filter(col("rn") <= expr(s"n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
-      .select(col("doc_id"), col("token"), col("n"))
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("token").asc)))
+    // ONE groupBy replaces the two per-doc windows: the sorted tid array is
+    // at once the per-doc rank order (prefix = a slice of it), the size n,
+    // and the verification operand — materialized once, |docs| rows
+    val toks = tk.join(broadcast(dfreq), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    val prefix = toks
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"slice(toks, 1, int(n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L))")))
+      .select(col("doc_id"), col("col").as("tid"), col("n"),
+        (col("pos") + 1).cast("long").as("rn"))
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.token") === col("y.token") && col("x.doc_id") < col("y.doc_id"))
+        col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
+      .filter(expr(s"least(x.n, y.n) * 1000000L >= greatest(x.n, y.n) * ${tauPpm}L"))
+      // positional (PPJoin) filter — prune before the dedup shuffle
+      .filter(expr(
+        s"(least(x.n - x.rn, y.n - y.rn) + 1L) * ${1000000L + tauPpm}L" +
+          s" >= ${tauPpm}L * (x.n + y.n)"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .filter(expr(s"least(na, nb) * 1000000L >= greatest(na, nb) * ${tauPpm}L"))
       .distinct()
-    val ta = tk.select(col("doc_id").as("doc_a"), col("token"))
-    val tb = tk.select(col("doc_id").as("doc_b"), col("token"))
-    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))
       .filter(col("j_ppm") >= tauPpm)

@@ -1127,8 +1127,9 @@ object Similarity {
     * per vector) and two k-row codebooks; float vectors are touched only
     * at build.
     *
-    * Deterministic like its halves: first-K coarse centroids, first-K
-    * residual codebook, position tie-breaks — fully oracle-reproducible.
+    * Deterministic like its halves: first-K coarse centroids, residual
+    * codebook from rows [k, k+kpq), position tie-breaks — fully
+    * oracle-reproducible.
     * Output (query_id, neighbor_id): ADC top-1 within probed cells,
     * distance asc, id tie-break, self excluded; a query whose probed
     * cells hold no other vector is absent (approximate by design).
@@ -1145,10 +1146,13 @@ object Similarity {
       .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
     // the codes table IS the index (build-once; deterministic, so a caller
     // holding a persisted copy passes it in and search skips the build) —
-    // the residual codebook is re-derived from the first kpq vectors, a
+    // the residual codebook is re-derived from rows [k, k+kpq), a
     // kpq-row mini-assignment
     val codesTbl = codes.getOrElse(ivfPqCodes(embeddings, k, subs, subDim, kpq))
-    val rcb = ivfPqResiduals(base.filter(col("vec_id") < kpq), cellCents, k)
+    // non-centroid rows [k, k+kpq) — see ivfPqCodes: rows < k ARE the coarse
+    // centroids and their residuals are all zero (degenerate codebook)
+    val rcb = ivfPqResiduals(
+        base.filter(col("vec_id") >= k && col("vec_id") < k + kpq), cellCents, k)
       .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
     // assignTo with the EXPLICIT centroid frame: the query subset may hold
     // fewer than k vectors, so deriving centroids from the subset's own
@@ -1201,7 +1205,7 @@ object Similarity {
 
   /** The IVF-PQ index build — (vec_id, cluster_id, pq_code), one BIGINT of
     * 4-bit residual codes per vector plus its posting cell. Deterministic
-    * (first-K coarse centroids, first-K residual codebook), so a persisted
+    * (first-K coarse centroids, codebook from rows [k, k+kpq)), so a persisted
     * copy is bit-identical to a rebuild; [[ivfPqTop1]] consumes it via its
     * `codes` parameter.
     */
@@ -1212,7 +1216,12 @@ object Similarity {
     val cellCents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
     val resid = ivfPqResiduals(base, cellCents, k)
-    val rcbRow = resid.filter(col("vec_id") < kpq)
+    // codebook rows MUST be non-centroid vectors: vec_id < k are the coarse
+    // centroids themselves, whose residuals are identically zero — a codebook
+    // of zeros makes every pq_code 0 and ADC constant. Rows [k, k+kpq) give
+    // genuine residual codewords (positions stay 0..kpq-1 — pq_encode codes
+    // are positions in the id-sorted codebook, not raw ids).
+    val rcbRow = resid.filter(col("vec_id") >= k && col("vec_id") < k + kpq)
       .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
       .agg(sort_array(collect_list(
         struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))

@@ -88,20 +88,33 @@ object TextAnalysis {
       (w.length + 1)).cast("long")
 
   def langId(documents: DataFrame): DataFrame = {
-    val scored = langMarkers.foldLeft(documents.select(col("doc_id"), col("text"), col("lang"))) {
-      case (df, (l, ws)) =>
-        df.withColumn(s"score_$l", ws.map(markerCount(col("text"), _)).reduce(_ + _))
+    // Plan discipline: normalize ONCE into an attribute, and pack every
+    // language's score into ONE array-of-structs attribute. The previous
+    // per-column fold argmax let CollapseProject inline each language's full
+    // regex scoring tree into every branch of the nested CASE — dozens of
+    // regexp_replace evaluations per row. An alias that is non-cheap and
+    // referenced more than once is NOT collapsed, so `__norm` and `__sc`
+    // each evaluate exactly once; scores and the argmax are array lookups.
+    def count1(w: String): Column =
+      ((length(col("__norm")) -
+        length(regexp_replace(col("__norm"), s" $w ", " "))) /
+        (w.length + 1)).cast("long")
+    // struct (score, -index, lang): lexicographic array_max = highest score,
+    // tie broken to the EARLIEST language in langMarkers order — identical
+    // to the old strict-> fold (which only replaced on score > best)
+    val entries = langMarkers.zipWithIndex.map { case ((l, ws), i) =>
+      struct(ws.map(count1).reduce(_ + _).as("s"), lit(-i).as("ni"), lit(l).as("l"))
     }
-    val best = langMarkers.map(_._1).foldLeft((lit("und"), lit(-1L))) {
-      case ((bestLang, bestScore), l) =>
-        val s = col(s"score_$l")
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }
-    val outCols = Seq(col("doc_id"), col("lang").as("labeled_lang"), col("predicted_lang")) ++
-      langMarkers.map { case (l, _) => col(s"score_$l") }
-    scored
-      .withColumn("predicted_lang", best._1)
+    val outCols = Seq(col("doc_id"), col("lang").as("labeled_lang"),
+      // null text -> null scores -> 'und' (the oracle's CASE falls through
+      // on null = null; struct-max alone would tie-break to a language)
+      when(col("__sc").getItem(0).getField("s").isNull, lit("und"))
+        .otherwise(array_max(col("__sc")).getField("l")).as("predicted_lang")) ++
+      langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        col("__sc").getItem(i).getField("s").as(s"score_$l") }
+    documents.select(col("doc_id"), col("lang"),
+        concat(lit(" "), normalized(col("text")), lit(" ")).as("__norm"))
+      .withColumn("__sc", array(entries: _*))
       .select(outCols: _*)
   }
 

@@ -32,15 +32,29 @@ object TrainedStore {
     p
   }
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** The parquet-backed artifact for `key` (a caller-chosen name that must
     * capture everything the builder's output depends on — corpus path and
-    * training parameters). Builds at most once per JVM.
+    * training parameters). Builds at most once per JVM: the build runs under
+    * a per-key lock (TrieMap.getOrElseUpdate alone evaluates the by-name
+    * builder non-atomically under races, and a double `overwrite` write to
+    * one path can interleave). The path carries a hash of the RAW key so two
+    * distinct keys that sanitize to the same readable prefix cannot collide
+    * onto one artifact.
     */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
     val path = root.resolve(safe).toString
-    built.getOrElseUpdate(safe, build.write.mode("overwrite").parquet(path))
+    // putIfAbsent (not getOrElseUpdate) so every racer observes ONE winner
+    locks.putIfAbsent(safe, new Object)
+    locks(safe).synchronized {
+      if (!built.contains(safe)) {
+        build.write.mode("overwrite").parquet(path)
+        built.put(safe, ())
+      }
+    }
     spark.read.parquet(path)
   }
 }

@@ -172,6 +172,14 @@ class ExtSpec extends SparkSpec {
       val byPos = grp.sortBy(_._3).map(_._1)
       assert(byPos.sameElements(byPos.sorted), "source stream out of doc_id order")
     }
+    // a digit-less source must not crash under ANSI mode (plain CAST('' AS
+    // BIGINT) throws on Spark 4) — it defaults to weight 1
+    val noDigit = Curation.mixSchedule(
+        Seq((1L, "wiki"), (2L, "wiki"), (3L, "src2")).toDF("doc_id", "source"))
+      .select("source", "cycle", "slot")
+      .as[(String, Long, Long)].collect()
+    // weight(wiki)=1 -> one wiki doc per cycle; weight(src2)=3
+    assert(noDigit.filter(_._1 == "wiki").map(_._2).sorted.toSeq == Seq(0L, 1L))
   }
 
   test("z-order: interleave is bit-exact; per-file boxes beat a single-column sort") {
@@ -490,6 +498,26 @@ class ExtSpec extends SparkSpec {
     val b = Similarity.ivfPqTop1(dup.repartition(7, col("vec_id")), 20)
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
+  }
+
+  test("ivf-pq: codebook is non-degenerate — codes actually discriminate") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    // a codebook built from the coarse centroids' own residuals would be
+    // all-zero, tie every pq_encode argmin to position 0, and collapse
+    // every code to 0L — so distinct codes is the degeneracy sentinel
+    val codes = Similarity.ivfPqCodes(e)
+      .select("pq_code").as[Long].collect()
+    assert(codes.distinct.length > 1,
+      s"all ${codes.length} pq_codes identical (${codes.headOption}) — " +
+        "residual codebook is degenerate")
+    // and within at least one coarse cell ADC must vary across members,
+    // otherwise top-1 is just 'lowest vec_id in the nearest probed cell'
+    val perCell = Similarity.ivfPqCodes(e)
+      .groupBy("cluster_id")
+      .agg(countDistinct("pq_code").as("ncodes"), count("*").as("n"))
+      .filter(col("n") > lit(1)).as[(Long, Long, Long)].collect()
+    assert(perCell.exists(_._2 > 1),
+      "no multi-member cell has more than one distinct code")
   }
 
   test("sq8: scaled twin has identical codes and tops its original's ranking") {
