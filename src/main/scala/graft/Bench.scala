@@ -22,7 +22,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only the LAST 2000 chars of output,
+    // and per-query cleanup (unpersisting localCheckpoint blocks) emits a
+    // WARN per block — the r9 capture shows that noise sharing the tail
+    // window with the JSON line. Nothing may print after the line.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -82,39 +86,44 @@ object Bench {
     // JSONs lost their leading per-query entries to that window), so the
     // line is kept compact: DECISECOND per-query precision (median-of-3
     // noise at sf0.1 is itself ~0.1 s, so centiseconds were false
-    // precision), basename-only sf, nested family groups, and a hard
-    // length check.
+    // precision), basename-only sf, and a hard length check.
     // per-query values are INTEGER DECISECONDS ("qunit":"ds" below): "0.3 s"
-    // prints as 3. At 101 queries the former 0.1-precision decimals overflow
-    // the window ("0.3" is three bytes, "3" is one — ~150 bytes back)
+    // prints as 3.
     def num(v: Double): String = math.rint(v * 10).toLong.toString
-    // the 93-query suite no longer fits flat full names in the window
-    // (2107 bytes measured), so the map nests by family prefix:
-    // {"":{...},"ann":{...},"ext":{...}} — a query's full name is
-    // prefix + "_" + key (the "" group holds unprefixed names verbatim).
-    // Reversible, self-describing, ~200 bytes back (1928 measured).
-    val qs = results
-      .groupBy { case (k, _, _) =>
-        if (k.startsWith("ext_")) "ext" else if (k.startsWith("ann_")) "ann" else ""
-      }
-      .toSeq.sortBy(_._1)
-      .map { case (p, rs) =>
-        val inner = rs.sortBy(_._1).map { case (k, v, ok) =>
-          val key = if (p.isEmpty) k else k.drop(p.length + 1)
-          "\"" + key + "\":" + (if (ok) num(v) else "-1")
+    // At 108 queries even family-grouped name:value maps hit ~1,930 of the
+    // 2,000-char window (r9), so names moved OUT of the line: "qds" is the
+    // value array over query names sorted LEXICOGRAPHICALLY (the exact keys
+    // of SparkEntry.queries, same order as a full-suite run benches them) —
+    // name i ↔ qds[i]. The name list is stable, committed (SparkEntry +
+    // BASELINE.md's bench-format note), and "nq" guards against a
+    // count-mismatch misread. "slow" re-inlines full names for every query
+    // ≥ 1.0 s — the entries a reader of the bare line actually needs.
+    // ~700 chars at 108 queries; scales ~3 bytes/query (fits 300+).
+    // A SUBSET run (args given) still prints the named map: the array
+    // encoding is only unambiguous for the full sorted suite.
+    val total = results.collect { case (_, v, true) => v }.sum
+    val qs =
+      if (args.nonEmpty)
+        results.sortBy(_._1).map { case (k, v, ok) =>
+          "\"" + k + "\":" + (if (ok) num(v) else "-1")
         }.mkString("{", ",", "}")
-        "\"" + p + "\":" + inner
-      }.mkString("{", ",", "}")
+      else
+        results.sortBy(_._1).map { case (_, v, ok) => if (ok) num(v) else "-1" }
+          .mkString("[", ",", "]")
+    val slow = results.filter { case (_, v, ok) => ok && v >= 1.0 }
+      .sortBy(-_._2)
+      .map { case (k, v, _) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
     val unknownJson = unknown.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    // failed/unknown only appear when non-empty — every byte counts against
-    // the tail window, and an absent field reads the same as an empty one
-    val extras = (if (failed == "[]") "" else s""","failed":$failed""") +
+    // failed/unknown/slow only appear when non-empty — every byte counts
+    // against the tail window, and an absent field reads as an empty one
+    val extras = (if (slow == "{}") "" else s""","slow":$slow""") +
+      (if (failed == "[]") "" else s""","failed":$failed""") +
       (if (unknownJson == "[]") "" else s""","unknown":$unknownJson""")
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"ds","queries":$qs$extras,"sf":"$sfName"}"""
+    val key = if (args.nonEmpty) "queries" else "qds"
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"ds","nq":${results.size},"$key":$qs$extras,"sf":"$sfName"}"""
     if (line.length > 1950)
       System.err.println(s"BENCH LINE TOO LONG (${line.length} > 1950): the driver's " +
         "2000-char tail capture will truncate it — shrink the encoding further")

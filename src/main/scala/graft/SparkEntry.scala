@@ -175,11 +175,14 @@ object SparkEntry {
         .orderBy("column_name")),
     "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
-    // bloom sketch is Spark-internal (no DuckDB twin) -> no oracleSql entry;
-    // driver records the weaker rows-only check, exactness is sbt-pinned
-    // against ext_decontaminate (no-false-negative superset invariant)
+    // bloom-PRUNED exact decontamination: the sketch probe is a lossless
+    // pre-filter (no false negatives) ahead of the exact adjudication join,
+    // so the output is bit-identical to ext_decontaminate and the exact-path
+    // SQL is its hash-checkable oracle — while the Spark plan exercises the
+    // bloom_might_contain scalar-subquery path. The raw upper-bound variant
+    // (decontaminateBloom) stays sbt-pinned via the superset invariant.
     "ext_decontaminate_bloom" -> ((s, d) =>
-      Curation.decontaminateBloom(docs(s, d)).orderBy("doc_id")),
+      Curation.decontaminateBloomExact(docs(s, d)).orderBy("doc_id")),
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
@@ -723,6 +726,25 @@ object SparkEntry {
     "CAST(CASE " + Achievements.Thresholds.reverse
       .map(t => s"WHEN cnt >= $t THEN $t")
       .mkString(" ") + " ELSE 0 END AS BIGINT)"
+
+  // shared by ext_decontaminate AND ext_decontaminate_bloom: the bloom-pruned
+  // form's output is bit-identical to the exact path (lossless prune + exact
+  // adjudication), so one SQL twin serves both
+  private def exactDecontaminateSql: String =
+    s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
+       |shd AS (SELECT doc_id,
+       |    list_distinct(list_transform(sh, x -> ${h60("x")})) AS shd
+       |  FROM scte),
+       |bench AS (SELECT DISTINCT unnest(shd) AS sh_hash FROM shd WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, shd FROM shd WHERE doc_id % 97 != 0),
+       |ex AS (SELECT doc_id, unnest(shd) AS sh_hash FROM corpus),
+       |ov AS (SELECT e.doc_id, count(*) AS n_overlap
+       |  FROM ex e JOIN bench b ON b.sh_hash = e.sh_hash GROUP BY 1)
+       |SELECT c.doc_id, CAST(len(c.shd) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  coalesce(o.n_overlap, 0) >= 1 AS is_contaminated
+       |FROM corpus c LEFT JOIN ov o ON o.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_branch" ->
@@ -1374,21 +1396,10 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, source, lang, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 150 ORDER BY doc_id""".stripMargin,
-    "ext_decontaminate" ->
-      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
-         |shd AS (SELECT doc_id,
-         |    list_distinct(list_transform(sh, x -> ${h60("x")})) AS shd
-         |  FROM scte),
-         |bench AS (SELECT DISTINCT unnest(shd) AS sh_hash FROM shd WHERE doc_id % 97 = 0),
-         |corpus AS (SELECT doc_id, shd FROM shd WHERE doc_id % 97 != 0),
-         |ex AS (SELECT doc_id, unnest(shd) AS sh_hash FROM corpus),
-         |ov AS (SELECT e.doc_id, count(*) AS n_overlap
-         |  FROM ex e JOIN bench b ON b.sh_hash = e.sh_hash GROUP BY 1)
-         |SELECT c.doc_id, CAST(len(c.shd) AS BIGINT) AS n_shingles,
-         |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  coalesce(o.n_overlap, 0) >= 1 AS is_contaminated
-         |FROM corpus c LEFT JOIN ov o ON o.doc_id = c.doc_id
-         |ORDER BY c.doc_id""".stripMargin,
+    "ext_decontaminate" -> exactDecontaminateSql,
+    // bloom prune is lossless (no false negatives) and the adjudication join
+    // is exact, so the bloom-pruned query's oracle IS the exact-path SQL
+    "ext_decontaminate_bloom" -> exactDecontaminateSql,
     "ext_repetition" ->
       s"""WITH ncte AS (SELECT doc_id, $NORM AS norm FROM documents),
          |wcte AS (SELECT doc_id, string_split(norm, ' ') AS words FROM ncte),

@@ -550,6 +550,45 @@ object Curation {
     } finally documents.sparkSession.catalog.dropTempView(view)
   }
 
+  /** Bloom-PRUNED exact decontamination — the production composition of the
+    * two variants above, and the form whose output is exactly checkable:
+    * the corpus probe stream first passes the benchmark's bloom sketch
+    * (map-side, O(sketch) broadcast — prunes ~all clean shingles), and only
+    * the survivors pay the EXACT join against the benchmark shingle set.
+    * Because the bloom has NO false negatives, every truly-overlapping
+    * shingle survives the prune, and every false positive fails the exact
+    * join — so the output is bit-identical to [[decontaminate]] while the
+    * plan exercises the sketch probe. At 100 TB the adjudication join is a
+    * shuffle join against the full benchmark set; the bloom prune cuts its
+    * probe side to (overlap + fpp·clean) before any shuffle. Here the
+    * benchmark side is broadcast so the DuckDB twin (the exact-path SQL,
+    * unchanged) hash-matches.
+    */
+  def decontaminateBloomExact(documents: DataFrame, minOverlap: Long = 1L,
+                              estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.BloomFunctions.register(documents.sparkSession)
+    val hashed = shingleHashed(documents)
+    val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
+    hashed.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shd")).as("sh_hash"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .createOrReplaceTempView(view)
+    try {
+      val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shd")).as("sh_hash")).distinct()
+      val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+      val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
+        .filter(expr(s"bloom_might_contain((SELECT bf FROM $view), sh_hash)"))
+        .join(broadcast(benchShingles), Seq("sh_hash"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+        .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+    } finally documents.sparkSession.catalog.dropTempView(view)
+  }
+
   /** The test corpus carries no URLs, so link analysis is exercised against
     * deterministic injection (same pattern as withPiiInjected): every doc
     * gains two URLs derived from its doc_id; the oracle applies the same

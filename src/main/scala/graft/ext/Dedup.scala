@@ -201,11 +201,18 @@ object Dedup {
     * filters are lossless) hash-matches.
     */
   def jaccardJoin(documents: DataFrame, tauPpm: Long = 850000L): DataFrame = {
-    val tk = documents
+    // tracked, not a bare localCheckpoint: tk is the CORPUS-SIZED exploded
+    // token stream, and it is dead the moment `toks` (doc-sized int arrays)
+    // materializes below — holding its blocks for the life of the returned
+    // plan is pure storage pressure on whatever runs next in the session
+    // (the r9 driver bench showed checkpoint-heavy queries competing for
+    // block-manager storage). Released explicitly after toks' eager
+    // checkpoint completes; `toks` itself must stay (it feeds the returned
+    // lazy plan three ways).
+    val (tk, tkIds) = Checkpoints.checkpointTracked(documents
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
-      .filter(col("token") =!= "")
-      .localCheckpoint(true)
+      .filter(col("token") =!= ""))
     // dictionary-encode the vocabulary with its PREFIX order (df asc, token
     // asc) as the id: tid is simultaneously the global sort key, a 4-byte
     // join key for candidate generation, and an int element for the
@@ -224,6 +231,9 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .localCheckpoint(true)
+    // toks is eager, so tk (and dfreq, which only fed toks) are now
+    // unreachable from any live plan — free the token-stream blocks
+    Checkpoints.releaseTracked(toks, tkIds)
     val prefix = toks
       .select(col("doc_id"), col("n"), posexplode(expr(
         s"slice(toks, 1, int(n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L))")))

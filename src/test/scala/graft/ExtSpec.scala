@@ -975,6 +975,22 @@ class ExtSpec extends SparkSpec {
       .exists(_.name.startsWith("graft_decontaminate_bloom")))
   }
 
+  test("bloom-pruned exact decontamination is bit-identical to the exact path") {
+    // the production composition: sketch probe as a lossless pre-filter,
+    // exact adjudication join on survivors — output must equal decontaminate
+    // EXACTLY (this is what makes ext_decontaminate_bloom hash-checkable
+    // against the exact-path DuckDB SQL). A tiny sketch (2^10 bits, forced
+    // false positives) must not change the output either: fp shingles fail
+    // the exact join.
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Curation.decontaminate(docs).collect().map(_.toString).sorted.toSeq
+    val pruned = Curation.decontaminateBloomExact(docs).collect().map(_.toString).sorted.toSeq
+    assert(pruned == exact)
+    val tiny = Curation.decontaminateBloomExact(docs, numBits = 1L << 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tiny == exact, "false positives leaked through the exact adjudication join")
+  }
+
   test("oov rate: rare tokens score as OOV against the corpus top-K vocab") {
     val docs = (1L to 10L).map(i => (i, s"common common zzz$i")).toDF("doc_id", "text")
     val out = TextAnalysis.oovRate(docs, vocabSize = 1).orderBy("doc_id").collect()

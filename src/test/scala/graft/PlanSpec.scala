@@ -46,6 +46,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("langId evaluates each marker regex exactly once (no argmax tree blowup)") {
+    // the r9 driver bench caught the old fold-of-CASEs argmax re-inlining
+    // every lower-ranked language's full scoring tree per branch — the
+    // physical plan carried the marker regex 20+ times in ONE predicate.
+    // The array-of-structs + array_max form must keep exactly one
+    // regexp_replace per marker word (11) plus one for normalization.
+    val p = plan(TextAnalysis.langId(Tables.documents(spark, sfDir)))
+    val nMarkers = TextAnalysis.langMarkers.map(_._2.size).sum
+    val occurrences = "regexp_replace".r.findAllIn(p).length
+    assert(occurrences == nMarkers + 1,
+      s"expected ${nMarkers + 1} regexp_replace in plan, found $occurrences:\n$p")
+  }
+
+  test("jaccardJoin releases its token-stream checkpoint once toks materializes") {
+    // tk (corpus-sized exploded tokens) is checkpointed to serve two
+    // consumers during construction, then must be freed the moment the
+    // doc-sized toks checkpoint supersedes it — a leak here is storage
+    // pressure on every later query in a long session (r9 driver bench).
+    // Delta-based: only blocks this operator adds count.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = Dedup.jaccardJoin(Tables.documents(spark, sfDir).limit(100))
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    // exactly one surviving checkpoint: toks (the returned plan reads it
+    // three ways); the token-stream blocks must already be gone
+    assert(added.size == 1, s"expected only the toks checkpoint to survive, got $added")
+    assert(out.count() >= 0L) // plan must still be runnable after the release
+    added.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+  }
+
   test("brute-force ANN broadcasts the query side (QxN, never NxN shuffle)") {
     graft.functions.CosineSimilarity.register(spark)
     val p = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 20, 5))

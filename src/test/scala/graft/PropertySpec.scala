@@ -434,13 +434,18 @@ class PropertySpec extends SparkSpec {
   }
 
   test("jaccardJoin losslessness holds over random corpora and thresholds") {
-    // the prefix filter's no-false-negative proof, exercised empirically:
-    // on random token-bag corpora (Zipf-ish via geometric word draw), the
-    // prefix-filtered join equals the naive all-pairs join at every τ
+    // the prefix AND positional (PPJoin) filters' no-false-negative proof,
+    // exercised empirically: on random token-bag corpora (Zipf-ish via
+    // geometric word draw), the filtered join equals the naive all-pairs
+    // join at every τ. τ values include the 850000 default and boundary
+    // thresholds where the positional overlap bound
+    // (min(na−ra, nb−rb)+1)·(1+τ) ≥ τ·(na+nb) sits tightest (near-identical
+    // docs at high τ — trial 4's duplicated corpus forces exact-equality
+    // pairs through the prune).
     val words = (0 until 40).map(i => s"w$i")
-    (1 to 3).foreach { trial =>
+    (1 to 4).foreach { trial =>
       val rnd = new scala.util.Random(1000L + trial)
-      val docs = (0L until 50L).map { id =>
+      val base = (0L until 50L).map { id =>
         val n = 3 + rnd.nextInt(12)
         // geometric-ish draw: low ids common, tail rare — realistic df skew
         val toks = (0 until n).map { _ =>
@@ -449,8 +454,13 @@ class PropertySpec extends SparkSpec {
           words(i)
         }
         (id, toks.mkString(" "))
-      }.toDF("doc_id", "text")
-      Seq(500000L, 700000L, 900000L).foreach { tau =>
+      }
+      // trial 4: every doc duplicated under a new id — J=1 pairs abound, the
+      // positional filter's equality corner (ra=rb, na=nb) must keep them all
+      val docs = (if (trial == 4)
+        base ++ base.map { case (id, t) => (id + 100L, t) }
+      else base).toDF("doc_id", "text")
+      Seq(500000L, 700000L, 850000L, 900000L, 990000L).foreach { tau =>
         val fast = ext.Dedup.jaccardJoin(docs, tau)
           .select("doc_a", "doc_b", "n_common", "j_ppm")
           .as[(Long, Long, Long, Long)].collect().toSet

@@ -24,9 +24,12 @@ class SurfaceSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle SQL without a query: ${o.diff(q)}")
     // a query without oracle SQL gets only the driver's weaker rows>0 check;
-    // every such case must be a deliberate, named exception
-    assert(q.diff(o) == Set("ext_decontaminate_bloom"),
-      s"undocumented rows-only queries: ${q.diff(o) - "ext_decontaminate_bloom"}")
+    // every such case must be a deliberate, named exception. As of r10 there
+    // are NONE: ext_decontaminate_bloom became the bloom-pruned EXACT form,
+    // hash-checked against the exact-path SQL (the raw upper-bound sketch
+    // stays sbt-pinned in ExtSpec).
+    assert(q.diff(o) == Set.empty[String],
+      s"undocumented rows-only queries: ${q.diff(o)}")
   }
 
   test("typed Aggregator path equals untyped answerCounts") {
