@@ -245,6 +245,16 @@ object SparkEntry {
     "ext_jaccard_join" -> ((s, d) =>
       Dedup.jaccardJoin(docs(s, d).filter(col("doc_id") % 7 === 0))
         .orderBy("doc_a", "doc_b")),
+    // incremental exact-Jaccard: index two thirds of the mod-7 universe,
+    // probe the rest against the persisted prefix tables — must equal the
+    // one-shot all-pairs result restricted to cross pairs (frozen-vocab
+    // order, losslessness preserved)
+    "ext_jaccard_incremental" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 7 === 0)
+      Dedup.buildJaccardIndex(base.filter(col("doc_id") % 3 =!= 0), "graft_jac_idx_q")
+      Dedup.jaccardAgainstIndex(s, base.filter(col("doc_id") % 3 === 0), "graft_jac_idx_q")
+        .orderBy("doc_new", "doc_corpus")
+    }),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "ext_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
@@ -1201,6 +1211,23 @@ object SparkEntry {
          |FROM jpr JOIN jsz sa ON sa.doc_id = doc_a JOIN jsz sb ON sb.doc_id = doc_b
          |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same all-pairs form restricted to cross (corpus %3!=0, new %3=0)
+    // pairs: the index path's prefix/positional filters and the frozen
+    // vocab order are all lossless, so the SETS coincide by construction
+    "ext_jaccard_incremental" ->
+      s"""WITH jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
+         |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
+         |jpr AS (SELECT b.doc_id AS doc_new, a.doc_id AS doc_corpus, count(*) AS n_common
+         |  FROM jtc a JOIN jtc b ON a.token = b.token
+         |  WHERE a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+         |  GROUP BY 1, 2)
+         |SELECT doc_new, doc_corpus, n_common,
+         |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
+         |FROM jpr JOIN jsz sa ON sa.doc_id = doc_corpus JOIN jsz sb ON sb.doc_id = doc_new
+         |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
+         |ORDER BY doc_new, doc_corpus""".stripMargin,
     "ext_simhash" ->
       s"""WITH ${simhashCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,

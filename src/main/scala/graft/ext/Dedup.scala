@@ -260,6 +260,202 @@ object Dedup {
       .filter(col("j_ppm") >= tauPpm)
   }
 
+  /** Build the persisted prefix index for INCREMENTAL exact τ-Jaccard dedup
+    * — [[jaccardJoin]]'s build-once/probe-many form, completing the exact
+    * half of the nightly-crawl story next to [[buildLshIndex]]. Three
+    * bucketed tables:
+    *
+    *  - `{name}_vocab` (token, tid): the FROZEN global prefix order
+    *    (df asc, token asc at build time). Losslessness needs only a
+    *    CONSISTENT total order across every pair, not a true df order —
+    *    so the order may drift from real dfs as the index grows; df-order
+    *    is purely a pruning heuristic (rebuild cadence is an ops knob).
+    *  - `{name}_toks` (doc_id, toks: sorted tid array, n), bucketed by
+    *    doc_id — the verification operand.
+    *  - `{name}_prefix` (tid, doc_id, rn, n), bucketed by tid — probe
+    *    batches join it exchange-free on the index side.
+    *
+    * The stored prefix length is cut at `tauPpm`; probing is lossless for
+    * any probe τ ≥ build τ (higher τ needs shorter prefixes — a subset of
+    * what is stored).
+    */
+  def buildJaccardIndex(documents: DataFrame, name: String,
+                        tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    val (tk, tkIds) = Checkpoints.checkpointTracked(documents
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= ""))
+    graft.sources.Bucketing.writeBucketed(
+      tk.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").asc, col("token").asc)).cast("long"))
+        .select("token", "tid"),
+      s"${name}_vocab", "token", buckets)
+    graft.sources.Bucketing.writeBucketed(
+      tk.join(spark.table(s"${name}_vocab"), "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tid"))).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long")),
+      s"${name}_toks", "doc_id", buckets)
+    Checkpoints.releaseTracked(spark.table(s"${name}_toks"), tkIds)
+    graft.sources.Bucketing.writeBucketed(
+      spark.table(s"${name}_toks")
+        .select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
+        .select(col("col").as("tid"), col("doc_id"), col("n"),
+          (col("pos") + 1).cast("long").as("rn")),
+      s"${name}_prefix", "tid", buckets)
+  }
+
+  /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the
+    * batch join, the index build and the probe side so the cut can never
+    * drift between them.
+    */
+  private def prefixSlice(tauPpm: Long): Column = expr(
+    s"slice(toks, 1, int(n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L))")
+
+  /** Exact τ-Jaccard pairs of NEW documents against a persisted
+    * [[buildJaccardIndex]] — (doc_new, doc_corpus, n_common, j_ppm), NO
+    * false negatives vs re-running [[jaccardJoin]] over the union corpus.
+    *
+    * Probe tokens UNSEEN in the index vocabulary rank BEFORE every known
+    * token (df 0 = globally rarest; among themselves by token — a
+    * consistent extension of the frozen order, and index docs never
+    * contain them so no cross comparison arises). They generate no
+    * candidates (nothing in the index to equal) but still occupy prefix
+    * positions and count into n/union — exactly the losslessness
+    * argument's shape: if unseen tokens fill a probe doc's whole prefix,
+    * the overlap bound proves no qualifying corpus partner exists.
+    *
+    * Scale shape mirrors [[dedupAgainstIndex]]: the probe batch pays
+    * tokenize + one vocab join (bucketed on token) + its prefix explode;
+    * the index side is read co-located off the bucketed layout.
+    */
+  def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          newDocs: DataFrame, name: String,
+                          tauPpm: Long = 850000L): DataFrame = {
+    val per = newDocs
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .join(spark.table(s"${name}_vocab"), Seq("token"), "left")
+      .groupBy("doc_id")
+      // collect_list drops nulls: toks = KNOWN tids only; n counts all
+      .agg(sort_array(collect_list(col("tid"))).as("toks"),
+        count(lit(1)).as("n"))
+      .withColumn("n_unseen", col("n") - size(col("toks")))
+      .localCheckpoint(true)
+    // known token at sorted position pos sits at global rank n_unseen+pos+1
+    // (every unseen token precedes it); the prefix cut is on that rank
+    val probePrefix = per
+      .select(col("doc_id").as("doc_new"), col("n"), col("n_unseen"),
+        posexplode(col("toks")))
+      .withColumn("rn", (col("pos") + 1).cast("long") + col("n_unseen"))
+      .filter(expr(s"rn <= n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
+      .select(col("doc_new"), col("col").as("tid"), col("n").as("na"), col("rn").as("ra"))
+    val idx = spark.table(s"${name}_prefix")
+      .select(col("tid"), col("doc_id").as("doc_corpus"),
+        col("n").as("nb"), col("rn").as("rb"))
+    val cand = probePrefix.join(idx, "tid")
+      .filter(expr(s"least(na, nb) * 1000000L >= greatest(na, nb) * ${tauPpm}L"))
+      .filter(expr(
+        s"(least(na - ra, nb - rb) + 1L) * ${1000000L + tauPpm}L" +
+          s" >= ${tauPpm}L * (na + nb)"))
+      .select("doc_new", "doc_corpus", "na", "nb")
+      .distinct()
+    cand
+      .join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")), Seq("doc_new"))
+      .join(spark.table(s"${name}_toks")
+        .select(col("doc_id").as("doc_corpus"), col("toks").as("tb")), Seq("doc_corpus"))
+      .select(col("doc_new"), col("doc_corpus"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        col("na"), col("nb"))
+      .select(col("doc_new"), col("doc_corpus"), col("n_common"),
+        expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))
+      .filter(col("j_ppm") >= tauPpm)
+  }
+
+  /** Append survivor documents to a [[buildJaccardIndex]]: tokens new to
+    * the vocabulary are assigned tids ABOVE the current max — appending at
+    * the END of the frozen order preserves every existing pairwise
+    * comparison, so all stored prefixes remain valid (no rebuild). The
+    * placement makes brand-new tokens rank as "most common" (prefix-last),
+    * which only weakens pruning, never correctness; a periodic rebuild
+    * restores true df order. The max-tid read is one O(1) driver scalar.
+    */
+  def appendToJaccardIndex(spark: org.apache.spark.sql.SparkSession,
+                           survivors: DataFrame, name: String,
+                           tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
+    val tk = survivors
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(true)
+    val maxTid = spark.table(s"${name}_vocab")
+      .agg(max(col("tid"))).head.getLong(0)
+    tk.select("token").distinct()
+      .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti")
+      .withColumn("tid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("token")))
+        .cast("long")) + lit(maxTid))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "token").saveAsTable(s"${name}_vocab")
+    spark.catalog.refreshTable(s"${name}_vocab")
+    val toks = tk.join(spark.table(s"${name}_vocab"), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    toks.write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").saveAsTable(s"${name}_toks")
+    toks.select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
+      .select(col("col").as("tid"), col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "tid").saveAsTable(s"${name}_prefix")
+    spark.catalog.refreshTable(s"${name}_toks")
+    spark.catalog.refreshTable(s"${name}_prefix")
+  }
+
+  /** Streaming exact-dedup loop over a persisted [[buildJaccardIndex]] —
+    * the provably-complete counterpart of [[maintainLshDedup]]: each
+    * micro-batch probes the index with [[jaccardAgainstIndex]], docs with
+    * ANY pair at τ are dropped, survivors are written AND appended to the
+    * index ([[appendToJaccardIndex]]) so later batches dedup against
+    * earlier survivors. Within-batch τ-pairs that match nothing in the
+    * index both survive — run [[jaccardJoin]] on the increment upstream if
+    * intra-batch collapse is required (same contract as the LSH loop).
+    */
+  def maintainJaccardDedup(stream: DataFrame, name: String, checkpointDir: String,
+                           survivorsPath: String, tauPpm: Long = 850000L,
+                           buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        // per-batch checkpoint hygiene: jaccardAgainstIndex and the append
+        // each checkpoint batch-sized intermediates; in a long-running
+        // stream those blocks must die with their batch, not accumulate
+        val before = session.sparkContext.getPersistentRDDs.keySet.toSet
+        val survivors = batch.join(
+          jaccardAgainstIndex(session, batch, name, tauPpm)
+            .select(col("doc_new").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").persist()
+        try {
+          survivors.write.mode("append").parquet(survivorsPath)
+          appendToJaccardIndex(session, survivors, name, tauPpm, buckets)
+        } finally {
+          survivors.unpersist()
+          val rdds = session.sparkContext.getPersistentRDDs
+          rdds.keySet.toSet.diff(before)
+            .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+        }
+      }
+      .start()
+
   /** Persist the corpus's LSH band table bucketed by band key — the
     * build-once half of INCREMENTAL dedup (`new crawl vs existing corpus`):
     * the MinHash pipeline runs over the corpus exactly once, at build time,

@@ -293,6 +293,64 @@ class ExtSpec extends SparkSpec {
     assert(fast.nonEmpty) // the slice must actually exercise the join
   }
 
+  test("jaccard index: incremental probe equals one-shot join over the union") {
+    // build on two thirds of the corpus, probe the rest: the index path must
+    // return EXACTLY the cross (corpus, new) pairs of the one-shot batch
+    // join over the union — the no-false-negative contract extended to the
+    // frozen-vocab order (probe docs carry tokens unseen at build time)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0L)
+    val batch = docs.filter($"doc_id" % 3 === 0L)
+      // salt some probe text with BUILD-UNSEEN tokens so the unseen-first
+      // ranking corner actually executes (pure corpus text is all known)
+      .withColumn("text", concat($"text", lit(" zznovel"), ($"doc_id" % 7).cast("string")))
+    val tau = 800000L
+    Dedup.buildJaccardIndex(corpus, "jac_idx_test", tau, buckets = 4)
+    try {
+      val viaIndex = Dedup.jaccardAgainstIndex(spark, batch, "jac_idx_test", tau)
+        .select("doc_new", "doc_corpus", "n_common", "j_ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val oneShot = Dedup.jaccardJoin(corpus.unionByName(batch), tau)
+        .filter(($"doc_a" % 3 === 0L) =!= ($"doc_b" % 3 === 0L)) // cross pairs only
+        .select(
+          when($"doc_a" % 3 === 0L, $"doc_a").otherwise($"doc_b").as("doc_new"),
+          when($"doc_a" % 3 === 0L, $"doc_b").otherwise($"doc_a").as("doc_corpus"),
+          $"n_common", $"j_ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaIndex == oneShot, s"index ${viaIndex.size} vs one-shot ${oneShot.size}")
+      assert(viaIndex.nonEmpty) // the slice must actually exercise the join
+    } finally Seq("jac_idx_test_vocab", "jac_idx_test_toks", "jac_idx_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("jaccard index append: unseen-token docs match later twins, never stale prefixes") {
+    // doc A is all build-unseen tokens: must survive (no candidates), then
+    // after append its twin B must be caught — proves the vocab EXTENSION
+    // (new tids above max) keeps appended prefixes consistent
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val tau = 900000L
+    Dedup.buildJaccardIndex(corpus, "jac_app_test", tau, buckets = 2)
+    try {
+      val a = Seq((10L, "qq ww ee rr tt")).toDF("doc_id", "text")
+      assert(Dedup.jaccardAgainstIndex(spark, a, "jac_app_test", tau).isEmpty)
+      Dedup.appendToJaccardIndex(spark, a, "jac_app_test", tau, buckets = 2)
+      val b = Seq((20L, "qq ww ee rr tt")).toDF("doc_id", "text")
+      val hits = Dedup.jaccardAgainstIndex(spark, b, "jac_app_test", tau)
+        .select("doc_new", "doc_corpus", "j_ppm")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(hits == Seq((20L, 10L, 1000000L)), s"got $hits")
+      // and a corpus twin still matches after the append (old prefixes live)
+      val c = Seq((30L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      val hc = Dedup.jaccardAgainstIndex(spark, c, "jac_app_test", tau)
+        .select("doc_new", "doc_corpus", "j_ppm")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(hc == Seq((30L, 1L, 1000000L)), s"got $hc")
+    } finally Seq("jac_app_test_vocab", "jac_app_test_toks", "jac_app_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup clustering: transitive chain collapses to one canonical id") {
     // a ~ b (drop 1 token) ~ c (drop 2 tokens): LSH links the chain even if
     // a ~ c alone were below a band match; all three must share canonical a

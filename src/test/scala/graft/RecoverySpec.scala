@@ -210,6 +210,52 @@ class RecoverySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_maint_test")
   }
 
+  test("streaming exact-jaccard dedup: index appends survive restart") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("jacmaint")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/survivors"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val tau = 900000L
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    Dedup.buildJaccardIndex(base, "jac_maint_test", tau, buckets = 2)
+    // batch 1: an exact twin of corpus doc 0 (must drop) + a doc of tokens
+    // the build never saw (must survive and extend the vocab)
+    val freshText = "qq ww ee rr tt yy uu ii oo pp"
+    Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2000L, freshText))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    def start() = Dedup.maintainJaccardDedup(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "jac_maint_test", ckpt, outDir, tau, buckets = 2)
+    try {
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // batch 2 arrives while the maintainer is down: a twin of the batch-1
+      // SURVIVOR — catching it proves the append (including the vocab
+      // extension for build-unseen tokens) took effect across the restart
+      Seq(
+        (3000L, freshText),
+        (4000L, "completely different content here with its own words now"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(2000L, 4000L),
+        s"twin-of-corpus and twin-of-survivor must drop, got $survivors")
+    } finally Seq("jac_maint_test_vocab", "jac_maint_test_toks", "jac_maint_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sequence packing: per-source offsets survive restart") {
     val root = managedTempDir("packrec")
     val srcDir = s"$root/src"
