@@ -292,20 +292,20 @@ object Dedup {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("df").asc, col("token").asc)).cast("long"))
         .select("token", "tid"),
-      s"${name}_vocab", "token", buckets)
+      s"${name}_vocab", "token", buckets, compact = true)
     graft.sources.Bucketing.writeBucketed(
       tk.join(spark.table(s"${name}_vocab"), "token")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("tid"))).as("toks"))
         .withColumn("n", size(col("toks")).cast("long")),
-      s"${name}_toks", "doc_id", buckets)
+      s"${name}_toks", "doc_id", buckets, compact = true)
     Checkpoints.releaseTracked(spark.table(s"${name}_toks"), tkIds)
     graft.sources.Bucketing.writeBucketed(
       spark.table(s"${name}_toks")
         .select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
         .select(col("col").as("tid"), col("doc_id"), col("n"),
           (col("pos") + 1).cast("long").as("rn")),
-      s"${name}_prefix", "tid", buckets)
+      s"${name}_prefix", "tid", buckets, compact = true)
   }
 
   /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the

@@ -15,9 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and optionally sorted) parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                    sortCols: Seq[String] = Nil): Unit = {
+  /** Write `df` as a bucketed (and optionally sorted) parquet table.
+    *
+    * `compact = true` repartitions by the bucket key with numPartitions =
+    * buckets first: Spark's bucket assignment and HashPartitioning both
+    * take Murmur3 pmod numBuckets, so each task then holds exactly one
+    * bucket and the table lands as `buckets` files instead of up to
+    * tasks×buckets tiny ones — worth it for small/medium index tables
+    * (file-commit overhead dominates). Leave false when a single bucket's
+    * data exceeds one task's comfort (the 100 TB default): the unaligned
+    * write trades file count for task-size freedom.
+    */
+  def writeBucketed(df0: DataFrame, table: String, key: String, buckets: Int,
+                    sortCols: Seq[String] = Nil, compact: Boolean = false): Unit = {
+    val df = if (compact)
+      df0.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    else df0
     val spark = df.sparkSession
     // overwrite must be idempotent across SESSIONS too: a fresh in-memory
     // catalog has no entry for the table, but a previous session's files at
