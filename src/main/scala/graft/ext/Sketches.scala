@@ -121,8 +121,14 @@ object Sketches {
       .toDF("p", "shingle").select("shingle")
     val shortDocs = toks.where(size(col("toks")) < 3)
       .select(concat_ws(" ", col("toks")).as("shingle"))
+    // materialize the exploded (shingle, hash) stream ONCE: both the sketch
+    // pass and the exact recount read it, and re-running tokenize+shingle+
+    // md5 per pass measured ~2× this operator's cost at sf0.1. Rows are two
+    // narrow columns (the multi-consumer checkpoint rule — the Bench/Verify
+    // sweep releases the blocks after the query's result is consumed).
     val items = longDocs.unionByName(shortDocs)
       .select(col("shingle"), Exact.md5Hash60(col("shingle")).as("h"))
+      .localCheckpoint(true)
     val sketch = items
       .agg(MgSketch.mg(col("h"), sketchSize).as("cand"), count(lit(1)).as("total"))
       .first()
@@ -177,9 +183,13 @@ object Sketches {
     */
   def freqCms(documents: DataFrame, d: Int = CmsD, w: Int = CmsW,
               topK: Int = 20): DataFrame = {
+    // two consumers (sketch fold + exact top-k) share one materialized
+    // token stream instead of two tokenize+explode scans (the
+    // heavyShingles discipline; Bench/Verify releases the blocks)
     val toks = documents
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
+      .localCheckpoint(true)
     val sketch = toks
       .select(cmsCells(col("token"), d, w).as("cells"))
       .agg(CmsSketch.cms(col("cells"), d, w).as("sk"))
@@ -241,6 +251,8 @@ object Sketches {
       .where(col("token") =!= "")
       .select(window(col("ts"), windowDur).getField("start").as("win_start"),
         col("token"), Exact.md5Hash60(col("token")).as("h"))
+      // sketch pass (eager collect) + exact recount share one scan
+      .localCheckpoint(true)
     val sketches = items.groupBy("win_start")
       .agg(MgSketch.mg(col("h"), sketchSize).as("cand"), count(lit(1)).as("total"))
       .collect()
