@@ -76,6 +76,35 @@ class PlanSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false)))
   }
 
+  test("jaccard index probe: both index tables read co-located, zero index-side shuffles") {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.buildJaccardIndex(docs.filter(col("doc_id") % 2 === 0), "jac_plan_test",
+      850000L, buckets = 4)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at test SF the planner broadcasts the index tables (also
+      // exchange-free); force the sort-merge path to pin the bucketed
+      // layout's contract at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Dedup.jaccardAgainstIndex(spark,
+        docs.filter(col("doc_id") % 2 =!= 0), "jac_plan_test", 850000L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("jac_plan_test_prefix") && p.contains("jac_plan_test_toks"), p)
+      // every shuffle belongs to the PROBE side: (1) probe prefixes to the
+      // candidate join, (2) candidate distinct, (3) distinct output to the
+      // first verification join, (4+5) the verification joins' streams.
+      // (The probe's vocab-join and per-doc groupBy shuffles are paid ONCE
+      // at `per`'s eager checkpoint, outside this plan.) The prefix and
+      // toks tables satisfy their joins' distribution from the bucketed
+      // layout — an index-side Exchange would appear as a 6th
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 5, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      Seq("jac_plan_test_vocab", "jac_plan_test_toks", "jac_plan_test_prefix")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (QxN, never NxN shuffle)") {
     graft.functions.CosineSimilarity.register(spark)
     val p = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 20, 5))
