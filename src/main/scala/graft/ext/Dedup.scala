@@ -392,8 +392,10 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
       .localCheckpoint(true)
+    // coalesce: an index built over an empty corpus has an empty vocab, and
+    // max() over zero rows is NULL — appends must still work (tids from 1)
     val maxTid = spark.table(s"${name}_vocab")
-      .agg(max(col("tid"))).head.getLong(0)
+      .agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
     tk.select("token").distinct()
       .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti")
       .withColumn("tid", (row_number().over(

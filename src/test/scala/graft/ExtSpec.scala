@@ -351,6 +351,25 @@ class ExtSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("jaccard index bootstraps from an EMPTY corpus (append then probe)") {
+    // the stream-everything-from-scratch path: nothing indexed at build
+    // time, so the first append must mint tids from 1 (max over an empty
+    // vocab is NULL, not 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.buildJaccardIndex(empty, "jac_boot_test", 900000L, buckets = 2)
+    try {
+      val a = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+      assert(Dedup.jaccardAgainstIndex(spark, a, "jac_boot_test", 900000L).isEmpty)
+      Dedup.appendToJaccardIndex(spark, a, "jac_boot_test", 900000L, buckets = 2)
+      val hits = Dedup.jaccardAgainstIndex(spark,
+          Seq((2L, "aa bb cc dd")).toDF("doc_id", "text"), "jac_boot_test", 900000L)
+        .select("doc_new", "doc_corpus", "j_ppm")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(hits == Seq((2L, 1L, 1000000L)), s"got $hits")
+    } finally Seq("jac_boot_test_vocab", "jac_boot_test_toks", "jac_boot_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup clustering: transitive chain collapses to one canonical id") {
     // a ~ b (drop 1 token) ~ c (drop 2 tokens): LSH links the chain even if
     // a ~ c alone were below a band match; all three must share canonical a
