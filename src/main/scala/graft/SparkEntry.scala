@@ -336,9 +336,11 @@ object SparkEntry {
           TrainedStore.cached(s, s"$d-pq-cb-${pqSubs}x${pqSubDim}x$pqK-i$pqIters")(
             Similarity.trainPqCodebook(emb(s, d), pqSubs, pqSubDim, pqK, pqIters))),
         ivfPqCodesTbl = Some(
-          TrainedStore.cached(s, s"$d-ivfpq-codes-k$ivfK-${pqSubs}x$pqSubDim")(
+          // key carries EVERY hyperparameter the codes depend on (kpq sets
+          // the residual codebook size and therefore every code)
+          TrainedStore.cached(s, s"$d-ivfpq-codes-k$ivfK-${pqSubs}x${pqSubDim}x$pqK")(
             Similarity.ivfPqCodes(emb(s, d), k = ivfK,
-              subs = pqSubs, subDim = pqSubDim)))).orderBy("method")
+              subs = pqSubs, subDim = pqSubDim, kpq = pqK)))).orderBy("method")
     }),
     "ann_kmeans_step" -> ((s, d) =>
       Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),

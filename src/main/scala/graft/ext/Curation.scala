@@ -496,19 +496,50 @@ object Curation {
       .localCheckpoint(true)
   }
 
-  def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
-    val hashed = shingleHashed(documents)
-    val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shd")).as("sh_hash")).distinct()
-    val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
-    val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
-      .join(broadcast(benchShingles), Seq("sh_hash"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  // ---- decontamination internals shared by the three variants ----
+  // benchmark carve: every 97th doc plays the eval suite
+  private def benchHalf(hashed: DataFrame): DataFrame =
+    hashed.filter(col("doc_id") % 97 === 0)
+  private def corpusHalf(hashed: DataFrame): DataFrame =
+    hashed.filter(col("doc_id") % 97 =!= 0)
+
+  /** Per-doc output from a (doc_id, n_overlap) frame: the one place the
+    * output schema and the minOverlap verdict live.
+    */
+  private def decontOutput(corpus: DataFrame, overlap: DataFrame,
+                           minOverlap: Long): DataFrame =
     corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
       .join(overlap, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
       .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+
+  /** Registers the benchmark's bloom sketch as a one-column temp view and
+    * hands `body` the `bloom_might_contain((SELECT bf FROM view), ·)` probe
+    * predicate source; the view is dropped once the result plan is
+    * analyzed (the scalar subquery resolves at DataFrame creation).
+    */
+  private def withBenchBloom[T](hashed: DataFrame, estItems: Long,
+                                numBits: Long)(body: String => T): T = {
+    graft.functions.BloomFunctions.register(hashed.sparkSession)
+    val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
+    benchHalf(hashed)
+      .select(explode(col("shd")).as("sh_hash"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .createOrReplaceTempView(view)
+    try body(view)
+    finally hashed.sparkSession.catalog.dropTempView(view)
+  }
+
+  def decontaminate(documents: DataFrame, minOverlap: Long = 1L): DataFrame = {
+    val hashed = shingleHashed(documents)
+    val benchShingles = benchHalf(hashed)
+      .select(explode(col("shd")).as("sh_hash")).distinct()
+    val corpus = corpusHalf(hashed)
+    val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
+      .join(broadcast(benchShingles), Seq("sh_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    decontOutput(corpus, overlap, minOverlap)
   }
 
   /** Bloom-filter decontamination — the variant for when even the DISTINCT
@@ -526,28 +557,14 @@ object Curation {
     */
   def decontaminateBloom(documents: DataFrame, minOverlap: Long = 1L,
                          estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
-    graft.functions.BloomFunctions.register(documents.sparkSession)
     val hashed = shingleHashed(documents)
-    // unique per-invocation view name: interleaved invocations on one
-    // session must not cross-wire sketches; the view is dropped as soon as
-    // the result plan is analyzed (the scalar subquery is resolved at
-    // DataFrame creation, so the name is only needed during analysis)
-    val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
-    hashed.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shd")).as("sh_hash"))
-      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
-      .createOrReplaceTempView(view)
-    try {
-      val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+    withBenchBloom(hashed, estItems, numBits) { view =>
+      val corpus = corpusHalf(hashed)
       val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
         .filter(expr(s"bloom_might_contain((SELECT bf FROM $view), sh_hash)"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-        .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
-        .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
-    } finally documents.sparkSession.catalog.dropTempView(view)
+      decontOutput(corpus, overlap, minOverlap)
+    }
   }
 
   /** Bloom-PRUNED exact decontamination — the production composition of the
@@ -566,27 +583,17 @@ object Curation {
     */
   def decontaminateBloomExact(documents: DataFrame, minOverlap: Long = 1L,
                               estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
-    graft.functions.BloomFunctions.register(documents.sparkSession)
     val hashed = shingleHashed(documents)
-    val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
-    hashed.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shd")).as("sh_hash"))
-      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
-      .createOrReplaceTempView(view)
-    try {
-      val benchShingles = hashed.filter(col("doc_id") % 97 === 0)
+    withBenchBloom(hashed, estItems, numBits) { view =>
+      val benchShingles = benchHalf(hashed)
         .select(explode(col("shd")).as("sh_hash")).distinct()
-      val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+      val corpus = corpusHalf(hashed)
       val overlap = corpus.select(col("doc_id"), explode(col("shd")).as("sh_hash"))
         .filter(expr(s"bloom_might_contain((SELECT bf FROM $view), sh_hash)"))
         .join(broadcast(benchShingles), Seq("sh_hash"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      corpus.select(col("doc_id"), size(col("shd")).cast("long").as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-        .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
-        .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
-    } finally documents.sparkSession.catalog.dropTempView(view)
+      decontOutput(corpus, overlap, minOverlap)
+    }
   }
 
   /** The test corpus carries no URLs, so link analysis is exercised against

@@ -235,8 +235,7 @@ object Dedup {
     // unreachable from any live plan — free the token-stream blocks
     Checkpoints.releaseTracked(toks, tkIds)
     val prefix = toks
-      .select(col("doc_id"), col("n"), posexplode(expr(
-        s"slice(toks, 1, int(n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L))")))
+      .select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
       .select(col("doc_id"), col("col").as("tid"), col("n"),
         (col("pos") + 1).cast("long").as("rn"))
     val cand = prefix.as("x").join(prefix.as("y"),
@@ -334,8 +333,19 @@ object Dedup {
     */
   def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           newDocs: DataFrame, name: String,
-                          tauPpm: Long = 850000L): DataFrame = {
-    val per = newDocs
+                          tauPpm: Long = 850000L): DataFrame =
+    jaccardAgainstIndexTracked(spark, newDocs, name, tauPpm)._1
+
+  /** [[jaccardAgainstIndex]] plus the RDD ids of its eager checkpoint, so a
+    * long-running caller (the streaming loop) can release exactly its own
+    * blocks once the batch's results are consumed — never a blanket
+    * session-wide sweep, which would tear down CONCURRENT queries'
+    * lineage-truncated checkpoints (unrecoverable by design).
+    */
+  private def jaccardAgainstIndexTracked(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      name: String, tauPpm: Long): (DataFrame, Set[Int]) = {
+    val (per, perIds) = Checkpoints.checkpointTracked(newDocs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
@@ -344,8 +354,7 @@ object Dedup {
       // collect_list drops nulls: toks = KNOWN tids only; n counts all
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
         count(lit(1)).as("n"))
-      .withColumn("n_unseen", col("n") - size(col("toks")))
-      .localCheckpoint(true)
+      .withColumn("n_unseen", col("n") - size(col("toks"))))
     // known token at sorted position pos sits at global rank n_unseen+pos+1
     // (every unseen token precedes it); the prefix cut is on that rank
     val probePrefix = per
@@ -364,7 +373,7 @@ object Dedup {
           s" >= ${tauPpm}L * (na + nb)"))
       .select("doc_new", "doc_corpus", "na", "nb")
       .distinct()
-    cand
+    val out = cand
       .join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")), Seq("doc_new"))
       .join(spark.table(s"${name}_toks")
         .select(col("doc_id").as("doc_corpus"), col("toks").as("tb")), Seq("doc_corpus"))
@@ -374,6 +383,7 @@ object Dedup {
       .select(col("doc_new"), col("doc_corpus"), col("n_common"),
         expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))
       .filter(col("j_ppm") >= tauPpm)
+    (out, perIds)
   }
 
   /** Append survivor documents to a [[buildJaccardIndex]]: tokens new to
@@ -383,41 +393,60 @@ object Dedup {
     * placement makes brand-new tokens rank as "most common" (prefix-last),
     * which only weakens pruning, never correctness; a periodic rebuild
     * restores true df order. The max-tid read is one O(1) driver scalar.
+    *
+    * REPLAY-IDEMPOTENT (foreachBatch redelivers a batch whose checkpoint
+    * commit failed): every append is gated on docs MISSING from
+    * `{name}_toks`, which is written LAST — a fully-committed batch
+    * re-appends nothing. The vocab append is idempotent by its own
+    * left-anti. Prefix rows are written BEFORE toks, so the one partial-
+    * failure window (crash between the two) re-appends prefix rows as
+    * DUPLICATES rather than losing them — duplicate prefix rows only
+    * produce duplicate candidates, which the probe's `distinct()` erases,
+    * while a missing prefix row would be a silent false negative. The
+    * missing-doc gate joins the batch's ids against the toks table
+    * co-located off its doc_id bucketing.
     */
   def appendToJaccardIndex(spark: org.apache.spark.sql.SparkSession,
                            survivors: DataFrame, name: String,
                            tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
-    val tk = survivors
+    val (tk, tkIds) = Checkpoints.checkpointTracked(survivors
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
-      .localCheckpoint(true)
-    // coalesce: an index built over an empty corpus has an empty vocab, and
-    // max() over zero rows is NULL — appends must still work (tids from 1)
-    val maxTid = spark.table(s"${name}_vocab")
-      .agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
-    tk.select("token").distinct()
-      .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti")
-      .withColumn("tid", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("token")))
-        .cast("long")) + lit(maxTid))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "token").saveAsTable(s"${name}_vocab")
-    spark.catalog.refreshTable(s"${name}_vocab")
-    val toks = tk.join(spark.table(s"${name}_vocab"), "token")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tid"))).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .localCheckpoint(true)
-    toks.write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").saveAsTable(s"${name}_toks")
-    toks.select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
-      .select(col("col").as("tid"), col("doc_id"), col("n"),
-        (col("pos") + 1).cast("long").as("rn"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "tid").saveAsTable(s"${name}_prefix")
-    spark.catalog.refreshTable(s"${name}_toks")
-    spark.catalog.refreshTable(s"${name}_prefix")
+      .join(spark.table(s"${name}_toks").select("doc_id"), Seq("doc_id"), "left_anti"))
+    try {
+      // coalesce: an index built over an empty corpus has an empty vocab,
+      // and max() over zero rows is NULL — appends must still work (tids
+      // from 1)
+      val maxTid = spark.table(s"${name}_vocab")
+        .agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
+      tk.select("token").distinct()
+        .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti")
+        .withColumn("tid", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("token")))
+          .cast("long")) + lit(maxTid))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "token").saveAsTable(s"${name}_vocab")
+      spark.catalog.refreshTable(s"${name}_vocab")
+      val (toks, toksIds) = Checkpoints.checkpointTracked(
+        tk.join(spark.table(s"${name}_vocab"), "token")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("tid"))).as("toks"))
+          .withColumn("n", size(col("toks")).cast("long")))
+      try {
+        // tk is dead once toks materializes (the writes below read toks)
+        Checkpoints.releaseTracked(toks, tkIds)
+        toks.select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
+          .select(col("col").as("tid"), col("doc_id"), col("n"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "tid").saveAsTable(s"${name}_prefix")
+        toks.write.mode("append").format("parquet")
+          .bucketBy(buckets, "doc_id").saveAsTable(s"${name}_toks")
+        spark.catalog.refreshTable(s"${name}_toks")
+        spark.catalog.refreshTable(s"${name}_prefix")
+      } finally Checkpoints.releaseTracked(toks, toksIds)
+    } finally Checkpoints.releaseTracked(tk, tkIds)
   }
 
   /** Streaming exact-dedup loop over a persisted [[buildJaccardIndex]] —
@@ -428,6 +457,16 @@ object Dedup {
     * earlier survivors. Within-batch τ-pairs that match nothing in the
     * index both survive — run [[jaccardJoin]] on the increment upstream if
     * intra-batch collapse is required (same contract as the LSH loop).
+    *
+    * Replay-safe: survivors land in a `batch_id=` partition via dynamic
+    * partition OVERWRITE (a redelivered batch replaces its own partition,
+    * never double-appends), index appends are gated per table inside
+    * [[appendToJaccardIndex]], and SELF-pairs are excluded from the dup
+    * verdict — on replay the index already contains this batch's
+    * survivors, and a doc must not be dropped for matching itself.
+    * Checkpoint hygiene releases exactly the blocks THIS batch created
+    * (probe + append internals), never a session-wide sweep that would
+    * tear down concurrent queries' lineage-truncated checkpoints.
     */
   def maintainJaccardDedup(stream: DataFrame, name: String, checkpointDir: String,
                            survivorsPath: String, tauPpm: Long = 850000L,
@@ -436,27 +475,35 @@ object Dedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val session = batch.sparkSession
-        // per-batch checkpoint hygiene: jaccardAgainstIndex and the append
-        // each checkpoint batch-sized intermediates; in a long-running
-        // stream those blocks must die with their batch, not accumulate
-        val before = session.sparkContext.getPersistentRDDs.keySet.toSet
-        val survivors = batch.join(
-          jaccardAgainstIndex(session, batch, name, tauPpm)
-            .select(col("doc_new").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti").persist()
-        try {
-          survivors.write.mode("append").parquet(survivorsPath)
-          appendToJaccardIndex(session, survivors, name, tauPpm, buckets)
-        } finally {
-          survivors.unpersist()
-          val rdds = session.sparkContext.getPersistentRDDs
-          rdds.keySet.toSet.diff(before)
-            .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processJaccardBatch(batch, batchId, name, survivorsPath, tauPpm, buckets)
       }
       .start()
+
+  /** One micro-batch of [[maintainJaccardDedup]], factored out so replay
+    * semantics are directly testable (call twice with the same batchId).
+    */
+  private[graft] def processJaccardBatch(batch: DataFrame, batchId: Long,
+                                         name: String, survivorsPath: String,
+                                         tauPpm: Long, buckets: Int): Unit = {
+    val session = batch.sparkSession
+    val (pairs, probeIds) =
+      jaccardAgainstIndexTracked(session, batch, name, tauPpm)
+    try {
+      val dupIds = pairs
+        .filter(col("doc_new") =!= col("doc_corpus")) // replay: self-match
+        .select(col("doc_new").as("doc_id")).distinct()
+      val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      try {
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(survivorsPath)
+        appendToJaccardIndex(session, survivors, name, tauPpm, buckets)
+      } finally survivors.unpersist()
+    } finally Checkpoints.releaseTracked(pairs, probeIds)
+  }
 
   /** Persist the corpus's LSH band table bucketed by band key — the
     * build-once half of INCREMENTAL dedup (`new crawl vs existing corpus`):

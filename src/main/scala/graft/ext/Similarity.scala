@@ -1177,8 +1177,14 @@ object Similarity {
       .agg(flatten(array((0 until subs).map(s =>
         expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
         .as("lut"))
+    // stride = the ACTUAL per-sub segment length (size(lut)/subs), not the
+    // nominal kpq: a corpus with fewer than k+kpq vectors yields a smaller
+    // codebook, and pq_encode positions stay < that size — a fixed-kpq
+    // stride would read across segment boundaries (or past the array under
+    // ANSI) exactly there. Equal to kpq whenever the codebook is full.
     val adc = (0 until subs).map { s =>
-      expr(s"element_at(lut, ${s * kpq} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
+      expr(s"element_at(lut, $s * int(size(lut) div $subs)" +
+        s" + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
     }.reduce(_ + _)
     codesTbl.join(broadcast(lut), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1268,8 +1274,12 @@ object Similarity {
       .agg(flatten(array((0 until subs).map(s =>
         expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
         .as("lut"))
+    // dynamic stride (= k whenever the codebook is full): a corpus smaller
+    // than the codebook row range yields shorter per-sub LUT segments, and
+    // pq_encode positions stay < that size — see ivfPqTop1's adc
     val adc = (0 until subs).map { s =>
-      expr(s"element_at(lut, ${s * k} + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
+      expr(s"element_at(lut, $s * int(size(lut) div $subs)" +
+        s" + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
     }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))

@@ -82,11 +82,6 @@ object TextAnalysis {
     "fr" -> Seq("join", "filter"),
     "zh" -> Seq("spark", "query"))
 
-  def markerCount(text: Column, w: String): Column =
-    ((length(concat(lit(" "), normalized(text), lit(" "))) -
-      length(regexp_replace(concat(lit(" "), normalized(text), lit(" ")), s" $w ", " "))) /
-      (w.length + 1)).cast("long")
-
   def langId(documents: DataFrame): DataFrame = {
     // Plan discipline: normalize ONCE into an attribute, and pack every
     // language's score into ONE array-of-structs attribute. The previous

@@ -597,6 +597,22 @@ class ExtSpec extends SparkSpec {
       "no multi-member cell has more than one distinct code")
   }
 
+  test("ivf-pq: corpus smaller than k+kpq degrades gracefully (short codebook)") {
+    // 24 vectors with k=16, kpq=16: only 8 non-centroid rows exist, so the
+    // residual codebook has 8 codewords and per-sub LUT segments 8 entries.
+    // The ADC stride must follow the ACTUAL segment length — a fixed-kpq
+    // stride reads across segments (or past the array under ANSI) here.
+    val e = Tables.embeddings(spark, sfDir).limit(24)
+    val out = Similarity.ivfPqTop1(e, numQueries = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (q, n) =>
+      assert(n != q && n >= 0 && n < 24, s"query $q got out-of-corpus $n")
+    }
+    val codes = Similarity.ivfPqCodes(e).select("pq_code").as[Long].collect()
+    assert(codes.length == 24)
+  }
+
   test("sq8: scaled twin has identical codes and tops its original's ranking") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val out = Similarity.sq8TopK(Similarity.withScaledCopies(e), 20, 5)

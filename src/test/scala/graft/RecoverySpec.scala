@@ -256,6 +256,41 @@ class RecoverySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("jaccard dedup batch REPLAY is idempotent (no dup index rows, no self-drop)") {
+    import graft.ext.Dedup
+    val root = managedTempDir("jacreplay")
+    val outDir = s"$root/survivors"
+    val tau = 900000L
+    val base = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.buildJaccardIndex(base, "jac_replay_test", tau, buckets = 2)
+    try {
+      val batch = Seq(
+        (100L, "alpha beta gamma delta epsilon"), // twin of corpus -> drop
+        (200L, "qq ww ee rr tt"))                 // fresh -> survive + append
+        .toDF("doc_id", "text")
+      // foreachBatch redelivery: same batch, same id, twice — the second
+      // pass probes an index that ALREADY contains doc 200
+      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", outDir, tau, 2)
+      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", outDir, tau, 2)
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(200L),
+        s"replay must not double-write or self-drop the survivor, got $survivors")
+      Seq("toks", "prefix").foreach { t =>
+        spark.catalog.refreshTable(s"jac_replay_test_$t")
+        val dups = spark.table(s"jac_replay_test_$t")
+          .groupBy(col("doc_id"), if (t == "prefix") col("tid") else col("n"))
+          .count().filter($"count" > 1).count()
+        assert(dups == 0L, s"duplicate rows in $t after replay")
+      }
+      val vocabDups = spark.table("jac_replay_test_vocab")
+        .groupBy("token").count().filter($"count" > 1).count()
+      assert(vocabDups == 0L, "duplicate vocab tokens after replay")
+    } finally Seq("jac_replay_test_vocab", "jac_replay_test_toks", "jac_replay_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sequence packing: per-source offsets survive restart") {
     val root = managedTempDir("packrec")
     val srcDir = s"$root/src"
