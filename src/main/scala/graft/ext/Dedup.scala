@@ -560,24 +560,50 @@ object Dedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val session = batch.sparkSession
-        val bands = lshBands(batch)
-          .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
-            col("doc_id"))
-          .persist()
-        try {
-          val dupIds = bands
-            .join(session.table(table).select("bkey"), "bkey")
-            .select("doc_id").distinct()
-          batch.join(dupIds, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(survivorsPath)
-          bands.join(dupIds, Seq("doc_id"), "left_anti")
-            .write.mode("append").format("parquet")
-            .bucketBy(buckets, "bkey").saveAsTable(table)
-        } finally bands.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLshBatch(batch, batchId, table, survivorsPath, buckets)
       }
       .start()
+
+  /** One micro-batch of [[maintainLshDedup]], factored out so replay
+    * semantics are directly testable — same discipline as
+    * [[processJaccardBatch]]: survivors overwrite their own `batch_id=`
+    * partition, SELF-matches are excluded from the dup verdict (a replayed
+    * batch's bands are already in the index), and the band append is gated
+    * on docs missing from the table (doc_id is globally unique across the
+    * corpus and every increment).
+    */
+  private[graft] def processLshBatch(batch: DataFrame, batchId: Long,
+                                     table: String, survivorsPath: String,
+                                     buckets: Int): Unit = {
+    val session = batch.sparkSession
+    val bands = lshBands(batch)
+      .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
+        col("doc_id"))
+      .persist()
+    try {
+      val dupIds = bands
+        .join(session.table(table)
+          .select(col("bkey"), col("doc_id").as("doc_corpus")), "bkey")
+        .filter(col("doc_id") =!= col("doc_corpus")) // replay: self-match
+        .select("doc_id").distinct()
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(survivorsPath)
+      bands.join(dupIds, Seq("doc_id"), "left_anti")
+        // replay gate: only bands of docs not already indexed (the band
+        // table is bkey-bucketed, so this distinct pays one table-scan
+        // shuffle per batch — the idempotency price)
+        .join(session.table(table).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "bkey").saveAsTable(table)
+      session.catalog.refreshTable(table)
+    } finally bands.unpersist()
+  }
 
   /** Near-dup clustering: connected components over the LSH candidate-pair
     * graph, each doc labeled with its component's minimum doc_id (the

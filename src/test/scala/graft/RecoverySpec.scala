@@ -256,6 +256,31 @@ class RecoverySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("lsh dedup batch REPLAY is idempotent (no dup bands, no self-drop)") {
+    import graft.ext.Dedup
+    val root = managedTempDir("lshreplay")
+    val outDir = s"$root/survivors"
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(10)
+    Dedup.buildLshIndex(base, "lsh_replay_test", buckets = 4)
+    try {
+      val fresh = "zqx wvu tsr qpo nml kji hgf edc ba nine eight seven"
+      val batch = base.filter(col("doc_id") === 0L)
+        .select(lit(1000L).as("doc_id"), col("text")) // twin of corpus -> drop
+        .unionByName(Seq((2000L, fresh)).toDF("doc_id", "text"))
+      spark.catalog.refreshTable("lsh_replay_test")
+      val before = spark.table("lsh_replay_test").count()
+      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", outDir, 4)
+      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", outDir, 4)
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(2000L),
+        s"replay must not double-write or self-drop the survivor, got $survivors")
+      spark.catalog.refreshTable("lsh_replay_test")
+      assert(spark.table("lsh_replay_test").count() ==
+        before + Dedup.NumBands, "band rows appended exactly once across replays")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_replay_test")
+  }
+
   test("jaccard dedup batch REPLAY is idempotent (no dup index rows, no self-drop)") {
     import graft.ext.Dedup
     val root = managedTempDir("jacreplay")
