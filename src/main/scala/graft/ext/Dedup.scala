@@ -248,11 +248,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
+    // sorted_intersect_count: the tid arrays are sorted-distinct by
+    // construction, so |∩| is one codegen'd merge walk per pair — no
+    // hash set, no materialized intersection array (the built-in
+    // size(array_intersect) allocates both, at millions of pairs)
+    graft.functions.SortedIntersectCount.register(documents.sparkSession)
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        expr("sorted_intersect_count(ta, tb)").as("n_common"),
         col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))
@@ -373,12 +378,13 @@ object Dedup {
           s" >= ${tauPpm}L * (na + nb)"))
       .select("doc_new", "doc_corpus", "na", "nb")
       .distinct()
+    graft.functions.SortedIntersectCount.register(spark)
     val out = cand
       .join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")), Seq("doc_new"))
       .join(spark.table(s"${name}_toks")
         .select(col("doc_id").as("doc_corpus"), col("toks").as("tb")), Seq("doc_corpus"))
       .select(col("doc_new"), col("doc_corpus"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        expr("sorted_intersect_count(ta, tb)").as("n_common"),
         col("na"), col("nb"))
       .select(col("doc_new"), col("doc_corpus"), col("n_common"),
         expr("(n_common * 1000000L) div (na + nb - n_common)").as("j_ppm"))

@@ -127,6 +127,17 @@ class SurfaceSpec extends SparkSpec {
     val v = spark.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))")
       .collect().head.getDouble(0)
     assert(math.abs(v - 1.0) < 1e-12)
+    graft.functions.SortedIntersectCount.register(spark)
+    // merge-walk count on sorted arrays == size(array_intersect); int and
+    // bigint element types both accepted (batch tids are int, index bigint)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 5L))")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1, 2, 3), array(2L, 3L, 4L))")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L), array(2L))").head.getLong(0) == 0L)
     assert(spark.sql("SELECT simhash32(array('a','b'))").head.getLong(0) ==
       graft.functions.HashKernels.simhash32(Array("a", "b"), Dedup.SimHashBits))
     assert(spark.sql("SELECT size(minhash_sig(array('a')))").head.getInt(0) ==
