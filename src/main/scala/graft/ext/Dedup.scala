@@ -155,12 +155,16 @@ object Dedup {
     // SLOWER at sf0.1 (persist 3.9 s, localCheckpoint 2.8 s, recompute
     // 2.4 s) — writing array<bigint> rows out costs more than the second
     // md5 pass it saves
+    // sort once per DOC so per-PAIR verification is a codegen'd merge walk
+    // (sorted_intersect_count) instead of a hash set + materialized
+    // intersection array — |docs| sorts buy |pairs| allocation-free counts
+    graft.functions.SortedIntersectCount.register(documents.sparkSession)
     val sh = base.select(col("doc_id"),
-      array_distinct(expr("md5h60_arr(sh)")).as("shd"))
+      sort_array(array_distinct(expr("md5h60_arr(sh)"))).as("shd"))
     cands
       .join(sh.select(col("doc_id").as("doc_id_a"), col("shd").as("sh_a")), Seq("doc_id_a"))
       .join(sh.select(col("doc_id").as("doc_id_b"), col("shd").as("sh_b")), Seq("doc_id_b"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_common", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("n_union", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
       .withColumn("jaccard_pct", expr("(100 * n_common) div n_union"))
       .select("doc_id_a", "doc_id_b", "n_common", "n_union", "jaccard_pct")
