@@ -596,6 +596,50 @@ object Curation {
     }
   }
 
+  /** STREAMING decontamination — the nightly-crawl filter as a stateless
+    * narrow op: the benchmark's bloom sketch is built ONCE at
+    * stream-construction time and embedded as a LITERAL binary in the
+    * plan (the production shape — build the filter, broadcast it, run the
+    * stream forever; a scalar subquery would be re-planned per batch).
+    * Each micro-batch doc pays tokenize + shingle + one higher-order
+    * probe pass — no state store, no shuffle, append-mode safe, so the
+    * same frame works batch or streaming (§2.8 parity discipline).
+    *
+    * Unlike the batch carve (`doc_id % 97`), the benchmark is an explicit
+    * frame — the deployment signature. `n_overlap` is the bloom
+    * UPPER-bound count ([[decontaminateBloom]] semantics, no false
+    * negatives); route flagged docs through [[decontaminate]] offline
+    * when exact adjudication matters.
+    */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
+                          minOverlap: Long = 1L, estItems: Long = 100000L,
+                          numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.BloomFunctions.register(stream.sparkSession)
+    graft.functions.HashExpressions.register(stream.sparkSession,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
+    // inline shingling (not shingleHashed): one consumer, so the helper's
+    // multi-consumer checkpoint would only leak a block into the session
+    val bf = benchmark
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
+      .select(explode(array_distinct(expr("md5h60_arr(sh)"))).as("sh_hash"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // the probe closes over the sketch as an expression-level literal —
+    // reachable inside the HOF lambda, constant for the stream's lifetime;
+    // unique name per invocation, kept registered for the session
+    val probe = s"graft_stream_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
+    graft.functions.BloomFunctions.registerConstProbe(stream.sparkSession, probe, bf)
+    stream
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
+      .withColumn("shd", array_distinct(expr("md5h60_arr(sh)")))
+      .select(col("doc_id"),
+        size(col("shd")).cast("long").as("n_shingles"),
+        expr(s"size(filter(shd, h -> $probe(h)))").cast("long").as("n_overlap"))
+      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** The test corpus carries no URLs, so link analysis is exercised against
     * deterministic injection (same pattern as withPiiInjected): every doc
     * gains two URLs derived from its doc_id; the oracle applies the same

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
+import org.apache.spark.sql.types.BinaryType
 
 /** SQL surface over Spark's own bloom-filter expressions (the machinery
   * behind `InjectRuntimeFilter`'s row-level runtime filters, not exposed in
@@ -38,4 +39,21 @@ object BloomFunctions {
         "built-in")
     }
   }
+
+  /** Registers `name(hash_long)` as a membership probe against a DRIVER-HELD
+    * sketch, closed over as a binary LITERAL at the expression level. This
+    * is how a probe reaches inside a higher-order-function lambda (where a
+    * scalar subquery cannot appear) and how a long-running stream embeds a
+    * build-once filter in its plan without re-planning the subquery per
+    * batch. The registration must outlive every plan that references the
+    * name — callers use a unique name per sketch and keep it for the
+    * session (one registry entry holding the sketch bytes).
+    */
+  def registerConstProbe(spark: SparkSession, name: String,
+                         sketch: Array[Byte]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      (e: Seq[Expression]) =>
+        BloomFilterMightContain(Literal(sketch, BinaryType), e.head),
+      "built-in")
 }

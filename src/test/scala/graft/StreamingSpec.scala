@@ -46,6 +46,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("streaming decontamination: stateless filter matches batch bloom counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Curation
+    val benchmark = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = Curation.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), benchmark)
+    // stateless narrow op: append mode, no watermark needed
+    val q = out.writeStream.format("memory").outputMode("append")
+      .queryName("decon_stream_test").trigger(tick).start()
+
+    mem.addData((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated words with nothing shared here at all"))
+    q.processAllAvailable()
+    mem.addData((3L, "jumps over the lazy dog today and more besides that"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("decon_stream_test")
+      .select("doc_id", "n_shingles", "n_overlap")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // doc 1 copies the benchmark verbatim: every shingle hits the sketch
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._2 > 0L)
+    // doc 2 is disjoint; 2^23-bit sketch over 8 shingles has ~0 fp odds
+    assert(got(2L)._2 == 0L)
+    // doc 3 shares a suffix: some but not all shingles hit
+    assert(got(3L)._2 > 0L && got(3L)._2 < got(3L)._1)
+    assert(spark.table("decon_stream_test")
+      .filter($"is_contaminated").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("A2 streaming last-seen handles out-of-order events (late data folds in)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
