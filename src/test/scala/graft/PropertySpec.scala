@@ -480,4 +480,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {
+    // differential fuzz of the native merge-walk kernel against the
+    // built-in, over its whole documented domain: sorted-distinct arrays
+    // of either element width, including empties and disjoint/identical
+    // extremes
+    graft.functions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      def set() = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted.toSeq
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        expr("sorted_intersect_count(a, b)").as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0L)
+    // int-element arrays (the batch join's row_number tids) walk the same
+    val dfInt = rows.map { case (i, a, b) =>
+      (i, a.map(_.toInt), b.map(_.toInt)) }.toDF("id", "a", "b")
+    val diffInt = dfInt.select(
+        expr("sorted_intersect_count(a, b)").as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diffInt == 0L)
+  }
 }
