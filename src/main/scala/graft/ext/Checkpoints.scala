@@ -13,12 +13,20 @@ private[ext] object Checkpoints {
 
   /** Eager localCheckpoint that reports which RDD ids it persisted, so the
     * caller can release them once downstream results have materialized.
+    *
+    * The ids are read off the checkpointed DataFrame's own plan (the
+    * `LogicalRDD` wrapping the persisted RDD), never by diffing the
+    * session-global persistent-RDD map — a concurrent query (another
+    * foreachBatch loop, a parallel bench query) persisting an RDD in the
+    * same window must not get its blocks attributed here and torn down by
+    * a later [[releaseTracked]].
     */
   def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(true)
-    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    (out, ids)
   }
 
   /** Unpersists checkpoint blocks by RDD id. Only call on ids whose data is

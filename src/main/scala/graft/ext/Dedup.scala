@@ -471,9 +471,13 @@ object Dedup {
     * Replay-safe: survivors land in a `batch_id=` partition via dynamic
     * partition OVERWRITE (a redelivered batch replaces its own partition,
     * never double-appends), index appends are gated per table inside
-    * [[appendToJaccardIndex]], and SELF-pairs are excluded from the dup
-    * verdict — on replay the index already contains this batch's
-    * survivors, and a doc must not be dropped for matching itself.
+    * [[appendToJaccardIndex]], and pairs whose corpus side is a
+    * CURRENT-batch doc are excluded from the dup verdict — on replay the
+    * index already contains this batch's survivors, so a doc must not be
+    * dropped for matching itself OR a within-batch twin that the first
+    * delivery appended (both-survive is the documented within-batch
+    * contract). On a first run such pairs cannot exist (the batch is
+    * probed before it is appended), so first-run semantics are unchanged.
     * Checkpoint hygiene releases exactly the blocks THIS batch created
     * (probe + append internals), never a session-wide sweep that would
     * tear down concurrent queries' lineage-truncated checkpoints.
@@ -501,7 +505,10 @@ object Dedup {
       jaccardAgainstIndexTracked(session, batch, name, tauPpm)
     try {
       val dupIds = pairs
-        .filter(col("doc_new") =!= col("doc_corpus")) // replay: self-match
+        // replay: drop verdicts whose corpus side is a current-batch doc —
+        // self-matches AND within-batch twins the first delivery appended
+        .join(batch.select(col("doc_id").as("doc_corpus")),
+          Seq("doc_corpus"), "left_anti")
         .select(col("doc_new").as("doc_id")).distinct()
       val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
       try {
@@ -578,10 +585,12 @@ object Dedup {
   /** One micro-batch of [[maintainLshDedup]], factored out so replay
     * semantics are directly testable — same discipline as
     * [[processJaccardBatch]]: survivors overwrite their own `batch_id=`
-    * partition, SELF-matches are excluded from the dup verdict (a replayed
-    * batch's bands are already in the index), and the band append is gated
-    * on docs missing from the table (doc_id is globally unique across the
-    * corpus and every increment).
+    * partition, matches against any CURRENT-batch doc are excluded from
+    * the dup verdict (a replayed batch's bands — including within-batch
+    * twins' — are already in the index; both-survive is the documented
+    * within-batch contract), and the band append is gated on docs missing
+    * from the table (doc_id is globally unique across the corpus and
+    * every increment).
     */
   private[graft] def processLshBatch(batch: DataFrame, batchId: Long,
                                      table: String, survivorsPath: String,
@@ -595,7 +604,10 @@ object Dedup {
       val dupIds = bands
         .join(session.table(table)
           .select(col("bkey"), col("doc_id").as("doc_corpus")), "bkey")
-        .filter(col("doc_id") =!= col("doc_corpus")) // replay: self-match
+        // replay: drop verdicts whose corpus side is a current-batch doc —
+        // self-matches AND within-batch twins the first delivery appended
+        .join(batch.select(col("doc_id").as("doc_corpus")),
+          Seq("doc_corpus"), "left_anti")
         .select("doc_id").distinct()
       batch.join(dupIds, Seq("doc_id"), "left_anti")
         .withColumn("batch_id", lit(batchId))

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * `size(array_intersect(...))` whenever it holds, which is what the
   * DuckDB oracle hash-checks end-to-end.
   *
-  * Null if either side is null (BinaryExpression default).
+  * Null if either side is null (BinaryExpression default). Null ELEMENTS
+  * are skipped — the precondition requires non-null elements, but the
+  * function is session-registered for arbitrary SQL, so a null slot must
+  * not be read as a garbage value; note `array_intersect` counts a null
+  * present on both sides, so on null-bearing input this intentionally
+  * reports the non-null intersection instead.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,23 +52,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   private def isLong(dt: DataType): Boolean =
     dt.asInstanceOf[ArrayType].elementType == LongType
+  private def mayHaveNulls(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val xl = isLong(left.dataType)
     val yl = isLong(right.dataType)
+    val xn = mayHaveNulls(left.dataType)
+    val yn = mayHaveNulls(right.dataType)
     var i = 0
     var j = 0
     var c = 0L
     val n = x.numElements()
     val m = y.numElements()
     while (i < n && j < m) {
-      val xv = if (xl) x.getLong(i) else x.getInt(i).toLong
-      val yv = if (yl) y.getLong(j) else y.getInt(j).toLong
-      if (xv == yv) { c += 1L; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (xn && x.isNullAt(i)) i += 1
+      else if (yn && y.isNullAt(j)) j += 1
+      else {
+        val xv = if (xl) x.getLong(i) else x.getInt(i).toLong
+        val yv = if (yl) y.getLong(j) else y.getInt(j).toLong
+        if (xv == yv) { c += 1L; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -81,6 +94,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         if (isLong(left.dataType)) s"$x.getLong($i)" else s"(long) $x.getInt($i)"
       val getY =
         if (isLong(right.dataType)) s"$y.getLong($j)" else s"(long) $y.getInt($j)"
+      // null-slot skips only compile in when the type says nulls can occur,
+      // so the internal (containsNull=false) callers keep the tight loop
+      val skipXNull =
+        if (mayHaveNulls(left.dataType))
+          s"if ($x.isNullAt($i)) { $i++; continue; }" else ""
+      val skipYNull =
+        if (mayHaveNulls(right.dataType))
+          s"if ($y.isNullAt($j)) { $j++; continue; }" else ""
       s"""
          |long $c = 0L;
          |int $i = 0;
@@ -88,6 +109,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $n = $x.numElements();
          |int $m = $y.numElements();
          |while ($i < $n && $j < $m) {
+         |  $skipXNull
+         |  $skipYNull
          |  long $xv = $getX;
          |  long $yv = $getY;
          |  if ($xv == $yv) { $c++; $i++; $j++; }

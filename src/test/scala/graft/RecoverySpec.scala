@@ -316,6 +316,60 @@ class RecoverySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("jaccard dedup batch REPLAY keeps within-batch twins (both-survive contract)") {
+    import graft.ext.Dedup
+    val root = managedTempDir("jactwin")
+    val outDir = s"$root/survivors"
+    val tau = 900000L
+    val base = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.buildJaccardIndex(base, "jac_twin_test", tau, buckets = 2)
+    try {
+      // two within-batch twins that match NOTHING in the index: both survive
+      // the first delivery (documented contract), and must STILL both
+      // survive redelivery — when each one's twin is already in the index
+      val batch = Seq(
+        (100L, "qq ww ee rr tt"),
+        (200L, "qq ww ee rr tt"),
+        (300L, "zz xx cc vv bb"))
+        .toDF("doc_id", "text")
+      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", outDir, tau, 2)
+      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", outDir, tau, 2)
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(100L, 200L, 300L),
+        s"within-batch twins must both survive replay, got $survivors")
+      // and the index holds each twin's toks exactly once
+      spark.catalog.refreshTable("jac_twin_test_toks")
+      val dups = spark.table("jac_twin_test_toks")
+        .groupBy("doc_id").count().filter($"count" > 1).count()
+      assert(dups == 0L, "duplicate toks rows after twin replay")
+    } finally Seq("jac_twin_test_vocab", "jac_twin_test_toks", "jac_twin_test_prefix")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("lsh dedup batch REPLAY keeps within-batch twins (both-survive contract)") {
+    import graft.ext.Dedup
+    val root = managedTempDir("lshtwin")
+    val outDir = s"$root/survivors"
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(10)
+    Dedup.buildLshIndex(base, "lsh_twin_test", buckets = 4)
+    try {
+      val fresh = "zqx wvu tsr qpo nml kji hgf edc ba nine eight seven"
+      val batch = Seq((1000L, fresh), (2000L, fresh)).toDF("doc_id", "text")
+      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", outDir, 4)
+      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", outDir, 4)
+      val survivors = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(1000L, 2000L),
+        s"within-batch twins must both survive replay, got $survivors")
+      spark.catalog.refreshTable("lsh_twin_test")
+      val bandDups = spark.table("lsh_twin_test")
+        .groupBy("doc_id", "bkey").count().filter($"count" > 1).count()
+      assert(bandDups == 0L, "duplicate band rows after twin replay")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_twin_test")
+  }
+
   test("streaming sequence packing: per-source offsets survive restart") {
     val root = managedTempDir("packrec")
     val srcDir = s"$root/src"

@@ -138,6 +138,15 @@ class SurfaceSpec extends SparkSpec {
       .head.getLong(0) == 2L)
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L), array(2L))").head.getLong(0) == 0L)
+    // null SLOTS are skipped, never read as garbage values (sort_array
+    // ascending places nulls first; the count is the non-null intersection)
+    assert(spark.sql(
+      """SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 1L, 3L),
+        |                              array(CAST(NULL AS BIGINT), 3L, 4L))""".stripMargin)
+      .head.getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(CAST(NULL AS INT)), array(0))")
+      .head.getLong(0) == 0L)
     assert(spark.sql("SELECT simhash32(array('a','b'))").head.getLong(0) ==
       graft.functions.HashKernels.simhash32(Array("a", "b"), Dedup.SimHashBits))
     assert(spark.sql("SELECT size(minhash_sig(array('a')))").head.getInt(0) ==
