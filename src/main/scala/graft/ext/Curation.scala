@@ -519,13 +519,25 @@ object Curation {
     * predicate source; the view is dropped once the result plan is
     * analyzed (the scalar subquery resolves at DataFrame creation).
     */
+  /** Sketch sizing: ~10 bits/item (≈1% fpp) unless the caller pins
+    * `numBits`. An OVERSIZED sketch is not free — Spark's bloom picks
+    * k = m/n·ln2 hash functions, so 2²³ bits over 10⁵ items means 58
+    * murmur probes per insert AND per membership test (the r9/r10
+    * driver-bench cost of ext_decontaminate_bloom); right-sized, k ≈ 7.
+    * Correctness never depends on the size: the no-false-negative
+    * guarantee holds for any m, and the bloom-pruned-exact form
+    * adjudicates every survivor exactly.
+    */
+  private def bloomBits(estItems: Long, numBits: Long): Long =
+    if (numBits > 0L) numBits else math.max(1L << 14, 10L * estItems)
+
   private def withBenchBloom[T](hashed: DataFrame, estItems: Long,
                                 numBits: Long)(body: String => T): T = {
     graft.functions.BloomFunctions.register(hashed.sparkSession)
     val view = s"graft_decontaminate_bloom_${Curation.bloomViewSeq.incrementAndGet()}"
     benchHalf(hashed)
       .select(explode(col("shd")).as("sh_hash"))
-      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${bloomBits(estItems, numBits)}L)").as("bf"))
       .createOrReplaceTempView(view)
     try body(view)
     finally hashed.sparkSession.catalog.dropTempView(view)
@@ -556,7 +568,7 @@ object Curation {
     * is the adjudicator for flagged docs when precision matters).
     */
   def decontaminateBloom(documents: DataFrame, minOverlap: Long = 1L,
-                         estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
+                         estItems: Long = 100000L, numBits: Long = 0L): DataFrame = {
     val hashed = shingleHashed(documents)
     withBenchBloom(hashed, estItems, numBits) { view =>
       val corpus = corpusHalf(hashed)
@@ -582,7 +594,7 @@ object Curation {
     * unchanged) hash-matches.
     */
   def decontaminateBloomExact(documents: DataFrame, minOverlap: Long = 1L,
-                              estItems: Long = 100000L, numBits: Long = 1L << 23): DataFrame = {
+                              estItems: Long = 100000L, numBits: Long = 0L): DataFrame = {
     val hashed = shingleHashed(documents)
     withBenchBloom(hashed, estItems, numBits) { view =>
       val benchShingles = benchHalf(hashed)
@@ -613,7 +625,7 @@ object Curation {
     */
   def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
                           minOverlap: Long = 1L, estItems: Long = 100000L,
-                          numBits: Long = 1L << 23): DataFrame = {
+                          numBits: Long = 0L): DataFrame = {
     graft.functions.BloomFunctions.register(stream.sparkSession)
     graft.functions.HashExpressions.register(stream.sparkSession,
       Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
@@ -623,7 +635,7 @@ object Curation {
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", TextAnalysis.shinglesFromTokens("toks"))
       .select(explode(array_distinct(expr("md5h60_arr(sh)"))).as("sh_hash"))
-      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${numBits}L)").as("bf"))
+      .agg(expr(s"bloom_agg(sh_hash, ${estItems}L, ${bloomBits(estItems, numBits)}L)").as("bf"))
       .head.getAs[Array[Byte]]("bf")
     // the probe closes over the sketch as an expression-level literal —
     // reachable inside the HOF lambda, constant for the stream's lifetime;

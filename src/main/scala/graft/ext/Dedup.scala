@@ -220,13 +220,14 @@ object Dedup {
     // dictionary-encode the vocabulary with its PREFIX order (df asc, token
     // asc) as the id: tid is simultaneously the global sort key, a 4-byte
     // join key for candidate generation, and an int element for the
-    // verification intersect (int equality, no string hashing). The
-    // single-partition window is over DISTINCT TOKENS — vocabulary-sized,
-    // not corpus-sized (the [[TextAnalysis.collocations]] posture).
-    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("token").asc)))
+    // verification intersect (int equality, no string hashing). The rank is
+    // Ranks.globalRank — a web-scale vocabulary (10⁸–10⁹ distinct tokens)
+    // never funnels through one task; int tids bound the vocab at 2³¹,
+    // comfortably above any real token inventory.
+    val dfreq = Ranks.globalRank(
+        tk.groupBy("token").agg(count(lit(1)).as("df")),
+        "tid", col("df").asc, col("token").asc)
+      .withColumn("tid", col("tid").cast("int"))
     // ONE groupBy replaces the two per-doc windows: the sorted tid array is
     // at once the per-doc rank order (prefix = a slice of it), the size n,
     // and the verification operand — materialized once, |docs| rows
@@ -295,10 +296,9 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= ""))
     graft.sources.Bucketing.writeBucketed(
-      tk.groupBy("token").agg(count(lit(1)).as("df"))
-        .withColumn("tid", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("df").asc, col("token").asc)).cast("long"))
+      Ranks.globalRank(
+          tk.groupBy("token").agg(count(lit(1)).as("df")),
+          "tid", col("df").asc, col("token").asc)
         .select("token", "tid"),
       s"${name}_vocab", "token", buckets, compact = true)
     graft.sources.Bucketing.writeBucketed(
@@ -430,11 +430,11 @@ object Dedup {
       // from 1)
       val maxTid = spark.table(s"${name}_vocab")
         .agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
-      tk.select("token").distinct()
-        .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti")
-        .withColumn("tid", (row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("token")))
-          .cast("long")) + lit(maxTid))
+      Ranks.globalRank(
+          tk.select("token").distinct()
+            .join(spark.table(s"${name}_vocab").select("token"), Seq("token"), "left_anti"),
+          "tid", col("token").asc)
+        .withColumn("tid", col("tid") + lit(maxTid))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "token").saveAsTable(s"${name}_vocab")
       spark.catalog.refreshTable(s"${name}_vocab")

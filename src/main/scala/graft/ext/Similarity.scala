@@ -756,6 +756,15 @@ object Similarity {
                 ivfPqCodesTbl: Option[DataFrame] = None): DataFrame = {
     import Checkpoints._
     registerKernels(embeddings)
+    // phase timing for perf bisection only; dormant unless the env flag is
+    // set (Bench/Verify never set it)
+    val timing = sys.env.contains("GRAFT_RECALL_TIMING")
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (timing) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[recall-timing] $label ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     // the harness fans ONE corpus into five method pipelines plus the
     // ground-truth join — without materialization each branch re-runs its
     // whole subtree from the raw scan (the round-7 bench regression).
@@ -767,11 +776,14 @@ object Similarity {
     // it otherwise — measured 0.4 s slower without at sf0.1
     val (emb, embIds) = checkpointTracked(
       embeddings.select(col("vec_id"), col("embedding")))
+    lap("emb checkpoint")
     val (ranked, rankedIds) = checkpointTracked(
       assignToCentroids(emb, IvfClusters, 2))
+    lap("ranked checkpoint")
     val (truth, truthIds) = checkpointTracked(
       bruteForceTopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
+    lap("truth checkpoint")
     // pqCodes has exactly one consumer per codebook (the ADC branch) — no
     // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny
     // k-row result is checkpointed to run its training pass once — unless
@@ -845,7 +857,9 @@ object Similarity {
     // materialize the one-row-per-method result, then release the big shared
     // blocks immediately — only the tiny final frame stays resident (same
     // posture as dedupClusters' final labels; Bench sweeps between queries)
+    lap("branch construction")
     val (res, _) = checkpointTracked(union)
+    lap("union job")
     releaseTracked(emb, embIds)
     releaseTracked(ranked, rankedIds)
     releaseTracked(truth, truthIds)
@@ -1177,20 +1191,24 @@ object Similarity {
       .agg(flatten(array((0 until subs).map(s =>
         expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
         .as("lut"))
-    // stride = the ACTUAL per-sub segment length (size(lut)/subs), not the
-    // nominal kpq: a corpus with fewer than k+kpq vectors yields a smaller
-    // codebook, and pq_encode positions stay < that size — a fixed-kpq
-    // stride would read across segment boundaries (or past the array under
-    // ANSI) exactly there. Equal to kpq whenever the codebook is full.
-    val adc = (0 until subs).map { s =>
-      expr(s"element_at(lut, $s * int(size(lut) div $subs)" +
-        s" + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
-    }.reduce(_ + _)
-    codesTbl.join(broadcast(lut), Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adc)
+    // the adc_top1 kernel handles the stride internally as the ACTUAL
+    // per-sub segment length (|lut|/subs), not the nominal kpq: a corpus
+    // with fewer than k+kpq vectors yields a smaller codebook, and
+    // pq_encode positions stay < that size. Per-cluster argmin runs inside
+    // the kernel (posting-list-sized groups — the bucket sizing rule
+    // bounds them); only the nprobe winners per query reach the
+    // cross-cluster min, instead of every scored (code, query) row paying
+    // a Sort + SortAggregate (min over struct cannot hash-aggregate).
+    val cs = codesTbl.groupBy("cluster_id")
+      .agg(collect_list(struct(col("vec_id").as("id"), col("pq_code").as("code"))).as("cs"))
+    val ls = lut.groupBy("cluster_id")
+      .agg(collect_list(struct(col("query_id").as("id"), col("lut"))).as("ls"))
+    cs.join(broadcast(ls), Seq("cluster_id"))
+      .select(explode(expr(s"adc_top1(cs, ls, $subs)")).as("w"))
+      .select(col("w.query_id").as("query_id"),
+        col("w.neighbor_id").as("vid"), col("w.adc").as("adc"))
       .groupBy("query_id")
-      .agg(min(struct(col("adc").as("adc"), col("vec_id").as("vid"))).as("m"))
+      .agg(min(struct(col("adc"), col("vid"))).as("m"))
       .select(col("query_id"), col("m.vid").as("neighbor_id"))
   }
 
@@ -1281,18 +1299,34 @@ object Similarity {
       expr(s"element_at(lut, $s * int(size(lut) div $subs)" +
         s" + int(shiftright(pq_code, ${4 * s}) & 15) + 1)")
     }.reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adc)
-    if (topK == 1)
-      // argmin as an aggregation, not a window: min(struct) is lexicographic
-      // (adc asc, then id asc — exactly the rank-1 window order, NaN last in
-      // both), and it partial-aggregates map-side instead of shuffling all
-      // Q×N scored rows into a per-query sort
-      scored.groupBy("query_id")
-        .agg(min(struct(col("adc"), col("vec_id"))).as("m"))
-        .select(col("query_id"), lit(1L).as("rank"), col("m.vec_id").as("neighbor_id"))
-    else {
+    if (topK == 1) {
+      // argmin inside the adc_top1 kernel: min(struct) cannot
+      // hash-aggregate, so the flat Q×N scored form planned a full
+      // Sort + SortAggregate over every scored row (~1 s single-task CPU
+      // per ADC branch of the recall harness at just 100×2000). The kernel
+      // runs the same loop as raw long/double arithmetic and emits one
+      // winner per query — bit-identical ordering (adc asc, id asc, NaN
+      // last), nothing Q×N materialized. Codes hash-shard across the
+      // partition grid (one kernel task per shard, no row ever holds more
+      // than ~|codes|/P entries), the tiny LUT array broadcasts, and the
+      // cross-shard winner-of-winners min runs over P·Q rows only.
+      val parts = codes.sparkSession.sessionState.conf.numShufflePartitions
+      val lutsArr = lut
+        .agg(collect_list(struct(col("query_id").as("id"), col("lut"))).as("ls"))
+      codes
+        .groupBy(pmod(xxhash64(col("vec_id")), lit(parts.toLong)).as("shard"))
+        .agg(collect_list(struct(col("vec_id").as("id"), col("pq_code").as("code"))).as("cs"))
+        .crossJoin(broadcast(lutsArr))
+        .select(explode(expr(s"adc_top1(cs, ls, $subs)")).as("w"))
+        .select(col("w.query_id").as("query_id"),
+          col("w.neighbor_id").as("vid"), col("w.adc").as("adc"))
+        .groupBy("query_id")
+        .agg(min(struct(col("adc"), col("vid"))).as("m"))
+        .select(col("query_id"), lit(1L).as("rank"), col("m.vid").as("neighbor_id"))
+    } else {
+      val scored = codes.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adc)
       val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
       scored
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -125,6 +125,12 @@ object AnnKernels {
           e.head, e(1),
           e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
     }
+    ifAbsent("adc_top1") {
+      reg.createOrReplaceTempFunction(
+        "adc_top1", (e: Seq[Expression]) => AdcTop1(
+          e.head, e(1),
+          e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
+    }
   }
 }
 
@@ -462,6 +468,120 @@ case class CosineCrossPairs(left: Expression, right: Expression, threshold: Doub
         j += 1
       }
       i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** adc_top1(codes, luts, subs): per-query PQ asymmetric-distance argmin
+  * over one posting group — `codes` is the group's member array
+  * (struct<id, code> with `subs` 4-bit positions packed in the long),
+  * `luts` the queries probing it (struct<id, lut> with the flat
+  * position-indexed table `pqAdcFromCodes` builds), and the result one
+  * struct<query_id, neighbor_id, adc> winner per query that has at least
+  * one valid candidate (self excluded).
+  *
+  * Replaces the codes ⨝ broadcast(lut) cross product + min(struct) tail:
+  * min over a struct cannot hash-aggregate, so Spark planned a full
+  * Sort + SortAggregate over the Q×N scored rows — ~1 s of one-task CPU
+  * per ADC branch in the recall harness at a mere 100×2000. The kernel
+  * runs the same Q×N loop as raw long/double arithmetic inside one call
+  * per group and emits winners only, so nothing Q×N ever materializes.
+  *
+  * Semantics are exactly the replaced plan's:
+  *  - adc = Σ_s lut[s·stride + nibble_s], stride = |lut| / subs, summed in
+  *    ascending-s order (same double rounding as the left-fold `+`).
+  *  - Winner = min by (adc asc, member id asc) under Spark's total
+  *    ordering: NaN sorts greatest, so any non-NaN adc beats NaN; among
+  *    all-NaN candidates the smallest id wins (adc values are sums of
+  *    squares — −0.0 cannot arise).
+  *  - A candidate whose positions fall outside the LUT is skipped; by
+  *    construction (pq_encode positions < stride) this cannot happen —
+  *    the guard only prevents a malformed-input crash.
+  */
+case class AdcTop1(left: Expression, right: Expression, subs: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("adc", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "adc_top1"
+  private def codesType(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.head.dataType == LongType && s(1).dataType == LongType => true
+    case _ => false
+  }
+  private def lutsType(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.head.dataType == LongType &&
+      (s(1).dataType == ArrayType(DoubleType, true) ||
+        s(1).dataType == ArrayType(DoubleType, false)) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (subs >= 1 && subs <= 16 && codesType(left.dataType) && lutsType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<long, long>>, " +
+        s"array<struct<long, array<double>>> and 1 <= subs <= 16, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}, subs=$subs")
+  /** Candidate (d, id) beats (bestD, bestId) under min-(adc asc, id asc)
+    * with NaN greatest — the ascending twin of [[AnnKernels.beats]].
+    */
+  private def beatsMin(d: Double, id: Long, bestD: Double, bestId: Long): Boolean = {
+    val dn = java.lang.Double.isNaN(d)
+    val bn = java.lang.Double.isNaN(bestD)
+    if (dn != bn) bn // non-NaN beats NaN, never the reverse
+    else if (dn) id < bestId
+    else d < bestD || (d == bestD && id < bestId)
+  }
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val ca = c.asInstanceOf[ArrayData]
+    val nc = ca.numElements()
+    val ids = new Array[Long](nc)
+    val codes = new Array[Long](nc)
+    var i = 0
+    while (i < nc) {
+      val row = ca.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      codes(i) = row.getLong(1)
+      i += 1
+    }
+    val la = l.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var q = 0
+    while (q < la.numElements()) {
+      val lrow = la.getStruct(q, 2)
+      val qid = lrow.getLong(0)
+      if (!lrow.isNullAt(1)) {
+        val lut = lrow.getArray(1).toDoubleArray()
+        val stride = lut.length / subs
+        var bestD = 0.0
+        var bestId = 0L
+        var found = false
+        var j = 0
+        while (j < nc) {
+          if (ids(j) != qid) {
+            var d = 0.0
+            var ok = true
+            var s = 0
+            while (s < subs) {
+              val idx = s * stride + ((codes(j) >>> (4 * s)) & 15L).toInt
+              if (idx < lut.length) d += lut(idx) else { ok = false; s = subs }
+              s += 1
+            }
+            if (ok && (!found || beatsMin(d, ids(j), bestD, bestId))) {
+              bestD = d; bestId = ids(j); found = true
+            }
+          }
+          j += 1
+        }
+        if (found) out += new GenericInternalRow(Array[Any](qid, bestId, bestD))
+      }
+      q += 1
     }
     new GenericArrayData(out.toArray)
   }

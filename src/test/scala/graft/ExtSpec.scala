@@ -1060,7 +1060,8 @@ class ExtSpec extends SparkSpec {
     exact.foreach { case (id, n) =>
       assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
     }
-    // with 2^23 bits over this corpus the fp rate is ~0: counts match
+    // the auto-sized sketch (~10 bits/estItem, estItems default 100k vs
+    // ~10k actual shingles) keeps the fp rate ~0: counts match
     val inflated = exact.count { case (id, n) => bloom(id) != n }
     assert(inflated <= exact.size / 100, s"$inflated docs inflated by fp")
     // the per-invocation sketch view must not leak into the session

@@ -76,6 +76,28 @@ class PlanSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false)))
   }
 
+  test("vocabulary rank is range-partitioned, never a single-partition window") {
+    // the dictionary-encode step of jaccardJoin/buildJaccardIndex ranks the
+    // DISTINCT-TOKEN table; at web scale that is 10⁸–10⁹ rows, so an
+    // unpartitioned row_number window (Exchange SinglePartition) is a
+    // straggler/OOM. Ranks.globalRank must range-partition the sort instead
+    // — and produce the exact same numbering.
+    val dfreq = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(split(col("text"), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val p = plan(Ranks.sortedInput(dfreq, col("df").asc, col("token").asc))
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val got = Ranks.globalRank(dfreq, "tid", col("df").asc, col("token").asc)
+      .select("token", "tid").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = dfreq.withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("token").asc)).cast("long"))
+      .select("token", "tid").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"globalRank diverged from row_number on ${got.size} tokens")
+  }
+
   test("jaccard index probe: both index tables read co-located, zero index-side shuffles") {
     val docs = Tables.documents(spark, sfDir)
     Dedup.buildJaccardIndex(docs.filter(col("doc_id") % 2 === 0), "jac_plan_test",
