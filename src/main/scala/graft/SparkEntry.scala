@@ -100,6 +100,10 @@ object SparkEntry {
       Stats.roleTypeRollup(ev(s, d), cust(s, d)).orderBy("user_role", "event_type")),
     "j4_semi_anti" -> ((s, d) =>
       Relational.customerEngagement(ev(s, d), cust(s, d)).orderBy("user_id", "status")),
+    // full + left outer with null keys on BOTH sides (operator carries its
+    // own deterministic total order)
+    "j6_outer" -> ((s, d) =>
+      Relational.outerJoinAudit(cust(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "w2_hopping" -> ((s, d) =>
       Stats.hoppingCounts(ev(s, d)).orderBy("win_start", "event_type")),
     "p10_scrub" -> ((s, d) =>
@@ -921,6 +925,25 @@ object SparkEntry {
         |SELECT c_custkey AS user_id, 'INACTIVE' AS status FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c_custkey)
         |ORDER BY user_id, status""".stripMargin,
+    "j6_outer" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS cust_key,
+        |         c_custkey AS cust_id,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END AS nat_key
+        |  FROM customer),
+        |o AS (
+        |  SELECT CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_custkey END AS o_cust_key,
+        |         count(*) AS n_orders, max(o_orderkey) AS max_order
+        |  FROM orders GROUP BY 1)
+        |SELECT cust_id,
+        |       coalesce(n_orders, -1) AS n_orders,
+        |       coalesce(max_order, -1) AS max_order,
+        |       coalesce(n.n_name, 'NONE') AS nation_name,
+        |       CAST(cust_id IS NOT NULL AS INT) AS has_cust,
+        |       CAST(o_cust_key IS NOT NULL AS INT) AS has_orders
+        |FROM c FULL OUTER JOIN o ON cust_key = o_cust_key
+        |LEFT JOIN nation n ON nat_key = n.n_nationkey
+        |ORDER BY coalesce(cust_id, -1), max_order""".stripMargin,
     "w2_hopping" ->
       """WITH w AS (
         |  SELECT (epoch_us(ts) // 43200000000) * 43200000000 AS w0, event_type FROM events

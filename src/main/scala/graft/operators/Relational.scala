@@ -51,6 +51,47 @@ object Relational {
       .limit(n)
   }
 
+  /** Full-outer + left-outer join surface with null keys on BOTH sides —
+    * the null-semantics audit the inner/semi/anti/as-of family doesn't
+    * exercise. Keys are nulled deterministically (customer: every 7th key;
+    * orders: every 3rd FK; nation FK: every 5th) so both engines construct
+    * the same frames: null keys never equi-join (SQL three-valued logic),
+    * so nulled customers surface as left-only rows, their orders as
+    * right-only rows, and the nulled-FK group as one right-only row; the
+    * trailing LEFT join keeps rows whose nation FK is null.
+    *
+    * Scale shape: the orders side pre-aggregates to one row per customer
+    * BEFORE the full outer join (the shuffle carries (key, 2 longs), and
+    * the agg's hash partitioning satisfies the join's distribution — same
+    * posture as topRevenueOrders); the nation dimension broadcasts. Output
+    * is integral/flag columns with a deterministic total order.
+    */
+  def outerJoinAudit(customer: DataFrame, orders: DataFrame,
+                     nation: DataFrame): DataFrame = {
+    val c = customer.select(
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_custkey"))
+        .as("cust_key"),
+      col("c_custkey").as("cust_id"),
+      when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_nationkey"))
+        .as("nat_key"))
+    val o = orders.select(
+        when(col("o_custkey") % 3 === 0, lit(null)).otherwise(col("o_custkey"))
+          .as("o_cust_key"),
+        col("o_orderkey"))
+      .groupBy("o_cust_key")
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_order"))
+    c.join(o, col("cust_key") === col("o_cust_key"), "full_outer")
+      .join(broadcast(nation), col("nat_key") === col("n_nationkey"), "left")
+      .select(
+        col("cust_id"),
+        coalesce(col("n_orders"), lit(-1L)).as("n_orders"),
+        coalesce(col("max_order"), lit(-1L)).as("max_order"),
+        coalesce(col("n_name"), lit("NONE")).as("nation_name"),
+        col("cust_id").isNotNull.cast("int").as("has_cust"),
+        col("o_cust_key").isNotNull.cast("int").as("has_orders"))
+      .orderBy(coalesce(col("cust_id"), lit(-1L)), col("max_order"))
+  }
+
   /** Revenue per nation through the full join chain
     * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation with the
     * local-supplier condition — exercises multi-join planning; all

@@ -57,6 +57,146 @@ final case class KafkaSource(bootstrap: String, topic: String, schema: StructTyp
   }
 }
 
+/** JDBC batch source — the reference's Postgres ingress (S3/S4): a
+  * time-range scan of logged_events (KafkaLoader.java:87-91) and a full
+  * users read (KafkaUserLoader.java:82-86). Wired through
+  * `spark.read.jdbc`, compiled always, fail-fast without a driver jar
+  * (the KafkaSource posture — this environment ships none, so the option/
+  * predicate construction is what SourcesSpec pins).
+  *
+  * Scale shape: the range filter is part of the pushed-down `dbtable`
+  * subquery, so the database scans its index instead of shipping the
+  * table; `partitionColumn`/bounds split the read into `numPartitions`
+  * parallel range queries — the reference's single-connection
+  * while(results.next()) loop becomes a partitioned distributed scan.
+  * Predicates are assembled from caller-supplied column names and
+  * LITERALS ONLY by these helpers (no user-input interpolation).
+  */
+final case class JdbcSource(url: String, table: String,
+                            user: String, password: String,
+                            driver: String = "org.postgresql.Driver",
+                            rangeColumn: Option[String] = None,
+                            rangeFrom: Option[String] = None,
+                            rangeUntil: Option[String] = None,
+                            partitionColumn: Option[String] = None,
+                            lowerBound: Long = 0L, upperBound: Long = 0L,
+                            numPartitions: Int = 1) {
+
+  private def requireDriver(): Unit =
+    try { Class.forName(driver); () }
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"JDBC driver $driver not on the classpath; " +
+            "use FileSource in this environment (SURVEY §7.2.8)")
+    }
+
+  /** The reference's WHERE clause shape (KafkaLoader.java:88-91), as the
+    * half-open range `col >= from AND col < until`.
+    */
+  def rangeClause: Option[String] =
+    for (c <- rangeColumn; f <- rangeFrom; u <- rangeUntil)
+      yield s"$c >= '$f' AND $c < '$u'"
+
+  /** The pushed-down scan target: the bare table, or a subquery embedding
+    * the range predicate so the database prunes before shipping rows.
+    */
+  def dbtable: String =
+    rangeClause.fold(table)(w => s"(SELECT * FROM $table WHERE $w) graft_src")
+
+  /** Options handed to `spark.read.format("jdbc")` — split out so the
+    * construction is testable without a database.
+    */
+  def readOptions: Map[String, String] = {
+    val base = Map(
+      "url" -> url, "dbtable" -> dbtable, "user" -> user,
+      "password" -> password, "driver" -> driver,
+      // stream rows instead of buffering the whole result set per task
+      "fetchsize" -> "10000")
+    partitionColumn.fold(base)(pc => base ++ Map(
+      "partitionColumn" -> pc,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString))
+  }
+
+  def batch(spark: SparkSession): DataFrame = {
+    requireDriver()
+    spark.read.format("jdbc").options(readOptions).load()
+  }
+}
+
+/** JDBC upsert sink — the reference's achievements egress (S6,
+  * ThresholdAchievedProcessor.java:80-89): one row per crossing into
+  * user_achievements. The reference INSERTs per record on the driver; at
+  * scale the write must be (a) distributed — each partition opens one
+  * connection and writes a batched statement — and (b) idempotent under
+  * replay, so the INSERT carries ON CONFLICT DO NOTHING keyed by the
+  * achievement identity (the foreachBatch parquet stand-in's
+  * dynamic-partition overwrite plays this role offline; see
+  * streaming/Topology). Fail-fast without a driver jar.
+  */
+final case class JdbcSink(url: String, table: String,
+                          user: String, password: String,
+                          driver: String = "org.postgresql.Driver",
+                          conflictColumns: Seq[String] = Nil,
+                          batchSize: Int = 1000) {
+
+  private def requireDriver(): Unit =
+    try { Class.forName(driver); () }
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"JDBC driver $driver not on the classpath; " +
+            "use Loaders.sink in this environment (SURVEY §7.2.8)")
+    }
+
+  /** The prepared-statement SQL: the reference's INSERT
+    * (ThresholdAchievedProcessor.java:80-83) plus the ON CONFLICT clause
+    * that makes redelivery a no-op instead of a duplicate row.
+    */
+  def upsertSql(columns: Seq[String]): String = {
+    val cols = columns.mkString(", ")
+    val marks = columns.map(_ => "?").mkString(", ")
+    val conflict =
+      if (conflictColumns.isEmpty) ""
+      else s" ON CONFLICT (${conflictColumns.mkString(", ")}) DO NOTHING"
+    s"INSERT INTO $table ($cols) VALUES ($marks)$conflict"
+  }
+
+  /** Distributed batched write: one connection and one addBatch loop per
+    * partition (executor-side — rows never collect to the driver),
+    * executed every `batchSize` rows. Used from foreachBatch for the
+    * streaming path, or directly on a batch frame.
+    */
+  def write(df: DataFrame): Unit = {
+    requireDriver()
+    val columns = df.schema.fieldNames.toSeq
+    val sql = upsertSql(columns)
+    val (u, tUser, tPass, drv) = (url, user, password, driver)
+    val bs = batchSize
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      Class.forName(drv)
+      val conn = java.sql.DriverManager.getConnection(u, tUser, tPass)
+      try {
+        val pst = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          var i = 0
+          while (i < columns.length) {
+            pst.setObject(i + 1, r.get(i)); i += 1
+          }
+          pst.addBatch()
+          n += 1
+          if (n % bs == 0) { pst.executeBatch(); () }
+        }
+        pst.executeBatch()
+        ()
+      } finally conn.close()
+    }
+  }
+}
+
 /** Batch replay pipelines — the Spark re-expression of the reference's
   * KafkaLoader/KafkaUserLoader (SURVEY §3.2/3.3): scan, time-range filter,
   * PII allow-list projection, null scrub, keyed JSON envelope, sink. The

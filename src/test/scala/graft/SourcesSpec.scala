@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{FileSource, KafkaSource, Loaders}
+import graft.sources.{FileSource, JdbcSink, JdbcSource, KafkaSource, Loaders}
 import graft.streaming.Topology
 
 /** Specs for the source abstraction and batch replay pipelines (S-series). */
@@ -159,5 +159,54 @@ class SourcesSpec extends SparkSpec {
     val v = out.limit(1).collect().head.getAs[String]("record_value")
     assert(v.contains("CREATE_UPDATE_USER") && v.contains("\"role\""))
     assert(!v.contains("c_acctbal")) // outside the allow-list
+  }
+
+  test("JdbcSource: range predicate pushes into the dbtable subquery; partitioned read options") {
+    // the reference's logged_events range scan (KafkaLoader.java:87-91) as
+    // a database-side WHERE — the scan target must embed the predicate so
+    // the DB prunes before shipping rows
+    val src = JdbcSource("jdbc:postgresql://db/isaac", "logged_events",
+      "u", "p",
+      rangeColumn = Some("timestamp"),
+      rangeFrom = Some("2015-01-01 00:00:00"),
+      rangeUntil = Some("2016-01-01 00:00:00"),
+      partitionColumn = Some("id"), lowerBound = 0L, upperBound = 1000000L,
+      numPartitions = 8)
+    assert(src.rangeClause.contains(
+      "timestamp >= '2015-01-01 00:00:00' AND timestamp < '2016-01-01 00:00:00'"))
+    assert(src.dbtable ==
+      "(SELECT * FROM logged_events WHERE timestamp >= '2015-01-01 00:00:00'" +
+        " AND timestamp < '2016-01-01 00:00:00') graft_src")
+    val o = src.readOptions
+    assert(o("dbtable") == src.dbtable)
+    assert(o("partitionColumn") == "id" && o("numPartitions") == "8" &&
+      o("lowerBound") == "0" && o("upperBound") == "1000000")
+    // full-table form (KafkaUserLoader.java:82-86): no subquery wrapper, no
+    // partition options
+    val full = JdbcSource("jdbc:postgresql://db/isaac", "users", "u", "p")
+    assert(full.dbtable == "users" && !full.readOptions.contains("partitionColumn"))
+  }
+
+  test("JdbcSource/JdbcSink fail fast with a clear message when no driver is present") {
+    val src = JdbcSource("jdbc:postgresql://db/x", "t", "u", "p")
+    val e1 = intercept[IllegalStateException](src.batch(spark))
+    assert(e1.getMessage.contains("org.postgresql.Driver"))
+    val sink = JdbcSink("jdbc:postgresql://db/x", "user_achievements", "u", "p")
+    val e2 = intercept[IllegalStateException](
+      sink.write(Tables.customer(spark, sfDir).limit(1)))
+    assert(e2.getMessage.contains("org.postgresql.Driver"))
+  }
+
+  test("JdbcSink upsert SQL: the reference INSERT plus replay-idempotent ON CONFLICT") {
+    // ThresholdAchievedProcessor.java:80-83's column list; conflict key =
+    // the achievement identity, so redelivery is a no-op not a dup row
+    val sink = JdbcSink("jdbc:postgresql://db/isaac", "user_achievements",
+      "u", "p", conflictColumns = Seq("user_id", "achievement_id"))
+    assert(sink.upsertSql(Seq("user_id", "achievement_id", "threshold", "timestamp")) ==
+      "INSERT INTO user_achievements (user_id, achievement_id, threshold, timestamp)" +
+        " VALUES (?, ?, ?, ?)" +
+        " ON CONFLICT (user_id, achievement_id) DO NOTHING")
+    val plain = JdbcSink("jdbc:x", "t", "u", "p")
+    assert(plain.upsertSql(Seq("a", "b")) == "INSERT INTO t (a, b) VALUES (?, ?)")
   }
 }
