@@ -774,13 +774,19 @@ object Similarity {
     // the projected base IS worth checkpointing: seven consumers (both LSH
     // tables, assignment, codes, ADC queries/centroids, truth) each re-scan
     // it otherwise — measured 0.4 s slower without at sf0.1
-    val (emb, embIds) = checkpointTracked(
+    // LAZY checkpoints: the three shared subtrees used to materialize as
+    // three serial job launches before the result job even started (~0.3 s
+    // each of launch+schedule at sf0.1 — pure overhead for a harness run
+    // 3× per bench). Lazy, they materialize inside the single union job,
+    // where their stages overlap with the independent branch pipelines;
+    // every consumer still reads the persisted blocks, not the lineage.
+    val (emb, embIds) = checkpointTrackedLazy(
       embeddings.select(col("vec_id"), col("embedding")))
     lap("emb checkpoint")
-    val (ranked, rankedIds) = checkpointTracked(
+    val (ranked, rankedIds) = checkpointTrackedLazy(
       assignToCentroids(emb, IvfClusters, 2))
     lap("ranked checkpoint")
-    val (truth, truthIds) = checkpointTracked(
+    val (truth, truthIds) = checkpointTrackedLazy(
       bruteForceTopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
     lap("truth checkpoint")
@@ -824,12 +830,21 @@ object Similarity {
       explode(array((0 until lshTables).map(t =>
         signBucket(col("embedding"), SignBits, t * SignBits) +
           lit(t.toLong * (1L << SignBits))): _*)).as("bucket"))
+    // NINE separate (broadcast join, agg) tails — deliberately NOT
+    // consolidated. Both single-tail shapes were built and measured
+    // (round 11, sf0.1, cpus=32, median-of-3): label the nine answer sets,
+    // union, and (a) broadcast the union against truth×methods → 3.1 s
+    // per rep, or (b) broadcast truth, one groupBy(method) agg, left-join
+    // onto the 9-row method list → 2.9 s; this shape → 2.4–2.6 s. The
+    // mechanism: each hits() broadcast-exchange materializes its branch
+    // pipeline on its OWN broadcast thread, so the nine branches execute
+    // concurrently; a single union makes them legs of one serial chain,
+    // and the ~20 tiny tail stages the consolidation removes cost less
+    // than the overlap it destroys. The harness floor is launch-bound
+    // (~69 AQE stage-jobs, stage-exec sum ~5 s vs ~2.5 s wall), not
+    // data-bound.
     // explicit broadcast: checkpointed frames carry no size stats, so the
     // planner cannot see that both join sides are ≤numQueries rows.
-    // (A single-union → one-join → one-agg shape was tried and measured NO
-    // faster at sf0.1 — the 14 small per-method join/agg stages it removes
-    // are not the cost; the harness's floor is the intrinsic sum of the 7
-    // method pipelines themselves.)
     def hits(method: String, ann: DataFrame) =
       truth.join(broadcast(ann.filter(col("vec_id") < numQueries)), Seq("vec_id"), "left")
         .agg(
