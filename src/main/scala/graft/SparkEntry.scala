@@ -188,6 +188,9 @@ object SparkEntry {
     "ext_decontaminate_bloom" -> ((s, d) =>
       Curation.decontaminateBloomExact(docs(s, d)).orderBy("doc_id")),
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    // bigram-LM novelty filter (integer-exact CCNet-perplexity analog);
+    // model slice = even doc_ids, probe = whole corpus
+    "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
     // co-citation domain PageRank, 2 iterations of exact ppm fixed point
@@ -1475,6 +1478,31 @@ object SparkEntry {
          |  coalesce(r.top_2gram_count, 0) * 5 > len(b.bigrams) AND len(b.bigrams) > 0 AS is_repetitive
          |FROM b LEFT JOIN r ON r.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    "ext_lm_novelty" ->
+      s"""WITH lmt AS (SELECT doc_id,
+         |    list_filter(string_split($NORM, ' '), t -> t != '') AS toks
+         |  FROM documents),
+         |lmbg AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |           ELSE list_transform(range(1, len(toks)),
+         |                  j -> toks[j] || ' ' || toks[j+1]) END) AS bg
+         |  FROM lmt),
+         |docbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS occ
+         |  FROM lmbg GROUP BY 1, 2),
+         |model AS (SELECT bg, CAST(sum(occ) AS BIGINT) AS mcount
+         |  FROM docbg WHERE doc_id % 2 = 0 GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |    sum(d.occ) AS n_bigrams,
+         |    sum(CASE WHEN m.bg IS NULL THEN d.occ ELSE 0 END) AS n_unseen,
+         |    sum(d.occ * coalesce(m.mcount, 0)) AS model_mass
+         |  FROM docbg d LEFT JOIN model m ON d.bg = m.bg GROUP BY 1)
+         |SELECT doc.doc_id,
+         |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+         |  CAST(coalesce(sc.model_mass, 0) AS BIGINT) AS model_mass,
+         |  coalesce(sc.n_unseen, 0) * 100 > coalesce(sc.n_bigrams, 0) * 20 AS is_novel
+         |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
     "ext_domain_stats" ->
       """WITH u AS (SELECT doc_id,
         |    text || ' see https://site' || (doc_id % 50) || '.example.org/p' ||

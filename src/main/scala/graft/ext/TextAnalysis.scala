@@ -303,6 +303,64 @@ object TextAnalysis {
         "top_2gram_count", "n_repeated_2grams", "is_repetitive")
   }
 
+  /** Bigram language-model novelty score — the integer-exact analog of the
+    * CCNet/KenLM perplexity filter every web-scale curation pipeline runs:
+    * train an n-gram LM on a reference slice, score every document by how
+    * familiar its n-grams are, and flag the tail. The reference slice here
+    * is the even-`doc_id` half (a deterministic in-corpus split; production
+    * would point `model` at a trusted corpus — the shapes are identical).
+    *
+    * Per document: `n_bigrams` (token-bigram occurrences), `n_unseen`
+    * (occurrences whose bigram never appears in the model slice — the exact
+    * integer surrogate for infinite-perplexity n-grams), `model_mass`
+    * (Σ occ·model_count, a monotone familiarity proxy standing in for
+    * Σ log p without the transcendental that could never hash-match across
+    * engines), and `is_novel` = `n_unseen·100 > n_bigrams·unseenPct` in
+    * exact cross-multiplied integers.
+    *
+    * Scale shape: the model is CORPUS-sized (1e9+ distinct bigrams at
+    * 100 TB) so nothing broadcasts — the probe is a shuffled join on the
+    * bigram key. Doc-side occurrences are pre-aggregated per (doc_id,
+    * bigram) before the join (boilerplate-heavy docs repeat bigrams, so the
+    * join input shrinks), the model aggregate gets map-side partial
+    * aggregation, and bigram-less docs (<2 tokens) re-enter via a left join
+    * from the doc-id spine rather than a second corpus scan.
+    */
+  def lmNovelty(documents: DataFrame, unseenPct: Int = 20): DataFrame = {
+    val docBg = documents
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.filter(col("raw_toks"), t => t =!= "")
+          .as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  j -> concat_ws(' ', element_at(toks, j + 1),
+              |                      element_at(toks, j + 2)))""".stripMargin)))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
+    val model = docBg
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("bg").agg(sum("occ").as("mcount"))
+    val scored = docBg
+      .join(model, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum("occ").as("n_bigrams"),
+        sum(when(col("mcount").isNull, col("occ")).otherwise(lit(0L)))
+          .as("n_unseen"),
+        sum(col("occ") * coalesce(col("mcount"), lit(0L))).as("model_mass"))
+    documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("model_mass"), lit(0L)).as("model_mass"),
+        (coalesce(col("n_unseen"), lit(0L)) * 100 >
+          coalesce(col("n_bigrams"), lit(0L)) * unseenPct).as("is_novel"))
+  }
+
   /** Corpus vocabulary heavy hitters: the global top-k tokens by total term
     * frequency, with document frequency alongside — the "what is this corpus
     * made of" report every curation run starts with.

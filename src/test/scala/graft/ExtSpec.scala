@@ -1115,6 +1115,38 @@ class ExtSpec extends SparkSpec {
     assert(!byId(3L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("lm novelty: model-half bigrams score familiar, held-out novelty flagged") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),       // model half
+      (2L, "the quick brown fox jumps"),       // model half, same bigrams
+      (1L, "the quick brown fox jumps"),       // held-out, fully seen
+      (3L, "zyx wvu tsr qpo"),                 // held-out, fully unseen
+      (5L, "solo"),                            // < 2 tokens: zero row
+      (7L, "the quick brown fox zz"))          // 3 of 4 bigrams seen
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmNovelty(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 0: 4 bigrams, each with model count 2 (docs 0 and 2) -> mass 8
+    assert(byId(0L).getAs[Long]("n_bigrams") == 4L)
+    assert(byId(0L).getAs[Long]("n_unseen") == 0L)
+    assert(byId(0L).getAs[Long]("model_mass") == 8L)
+    assert(!byId(0L).getAs[Boolean]("is_novel"))
+    // held-out twin of the model docs: fully familiar
+    assert(byId(1L).getAs[Long]("n_unseen") == 0L)
+    assert(byId(1L).getAs[Long]("model_mass") == 8L)
+    // fully unseen doc: 3 bigrams, all unseen, novel
+    assert(byId(3L).getAs[Long]("n_bigrams") == 3L)
+    assert(byId(3L).getAs[Long]("n_unseen") == 3L)
+    assert(byId(3L).getAs[Long]("model_mass") == 0L)
+    assert(byId(3L).getAs[Boolean]("is_novel"))
+    // bigram-less doc survives as an all-zero non-novel row
+    assert(byId(5L).getAs[Long]("n_bigrams") == 0L)
+    assert(!byId(5L).getAs[Boolean]("is_novel"))
+    // 1 unseen of 4 = 25% > 20% threshold -> novel
+    assert(byId(7L).getAs[Long]("n_unseen") == 1L)
+    assert(byId(7L).getAs[Boolean]("is_novel"))
+  }
+
   test("domain rollup counts links and distinct docs per injected domain") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val out = Curation.domainStats(Curation.withUrlsInjected(docs))
