@@ -1500,7 +1500,7 @@ object SparkEntry {
          |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
          |  CAST(coalesce(sc.model_mass, 0) AS BIGINT) AS model_mass,
-         |  coalesce(sc.n_unseen, 0) * 100 > coalesce(sc.n_bigrams, 0) * 20 AS is_novel
+         |  coalesce(sc.n_unseen, 0) * 100 > coalesce(sc.n_bigrams, 0) * ${graft.ext.TextAnalysis.DefaultUnseenPct} AS is_novel
          |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
     "ext_domain_stats" ->

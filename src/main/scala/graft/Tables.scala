@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -12,43 +14,76 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark does
-    * not read natively: read it as a long and convert. The generated data is
-    * microsecond-precision (ns remainder is always 0), so `div 1000` is an
-    * exact conversion, matching what DuckDB sees.
+  /** events.parquet's ts column has shipped in two physical layouts:
+    * parquet TIMESTAMP(NANOS) (which Spark only reads via the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` flag, as a long) and plain
+    * TIMESTAMP(MICROS). The loader adapts to whichever the files contain —
+    * ingest must tolerate the source's schema drift, not pin one vintage:
+    *   - long (nanos under the legacy flag): `timestamp_micros(ts div 1000)`
+    *     — the generated nanos data is micros-precision, so `div 1000` is
+    *     exact, matching what DuckDB sees;
+    *   - timestamp_ntz (micros, no tz annotation): cast to timestamp — all
+    *     graft sessions pin UTC, so the cast preserves the wall-clock value
+    *     and epoch exactly, and downstream operators keep seeing the
+    *     TimestampType they were written against;
+    *   - timestamp: already native, no conversion.
     *
-    * Reading TIMESTAMP(NANOS) requires the SESSION-WIDE flag
-    * `spark.sql.legacy.parquet.nanosAsLong` (it has no per-read option). All
-    * graft entry points (Verify/Bench/Explain/tests) set it at session build;
-    * for externally-built sessions this loader sets it once if absent — an
-    * intentional, documented global effect: any other TIMESTAMP(NANOS)
-    * parquet column in the session will also read as long.
+    * TIMESTAMP(NANOS) files fail schema inference without the legacy flag,
+    * so the flag-less read is retried with the flag set — a session-global
+    * effect (any other NANOS column reads as long afterwards), but one that
+    * only triggers when the data actually needs it; micros-era sessions are
+    * left untouched.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  private def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try load(spark, dir, "events")
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, dir, "events")
+    }
+
+  private def toTimestamp(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    toTimestamp(loadEventsRaw(spark, dir))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-  }
-  /** Time-range scan of events with the predicate applied to the RAW
-    * nanos-long column BEFORE the timestamp conversion — a filter on the
-    * derived `ts` cannot push through `timestamp_micros(ts div 1000)`, so it
-    * would scan every row group; this form reaches the parquet reader as a
-    * plain long range (PlanSpec asserts it). Bounds are ISO dates, UTC.
-    * Equivalence: derived_ts >= T  iff  raw_ns >= epoch_us(T) * 1000.
+
+  /** Time-range scan of events with the predicate applied to the RAW stored
+    * column BEFORE any conversion, so it reaches the parquet reader as a
+    * pushed range filter (PlanSpec asserts it). In the legacy nanos-long
+    * layout a filter on the derived `ts` cannot push through
+    * `timestamp_micros(ts div 1000)` and would scan every row group; the
+    * timestamp layouts push a plain range on the stored column, with the
+    * literal built in the column's own type (LocalDateTime for ntz, Instant
+    * for ltz) so no cast blocks the pushdown. Bounds are ISO dates, UTC.
+    * Equivalence in the nanos case: derived_ts >= T iff raw_ns >= epoch_us(T) * 1000.
     */
   def eventsRange(spark: SparkSession, dir: String,
                   fromIso: String, untilIso: String): DataFrame = {
+    def day(iso: String): java.time.LocalDateTime =
+      java.time.LocalDate.parse(iso).atStartOfDay()
     def ns(iso: String): Long =
-      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
-        .toInstant.getEpochSecond * 1000000000L
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr}
-    load(spark, dir, "events")
-      .filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      day(iso).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val raw = loadEventsRaw(spark, dir)
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= lit(day(fromIso)) && col("ts") < lit(day(untilIso)))
+      case TimestampType =>
+        raw.filter(col("ts") >= lit(day(fromIso).toInstant(java.time.ZoneOffset.UTC)) &&
+                   col("ts") < lit(day(untilIso).toInstant(java.time.ZoneOffset.UTC)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
+    toTimestamp(filtered)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

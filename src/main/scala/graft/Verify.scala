@@ -4,30 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional trailing args: dump only these queries (fast local loop);
-    // unknown names fail loudly rather than silently verifying nothing
-    val only = args.drop(2).toSet
+
+  /** Dumps each selected query's result under `outDir` and returns the
+    * name → error map for queries that threw (empty = all ran). Split from
+    * [[main]] (which owns the session lifecycle) so the failure-reporting
+    * contract is testable against the shared test session.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Set[String] = Set.empty): Map[String, String] = {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // micros (not INT96) so the driver's parquet readers see the same
-      // timestamp physical type DuckDB produces for the oracle results
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // events.parquet is TIMESTAMP(NANOS); session-wide (see Tables.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => only(kv._1))
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(s"[verify] start $name")
@@ -44,6 +35,17 @@ object Verify {
         norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        // A thrown query must surface as an explicit FAIL in the driver's
+        // compare, never as a silently-smaller-but-green suite (round 11:
+        // 29 plan-time failures left no output and CORRECTNESS simply
+        // omitted them). Write a sentinel result whose schema can't match
+        // any oracle, so the compare records a failing entry for the name.
+        try {
+          import spark.implicits._
+          Seq(s"QUERY FAILED: ${failures(name)}").toDF("_graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       } finally {
         // per-query persists + localCheckpoint blocks (the latter are raw
         // RDD persists the CacheManager doesn't know about)
@@ -68,6 +70,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure record beside the results (empty {} when all
+    // queries ran): the per-name sentinel above makes failures VISIBLE in
+    // the compare; this file makes them DIAGNOSABLE without re-running
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    failures.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args: dump only these queries (fast local loop);
+    // unknown names fail loudly rather than silently verifying nothing
+    val only = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // micros (not INT96) so the driver's parquet readers see the same
+      // timestamp physical type DuckDB produces for the oracle results
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // legacy events.parquet vintages are TIMESTAMP(NANOS); session-wide
+      // (see Tables.loadEventsRaw — harmless for the micros layout)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

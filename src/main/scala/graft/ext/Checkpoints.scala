@@ -29,24 +29,12 @@ private[ext] object Checkpoints {
     (out, ids)
   }
 
-  /** Lazy variant: the checkpoint materializes at the FIRST action that
-    * consumes it instead of paying a dedicated job launch here. For a
-    * fan-out consumer like the recall harness, that folds what would be
-    * several serial materialization jobs into the single result job, where
-    * their stages overlap with the rest of the DAG. Concurrent first
-    * consumers (e.g. broadcast threads) may duplicate a partition's final
-    * map work while racing the cache — correctness is unaffected and the
-    * inputs this is used on are small by contract. NOT for iterative
-    * fixpoints: those need the eager form so each round's lineage is
-    * truncated before the next measures convergence.
-    */
-  def checkpointTrackedLazy(df: DataFrame): (DataFrame, Set[Int]) = {
-    val out = df.localCheckpoint(false)
-    val ids = out.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    (out, ids)
-  }
+  // A lazy localCheckpoint(false) variant existed in round 11; it was
+  // removed after the round-11 driver bench showed concurrent first
+  // consumers (broadcast threads in the recall harness fan-out) racing the
+  // cache and duplicating the checkpointed subtree's final map work — a
+  // nondeterministic ~10× on the O(N×Q) ground-truth scorer. Eager
+  // materialization costs one small job per checkpoint and is deterministic.
 
   /** Unpersists checkpoint blocks by RDD id. Only call on ids whose data is
     * no longer reachable from any live plan (checkpointing truncated the

@@ -774,19 +774,22 @@ object Similarity {
     // the projected base IS worth checkpointing: seven consumers (both LSH
     // tables, assignment, codes, ADC queries/centroids, truth) each re-scan
     // it otherwise — measured 0.4 s slower without at sf0.1
-    // LAZY checkpoints: the three shared subtrees used to materialize as
-    // three serial job launches before the result job even started (~0.3 s
-    // each of launch+schedule at sf0.1 — pure overhead for a harness run
-    // 3× per bench). Lazy, they materialize inside the single union job,
-    // where their stages overlap with the independent branch pipelines;
-    // every consumer still reads the persisted blocks, not the lineage.
-    val (emb, embIds) = checkpointTrackedLazy(
+    // EAGER checkpoints, deliberately: the lazy variant (round 11) saved
+    // the ~0.3 s-each serial materialization launches, but the nine method
+    // branches consume these subtrees from independent broadcast threads —
+    // concurrent FIRST consumers of a lazy checkpoint race the cache and
+    // can each redo a partition's final map work. For `truth` that final
+    // map is the O(N×Q) brute-force scorer — the most expensive subtree in
+    // the harness, observed recomputing under contention for a
+    // nondeterministic ~10× blowup (round-11 driver bench: 364 ds vs 35).
+    // Paying three small up-front jobs buys a deterministic fan-out.
+    val (emb, embIds) = checkpointTracked(
       embeddings.select(col("vec_id"), col("embedding")))
     lap("emb checkpoint")
-    val (ranked, rankedIds) = checkpointTrackedLazy(
+    val (ranked, rankedIds) = checkpointTracked(
       assignToCentroids(emb, IvfClusters, 2))
     lap("ranked checkpoint")
-    val (truth, truthIds) = checkpointTrackedLazy(
+    val (truth, truthIds) = checkpointTracked(
       bruteForceTopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
     lap("truth checkpoint")

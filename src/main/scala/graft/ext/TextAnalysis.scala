@@ -17,6 +17,12 @@ import graft.functions.Exact
   */
 object TextAnalysis {
 
+  /** Default `unseenPct` for [[lmNovelty]], shared with the DuckDB oracle
+    * (SparkEntry interpolates this constant into the `ext_lm_novelty` SQL)
+    * so the two sides cannot silently diverge on the novelty threshold.
+    */
+  val DefaultUnseenPct: Int = 20
+
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
@@ -325,8 +331,18 @@ object TextAnalysis {
     * join input shrinks), the model aggregate gets map-side partial
     * aggregation, and bigram-less docs (<2 tokens) re-enter via a left join
     * from the doc-id spine rather than a second corpus scan.
+    *
+    * Integer bound: `model_mass` accumulates Σ occ·mcount in Long. Spark
+    * (non-ANSI) wraps silently on overflow while DuckDB sums in HUGEINT and
+    * raises casting to BIGINT, so past ~9.2e18 the engines DIVERGE rather
+    * than both failing. That needs per-doc-Σ(occ·global-bigram-count) >
+    * 2^63 — e.g. a million-occurrence bigram that also appears ~1e13 times
+    * corpus-wide — beyond any real corpus (a 100 TB corpus has ~2e13 total
+    * bigram OCCURRENCES across ALL bigrams). Callers feeding adversarial
+    * token streams should pre-cap `occ` if they need the hash-exact
+    * contract at that scale.
     */
-  def lmNovelty(documents: DataFrame, unseenPct: Int = 20): DataFrame = {
+  def lmNovelty(documents: DataFrame, unseenPct: Int = DefaultUnseenPct): DataFrame = {
     val docBg = documents
       .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
       .select(col("doc_id"),
