@@ -161,7 +161,14 @@ object SparkEntry {
     "ext_pii_scrub" -> ((s, d) =>
       Curation.piiScrub(Curation.withPiiInjected(docs(s, d))).orderBy("doc_id")),
     "ext_sample_strata" -> ((s, d) => Curation.sampleStrata(docs(s, d)).orderBy("doc_id")),
+    // fixed-count companion to the fixed-rate sampler: top-N per source by
+    // seeded hash rank (WindowGroupLimit, shuffle carries O(strata × N))
+    "ext_quota_sample" -> ((s, d) => Curation.quotaSample(docs(s, d)).orderBy("source", "rk")),
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
+    // hashed-feature linear scorer (deterministic stand-in weights): the
+    // map-only fastText-style classifier pass — zero shuffle
+    "ext_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(docs(s, d)).orderBy("doc_id")),
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
     // RAG/pretraining sliding-window chunker (32-token windows, stride 24)
@@ -1318,6 +1325,29 @@ object SparkEntry {
         |        CAST(CASE WHEN lang = 'en' THEN 50 ELSE 10 END AS BIGINT) AS rate
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "ext_quota_sample" ->
+      """SELECT source, rk, doc_id, h
+        |FROM (SELECT source, doc_id, h,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+        |      FROM (SELECT doc_id, source,
+        |              ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |            FROM documents))
+        |WHERE rk <= 50
+        |ORDER BY source, rk""".stripMargin,
+    "ext_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split($NORM, ' '), tok -> tok != '') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(toks,
+         |      tok -> (('0x' || substr(md5(tok), 1, 15))::BIGINT
+         |              % ${graft.ext.TextAnalysis.ClassifierBuckets}
+         |              % ${graft.ext.TextAnalysis.ClassifierMod})
+         |             - ${graft.ext.TextAnalysis.ClassifierMod / 2})), 0) AS BIGINT) AS logit
+         |  FROM t)
+         |SELECT doc_id, n_tokens, logit, logit > 0 AS is_quality
+         |FROM s ORDER BY doc_id""".stripMargin,
     "ext_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(string_split($NORM, ' ')) AS BIGINT) AS n_tokens

@@ -214,6 +214,30 @@ object Curation {
         col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate"),
         (col("bucket") < col("rate")).as("sampled"))
 
+  /** Per-stratum QUOTA sample: the `per` docs per source with the smallest
+    * seeded hash rank — the fixed-count companion to [[sampleStrata]]'s
+    * fixed-rate sampling (a curator caps a dominant source at N docs, not
+    * N%). Hash-ordering makes the sample a pure function of doc_id:
+    * reproducible across runs, engines, and cluster layouts, and STABLE
+    * under corpus growth in expectation (new docs displace old ones only by
+    * hash order, not arrival order — the standard consistent-sampling
+    * property rate sampling lacks for quotas).
+    *
+    * Scale shape: the `row_number <= per` filter is recognized by Spark's
+    * InferWindowGroupLimit, so each shuffle partition keeps only its
+    * stratum's top-`per` rows BEFORE the final window — the shuffle carries
+    * O(strata × per), not the corpus (PlanSpec pins the WindowGroupLimit).
+    */
+  def quotaSample(documents: DataFrame, per: Int = 50): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        Exact.md5Hash60Seeded(7, col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= per)
+      .select("source", "rk", "doc_id", "h")
+  }
+
   /** Post-curation source-mix report: per source, kept docs/tokens and the
     * source's share of the final corpus in integer ppm (the mixing-weights
     * table a data curator actually reads). The share divides by a

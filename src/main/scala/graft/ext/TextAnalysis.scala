@@ -377,6 +377,45 @@ object TextAnalysis {
           coalesce(col("n_bigrams"), lit(0L)) * unseenPct).as("is_novel"))
   }
 
+  /** Hashed-feature linear quality classifier — the fastText-style scorer
+    * web-scale pipelines run after the heuristic rules ([[graft.ext.Curation.gopherRules]]):
+    * the hashing trick maps each token to one of `ClassifierBuckets` feature
+    * buckets, a linear model assigns each bucket an integer weight, and the
+    * document's score is the sum of its tokens' weights. The WEIGHTS here
+    * are a deterministic stand-in (bucket → `(bucket % ClassifierMod) - 8`,
+    * i.e. integers in [-8, 8]) because no training corpus ships with the
+    * repo — a real deployment broadcasts a trained weight array and swaps
+    * the weight expression; every other part (tokenize → hash → bucket →
+    * sparse dot product → threshold) is the production path. Integer logit
+    * and cross-multiplied threshold keep the output hash-exact vs DuckDB.
+    *
+    * Scale shape: MAP-ONLY — the per-token work runs inside one
+    * `aggregate()` lambda over each doc's token array, so a 100 TB corpus
+    * scores with ZERO shuffle (contrast explode→groupBy, which shuffles one
+    * row per token occurrence). Higher-order-function lambdas sit outside
+    * whole-stage codegen, but a narrow interpreted map beats a codegen'd
+    * corpus-wide shuffle at any scale; the md5-per-token cost is the same
+    * class as [[fingerprints]].
+    */
+  val ClassifierBuckets = 1024
+  val ClassifierMod = 17
+
+  def qualityClassifier(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.filter(col("raw_toks"), t => t =!= "")
+          .as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(
+          s"""aggregate(toks, 0L, (acc, t) ->
+             |  acc + (cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+             |         % $ClassifierBuckets % $ClassifierMod) - ${ClassifierMod / 2})""".stripMargin)
+          .as("logit"))
+      .withColumn("is_quality", col("logit") > 0)
+
   /** Corpus vocabulary heavy hitters: the global top-k tokens by total term
     * frequency, with document frequency alongside — the "what is this corpus
     * made of" report every curation run starts with.

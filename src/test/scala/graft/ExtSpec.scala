@@ -1294,6 +1294,50 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= r.getAs[Long]("tf")))
   }
 
+  test("quality classifier: logit is the exact hashed-weight sum; empty doc scores 0") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityClassifier(docs).orderBy("doc_id").collect()
+    // expected weight per token, computed independently of the operator
+    def w(tok: String): Long = {
+      val h = spark.sql(
+        s"SELECT cast(conv(substring(md5('$tok'), 1, 15), 16, 10) as bigint)")
+        .head().getLong(0)
+      h % TextAnalysis.ClassifierBuckets % TextAnalysis.ClassifierMod -
+        TextAnalysis.ClassifierMod / 2
+    }
+    assert(rows(0).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0).getAs[Long]("logit") == 2 * w("alpha") + w("beta"))
+    assert(rows(0).getAs[Boolean]("is_quality") == (2 * w("alpha") + w("beta") > 0))
+    // empty / whitespace-only docs: zero tokens, zero logit, not-quality
+    Seq(rows(1), rows(2)).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 0L)
+      assert(r.getAs[Long]("logit") == 0L)
+      assert(!r.getAs[Boolean]("is_quality"))
+    }
+  }
+
+  test("quota sample: exactly min(per, stratum size) rows per source, hash-ranked") {
+    val docs = Tables.documents(spark, sfDir)
+    val per = 5
+    val out = Curation.quotaSample(docs, per).collect()
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == sizes.keySet)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == math.min(per.toLong, sizes(src)))
+      // ranks are 1..n and follow (h, doc_id) order
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to rs.length).toSeq)
+      val keys = sorted.map(r => (r.getAs[Long]("h"), r.getAs[Long]("doc_id"))).toSeq
+      assert(keys == keys.sorted)
+    }
+    // determinism: same input → identical sample
+    val again = Curation.quotaSample(docs, per).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("tfidf keywords: ranks are 1..k per doc in (tf desc, df asc) order") {
     val rows = TextAnalysis.tfidfKeywords(Tables.documents(spark, sfDir).limit(50), 3)
       .orderBy("doc_id", "rank").collect()

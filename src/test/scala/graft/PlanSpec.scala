@@ -200,6 +200,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"), p)
   }
 
+  test("quota sample keeps only top-per rows per partition before the window") {
+    val p = graft.ext.Curation.quotaSample(Tables.documents(spark, sfDir), 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("quality classifier is map-only: no Exchange in the plan") {
+    val p = graft.ext.TextAnalysis.qualityClassifier(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
