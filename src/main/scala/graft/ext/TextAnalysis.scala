@@ -389,18 +389,20 @@ object TextAnalysis {
     * sparse dot product → threshold) is the production path. Integer logit
     * and cross-multiplied threshold keep the output hash-exact vs DuckDB.
     *
-    * Scale shape: MAP-ONLY — the per-token work runs inside one
-    * `aggregate()` lambda over each doc's token array, so a 100 TB corpus
-    * scores with ZERO shuffle (contrast explode→groupBy, which shuffles one
-    * row per token occurrence). Higher-order-function lambdas sit outside
-    * whole-stage codegen, but a narrow interpreted map beats a codegen'd
-    * corpus-wide shuffle at any scale; the md5-per-token cost is the same
-    * class as [[fingerprints]].
+    * Scale shape: MAP-ONLY — the per-token work runs as ONE native kernel
+    * call per document ([[graft.functions.HashedWeightSum]], the tight-loop
+    * form of the md5→bucket→weight math), so a 100 TB corpus scores with
+    * ZERO shuffle (contrast explode→groupBy, which shuffles one row per
+    * token occurrence). The HOF formulation of the same sum (an interpreted
+    * md5/substring/conv expression tree per token) measured 10× slower at
+    * sf0.1 — the [[fingerprints]] lesson, same fix.
     */
   val ClassifierBuckets = 1024
   val ClassifierMod = 17
 
-  def qualityClassifier(documents: DataFrame): DataFrame =
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(documents.sparkSession,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
     documents
       .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
       .select(col("doc_id"),
@@ -409,12 +411,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        expr(
-          s"""aggregate(toks, 0L, (acc, t) ->
-             |  acc + (cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
-             |         % $ClassifierBuckets % $ClassifierMod) - ${ClassifierMod / 2})""".stripMargin)
+        expr(s"hashed_weight_sum(toks, $ClassifierBuckets, $ClassifierMod)")
           .as("logit"))
       .withColumn("is_quality", col("logit") > 0)
+  }
 
   /** Corpus vocabulary heavy hitters: the global top-k tokens by total term
     * frequency, with document frequency alongside — the "what is this corpus

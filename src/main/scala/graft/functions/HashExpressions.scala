@@ -177,6 +177,40 @@ case class Md5H60Array(child: Expression) extends UnaryExpression with CodegenFa
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** hashed_weight_sum(array<string>) -> long: Σ over tokens of
+  * `(md5Hash60(tok) % buckets % mod) - mod/2` — the sparse dot product of
+  * the hashing-trick linear classifier (ext.TextAnalysis.qualityClassifier)
+  * as ONE kernel call per document. The HOF formulation interprets a
+  * md5→substring→conv expression tree per token; this is the tight-loop
+  * form of the same math (HashKernels.md5Hash60 == Exact.md5Hash60, which
+  * the DuckDB oracle reproduces). Null token slots hash as "" — the
+  * callers' filtered token arrays never contain them.
+  */
+case class HashedWeightSum(child: Expression, buckets: Int, mod: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_weight_sum"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_weight_sum requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val half = mod / 2
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val tok = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      acc += HashKernels.md5Hash60(tok) % buckets % mod - half
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash32(array<string>) -> long */
 case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -256,6 +290,16 @@ object HashExpressions {
         "simhash_pairs_kernel", (e: Seq[Expression]) => SimHashClosePairs(
           e.head,
           e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            .asInstanceOf[Number].intValue()),
+        "built-in")
+    }
+    ifAbsent("hashed_weight_sum") {
+      reg.createOrReplaceTempFunction(
+        "hashed_weight_sum", (e: Seq[Expression]) => HashedWeightSum(
+          e.head,
+          e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            .asInstanceOf[Number].intValue(),
+          e(2).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
             .asInstanceOf[Number].intValue()),
         "built-in")
     }
