@@ -783,16 +783,25 @@ object Similarity {
     // the harness, observed recomputing under contention for a
     // nondeterministic ~10× blowup (round-11 driver bench: 364 ds vs 35).
     // Paying three small up-front jobs buys a deterministic fan-out.
+    // `ranked` and `truth` both consume only the already-persisted `emb`
+    // blocks and are independent of each other, so their materialization
+    // jobs run CONCURRENTLY (two threads, one session — ordinary Spark
+    // multi-job scheduling, no shared lazy state to race): the cheap
+    // assignment pass hides entirely inside the brute-force scorer's wall
+    // time instead of serializing in front of it.
     val (emb, embIds) = checkpointTracked(
       embeddings.select(col("vec_id"), col("embedding")))
     lap("emb checkpoint")
-    val (ranked, rankedIds) = checkpointTracked(
-      assignToCentroids(emb, IvfClusters, 2))
-    lap("ranked checkpoint")
-    val (truth, truthIds) = checkpointTracked(
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rankedF = Future(checkpointTracked(assignToCentroids(emb, IvfClusters, 2)))
+    val truthF = Future(checkpointTracked(
       bruteForceTopK(emb, numQueries, 1)
-        .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor")))
-    lap("truth checkpoint")
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor"))))
+    val (ranked, rankedIds) = Await.result(rankedF, Duration.Inf)
+    val (truth, truthIds) = Await.result(truthF, Duration.Inf)
+    lap("ranked+truth checkpoints")
     // pqCodes has exactly one consumer per codebook (the ADC branch) — no
     // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny
     // k-row result is checkpointed to run its training pass once — unless
