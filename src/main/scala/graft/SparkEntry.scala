@@ -142,6 +142,8 @@ object SparkEntry {
     "ext_lang_confusion" -> ((s, d) =>
       TextAnalysis.langConfusion(docs(s, d)).orderBy("labeled_lang", "predicted_lang")),
     "ext_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+    // MOSS winnowing: window-min shingle selection, set pinned via scalars
+    "ext_winnowing" -> ((s, d) => TextAnalysis.winnowing(docs(s, d)).orderBy("doc_id")),
     "ext_source_stats" -> ((s, d) => TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
     "ext_length_quantiles" -> ((s, d) =>
@@ -1193,6 +1195,21 @@ object SparkEntry {
          |  list_max(list_transform(sh, x -> ${h60("x")})) AS fp_max,
          |  ${h60("norm")} AS fp_exact
          |FROM scte ORDER BY doc_id""".stripMargin,
+    "ext_winnowing" ->
+      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
+         |hcte AS (SELECT doc_id, list_transform(sh, x -> ${h60("x")}) AS hs FROM scte),
+         |mcte AS (SELECT doc_id, hs,
+         |    list_sort(list_distinct(list_transform(
+         |      range(1, greatest(len(hs) - ${graft.ext.TextAnalysis.WinnowWindow}, 0) + 2),
+         |      j -> list_min(hs[j:j+${graft.ext.TextAnalysis.WinnowWindow - 1}])))) AS fps
+         |  FROM hcte)
+         |SELECT doc_id,
+         |  CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  fps[1] AS fp_low,
+         |  fps[-1] AS fp_high,
+         |  CAST(list_aggregate(fps, 'bit_xor') AS BIGINT) AS fp_xor
+         |FROM mcte ORDER BY doc_id""".stripMargin,
     "ext_dedup_exact" ->
       s"""WITH h AS (SELECT doc_id, ${h60(NORM)} AS content_hash FROM documents),
          |g AS (SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS group_size

@@ -377,6 +377,43 @@ object TextAnalysis {
           coalesce(col("n_bigrams"), lit(0L)) * unseenPct).as("is_novel"))
   }
 
+  /** Winnowing fingerprints — Schleimer/Wilkerson/Aiken's MOSS algorithm
+    * (SIGMOD 2003), the standard local document-fingerprinting scheme:
+    * hash every shingle, slide a window of `w` consecutive hashes, select
+    * each window's minimum. The selected set carries the guarantee the
+    * [[fingerprints]] min/max sample lacks: ANY shared run of at least
+    * `w + 2` tokens (w shingle hashes of 3-token shingles) contributes at
+    * least one COMMON fingerprint to both documents, so substring-level
+    * matches are detectable from fingerprints alone, at ~2/(w+1) sampling
+    * density. The set-valued selection is pinned through SCALAR summaries
+    * (count, min, max, xor — order-independent and collision-checkable)
+    * so the oracle compare stays on scalar columns.
+    *
+    * Scale shape: map-only narrow pass — hashing AND window-min selection
+    * run as ONE kernel call per doc ([[graft.functions.WinnowFps]], a
+    * monotonic-deque O(shingles) loop; the HOF formulation's O(m·w)
+    * interpreted array_min rescans measured 10× slower); no shuffle, no
+    * explode. Docs with fewer than w shingles winnow as one
+    * whole-sequence window, the paper's short-doc case.
+    */
+  val WinnowWindow = 4
+
+  def winnowing(documents: DataFrame, w: Int = WinnowWindow): DataFrame = {
+    graft.functions.HashExpressions.register(documents.sparkSession,
+      Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shinglesFromTokens("toks"))
+      .withColumn("fps", expr(s"winnow_fps(sh, $w)"))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("fp_low"),
+        element_at(col("fps"), -1).as("fp_high"),
+        expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
+  }
+
   /** Hashed-feature linear quality classifier — the fastText-style scorer
     * web-scale pipelines run after the heuristic rules ([[graft.ext.Curation.gopherRules]]):
     * the hashing trick maps each token to one of `ClassifierBuckets` feature

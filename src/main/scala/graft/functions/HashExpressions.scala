@@ -75,6 +75,43 @@ object HashKernels {
     out
   }
 
+  /** Winnowing selection (Schleimer et al.): the sorted distinct window
+    * minima of md5Hash60 over the shingles, one monotonic-deque pass —
+    * O(m) total instead of the O(m·w) per-window array_min rescans of the
+    * HOF formulation. Short inputs (m < w) winnow as one whole-sequence
+    * window, matching the clamped-slice SQL form the oracle runs.
+    */
+  def winnowFps(shingles: Array[String], w: Int): Array[Long] = {
+    val m = shingles.length
+    if (m == 0) return Array.emptyLongArray
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = md5Hash60(shingles(i)); i += 1 }
+    val wEff = math.min(w, m)
+    val deque = new Array[Int](m) // indices, hs values increasing
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new Array[Long](m - wEff + 1)
+    var o = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - wEff) head += 1
+      if (i >= wEff - 1) { out(o) = hs(deque(head)); o += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place distinct on the sorted minima
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
   /** MinHash signature: per permutation i, min over shingles of
     * (a_i * (md5Hash60(s) mod p) + b_i) mod p.
     */
@@ -211,6 +248,31 @@ case class HashedWeightSum(child: Expression, buckets: Int, mod: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** winnow_fps(array<string>, w) -> array<bigint>: sorted distinct winnowing
+  * fingerprints (see HashKernels.winnowFps). Null slots hash as "".
+  */
+case class WinnowFps(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val shingles = new Array[String](arr.numElements())
+    var i = 0
+    while (i < shingles.length) {
+      shingles(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(HashKernels.winnowFps(shingles, w))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash32(array<string>) -> long */
 case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -288,6 +350,14 @@ object HashExpressions {
     ifAbsent("simhash_pairs_kernel") {
       reg.createOrReplaceTempFunction(
         "simhash_pairs_kernel", (e: Seq[Expression]) => SimHashClosePairs(
+          e.head,
+          e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            .asInstanceOf[Number].intValue()),
+        "built-in")
+    }
+    ifAbsent("winnow_fps") {
+      reg.createOrReplaceTempFunction(
+        "winnow_fps", (e: Seq[Expression]) => WinnowFps(
           e.head,
           e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
             .asInstanceOf[Number].intValue()),

@@ -1338,6 +1338,43 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("winnowing: shared long run guarantees a common fingerprint; set summaries consistent") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "completely different words with no overlap here at all"),
+      (4L, "tiny")) // < 3 tokens → single whole-text shingle → one window
+      .toDF("doc_id", "text")
+    // recompute each doc's winnowing fingerprint SET independently (plain
+    // Scala over the same shingle/hash/window definitions)
+    def fpSet(text: String): Set[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.length < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val hs = shingles.map(graft.functions.HashKernels.md5Hash60)
+      val w = TextAnalysis.WinnowWindow
+      (0 to math.max(hs.length - w, 0)).map(j => hs.slice(j, j + w).min).toSet
+    }
+    val rows = TextAnalysis.winnowing(docs).orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val expect = fpSet(docs.filter(col("doc_id") === r.getAs[Long]("doc_id"))
+        .head().getString(1))
+      assert(r.getAs[Long]("n_fp") == expect.size.toLong)
+      assert(r.getAs[Long]("fp_low") == expect.min)
+      assert(r.getAs[Long]("fp_high") == expect.max)
+      assert(r.getAs[Long]("fp_xor") == expect.foldLeft(0L)(_ ^ _))
+    }
+    // the MOSS guarantee: docs 1 and 2 share a 12-token run (>= w + 2), so
+    // their fingerprint sets intersect; doc 3 shares nothing with either
+    val s1 = fpSet(docs.filter(col("doc_id") === 1L).head().getString(1))
+    val s2 = fpSet(docs.filter(col("doc_id") === 2L).head().getString(1))
+    val s3 = fpSet(docs.filter(col("doc_id") === 3L).head().getString(1))
+    assert((s1 & s2).nonEmpty)
+    assert((s1 & s3).isEmpty && (s2 & s3).isEmpty)
+  }
+
   test("tfidf keywords: ranks are 1..k per doc in (tf desc, df asc) order") {
     val rows = TextAnalysis.tfidfKeywords(Tables.documents(spark, sfDir).limit(50), 3)
       .orderBy("doc_id", "rank").collect()
