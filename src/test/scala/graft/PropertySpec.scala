@@ -481,6 +481,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_fps equals the naive per-window formulation on random inputs") {
+    // differential fuzz of the monotonic-deque kernel against a naive
+    // O(m·w) reference over random shingle streams, covering empties,
+    // short-input (m < w) whole-sequence windows, heavy duplicate hashes
+    // (small alphabet), and long monotone stretches
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq(3, 8, 1000) // tiny alphabet → many equal hashes
+    for (alpha <- alphabets; trial <- 1 to 50) {
+      val m = rnd.nextInt(40)
+      val shingles = Array.fill(m)(s"tok${rnd.nextInt(alpha)}")
+      val w = 1 + rnd.nextInt(6)
+      val fast = graft.functions.HashKernels.winnowFps(shingles, w).toSeq
+      val hs = shingles.map(graft.functions.HashKernels.md5Hash60).toSeq
+      val naive =
+        if (m == 0) Seq.empty[Long]
+        else {
+          val wEff = math.min(w, m)
+          (0 to m - wEff).map(j => hs.slice(j, j + wEff).min)
+            .distinct.sorted
+        }
+      assert(fast == naive, s"alpha=$alpha m=$m w=$w")
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {
     // differential fuzz of the native merge-walk kernel against the
     // built-in, over its whole documented domain: sorted-distinct arrays
