@@ -1343,14 +1343,14 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "ext_quota_sample" ->
-      """SELECT source, rk, doc_id, h
-        |FROM (SELECT source, doc_id, h,
-        |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
-        |      FROM (SELECT doc_id, source,
-        |              ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
-        |            FROM documents))
-        |WHERE rk <= 50
-        |ORDER BY source, rk""".stripMargin,
+      s"""SELECT source, rk, doc_id, h
+         |FROM (SELECT source, doc_id, h,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+         |      FROM (SELECT doc_id, source,
+         |              ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |            FROM documents))
+         |WHERE rk <= ${graft.ext.Curation.QuotaPerStratum}
+         |ORDER BY source, rk""".stripMargin,
     "ext_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split($NORM, ' '), tok -> tok != '') AS toks

@@ -29,23 +29,40 @@ object Tables {
     *   - timestamp: already native, no conversion.
     *
     * TIMESTAMP(NANOS) files fail schema inference without the legacy flag,
-    * so the flag-less read is retried with the flag set — a session-global
-    * effect (any other NANOS column reads as long afterwards), but one that
-    * only triggers when the data actually needs it; micros-era sessions are
-    * left untouched.
+    * so a failed flag-less read is retried ONCE with the flag set — a
+    * session-global effect (any other NANOS column reads as long
+    * afterwards), but one that only triggers when the first read actually
+    * fails; micros-era sessions are left untouched. The retry is
+    * unconditional rather than gated on the exception text (failure
+    * wrapping and message wording vary across Spark versions); if the
+    * retry fails too, the ORIGINAL error is rethrown.
     */
   private def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
     try load(spark, dir, "events")
     catch {
-      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+      case e: Exception
+          if !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        load(spark, dir, "events")
+        try load(spark, dir, "events")
+        catch { case _: Exception => throw e }
     }
+
+  /** The session tz whose wall clock the ntz layout's values carry is UTC
+    * (the generator writes UTC instants with no zone annotation). A plain
+    * ntz→ltz cast reinterprets the wall clock in the SESSION zone, so a
+    * non-UTC session would silently shift every instant; routing through
+    * convert_timezone('UTC', <session tz>, ts) first makes the cast exact
+    * in any session zone (and is the identity when the session is UTC).
+    */
+  private def ntzToUtcInstant(spark: SparkSession): org.apache.spark.sql.Column = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    expr(s"cast(convert_timezone('UTC', '$tz', ts) as timestamp)")
+  }
 
   private def toTimestamp(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => raw.withColumn("ts", ntzToUtcInstant(raw.sparkSession))
       case TimestampType    => raw
       case other =>
         throw new IllegalArgumentException(s"unsupported events.ts type: $other")
@@ -67,23 +84,19 @@ object Tables {
     */
   def eventsRange(spark: SparkSession, dir: String,
                   fromIso: String, untilIso: String): DataFrame = {
-    def day(iso: String): java.time.LocalDateTime =
-      java.time.LocalDate.parse(iso).atStartOfDay()
-    def ns(iso: String): Long =
-      day(iso).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
     val raw = loadEventsRaw(spark, dir)
-    val filtered = raw.schema("ts").dataType match {
-      case LongType =>
-        raw.filter(col("ts") >= ns(fromIso) && col("ts") < ns(untilIso))
-      case TimestampNTZType =>
-        raw.filter(col("ts") >= lit(day(fromIso)) && col("ts") < lit(day(untilIso)))
-      case TimestampType =>
-        raw.filter(col("ts") >= lit(day(fromIso).toInstant(java.time.ZoneOffset.UTC)) &&
-                   col("ts") < lit(day(untilIso).toInstant(java.time.ZoneOffset.UTC)))
-      case other =>
-        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    // one bound builder per layout, in the stored column's own type, so the
+    // comparison needs no cast and stays pushdown-eligible; the layout
+    // dispatch itself lives in toTimestamp — this is the only other use
+    def bound(iso: String): org.apache.spark.sql.Column = {
+      val day = java.time.LocalDate.parse(iso).atStartOfDay()
+      raw.schema("ts").dataType match {
+        case LongType         => lit(day.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L)
+        case TimestampNTZType => lit(day)
+        case _                => lit(day.toInstant(java.time.ZoneOffset.UTC))
+      }
     }
-    toTimestamp(filtered)
+    toTimestamp(raw.filter(col("ts") >= bound(fromIso) && col("ts") < bound(untilIso)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

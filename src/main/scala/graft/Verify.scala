@@ -102,6 +102,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir, only)
+    // exit 0 even when queries failed — DELIBERATE: the driver must still
+    // run the DuckDB compare over the dump, where the per-name sentinel
+    // results surface each failure as an explicit per-query FAIL. A nonzero
+    // exit here could short-circuit the compare and turn partial failure
+    // into a zero-entry round. Scripted callers should gate on
+    // errors.json / the compare output, not the exit status.
     spark.stop()
   }
 }

@@ -228,7 +228,13 @@ object Curation {
     * stratum's top-`per` rows BEFORE the final window — the shuffle carries
     * O(strata × per), not the corpus (PlanSpec pins the WindowGroupLimit).
     */
-  def quotaSample(documents: DataFrame, per: Int = 50): DataFrame = {
+  /** Default per-stratum quota, shared with the DuckDB oracle (SparkEntry
+    * interpolates this constant into the `ext_quota_sample` SQL) so the two
+    * sides cannot silently diverge on the cap.
+    */
+  val QuotaPerStratum: Int = 50
+
+  def quotaSample(documents: DataFrame, per: Int = QuotaPerStratum): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
     documents
       .select(col("doc_id"), col("source"),

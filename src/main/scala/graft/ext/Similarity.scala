@@ -799,8 +799,19 @@ object Similarity {
     val truthF = Future(checkpointTracked(
       bruteForceTopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor"))))
-    val (ranked, rankedIds) = Await.result(rankedF, Duration.Inf)
-    val (truth, truthIds) = Await.result(truthF, Duration.Inf)
+    // await BOTH before rethrowing a failure: bailing on the first error
+    // would leave the surviving future's checkpoint blocks orphaned (no one
+    // holds its ids to releaseTracked) — in a long-lived session repeated
+    // failures would accumulate storage, the leak Checkpoints documents
+    val rankedT = scala.util.Try(Await.result(rankedF, Duration.Inf))
+    val truthT = scala.util.Try(Await.result(truthF, Duration.Inf))
+    if (rankedT.isFailure || truthT.isFailure) {
+      Seq(rankedT, truthT).foreach(_.foreach { case (df, ids) => releaseTracked(df, ids) })
+      releaseTracked(emb, embIds)
+      throw rankedT.failed.toOption.getOrElse(truthT.failed.get)
+    }
+    val (ranked, rankedIds) = rankedT.get
+    val (truth, truthIds) = truthT.get
     lap("ranked+truth checkpoints")
     // pqCodes has exactly one consumer per codebook (the ADC branch) — no
     // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny

@@ -73,4 +73,56 @@ class TablesSpec extends SparkSpec {
         s"$layout: $p")
     }
   }
+
+  test("ntz layout loads to the same instants in a non-UTC session") {
+    // a plain ntz->ltz cast would reinterpret the UTC wall clock in the
+    // session zone and silently shift every instant; the loader routes
+    // through convert_timezone so any session zone is exact
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val got = Tables.events(s2, dirs("ntz")).orderBy("event_id").collect().toSeq
+    val ref = Tables.events(spark, dirs("ntz")).orderBy("event_id").collect().toSeq
+    assert(got == ref) // java.sql.Timestamp equality is epoch-based
+  }
+
+  test("real TIMESTAMP(NANOS) files load via the flag-set retry in a flag-less session") {
+    // Spark cannot WRITE nanos parquet, so build the file with parquet-mr
+    // directly — the only way to exercise loadEventsRaw's retry branch
+    // (the shared test session pre-sets the flag; a fresh session with it
+    // off must fail the first read, set the flag, and reload as long)
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val dir = managedTempDir("graft-tables-realnanos")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    val baseNs = java.time.Instant.parse("2024-01-03T12:30:00Z").getEpochSecond * 1000000000L
+    (1 to 3).foreach { i =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong); g.add("ts", baseNs + i * 1000000L)
+      g.add("user_id", 10L + i); g.add("event_type", "login")
+      g.add("value", i.toDouble); g.add("props", "{}")
+      writer.write(g)
+    }
+    writer.close()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val out = Tables.events(s2, dir).orderBy("event_id").collect()
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true") // retry fired
+    assert(out.length == 3)
+    assert(out(0).getAs[java.sql.Timestamp]("ts").getTime ==
+      (baseNs + 1000000L) / 1000000L) // epoch millis, exact micros-in-nanos
+  }
 }
