@@ -56,8 +56,14 @@ object TextScaleProbe {
       val chunk = median3(Curation.chunkDocuments(docs))
       val bpe = median3(TextAnalysis.bpeApplyMerge(docs, "the", "data"))
       val mix = median3(Curation.mixSchedule(docs))
+      // round-12 kernels: both claim linear map-only shapes (one kernel
+      // call per doc, no shuffle before the result sink)
+      val cls = median3(TextAnalysis.qualityClassifier(docs))
+      val win = median3(TextAnalysis.winnowing(docs))
+      val quota = median3(Curation.quotaSample(docs))
       println(f"""{"probe":"textops","scale":$times,"n_docs":$n,""" +
-        f""""chunk_s":$chunk%.2f,"bpe_apply_s":$bpe%.2f,"mix_s":$mix%.2f}""")
+        f""""chunk_s":$chunk%.2f,"bpe_apply_s":$bpe%.2f,"mix_s":$mix%.2f,""" +
+        f""""classifier_s":$cls%.2f,"winnow_s":$win%.2f,"quota_s":$quota%.2f}""")
       docs.unpersist(blocking = true)
     }
     spark.stop()
