@@ -166,6 +166,10 @@ object SparkEntry {
     // fixed-count companion to the fixed-rate sampler: top-N per source by
     // seeded hash rank (WindowGroupLimit, shuffle carries O(strata × N))
     "ext_quota_sample" -> ((s, d) => Curation.quotaSample(docs(s, d)).orderBy("source", "rk")),
+    // incremental-refresh audit: added/removed/changed/unchanged between
+    // two corpus snapshots, one full-outer join of narrow hash tables
+    "ext_corpus_diff" -> ((s, d) =>
+      Curation.corpusDiff(docs(s, d), Curation.withNextCrawl(docs(s, d))).orderBy("doc_id")),
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
     // hashed-feature linear scorer (deterministic stand-in weights): the
     // map-only fastText-style classifier pass — zero shuffle
@@ -1351,6 +1355,23 @@ object SparkEntry {
          |            FROM documents))
          |WHERE rk <= ${graft.ext.Curation.QuotaPerStratum}
          |ORDER BY source, rk""".stripMargin,
+    "ext_corpus_diff" ->
+      s"""WITH cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+         |curv AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM cur
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         |hp AS (SELECT doc_id, ${h60(NORM)} AS h_prev FROM documents),
+         |hc AS (SELECT doc_id, ${h60(NORM)} AS h_cur FROM curv),
+         |j AS (SELECT coalesce(hp.doc_id, hc.doc_id) AS doc_id, h_prev, h_cur
+         |  FROM hp FULL OUTER JOIN hc ON hp.doc_id = hc.doc_id)
+         |SELECT doc_id, h_prev, h_cur,
+         |  CASE WHEN h_prev IS NULL THEN 'added'
+         |       WHEN h_cur IS NULL THEN 'removed'
+         |       WHEN h_prev != h_cur THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM j ORDER BY doc_id""".stripMargin,
     "ext_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split($NORM, ' '), tok -> tok != '') AS toks

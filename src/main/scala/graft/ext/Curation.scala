@@ -244,6 +244,45 @@ object Curation {
       .select("source", "rk", "doc_id", "h")
   }
 
+  /** Corpus snapshot diff — the incremental-refresh audit every recurring
+    * crawl pipeline runs between corpus versions: per doc_id, whether the
+    * document was added, removed, changed (content hash differs), or
+    * unchanged. Content identity is the normalized-text md5-60 hash (the
+    * [[graft.ext.Dedup.exact]] identity), so cosmetic whitespace churn does
+    * not count as change.
+    *
+    * Scale shape: both sides reduce to narrow (doc_id, hash) tables before
+    * a single full-outer join on doc_id — at 100 TB that is one sort-merge
+    * join of two hash columns, and with both snapshots bucketed by doc_id
+    * (`sources.Bucketing`) it is exchange-free; the text columns never
+    * survive past their scan.
+    */
+  def corpusDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df.select(
+      col("doc_id"), Exact.md5Hash60(TextAnalysis.normalized(col("text"))).as(as))
+    hashed(prev, "h_prev").join(hashed(cur, "h_cur"), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"), col("h_prev"), col("h_cur"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** The "next crawl" construction for [[corpusDiff]]'s verification: every
+    * 7th doc disappears, every 5th surviving doc gains a revision suffix,
+    * and a block of brand-new docs appears above the id space — the oracle
+    * applies the same perturbation.
+    */
+  def withNextCrawl(documents: DataFrame, idOffset: Long = 5000000L): DataFrame =
+    documents
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(documents.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + idOffset).as("doc_id"), col("text")))
+
   /** Post-curation source-mix report: per source, kept docs/tokens and the
     * source's share of the final corpus in integer ppm (the mixing-weights
     * table a data curator actually reads). The share divides by a

@@ -1375,6 +1375,25 @@ class ExtSpec extends SparkSpec {
     assert((s1 & s3).isEmpty && (s2 & s3).isEmpty)
   }
 
+  test("corpus diff: added/removed/changed/unchanged statuses are exact") {
+    val prev = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha beta"),          // unchanged
+      (2L, "  GAMMA   delta  "),   // cosmetic only → unchanged (normalized identity)
+      (4L, "brand new doc"))       // added; doc 3 removed
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(prev, cur).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "removed", 4L -> "added"))
+    // a real content change flags as changed
+    val cur2 = Seq((1L, "alpha beta plus more")).toDF("doc_id", "text")
+    val got2 = Curation.corpusDiff(prev.filter(col("doc_id") === 1L), cur2)
+      .collect().map(_.getAs[String]("status")).toSeq
+    assert(got2 == Seq("changed"))
+  }
+
   test("tfidf keywords: ranks are 1..k per doc in (tf desc, df asc) order") {
     val rows = TextAnalysis.tfidfKeywords(Tables.documents(spark, sfDir).limit(50), 3)
       .orderBy("doc_id", "rank").collect()
