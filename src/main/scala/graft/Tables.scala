@@ -35,16 +35,27 @@ object Tables {
     * fails; micros-era sessions are left untouched. The retry is
     * unconditional rather than gated on the exception text (failure
     * wrapping and message wording vary across Spark versions); if the
-    * retry fails too, the ORIGINAL error is rethrown.
+    * retry fails too, the flag is restored to its prior value (so a
+    * failure unrelated to nanos — missing dir, corrupt file — cannot
+    * leave the session-global flag flipped) and the ORIGINAL error is
+    * rethrown.
     */
   private def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
     try load(spark, dir, "events")
     catch {
       case e: Exception
           if !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true") =>
+        val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try load(spark, dir, "events")
-        catch { case _: Exception => throw e }
+        catch {
+          case _: Exception =>
+            prior match {
+              case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+              case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            }
+            throw e
+        }
     }
 
   /** The session tz whose wall clock the ntz layout's values carry is UTC

@@ -82,6 +82,7 @@ object HashKernels {
     * window, matching the clamped-slice SQL form the oracle runs.
     */
   def winnowFps(shingles: Array[String], w: Int): Array[Long] = {
+    require(w >= 1, s"winnowing window must be >= 1, got $w")
     val m = shingles.length
     if (m == 0) return Array.emptyLongArray
     val hs = new Array[Long](m)
@@ -256,6 +257,8 @@ case class WinnowFps(child: Expression, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if w < 1 => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a window of at least 1, got w=$w")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"winnow_fps requires array<string>, got ${other.catalogString}")

@@ -503,6 +503,16 @@ class PropertySpec extends SparkSpec {
         }
       assert(fast == naive, s"alpha=$alpha m=$m w=$w")
     }
+    // w < 1 must be a clear error, not an out-of-bounds deque walk — both
+    // at the kernel and at the SQL registration (checkInputDataTypes)
+    intercept[IllegalArgumentException] {
+      graft.functions.HashKernels.winnowFps(Array("a", "b"), 0)
+    }
+    assert(graft.functions.WinnowFps(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array("a", "b"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      0).checkInputDataTypes().isFailure)
   }
 
   test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {

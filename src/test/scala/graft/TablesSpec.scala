@@ -125,4 +125,17 @@ class TablesSpec extends SparkSpec {
     assert(out(0).getAs[java.sql.Timestamp]("ts").getTime ==
       (baseNs + 1000000L) / 1000000L) // epoch millis, exact micros-in-nanos
   }
+
+  test("a failed retry restores the nanosAsLong flag before rethrowing") {
+    // the first read fails for a non-nanos reason (missing dir), the
+    // flag-set retry fails the same way — the session flag must come back
+    // to its prior value instead of staying flipped (which would silently
+    // read any later TIMESTAMP(NANOS) column as long)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    intercept[Exception] {
+      Tables.events(s2, "/nonexistent/graft-tables-retry-restore")
+    }
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false")
+  }
 }
