@@ -28,6 +28,19 @@ object SparkEntry {
     Tables.embeddings(s, dir)
   }
 
+  /** Deterministic total sort for CONSTANT-size outputs (O(queries) or
+    * O(k×dims) rows, independent of corpus size): coalesce to one
+    * partition, then sort within it — row order is identical to
+    * `orderBy` on the same (unique) key, but the plan skips the range
+    * partitioner's sampling job and exchange. Each bench/verify run of a
+    * small query pays two fewer scheduler round-trips, which is what a
+    * contended host amplifies (BENCH_r12's 3 slowest queries were all
+    * launch-bound ANN chains). NOT for corpus-sized outputs — coalesce(1)
+    * would serialize the sort of N rows onto one task.
+    */
+  private def sorted1(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   /** Flagship: the reference's core business question — which users have
     * completed which questions (A6 + J2 + completion). Driver smoke-checks
     * rows > 0 on sf0.001.
@@ -306,7 +319,7 @@ object SparkEntry {
 
     // ---- ext: similarity search ----
     "ann_brute_topk" -> ((s, d) =>
-      Similarity.bruteForceTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
+      sorted1(Similarity.bruteForceTopK(emb(s, d), 20, 5), "query_id", "rank")),
     "ann_lsh_top1" -> ((s, d) => Similarity.lshTopNeighbor(emb(s, d)).orderBy("vec_id")),
     // the hot-bucket cap ENGAGED under the oracle: maxBucket=3 shards the
     // largest sign buckets at every test SF (max bucket size is 6-16), so
@@ -322,13 +335,13 @@ object SparkEntry {
     "ann_pq_trained" -> ((s, d) =>
       Similarity.pqCodes(emb(s, d), trainIters = 1).orderBy("vec_id")),
     "ann_pq_adc" -> ((s, d) =>
-      Similarity.pqAdcTopK(emb(s, d), 20, 5).orderBy("query_id", "rank")),
+      sorted1(Similarity.pqAdcTopK(emb(s, d), 20, 5), "query_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     // the combined IVF-PQ index (coarse cell + PQ-coded residuals +
     // per-probed-cell ADC) — the FAISS-IVFPQ composition of the two halves
     "ann_ivfpq_top1" -> ((s, d) =>
-      Similarity.ivfPqTop1(emb(s, d), 20).orderBy("query_id")),
+      sorted1(Similarity.ivfPqTop1(emb(s, d), 20), "query_id")),
     "ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTopNeighborTrained(emb(s, d)).orderBy("vec_id")),
     // build-once/search-many with the hot-bucket cap ENGAGED (maxBucket=32
@@ -348,7 +361,7 @@ object SparkEntry {
       // a default change cannot silently stale a hardcoded key name
       val (ivfK, ivfIters) = (Similarity.IvfClusters, 2)
       val (pqSubs, pqSubDim, pqK, pqIters) = (8, 8, 16, 1)
-      Similarity.annRecall(emb(s, d), 100,
+      sorted1(Similarity.annRecall(emb(s, d), 100,
         trainedCentroids = Some(
           TrainedStore.cached(s, s"$d-ivf-cents-k$ivfK-i$ivfIters")(
             Similarity.trainIvfCentroids(emb(s, d), k = ivfK, iters = ivfIters))),
@@ -360,10 +373,10 @@ object SparkEntry {
           // the residual codebook size and therefore every code)
           TrainedStore.cached(s, s"$d-ivfpq-codes-k$ivfK-${pqSubs}x${pqSubDim}x$pqK")(
             Similarity.ivfPqCodes(emb(s, d), k = ivfK,
-              subs = pqSubs, subDim = pqSubDim, kpq = pqK)))).orderBy("method")
+              subs = pqSubs, subDim = pqSubDim, kpq = pqK)))), "method")
     }),
     "ann_kmeans_step" -> ((s, d) =>
-      Similarity.ivfTrainStep(emb(s, d)).orderBy("cluster_id", "dim")),
+      sorted1(Similarity.ivfTrainStep(emb(s, d)), "cluster_id", "dim")),
     "ext_dedup_embed" -> ((s, d) =>
       Similarity.nearDupPairs(Similarity.withScaledCopies(emb(s, d)), 0.95)
         .orderBy("vec_id_a", "vec_id_b")),

@@ -1194,41 +1194,87 @@ object Similarity {
       "4-bit packing requires kpq <= 16 (and subs <= 16 per BIGINT)")
     registerKernels(embeddings)
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val cellCents = base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
+    // Every small structure of the index — the k cell centroids, the kpq
+    // residual-codebook source rows, and the query set — comes from the
+    // SAME id-prefix of the corpus, so ONE gather (a pushed-down prefix
+    // scan + one tiny aggregation) feeds the whole search: cb, the
+    // residual codebook, and the per-(query, probed-cell) LUTs are all
+    // derived in-expression on the one-row frame with the same kernels
+    // the corpus pass uses. The former form chained ~8 dependent
+    // broadcast/aggregation stages (assign, residual join, codebook agg,
+    // query assign, LUT cross join, two list gathers) through four
+    // broadcasts; under a contended host every serialized stage launch
+    // multiplies, which made this the second-slowest query of the whole
+    // suite at a mere 2000×64 floats (BENCH_r12). Arithmetic is
+    // unchanged expression-for-expression, so results are bit-identical.
+    val smallN = math.max(k + kpq, numQueries)
+    val small = base.filter(col("vec_id") < smallN)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("rows"))
+    // cb: rows < k (id-sorted — sort_array ordered by id). rcb: rows
+    // [k, k+kpq) coded as residuals against their nearest cell centroid
+    // (rows < k ARE the coarse centroids and their residuals are all
+    // zero — a degenerate codebook; see ivfPqCodes). try_element_at:
+    // a corpus whose id prefix is absent yields an empty cb — rows then
+    // carry null clusters and drop at the posting join, matching the
+    // join-based form's empty output instead of an ANSI error.
+    val prep = small.select(
+      expr(s"filter(rows, r -> r.id < $k)").as("cb"), col("rows"))
+      .select(col("cb"),
+        expr(
+          s"""transform(
+             |  filter(rows, r -> r.id >= $k AND r.id < ${k + kpq}
+             |                    AND size(nearest_centroids(r.emb, cb, 1)) > 0),
+             |  r -> struct(r.id AS id,
+             |    zip_with(r.emb,
+             |      try_element_at(filter(cb, c ->
+             |        c.id = try_element_at(nearest_centroids(r.emb, cb, 1), 1).cluster_id),
+             |        1).emb,
+             |      (x, y) -> x - y) AS emb))""".stripMargin).as("rcb"),
+        col("rows"))
+    // per probed cell, its (query_id, lut) entries: q's residual against
+    // the cell centroid, L2² per subspace against every rcb entry in
+    // id-ascending (= position) order, flattened s-major — exactly the
+    // layout adc_top1 reads (stride = |lut|/subs). Same double
+    // accumulation as the dSub fold this replaces.
+    val ls = prep.select(explode(expr(
+      s"""transform(
+         |  filter(cb, c -> exists(filter(rows, q -> q.id < $numQueries),
+         |    q -> exists(nearest_centroids(q.emb, cb, $nprobe),
+         |                p -> p.cluster_id = c.id))),
+         |  c -> struct(c.id AS cluster_id,
+         |    transform(
+         |      filter(filter(rows, q -> q.id < $numQueries),
+         |        q -> exists(nearest_centroids(q.emb, cb, $nprobe),
+         |                    p -> p.cluster_id = c.id)),
+         |      q -> struct(q.id AS id,
+         |        flatten(transform(sequence(0, ${subs - 1}), s ->
+         |          transform(rcb, e ->
+         |            aggregate(
+         |              zip_with(
+         |                slice(zip_with(q.emb, c.emb, (x, y) -> x - y),
+         |                      s * $subDim + 1, $subDim),
+         |                slice(e.emb, s * $subDim + 1, $subDim),
+         |                (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+         |              0.0D, (a, v) -> a + v)))) AS lut)) AS ls))""".stripMargin)).as("l"))
+      .select(col("l.cluster_id").as("cluster_id"), col("l.ls").as("ls"))
     // the codes table IS the index (build-once; deterministic, so a caller
-    // holding a persisted copy passes it in and search skips the build) —
-    // the residual codebook is re-derived from rows [k, k+kpq), a
-    // kpq-row mini-assignment
-    val codesTbl = codes.getOrElse(ivfPqCodes(embeddings, k, subs, subDim, kpq))
-    // non-centroid rows [k, k+kpq) — see ivfPqCodes: rows < k ARE the coarse
-    // centroids and their residuals are all zero (degenerate codebook)
-    val rcb = ivfPqResiduals(
-        base.filter(col("vec_id") >= k && col("vec_id") < k + kpq), cellCents, k)
-      .select(col("vec_id").as("centroid_id"), col("r_emb").as("embedding"))
-    // assignTo with the EXPLICIT centroid frame: the query subset may hold
-    // fewer than k vectors, so deriving centroids from the subset's own
-    // first-K rows would silently shrink the quantizer
-    val qres = assignTo(base.filter(col("vec_id") < numQueries),
-        cellCents.select(col("cluster_id").as("centroid_id"),
-          col("c_emb").as("embedding")), nprobe)
-      .select(col("vec_id").as("query_id"), col("cluster_id"), col("embedding"))
-      .join(broadcast(cellCents), "cluster_id")
-      .select(col("query_id"), col("cluster_id"),
-        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("q_emb"))
-    val rcents = rcb.select(col("centroid_id").as("cid"), col("embedding").as("ce"))
-    def dSub(s: Int) = expr(
-      s"""aggregate(zip_with(slice(q_emb, ${s * subDim + 1}, $subDim),
-         |                   slice(ce, ${s * subDim + 1}, $subDim),
-         |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-         |          0.0D, (a, v) -> a + v)""".stripMargin)
-    val lut = qres.crossJoin(broadcast(rcents))
-      .select(col("query_id") +: col("cluster_id") +: col("cid") +:
-        (0 until subs).map(s => dSub(s).as(s"d_$s")): _*)
-      .groupBy("query_id", "cluster_id")
-      .agg(flatten(array((0 until subs).map(s =>
-        expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
-        .as("lut"))
+    // holding a persisted copy passes it in and search skips the build).
+    // The inline build is ONE narrow corpus pass against the broadcast
+    // one-row prep — assignment, residual, and encode per row with the
+    // same kernels ivfPqCodes chains through joins, so a persisted codes
+    // table and the inline build stay bit-identical.
+    val codesTbl = codes.getOrElse {
+      base.crossJoin(broadcast(prep.select(col("cb"), col("rcb"))))
+        .withColumn("cluster_id", expr(
+          "try_element_at(nearest_centroids(embedding, cb, 1), 1).cluster_id"))
+        .select(col("vec_id"), col("cluster_id"),
+          expr(s"""pq_encode(
+            |  zip_with(embedding,
+            |    try_element_at(filter(cb, c -> c.id = cluster_id), 1).emb,
+            |    (x, y) -> x - y),
+            |  rcb, $subs, $subDim)""".stripMargin).as("pq_code"))
+    }
     // the adc_top1 kernel handles the stride internally as the ACTUAL
     // per-sub segment length (|lut|/subs), not the nominal kpq: a corpus
     // with fewer than k+kpq vectors yields a smaller codebook, and
@@ -1239,8 +1285,6 @@ object Similarity {
     // a Sort + SortAggregate (min over struct cannot hash-aggregate).
     val cs = codesTbl.groupBy("cluster_id")
       .agg(collect_list(struct(col("vec_id").as("id"), col("pq_code").as("code"))).as("cs"))
-    val ls = lut.groupBy("cluster_id")
-      .agg(collect_list(struct(col("query_id").as("id"), col("lut"))).as("ls"))
     cs.join(broadcast(ls), Seq("cluster_id"))
       .select(explode(expr(s"adc_top1(cs, ls, $subs)")).as("w"))
       .select(col("w.query_id").as("query_id"),
