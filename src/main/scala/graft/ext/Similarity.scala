@@ -183,26 +183,6 @@ object Similarity {
         .select(col("bucket"), col("w.vec_id").as("vec_id"),
           col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim")), false)
 
-  /** Probe-scoped bucket search for the recall harness: members are the
-    * FULL bucketed corpus (the index side is what it would be in
-    * production), but only rows satisfying `probePred` probe. Answers for
-    * probed vectors are bit-identical to the self-search form (same bucket,
-    * same member list, same kernel total order — self is skipped by id
-    * either way); kernel work drops from Σ|B|² to Σ|B|·|probes∩B|, which
-    * is what makes measuring recall on a Q-vector sample affordable at
-    * corpus scale — a measurement pass must never cost a full self-join.
-    * Buckets containing no probe drop before the kernel.
-    */
-  private def probeScopedTop1(withBucket: DataFrame, probePred: Column): DataFrame =
-    withBucket.groupBy("bucket")
-      .agg(entries(col("vec_id"), col("embedding")).as("vs"),
-        collect_list(when(probePred,
-          struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ps"))
-      .filter(size(col("ps")) > 0)
-      .select(col("bucket"), explode(expr("bucket_top1(vs, ps)")).as("w"))
-      .select(col("bucket"), col("w.vec_id").as("vec_id"),
-        col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
-
   /** Cosine via the registered native expression; callers must have called
     * `CosineSimilarity.register(spark)` (SparkEntry does).
     */
@@ -765,7 +745,7 @@ object Similarity {
       System.err.println(f"[recall-timing] $label ${(t1 - t0) / 1e9}%.2f s")
       t0 = t1
     }
-    // the harness fans ONE corpus into five method pipelines plus the
+    // the harness fans ONE corpus into four method-family pipelines plus the
     // ground-truth join — without materialization each branch re-runs its
     // whole subtree from the raw scan (the round-7 bench regression).
     // Checkpoint the MULTI-consumer subtrees once: the projected base, the
@@ -775,7 +755,7 @@ object Similarity {
     // tables, assignment, codes, ADC queries/centroids, truth) each re-scan
     // it otherwise — measured 0.4 s slower without at sf0.1
     // EAGER checkpoints, deliberately: the lazy variant (round 11) saved
-    // the ~0.3 s-each serial materialization launches, but the nine method
+    // the ~0.3 s-each serial materialization launches, but the four family
     // branches consume these subtrees from independent broadcast threads —
     // concurrent FIRST consumers of a lazy checkpoint race the cache and
     // can each redo a partition's final map work. For `truth` that final
@@ -795,40 +775,50 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // FOUR tracked subtrees materialize in one concurrent window: ranked
+    // and truth depend only on emb; the trained PQ codebook (cbT) depends
+    // only on emb; the trained IVF centroids (tCents) chain off ranked's
+    // completion (their init IS ranked's crank-1 slice) — and ranked
+    // finishes long before the brute-force scorer, so BOTH training
+    // pipelines hide entirely under truth's wall time instead of running
+    // as serial chains in front of (cbT) or inside (tCents) the final
+    // fan-out job. tCents is checkpointed even though it has one consumer:
+    // eager materialization is what moves its ~4 serial Lloyd stages into
+    // this window.
     val rankedF = Future(checkpointTracked(assignToCentroids(emb, IvfClusters, 2)))
     val truthF = Future(checkpointTracked(
       bruteForceTopK(emb, numQueries, 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("true_neighbor"))))
-    // await BOTH before rethrowing a failure: bailing on the first error
-    // would leave the surviving future's checkpoint blocks orphaned (no one
-    // holds its ids to releaseTracked) — in a long-lived session repeated
+    // the TRAINED codebook has two consumers (codes + LUT); a
+    // caller-supplied frame is already materialized (tracked ids empty)
+    val cbTF = trainedCodebook match {
+      case Some(cb) => Future.successful((cb, Set.empty[Int]))
+      case None     => Future(checkpointTracked(trainPqCodebook(emb)))
+    }
+    val tCentsF = trainedCentroids match {
+      case Some(c) => Future.successful((c, Set.empty[Int]))
+      case None => rankedF.map { case (r, _) =>
+        checkpointTracked(trainIvfCentroids(emb,
+          initAssign = Some(r.filter(col("crank") === 1))))
+      }
+    }
+    // await ALL before rethrowing a failure: bailing on the first error
+    // would leave surviving futures' checkpoint blocks orphaned (no one
+    // holds their ids to releaseTracked) — in a long-lived session repeated
     // failures would accumulate storage, the leak Checkpoints documents
-    val rankedT = scala.util.Try(Await.result(rankedF, Duration.Inf))
-    val truthT = scala.util.Try(Await.result(truthF, Duration.Inf))
-    if (rankedT.isFailure || truthT.isFailure) {
-      Seq(rankedT, truthT).foreach(_.foreach { case (df, ids) => releaseTracked(df, ids) })
+    val tries = Seq(rankedF, truthF, cbTF, tCentsF)
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    if (tries.exists(_.isFailure)) {
+      tries.foreach(_.foreach { case (df, ids) => releaseTracked(df, ids) })
       releaseTracked(emb, embIds)
-      throw rankedT.failed.toOption.getOrElse(truthT.failed.get)
+      throw tries.flatMap(_.failed.toOption).head
     }
-    val (ranked, rankedIds) = rankedT.get
-    val (truth, truthIds) = truthT.get
-    lap("ranked+truth checkpoints")
+    val Seq((ranked, rankedIds), (truth, truthIds),
+      (cbT, cbTIds), (tCents, tCentsIds)) = tries.map(_.get)
+    lap("ranked+truth+training checkpoints")
     // pqCodes has exactly one consumer per codebook (the ADC branch) — no
-    // checkpoint; the TRAINED codebook has two (codes + LUT), so the tiny
-    // k-row result is checkpointed to run its training pass once — unless
-    // the caller supplied it already materialized, in which case both
-    // consumers read the supplied frame directly
+    // checkpoint
     val cbFirst = firstKCodebook(emb, 16)
-    val pqAdc1 = pqAdcFromCodes(pqCodesFrom(emb, cbFirst, 8, 8), cbFirst, emb,
-      numQueries, 1, 8, 8, 16)
-      .select(col("query_id").as("vec_id"), col("neighbor_id"))
-    val (cbT, cbTIds) = trainedCodebook match {
-      case Some(cb) => (cb, Set.empty[Int])
-      case None     => checkpointTracked(trainPqCodebook(emb))
-    }
-    val pqAdcT = pqAdcFromCodes(pqCodesFrom(emb, cbT, 8, 8), cbT, emb,
-      numQueries, 1, 8, 8, 16)
-      .select(col("query_id").as("vec_id"), col("neighbor_id"))
     // every index-side structure below covers the FULL corpus (that is the
     // thing being measured), but only the numQueries sample PROBES — the
     // probe-scoped search forms return bit-identical answers for the sample
@@ -837,35 +827,114 @@ object Similarity {
     // measurement that pays the full self-join does not scale past toy
     // corpora. The ADC branches are probe-scoped by construction.
     val isProbe = col("vec_id") < numQueries
-    // the trained coarse quantizer's first Lloyd iteration IS the first-K
-    // assignment already checkpointed for the untrained branches — reuse it
-    // when training in-line; a supplied centroid frame skips training here
-    val tCents = trainedCentroids.getOrElse(trainIvfCentroids(emb,
-      initAssign = Some(ranked.filter(col("crank") === 1))))
-    val trainedIvf = probeScopedTop1(
-      assignTo(emb, tCents, 1)
-        .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
-      isProbe)
-    val lshBucketed = emb.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), SignBits).as("bucket"))
     val lshTables = 4 // lshTopNeighborMulti's default table count
-    val lshMultiBucketed = emb.select(col("vec_id"), col("embedding"),
-      explode(array((0 until lshTables).map(t =>
-        signBucket(col("embedding"), SignBits, t * SignBits) +
-          lit(t.toLong * (1L << SignBits))): _*)).as("bucket"))
-    // NINE separate (broadcast join, agg) tails — deliberately NOT
-    // consolidated. Both single-tail shapes were built and measured
-    // (round 11, sf0.1, cpus=32, median-of-3): label the nine answer sets,
-    // union, and (a) broadcast the union against truth×methods → 3.1 s
-    // per rep, or (b) broadcast truth, one groupBy(method) agg, left-join
-    // onto the 9-row method list → 2.9 s; this shape → 2.4–2.6 s. The
-    // mechanism: each hits() broadcast-exchange materializes its branch
-    // pipeline on its OWN broadcast thread, so the nine branches execute
-    // concurrently; a single union makes them legs of one serial chain,
-    // and the ~20 tiny tail stages the consolidation removes cost less
-    // than the overlap it destroys. The harness floor is launch-bound
-    // (~69 AQE stage-jobs, stage-exec sum ~5 s vs ~2.5 s wall), not
-    // data-bound.
+    // FUSED bucket search: the five bucket-search methods (lsh, lsh_multi,
+    // ivf, ivf_probe2, ivf_trained) are all "gather members and probes per
+    // bucket, run bucket_top1, merge winners" — only the bucketing differs.
+    // Tag every bucketed row with its method and member/probe role, run ONE
+    // (method, bucket) groupBy + kernel + winner merge over the union.
+    // Kernel work and shuffle VOLUME are unchanged (the union carries
+    // exactly the rows the five separate shuffles carried), but stage COUNT
+    // drops ~5×, which is what the harness is bound by: the round-12 driver
+    // bench showed the many-small-stage shape amplifying 5–15× under host
+    // contention (113 ds recorded vs 38 ds quiet-window for the same code)
+    // while data-bound queries inflated only ~1.3×. Per-method answers are
+    // bit-identical to the separate pipelines: bucket_top1 is
+    // order-insensitive with a total tie-break, collect_list(when(role, …))
+    // gathers exactly the per-method member/probe sets, and mergeWinners
+    // over a method's single-bucket rows is the identity argmax.
+    def tagged(method: String, withBucket: DataFrame, isM: Column, isP: Column) =
+      withBucket.select(lit(method).as("method"), col("bucket"), col("vec_id"),
+        col("embedding"), isM.as("is_m"), (isP && isProbe).as("is_p"))
+    val ivf1 = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket"))
+    val bucketed = tagged("lsh",
+      emb.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), SignBits).as("bucket")),
+      lit(true), lit(true))
+      .unionByName(tagged("lsh_multi",
+        emb.select(col("vec_id"), col("embedding"),
+          explode(array((0 until lshTables).map(t =>
+            signBucket(col("embedding"), SignBits, t * SignBits) +
+              lit(t.toLong * (1L << SignBits))): _*)).as("bucket")),
+        lit(true), lit(true)))
+      .unionByName(tagged("ivf", ivf1, lit(true), lit(true)))
+      // multi-probe: only crank-1 rows are list members, every ranked row
+      // (crank 1 and 2) probes its cell — same member/probe sets as
+      // ivfProbedFrom(ranked, probePred = isProbe)
+      .unionByName(tagged("ivf_probe2",
+        ranked.select(col("vec_id"), col("embedding"),
+          col("cluster_id").as("bucket"), col("crank")),
+        col("crank") === 1, lit(true)))
+      .unionByName(tagged("ivf_trained",
+        assignTo(emb, tCents, 1)
+          .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+        lit(true), lit(true)))
+    val bucketAnswers = mergeWinners(
+      bucketed.groupBy("method", "bucket")
+        .agg(
+          collect_list(when(col("is_m"),
+            struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("vs"),
+          collect_list(when(col("is_p"),
+            struct(col("vec_id").as("id"), col("embedding").as("emb")))).as("ps"))
+        .filter(size(col("ps")) > 0)
+        .select(col("method"), explode(expr("bucket_top1(vs, ps)")).as("w"))
+        .select(col("method"), col("w.vec_id").as("vec_id"),
+          col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim")),
+      extraKey = Seq("method"))
+    // FUSED ADC: pq_adc (first-K codebook) and pq_adc_trained (Lloyd-trained
+    // codebook) differ ONLY in the codebook each encodes/scores against.
+    // Tag the two codebooks and run one encode pass (2 broadcast codebook
+    // rows × corpus instead of two corpus passes), one LUT build, one
+    // shard-gather + adc_top1 + per-(method, query) min — halving that
+    // family's stage count with identical per-method arithmetic
+    // (same pq_encode / adc_top1 kernels, same stride: both codebooks are
+    // full 16-row, so size(lut) is equal per method).
+    val cbBoth = cbFirst.withColumn("method", lit("pq_adc"))
+      .unionByName(cbT.withColumn("method", lit("pq_adc_trained")))
+    val cbRows = cbBoth.groupBy("method")
+      .agg(sort_array(collect_list(
+        struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+    val codesBoth = emb.crossJoin(broadcast(cbRows))
+      .select(col("method"), col("vec_id"),
+        expr("pq_encode(embedding, cb, 8, 8)").as("pq_code"))
+    def dSub(s: Int) = expr(
+      s"""aggregate(zip_with(slice(q_emb, ${s * 8 + 1}, 8),
+         |                   slice(c_emb, ${s * 8 + 1}, 8),
+         |                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+         |          0.0D, (a, v) -> a + v)""".stripMargin)
+    val lutBoth = emb.filter(isProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cbBoth.select(col("method"),
+        col("centroid_id").as("cid"), col("embedding").as("c_emb"))))
+      .select(col("method") +: col("query_id") +: col("cid") +:
+        (0 until 8).map(s => dSub(s).as(s"d_$s")): _*)
+      .groupBy("method", "query_id")
+      .agg(flatten(array((0 until 8).map(s =>
+        expr(s"transform(array_sort(collect_list(struct(cid, d_$s))), x -> x.d_$s)")): _*))
+        .as("lut"))
+    val lutsArr = lutBoth.groupBy("method")
+      .agg(collect_list(struct(col("query_id").as("id"), col("lut"))).as("ls"))
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val adcAnswers = codesBoth
+      .groupBy(col("method"),
+        pmod(xxhash64(col("vec_id")), lit(parts.toLong)).as("shard"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("pq_code").as("code"))).as("cs"))
+      .join(broadcast(lutsArr), "method")
+      .select(col("method"), explode(expr("adc_top1(cs, ls, 8)")).as("w"))
+      .select(col("method"), col("w.query_id").as("query_id"),
+        col("w.neighbor_id").as("vid"), col("w.adc").as("adc"))
+      .groupBy("method", "query_id")
+      .agg(min(struct(col("adc"), col("vid"))).as("m"))
+      .select(col("method"), col("query_id").as("vec_id"),
+        col("m.vid").as("neighbor_id"))
+    // FOUR (broadcast join, agg) tails — down from nine (round 11) via the
+    // method-keyed fusions above. The per-tail broadcast is kept
+    // deliberately: each broadcast exchange materializes its branch
+    // pipeline on its OWN thread, so the four remaining families (bucket
+    // search, ADC, ivfpq, sq8) still execute concurrently; fusing
+    // WITHIN a family removes its serial stages without serializing the
+    // families against each other.
     // explicit broadcast: checkpointed frames carry no size stats, so the
     // planner cannot see that both join sides are ≤numQueries rows.
     def hits(method: String, ann: DataFrame) =
@@ -875,18 +944,24 @@ object Similarity {
           count(col("neighbor_id")).as("n_answered"),
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
         .withColumn("method", lit(method))
-    def winners1(w: DataFrame) = w.select("vec_id", "neighbor_id")
-    val union = hits("lsh", winners1(probeScopedTop1(lshBucketed, isProbe)))
-      .unionByName(hits("lsh_multi",
-        winners1(mergeWinners(probeScopedTop1(lshMultiBucketed, isProbe)))))
-      .unionByName(hits("ivf", winners1(probeScopedTop1(
-        ranked.filter(col("crank") === 1)
-          .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
-        isProbe))))
-      .unionByName(hits("ivf_probe2", ivfProbedFrom(ranked, probePred = isProbe)))
-      .unionByName(hits("ivf_trained", winners1(trainedIvf)))
-      .unionByName(hits("pq_adc", pqAdc1))
-      .unionByName(hits("pq_adc_trained", pqAdcT))
+    // method-tagged flavor for the fused families: truth × the family's
+    // method list (tiny local relation), one left join on (method, vec_id),
+    // one groupBy(method) — n_queries stays numQueries per method
+    def hitsMulti(methods: Seq[String], ann: DataFrame) = {
+      val spark = truth.sparkSession
+      import spark.implicits._
+      truth.crossJoin(broadcast(methods.toDF("method")))
+        .join(broadcast(ann.filter(col("vec_id") < numQueries)),
+          Seq("method", "vec_id"), "left")
+        .groupBy("method")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("neighbor_id")).as("n_answered"),
+          count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
+    }
+    val union = hitsMulti(
+      Seq("lsh", "lsh_multi", "ivf", "ivf_probe2", "ivf_trained"), bucketAnswers)
+      .unionByName(hitsMulti(Seq("pq_adc", "pq_adc_trained"), adcAnswers))
       .unionByName(hits("ivfpq", ivfPqTop1(emb, numQueries, codes = ivfPqCodesTbl)
         .select(col("query_id").as("vec_id"), col("neighbor_id"))))
       .unionByName(hits("sq8", sq8TopK(emb, numQueries, 1)
@@ -902,6 +977,7 @@ object Similarity {
     releaseTracked(ranked, rankedIds)
     releaseTracked(truth, truthIds)
     releaseTracked(cbT, cbTIds)
+    releaseTracked(tCents, tCentsIds)
     res
   }
 
