@@ -747,8 +747,16 @@ object Dedup {
     * doc_id — encoded as max(quality, -doc_id)); one extra agg shuffle over
     * cluster labels, which are ≪ corpus.
     */
-  def dedupClustersKeepBest(documents: DataFrame): DataFrame = {
-    val labels = dedupClusters(documents)
+  def dedupClustersKeepBest(documents: DataFrame): DataFrame =
+    keepBestFrom(documents, dedupClusters(documents))
+
+  /** Keep-best over an ALREADY-materialized clusters frame
+    * (doc_id, canonical_id) — the production path, same split as
+    * [[clusterSizesFrom]]: the CC fixpoint runs once and persists, and
+    * survivor selection is one score pass + one agg shuffle over its
+    * output. [[dedupClustersKeepBest]] is this over a fresh clustering.
+    */
+  def keepBestFrom(documents: DataFrame, labels: DataFrame): DataFrame = {
     val score = documents.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("quality"))
     labels.join(score, "doc_id")

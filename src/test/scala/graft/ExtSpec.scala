@@ -412,6 +412,13 @@ class ExtSpec extends SparkSpec {
         .orderBy("cluster_size").as[(Long, Long, Long)].collect().toSeq
       assert(fromIndex == standalone)
       assert(fromIndex.map(_._3).sum == docs.count())
+      // same split for survivor selection: keepBestFrom over the
+      // materialized labels must equal the self-contained form
+      val kbFromIndex = Dedup.keepBestFrom(docs, materialized)
+        .orderBy("cluster_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val kbStandalone = Dedup.dedupClustersKeepBest(docs)
+        .orderBy("cluster_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(kbFromIndex == kbStandalone)
     } finally materialized.unpersist()
   }
 
