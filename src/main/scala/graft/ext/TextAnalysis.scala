@@ -398,16 +398,23 @@ object TextAnalysis {
     */
   val WinnowWindow = 4
 
-  def winnowing(documents: DataFrame, w: Int = WinnowWindow): DataFrame = {
-    graft.functions.HashExpressions.register(documents.sparkSession,
+  def winnowing(documents: DataFrame, w: Int = WinnowWindow): DataFrame =
+    winnowingFrom(shingleHashStream(documents), w)
+
+  /** Winnowing over the MATERIALIZED hash stream ([[shingleHashStream]]):
+    * only the O(m) deque selection runs — tokenization, shingling, and the
+    * md5 pass (the dominant cost) were paid once when the stream was built.
+    * winnow_mins over the stored hashes is winnow_fps' own second half, so
+    * output is bit-identical to the self-contained form.
+    */
+  def winnowingFrom(hashStream: DataFrame, w: Int = WinnowWindow): DataFrame = {
+    graft.functions.HashExpressions.register(hashStream.sparkSession,
       Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
-    documents
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shinglesFromTokens("toks"))
-      .withColumn("fps", expr(s"winnow_fps(sh, $w)"))
+    hashStream
+      .withColumn("fps", expr(s"winnow_mins(hashes, $w)"))
       .select(
         col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
+        size(col("hashes")).cast("long").as("n_shingles"),
         size(col("fps")).cast("long").as("n_fp"),
         element_at(col("fps"), 1).as("fp_low"),
         element_at(col("fps"), -1).as("fp_high"),
@@ -581,7 +588,30 @@ object TextAnalysis {
     * winnowing-style). Two docs share a fingerprint iff they share extremal
     * shingles — a cheap pre-dedup signal.
     */
-  def fingerprints(documents: DataFrame): DataFrame = {
+  def fingerprints(documents: DataFrame): DataFrame =
+    fingerprintsFrom(shingleHashStream(documents))
+
+  /** Fingerprints over the MATERIALIZED hash stream — two array extrema
+    * and a pass-through of the stored whole-doc hash; all md5 work was
+    * paid at stream build.
+    */
+  def fingerprintsFrom(hashStream: DataFrame): DataFrame =
+    hashStream.select(
+      col("doc_id"),
+      array_min(col("hashes")).as("fp_min"),
+      array_max(col("hashes")).as("fp_max"),
+      col("fp_exact"))
+
+  /** The shared shingle-hash stream under [[fingerprints]] and
+    * [[winnowing]]: per doc, the md5h60 hash of every 3-token shingle plus
+    * the whole-normalized-text hash. Both fingerprinting audits consume
+    * exactly this — tokenize → shingle → md5-per-shingle is their common
+    * dominant cost, so a pipeline that runs both materializes the stream
+    * once (SparkEntry routes the two queries through one TrainedStore
+    * artifact; hashes are deterministic, so the cached copy is
+    * bit-identical to a fresh pass). Map-only narrow pass, no shuffle.
+    */
+  def shingleHashStream(documents: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(documents.sparkSession,
       Dedup.SimHashBits, Dedup.NumPerms, Dedup.permA, Dedup.permB, Dedup.MinhashP)
     documents
@@ -589,11 +619,9 @@ object TextAnalysis {
       .withColumn("shingle_arr", shinglesFromTokens("toks"))
       // native one-pass kernel (md5 per shingle dominates; the interpreted
       // per-element lambda form pays an expression-tree eval per shingle)
-      .withColumn("hashes", expr("md5h60_arr(shingle_arr)"))
       .select(
         col("doc_id"),
-        array_min(col("hashes")).as("fp_min"),
-        array_max(col("hashes")).as("fp_max"),
+        expr("md5h60_arr(shingle_arr)").as("hashes"),
         Exact.md5Hash60(normalized(col("text"))).as("fp_exact"))
   }
 }

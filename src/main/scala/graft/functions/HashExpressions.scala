@@ -88,13 +88,25 @@ object HashKernels {
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) { hs(i) = md5Hash60(shingles(i)); i += 1 }
+    winnowMins(hs, w)
+  }
+
+  /** The deque half of [[winnowFps]] over PRE-COMPUTED shingle hashes —
+    * lets a caller that already materialized the md5 stream (the shared
+    * fingerprinting artifact) winnow without re-hashing. winnowFps(sh, w)
+    * == winnowMins(md5Hash60*(sh), w) by construction.
+    */
+  def winnowMins(hs: Array[Long], w: Int): Array[Long] = {
+    require(w >= 1, s"winnowing window must be >= 1, got $w")
+    val m = hs.length
+    if (m == 0) return Array.emptyLongArray
     val wEff = math.min(w, m)
     val deque = new Array[Int](m) // indices, hs values increasing
     var head = 0
     var tail = 0 // exclusive
     val out = new Array[Long](m - wEff + 1)
     var o = 0
-    i = 0
+    var i = 0
     while (i < m) {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i; tail += 1
@@ -276,6 +288,36 @@ case class WinnowFps(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** winnow_mins(array<bigint>, w) -> array<bigint>: the deque half of
+  * winnow_fps over pre-computed shingle hashes (see HashKernels.winnowMins)
+  * — for consumers of the materialized fingerprinting hash stream. Null
+  * slots are impossible in the md5h60_arr output this consumes; a null
+  * element hashes as 0 for totality.
+  */
+case class WinnowMins(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if w < 1 => TypeCheckResult.TypeCheckFailure(
+      s"winnow_mins requires a window of at least 1, got w=$w")
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_mins requires array<bigint>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val hs = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < hs.length) {
+      hs(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(HashKernels.winnowMins(hs, w))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash32(array<string>) -> long */
 case class SimHash32(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -361,6 +403,14 @@ object HashExpressions {
     ifAbsent("winnow_fps") {
       reg.createOrReplaceTempFunction(
         "winnow_fps", (e: Seq[Expression]) => WinnowFps(
+          e.head,
+          e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+            .asInstanceOf[Number].intValue()),
+        "built-in")
+    }
+    ifAbsent("winnow_mins") {
+      reg.createOrReplaceTempFunction(
+        "winnow_mins", (e: Seq[Expression]) => WinnowMins(
           e.head,
           e(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
             .asInstanceOf[Number].intValue()),

@@ -502,6 +502,13 @@ class PropertySpec extends SparkSpec {
             .distinct.sorted
         }
       assert(fast == naive, s"alpha=$alpha m=$m w=$w")
+      // the split kernel over pre-computed hashes must compose identically
+      // (winnowingFrom consumes the materialized md5 stream via this path)
+      assert(graft.functions.HashKernels.winnowMins(hs.toArray, w).toSeq == naive,
+        s"winnowMins alpha=$alpha m=$m w=$w")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HashKernels.winnowMins(Array(1L, 2L), 0)
     }
     // w < 1 must be a clear error, not an out-of-bounds deque walk — both
     // at the kernel and at the SQL registration (checkInputDataTypes)
