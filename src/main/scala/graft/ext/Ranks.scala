@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Distributed global rank — the scalable replacement for
   * `row_number().over(Window.orderBy(...))`, whose unpartitioned window
@@ -10,16 +11,27 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * tokens).
   *
   * Shape: range-repartition on the sort keys (parallel sampling pass +
-  * shuffle), sort within partitions, then `zipWithIndex` — one narrow
-  * count job over partition sizes, then each partition stamps
-  * `offset + local position`. No stage ever sees more than 1/P of the
-  * data, and the second pass reuses the first's shuffle files (same
-  * shuffle dependency, so the map stage is skipped).
+  * shuffle), sort within partitions, then the classic two-pass stamp —
+  * per-partition counts roll into exclusive prefix offsets, and each row's
+  * rank is its partition offset plus its position within the partition.
+  * Both passes are DataFrame ops (no RDD drop-out): positions come from
+  * `monotonically_increasing_id()`, whose value is partition-id << 33 plus
+  * the row's 0-based position in partition order — evaluated AFTER the
+  * within-partition sort, so the low bits ARE the local sort position.
+  * The counts aggregate carries one row per partition; its running-sum
+  * window and the offset join are metadata-scale (numShufflePartitions
+  * rows, broadcast), so no stage ever funnels the DATA through one task,
+  * and Catalyst/AQE plan the whole thing (the former `rdd.zipWithIndex`
+  * form added an opaque extra job and blocked exchange reuse for
+  * downstream consumers).
   *
   * The rank equals the unpartitioned `row_number` exactly whenever the
   * sort keys are a TOTAL order (no ties) — true for every call site here
   * (distinct tokens). Range-partitioner sample boundaries only decide
-  * which partition a key lands in, never its global position.
+  * which partition a key lands in, never its global position. Positions
+  * within a partition overflow their 33-bit field only past 8.5 billion
+  * rows per partition — far beyond any partition a sized deployment
+  * produces.
   */
 private[graft] object Ranks {
 
@@ -28,13 +40,22 @@ private[graft] object Ranks {
     * sample-boundary-dependent.
     */
   def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = sortedInput(df, sortCols: _*)
-    val schema = sorted.schema.add(StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, schema)
+    val localMask = (1L << 33) - 1
+    val withMid = sortedInput(df, sortCols: _*)
+      .withColumn("_graft_mid", monotonically_increasing_id())
+    val offsets = withMid
+      .groupBy(shiftright(col("_graft_mid"), 33).as("_graft_pid"))
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .withColumn("_graft_offset",
+        coalesce(sum("_graft_cnt").over(Window.orderBy("_graft_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_graft_pid", "_graft_offset")
+    withMid
+      .join(broadcast(offsets),
+        shiftright(col("_graft_mid"), 33) === col("_graft_pid"))
+      .withColumn(rankCol,
+        col("_graft_offset") + col("_graft_mid").bitwiseAND(localMask) + 1L)
+      .drop("_graft_mid", "_graft_pid", "_graft_offset")
   }
 
   /** The shuffle+sort stage under [[globalRank]], factored so PlanSpec can
