@@ -130,27 +130,43 @@ object Enrich {
     * does, and the documented deviation from the event-time batch form).
     */
   def asOfEnrichStateful(spark: org.apache.spark.sql.SparkSession,
-                         events: DataFrame): DataFrame = {
+                         events: DataFrame,
+                         ttl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val ds = events
+    // ttl (SURVEY §7.5.2): the reference keeps per-user state forever; with a
+    // ttl, a user idle for that long past the watermark is evicted — the next
+    // event for that user re-reads as state-less (asof_value null), exactly
+    // what the reference's store would answer after a state-store purge.
+    val src = ttl.fold(events)(t => events.withWatermark("ts", t))
+    val timeout = if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    // ts rides along untouched: event-time timeout requires the watermarked
+    // attribute to be present in the fmgws input
+    val ds = src
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_type"), col("value"))
-      .as[(Long, Long, Long, String, Double)]
+        col("event_type"), col("value"), col("ts"))
+      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
     ds.groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[AsOfState]) =>
-          val sorted = rows.toArray
-            .sortBy(r => (r._3, if (r._4 == "signup") 0 else 1, r._1))
-          var st = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
-          sorted.foreach { case (eid, _, tsUs, et, v) =>
-            if (et == "signup") st = Some(AsOfState(v))
-            out += AsOfOut(eid, uid, tsUs, st.map(_.value))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray
+              .sortBy(r => (r._3, if (r._4 == "signup") 0 else 1, r._1))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+            var maxUs = Long.MinValue
+            sorted.foreach { case (eid, _, tsUs, et, v, _) =>
+              if (et == "signup") st = Some(AsOfState(v))
+              if (tsUs > maxUs) maxUs = tsUs
+              out += AsOfOut(eid, uid, tsUs, st.map(_.value))
+            }
+            st.foreach(state.update)
+            if (state.exists) ttl.foreach(t => state.setTimeoutTimestamp(maxUs / 1000L, t))
+            out.iterator
           }
-          st.foreach(state.update)
-          out.iterator
       }
       .toDF()
   }

@@ -44,6 +44,46 @@ object Stats {
   def lastSeenPerType(events: DataFrame): DataFrame =
     events.groupBy("user_id", "event_type").agg(max("ts").as("last_seen"))
 
+  case class LastSeenState(lastUs: Long)
+  case class LastSeenTtlOut(user_id: Long, event_type: String, last_seen_us: Long)
+
+  /** A2 with bounded state (SURVEY §7.5.2): the reference keeps every
+    * (user, type) key forever (LoggedEventsListener.java:148-156); a 100 TB
+    * deployment cannot. A plain streaming aggregation's state is NOT evicted
+    * by a watermark (the group key carries no window), so the bounded form is
+    * a per-key fold with an event-time timeout: a key idle for `ttl` past the
+    * watermark is dropped from the store. Same output schema/rows as
+    * `lastSeenPerType` while a key is live; state size is O(active keys).
+    */
+  def lastSeenPerTypeTtl(events: DataFrame, ttl: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ts itself rides along untouched: the event-time-timeout checker
+    // requires the watermarked attribute in the fmgws input's output set
+    val ds = events
+      .withWatermark("ts", ttl)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[LastSeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            rows.foreach(r => if (r._4 > last) last = r._4)
+            state.update(LastSeenState(last))
+            state.setTimeoutTimestamp(last / 1000L, ttl)
+            Iterator.single(LastSeenTtlOut(key._1, key._2, last))
+          }
+      }
+      .toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("last_seen_us")).as("last_seen"))
+  }
+
   /** A2 (map shape) — event_type -> last-seen epoch-micros map per user,
     * the literal reference state-store layout. Map column ordering is
     * engine-dependent, so this shape is test-only (oracle uses the flat

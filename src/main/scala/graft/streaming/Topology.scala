@@ -53,7 +53,10 @@ object Topology {
     Map(
       "store_anonymous_events" -> Ingest.anonymousBranch(events),
       "store_user_data" -> Enrich.latestUserStreaming(main),
-      "store_user_last_seen" -> Stats.lastSeenPerType(main),
+      // a watermark cannot evict a plain agg's keyed state (no window in the
+      // key), so the bounded form swaps in a per-key fold with event-time TTL
+      "store_user_last_seen" -> watermark.fold(Stats.lastSeenPerType(main))(
+        w => Stats.lastSeenPerTypeTtl(main, w)),
       "store_log_event_counts" -> Stats.eventTypeCounts(main),
       "store_daily_log_events" -> Stats.dailyRoleCounts(wm, userDim),
       "store_user_streaks" -> Streaks.sessions(wm),

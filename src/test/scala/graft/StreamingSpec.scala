@@ -385,6 +385,69 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("store_user_last_seen TTL form evicts idle keys: state size is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.lastSeenPerTypeTtl(mem.toDF(), "1 minute")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_last_seen_test")
+      .trigger(tick)
+      .start()
+
+    // 20 keys land at t0 -> 20 state rows
+    mem.addData((1 to 20).map(u => ev(u.toLong, "2024-01-01 00:00:00", u.toLong, "click")): _*)
+    q.processAllAvailable()
+    val loaded = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(loaded == 20L, s"expected 20 state rows after load, got $loaded")
+
+    // advance event time 1h (>> ttl); next batches must drop the idle 20
+    mem.addData(ev(100, "2024-01-01 01:00:00", 100, "click"))
+    q.processAllAvailable()
+    mem.addData(ev(101, "2024-01-01 01:00:01", 101, "click"))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(after <= 2L, s"idle keys not evicted: $after state rows remain")
+    // the live rows are still correct while their keys are within ttl
+    val got = spark.table("ttl_last_seen_test")
+      .filter(col("user_id") === 100L).select("event_type").as[String].collect().toSeq
+    assert(got == Seq("click"))
+  }
+
+  test("as-of enrich state evicts under TTL; unbounded form keeps all keys") {
+    implicit val sqlCtx = spark.sqlContext
+    def signup(id: Long, t: String, u: Long): Ev =
+      TestEv(id, java.sql.Timestamp.valueOf(t), u, "signup", u.toDouble, """{"k": 1}""")
+    val mem = MemoryStream[Ev]
+    val q = Enrich.asOfEnrichStateful(spark, mem.toDF(), ttl = Some("1 minute"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_ttl_test")
+      .trigger(tick)
+      .start()
+
+    mem.addData((1 to 15).map(u => signup(u.toLong, "2024-01-01 00:00:00", u.toLong)): _*)
+    q.processAllAvailable()
+    val loaded = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(loaded == 15L, s"expected 15 state rows after load, got $loaded")
+
+    mem.addData(signup(100, "2024-01-01 01:00:00", 100))
+    q.processAllAvailable()
+    mem.addData(ev(101, "2024-01-01 01:00:01", 101, "click"))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(after <= 2L, s"idle as-of state not evicted: $after rows remain")
+
+    // an event for an evicted user reads state-less (asof_value null) — the
+    // documented post-purge semantics
+    mem.addData(ev(102, "2024-01-01 01:00:02", 5, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val v = spark.table("asof_ttl_test")
+      .filter(col("event_id") === 102L).select("asof_value")
+      .as[Option[Double]].collect().toSeq
+    assert(v == Seq(None), s"evicted user's state leaked back: $v")
+  }
+
   test("achievements foreachBatch sink writes crossings to parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = managedTempDir("ach_sink")
