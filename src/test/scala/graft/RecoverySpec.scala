@@ -416,6 +416,55 @@ class RecoverySpec extends SparkSpec {
       (3L, 5L, 1L, 1L)), s"offsets did not survive restart: ${got.toSeq}")
   }
 
+  test("achievements graph at sf0.1: restart mid-stream, no re-emission, equals batch") {
+    // the reference's declared-but-unwired purpose graph
+    // (RAW_LOG_STREAM → … → USER_NOTIFICATIONS_STREAM), run over the full
+    // sf0.1 events table fed in two tranches with a checkpoint restart
+    // between them — the streaming union must equal one batch pass exactly
+    import graft.operators.Achievements
+    val root = managedTempDir("ach_sf01")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+
+    val events = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(Topology.eventSchema.fieldNames.map(col): _*)
+
+    def startQuery() =
+      Achievements.notificationsStreaming(spark, Topology.fileSource(spark, srcDir))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+
+    // tranche 1 while live, tranche 2 while the query is down: the restored
+    // GroupState must resume counts, not recount, and never re-emit a
+    // threshold already announced
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size,
+      s"thresholds re-emitted across restart: ${got.size - got.distinct.size} dupes")
+    val want = Achievements.notifications(events)
+      .select("user_id", "threshold").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want,
+      s"streaming crossings != batch: missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+    assert(got.size == want.size)
+  }
+
   test("crossing detector state survives restart: no threshold re-emitted") {
     import graft.operators.Achievements
     val root = managedTempDir("xrecovery")
