@@ -350,6 +350,9 @@ object SparkEntry {
       Similarity.lshTopNeighbor(emb(s, d), maxBucket = 3).orderBy("vec_id")),
     "ann_lsh_multi" -> ((s, d) => Similarity.lshTopNeighborMulti(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_top1" -> ((s, d) => Similarity.ivfTopNeighbor(emb(s, d)).orderBy("vec_id")),
+    // two-level coarse routing: super-centroid → fine centroid group →
+    // posting list (the √k2-deep router for 10⁹-vector codebooks)
+    "ann_ivf_hier" -> ((s, d) => Similarity.ivfTopNeighborHier(emb(s, d)).orderBy("vec_id")),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopKNeighbors(emb(s, d), 3).orderBy("vec_id", "rank")),
     "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d)).orderBy("vec_id")),
@@ -1949,6 +1952,38 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |      FROM pairs)
          |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "ann_ivf_hier" ->
+      s"""WITH super AS (SELECT vec_id AS super_id, embedding AS s_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfSupers}),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |cent_routed AS (SELECT centroid_id, c_emb, super_id
+         |  FROM (SELECT c.centroid_id, c.c_emb, s.super_id,
+         |          row_number() OVER (PARTITION BY c.centroid_id
+         |            ORDER BY ${cos64("c.c_emb", "s.s_emb")} DESC, s.super_id ASC) AS r
+         |        FROM cent c CROSS JOIN super s)
+         |  WHERE r = 1),
+         |v_super AS (SELECT vec_id, embedding, super_id
+         |  FROM (SELECT e.vec_id, e.embedding, s.super_id,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cos64("e.embedding", "s.s_emb")} DESC, s.super_id ASC) AS r
+         |        FROM embeddings e CROSS JOIN super s)
+         |  WHERE r = 1),
+         |assigned AS (SELECT vec_id, embedding, super_id, centroid_id AS cluster_id
+         |  FROM (SELECT v.vec_id, v.embedding, v.super_id, c.centroid_id,
+         |          row_number() OVER (PARTITION BY v.vec_id
+         |            ORDER BY ${cos64("v.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS r
+         |        FROM v_super v JOIN cent_routed c ON v.super_id = c.super_id)
+         |  WHERE r = 1),
+         |pairs AS (SELECT l.vec_id, l.super_id, l.cluster_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM assigned l JOIN assigned r
+         |    ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id)
+         |SELECT vec_id, super_id, cluster_id, neighbor_id
+         |FROM (SELECT vec_id, super_id, cluster_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM pairs)
+         |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),
@@ -2054,6 +2089,32 @@ object SparkEntry {
          |rivf2 AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
          |  FROM rivf2p) WHERE r = 1),
+         |rhsup AS (SELECT vec_id AS super_id, embedding AS s_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfSupers}),
+         |rhcr AS (SELECT centroid_id, c_emb, super_id
+         |  FROM (SELECT c.centroid_id, c.c_emb, s.super_id,
+         |          row_number() OVER (PARTITION BY c.centroid_id
+         |            ORDER BY ${cos64("c.c_emb", "s.s_emb")} DESC, s.super_id ASC) AS r
+         |        FROM rcent c CROSS JOIN rhsup s)
+         |  WHERE r = 1),
+         |rhvs AS (SELECT vec_id, embedding, super_id
+         |  FROM (SELECT e.vec_id, e.embedding, s.super_id,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cos64("e.embedding", "s.s_emb")} DESC, s.super_id ASC) AS r
+         |        FROM embeddings e CROSS JOIN rhsup s)
+         |  WHERE r = 1),
+         |rha AS (SELECT vec_id, embedding, cluster_id
+         |  FROM (SELECT v.vec_id, v.embedding, c.centroid_id AS cluster_id,
+         |          row_number() OVER (PARTITION BY v.vec_id
+         |            ORDER BY ${cos64("v.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS r
+         |        FROM rhvs v JOIN rhcr c ON v.super_id = c.super_id)
+         |  WHERE r = 1),
+         |rhp AS (SELECT l.vec_id, r.vec_id AS neighbor_id,
+         |    ${cos64("l.embedding", "r.embedding")} AS sim
+         |  FROM rha l JOIN rha r ON l.cluster_id = r.cluster_id AND l.vec_id != r.vec_id),
+         |rhier AS (SELECT vec_id, neighbor_id FROM (SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS r
+         |  FROM rhp) WHERE r = 1),
          |$pqCodesCtes,
          |${pqAdcCtes(100, "rp")},
          |rpqa AS (SELECT query_id AS vec_id, neighbor_id
@@ -2126,6 +2187,10 @@ object SparkEntry {
          |  SELECT 'ivf_trained', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
          |  FROM rtruth t LEFT JOIN rtr a ON a.vec_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'ivf_hier', count(*), count(a.neighbor_id),
+         |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)
+         |  FROM rtruth t LEFT JOIN rhier a ON a.vec_id = t.vec_id
          |  UNION ALL
          |  SELECT 'pq_adc', count(*), count(a.neighbor_id),
          |    count(CASE WHEN a.neighbor_id = t.true_neighbor THEN 1 END)

@@ -413,6 +413,73 @@ object Similarity {
     ivfFrom(assignToCentroids(embeddings, k, 1), maxBucket)
   }
 
+  /** Default super-centroid count for the hierarchical router: ~√k2 of the
+    * fine codebook, the depth-2 balance point.
+    */
+  val IvfSupers = 4
+
+  /** Hierarchical (two-level) IVF — IVF over the coarse quantizer itself.
+    * At 10⁹ vectors the fine codebook is ~√N ≈ 3·10⁴ centroids, so scoring
+    * every fine centroid per row makes assignment O(N · k2 · dims); routing
+    * each vector through k1 ≈ √k2 super-centroids first, then scoring only
+    * the fine centroids grouped under the winning super, cuts per-row
+    * centroid work to O(k1 + k2/k1) — log-depth routing, the move FAISS
+    * makes with IVF-in-IVF / HNSW coarse quantizers. Both levels are
+    * broadcast map-side kernel passes (the super codebook and the per-super
+    * group books are tiny); the only data shuffle is the posting-list
+    * gather the flat IVF already pays.
+    *
+    * Semantics (deterministic, oracle-reproducible): vector → nearest super
+    * (max cosine, id tie-break) → nearest fine centroid AMONG THAT SUPER'S
+    * GROUP → top-1 neighbor within the fine posting list. Supers are the
+    * first k1 corpus vectors, fines the first k2 (supers ⊂ fines, so every
+    * super group is nonempty — it holds at least its own super). Output
+    * (vec_id, super_id, cluster_id, neighbor_id); vectors alone in their
+    * posting list are absent, as in [[ivfTopNeighbor]].
+    */
+  def ivfTopNeighborHier(embeddings: DataFrame, k1: Int = IvfSupers,
+                         k2: Int = IvfClusters,
+                         maxBucket: Int = NoMaxBucket): DataFrame = {
+    registerKernels(embeddings)
+    val (assigned, fineToSuper) = hierAssign(embeddings, k1, k2)
+    // super_id is functionally dependent on cluster_id; re-attach it to the
+    // winners from the tiny routing table instead of carrying it through
+    // the posting-list shuffle
+    val routing = fineToSuper.select(col("fine_id").as("cluster_id"), col("super_id"))
+    ivfFrom(assigned, maxBucket)
+      .join(broadcast(routing), "cluster_id")
+      .select("vec_id", "super_id", "cluster_id", "neighbor_id")
+  }
+
+  /** The two-level routing pass shared by [[ivfTopNeighborHier]] and the
+    * recall harness: returns (assignment (vec_id, embedding, cluster_id),
+    * fine-to-super routing (fine_id, embedding, super_id)). Both levels are
+    * narrow broadcast kernel passes.
+    */
+  private def hierAssign(embeddings: DataFrame, k1: Int,
+                         k2: Int): (DataFrame, DataFrame) = {
+    val supers = embeddings.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val fines = embeddings.filter(col("vec_id") < k2)
+      .select(col("vec_id"), col("embedding"))
+    // level 1 over the CODEBOOK: route each fine centroid under its super
+    val fineToSuper = assignTo(fines, supers, 1)
+      .select(col("vec_id").as("fine_id"), col("embedding"),
+        col("cluster_id").as("super_id"))
+    val groupBooks = fineToSuper.groupBy("super_id")
+      .agg(sort_array(collect_list(
+        struct(col("fine_id").as("id"), col("embedding").as("emb")))).as("cb"))
+    // level 1 then level 2 for data vectors — the second pass scores only
+    // the routed super's group book, never the full fine codebook
+    val assigned = assignTo(embeddings, supers, 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("super_id"))
+      .join(broadcast(groupBooks), "super_id")
+      .select(col("vec_id"), col("embedding"),
+        expr("element_at(nearest_centroids(embedding, cb, 1), 1).cluster_id")
+          .as("cluster_id"))
+    (assigned, fineToSuper)
+  }
+
   /** Posting-list gather + kernel search over an existing crank=1 centroid
     * assignment — the shared tail of [[ivfTopNeighbor]], split out so the
     * recall harness can feed one materialized assignment to several methods.
@@ -870,6 +937,12 @@ object Similarity {
         assignTo(emb, tCents, 1)
           .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
         lit(true), lit(true)))
+      // two-level routed assignment: two more narrow broadcast passes
+      // feeding the SAME fused (method, bucket) shuffle — no new stages
+      .unionByName(tagged("ivf_hier",
+        hierAssign(emb, IvfSupers, IvfClusters)._1
+          .select(col("vec_id"), col("embedding"), col("cluster_id").as("bucket")),
+        lit(true), lit(true)))
     val bucketAnswers = mergeWinners(
       bucketed.groupBy("method", "bucket")
         .agg(
@@ -960,7 +1033,8 @@ object Similarity {
           count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
     }
     val union = hitsMulti(
-      Seq("lsh", "lsh_multi", "ivf", "ivf_probe2", "ivf_trained"), bucketAnswers)
+      Seq("lsh", "lsh_multi", "ivf", "ivf_probe2", "ivf_trained", "ivf_hier"),
+      bucketAnswers)
       .unionByName(hitsMulti(Seq("pq_adc", "pq_adc_trained"), adcAnswers))
       .unionByName(hits("ivfpq", ivfPqTop1(emb, numQueries, codes = ivfPqCodesTbl)
         .select(col("query_id").as("vec_id"), col("neighbor_id"))))

@@ -824,6 +824,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical IVF: k1 = k2 degenerates to flat IVF; routing is consistent") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    // with k1 = k2, every fine centroid routes to itself (cos = 1, id
+    // tie-break), so each super's group book is just itself and the two-level
+    // route picks the SAME global-nearest centroid as the flat quantizer
+    val k = Similarity.IvfClusters
+    val hierSame = Similarity.ivfTopNeighborHier(emb, k1 = k, k2 = k)
+      .select("vec_id", "cluster_id", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val flat = Similarity.ivfTopNeighbor(emb, k)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hierSame == flat)
+    // real two-level shape: one answer per vector, and (super, cluster) is a
+    // consistent routing — every cluster maps to exactly one super
+    val hier = Similarity.ivfTopNeighborHier(emb).cache()
+    assert(hier.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(hier.select("cluster_id", "super_id").distinct()
+      .groupBy("cluster_id").count().filter(col("count") > 1).count() == 0)
+    assert(hier.count() > 0)
+    hier.unpersist()
+  }
+
   test("ivf top-k: ranks contiguous from 1, rank 1 equals the top-1 operator") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)
