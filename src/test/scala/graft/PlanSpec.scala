@@ -158,7 +158,10 @@ class PlanSpec extends SparkSpec {
       (Similarity.lshTopNeighborMulti(emb), 0),
       (Similarity.ivfTopNeighbor(emb), 0),
       (Similarity.ivfTopKNeighbors(emb, 3), 1),
-      (Similarity.ivfTopNeighborProbed(emb, 2), 0))
+      (Similarity.ivfTopNeighborProbed(emb, 2), 0),
+      // two-level routing must stay broadcast passes + the one posting
+      // gather: no windows, no shuffled join anywhere in the route
+      (Similarity.ivfTopNeighborHier(emb), 0))
     cases.foreach { case (df, maxWindows) =>
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("bucket_top"), p)
