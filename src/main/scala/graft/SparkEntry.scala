@@ -360,6 +360,10 @@ object SparkEntry {
       Similarity.pqCodes(emb(s, d), trainIters = 1).orderBy("vec_id")),
     "ann_pq_adc" -> ((s, d) =>
       sorted1(Similarity.pqAdcTopK(emb(s, d), 20, 5), "query_id", "rank")),
+    // two-stage retrieval: ADC shortlist over the codes table, exact cosine
+    // re-rank over only the Q x m shortlisted full vectors (IndexRefineFlat)
+    "ann_adc_rerank" -> ((s, d) =>
+      sorted1(Similarity.pqAdcRerankTopK(emb(s, d), 20, 50, 5), "query_id", "rank")),
     "ann_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopNeighborProbed(emb(s, d), 2).orderBy("vec_id")),
     // the combined IVF-PQ index (coarse cell + PQ-coded residuals +
@@ -2044,6 +2048,23 @@ object SparkEntry {
          |FROM (SELECT query_id, vec_id AS neighbor_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
          |      FROM aadcs)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_adc_rerank" ->
+      s"""WITH $pqCodesCtes,
+         |${pqAdcCtes(20, "b")},
+         |bshort AS (SELECT query_id, vec_id
+         |  FROM (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS r
+         |        FROM badcs)
+         |  WHERE r <= 50),
+         |brr AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+         |    ${cos64("q.embedding", "c.embedding")} AS sim
+         |  FROM bshort s JOIN embeddings q ON q.vec_id = s.query_id
+         |    JOIN embeddings c ON c.vec_id = s.vec_id)
+         |SELECT query_id, rank, neighbor_id
+         |FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |      FROM brr)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH rq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),

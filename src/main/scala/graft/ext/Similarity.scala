@@ -1567,6 +1567,39 @@ object Similarity {
     }
   }
 
+  /** Two-stage retrieval with exact re-ranking — FAISS's IndexRefineFlat
+    * posture, the standard production search shape: the PQ-ADC pass scores
+    * the 64×-compressed codes table and keeps an m-candidate SHORTLIST per
+    * query; only those m full vectors are then fetched and re-ranked by
+    * exact cosine. At corpus scale the exhaustive stage never touches a
+    * float vector (the codes table is what the fleet holds in memory) and
+    * the exact stage reads Q×m vectors, not Q×N — re-ranking cost is
+    * independent of corpus size.
+    *
+    * Shape: the shortlist (Q×m rows) broadcasts against ONE corpus scan to
+    * fetch candidate vectors (no shuffle of the corpus), queries broadcast
+    * on top, and the final rank window runs over Q×m rows only. Re-ranking
+    * can only improve the best answer: the ADC winner is in the shortlist,
+    * and the exact pass picks the true-cosine max over a superset of it.
+    */
+  def pqAdcRerankTopK(embeddings: DataFrame, numQueries: Int = 20,
+                      shortlist: Int = 50, topK: Int = 5): DataFrame = {
+    registerKernels(embeddings)
+    val short = pqAdcTopK(embeddings, numQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(broadcast(short), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", cos("q_emb", "c_emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Int8-style embedding quantization (the storage-compression step of a
     * large ANN index): per-vector scale = 127 / max|x|, elements quantized
     * with floor (floor, not round — identical semantics on both engines).

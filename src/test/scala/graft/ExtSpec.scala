@@ -865,6 +865,31 @@ class ExtSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("ADC rerank: exact re-ranking never worsens the ADC winner's true cosine") {
+    val emb = Tables.embeddings(spark, sfDir)
+    CosineSimilarity.register(spark)
+    def trueSims(df: org.apache.spark.sql.DataFrame) = df
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("e1")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e2")), "neighbor_id")
+      .select(col("query_id"), Similarity.cos("e1", "e2").as("sim"))
+      .as[(Long, Double)].collect().toMap
+    val adc1 = trueSims(Similarity.pqAdcTopK(emb, 10, 1).filter(col("rank") === 1))
+    val rr = Similarity.pqAdcRerankTopK(emb, 10, 50, 5).cache()
+    val rr1 = trueSims(rr.filter(col("rank") === 1))
+    // both winners come from the same shortlist; the exact pass maximizes
+    // true cosine over it, so rerank's top-1 dominates the ADC top-1
+    adc1.foreach { case (q, s) =>
+      assert(rr1.contains(q))
+      assert(rr1(q) >= s - 1e-12, s"query $q: rerank ${rr1(q)} < adc $s")
+    }
+    // ranks contiguous 1..5 per query, ordered by exact cosine
+    val bad = rr.groupBy("query_id")
+      .agg(count(lit(1)).as("m"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("m") || col("mn") =!= 1 || col("m") > 5).count()
+    assert(bad == 0)
+    rr.unpersist()
+  }
+
   test("pq codes: codebook vectors code themselves; all codes in range") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.pqCodes(emb).as[(Long, Long)].collect().toMap
