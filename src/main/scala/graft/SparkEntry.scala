@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Similarity, Sketches, TextAnalysis, TrainedStore}
+import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TrainedStore}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -255,6 +255,17 @@ object SparkEntry {
         .orderBy(col("score_ppm").desc, col("a"), col("b"))),
     "ext_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+    // BM25 lexical retrieval (exact integer fixed point): every 97th doc
+    // queries with its own interior 4-token phrase
+    "ext_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(docs(s, d)).orderBy("query_id", "rank")),
+    // same answers served from the persisted token-bucketed inverted index
+    // (build + probe; the probe never rescans the corpus)
+    "ext_bm25_persisted" -> ((s, d) => {
+      Retrieval.buildBm25Index(docs(s, d), "graft_bm25_persisted_q")
+      Retrieval.searchBm25Index(s, "graft_bm25_persisted_q",
+        Retrieval.bm25Queries(docs(s, d))).orderBy("query_id", "rank")
+    }),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -458,6 +469,47 @@ object SparkEntry {
 
   /** normalized text, matching TextAnalysis.normalized */
   private val NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** Exact fixed-point BM25 (see ext.Retrieval): shared by ext_bm25_topk and
+    * ext_bm25_persisted (the persisted index serves identical answers).
+    * Every integer division is on non-negative operands, where DuckDB's
+    * floor `//` equals Spark's truncating `div`.
+    */
+  private lazy val bm25Sql: String = {
+    val k1 = Retrieval.K1x100; val b = Retrieval.Bx100
+    s"""WITH bmq AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
+       |    SELECT doc_id, unnest(list_slice(string_split($NORM, ' '),
+       |      ${Retrieval.QueryTokFrom},
+       |      ${Retrieval.QueryTokFrom + Retrieval.QueryTokLen - 1})) AS tok
+       |    FROM documents WHERE doc_id % ${Retrieval.QueryEvery} = 0)
+       |  WHERE tok != ''),
+       |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token != '' GROUP BY 1, 2),
+       |bmdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM bmtf GROUP BY 1),
+       |bmdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM bmtf GROUP BY 1),
+       |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) * 100 // CAST(count(*) AS BIGINT) AS avgdl_x100
+       |  FROM bmdl),
+       |bmsc AS (SELECT q.query_id, p.doc_id, CAST(sum(
+       |      (((2 * s.n_docs - 2 * f.df + 1) * 1000000) // (2 * f.df + 1))
+       |      * ((p.tf * ${(100 + k1) * 1000000}) //
+       |         (p.tf * 10000 + $k1 * ((100 - $b)
+       |           + ($b * ((d.dl * 1000000) // s.avgdl_x100)) // 10000)))
+       |    ) AS BIGINT) AS score_fp
+       |  FROM bmq q JOIN bmtf p ON p.token = q.tok
+       |  JOIN bmdl d ON d.doc_id = p.doc_id
+       |  JOIN bmdf f ON f.token = p.token
+       |  CROSS JOIN bmst s
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score_fp FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM bmsc)
+       |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
+  }
   private def h60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
   private def h32(s: String) = s"('0x' || substr(md5($s), 1, 8))::BIGINT"
 
@@ -1841,6 +1893,8 @@ object SparkEntry {
          |  FROM ktf JOIN kdf USING (token))
          |SELECT doc_id, rank, token, tf, df FROM kr
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "ext_bm25_topk" -> bm25Sql,
+    "ext_bm25_persisted" -> bm25Sql,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand
