@@ -266,6 +266,9 @@ object SparkEntry {
       Retrieval.searchBm25Index(s, "graft_bm25_persisted_q",
         Retrieval.bm25Queries(docs(s, d))).orderBy("query_id", "rank")
     }),
+    // hybrid search: BM25 + embedding-cosine lists fused by integer RRF
+    "ext_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(docs(s, d), emb(s, d)).orderBy("query_id", "rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -475,9 +478,54 @@ object SparkEntry {
     * Every integer division is on non-negative operands, where DuckDB's
     * floor `//` equals Spark's truncating `div`.
     */
-  private lazy val bm25Sql: String = {
+  private lazy val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, score_fp FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM bmsc)
+       |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** BM25 + embedding-cosine hybrid retrieval under reciprocal-rank fusion
+    * (see ext.Retrieval.hybridRrf): both per-retriever lists are depth-10
+    * with the query doc excluded, fused by exact integer 1e6//(60+rank).
+    */
+  private lazy val hybridRrfSql: String = {
+    val kc = Retrieval.RrfKConst; val depth = Retrieval.RrfDepth
+    s"""WITH $bm25Ctes,
+       |hlex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |    FROM bmsc WHERE doc_id != query_id)
+       |  WHERE lex_rank <= $depth),
+       |hq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % ${Retrieval.QueryEvery} = 0),
+       |hsc AS (SELECT q.query_id, c.vec_id AS doc_id,
+       |    ${cos64("q.q_emb", "c.embedding")} AS sim
+       |  FROM embeddings c CROSS JOIN hq q WHERE c.vec_id != q.query_id),
+       |hsem AS (SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+       |    FROM hsc)
+       |  WHERE sem_rank <= $depth),
+       |hfus AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // ($kc + l.lex_rank), 0)
+       |      + coalesce(1000000 // ($kc + r.sem_rank), 0) AS BIGINT) AS score_fp
+       |  FROM hlex l FULL OUTER JOIN hsem r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+       |SELECT query_id, rank, doc_id, score_fp FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM hfus)
+       |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val bm25Ctes: String = {
     val k1 = Retrieval.K1x100; val b = Retrieval.Bx100
-    s"""WITH bmq AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
+    s"""bmq AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
        |    SELECT doc_id, unnest(list_slice(string_split($NORM, ' '),
        |      ${Retrieval.QueryTokFrom},
        |      ${Retrieval.QueryTokFrom + Retrieval.QueryTokLen - 1})) AS tok
@@ -502,13 +550,7 @@ object SparkEntry {
        |  JOIN bmdl d ON d.doc_id = p.doc_id
        |  JOIN bmdf f ON f.token = p.token
        |  CROSS JOIN bmst s
-       |  GROUP BY 1, 2)
-       |SELECT query_id, rank, doc_id, score_fp FROM (
-       |  SELECT query_id, doc_id, score_fp,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
-       |  FROM bmsc)
-       |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
   private def h60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
   private def h32(s: String) = s"('0x' || substr(md5($s), 1, 8))::BIGINT"
@@ -1895,6 +1937,7 @@ object SparkEntry {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ext_bm25_topk" -> bm25Sql,
     "ext_bm25_persisted" -> bm25Sql,
+    "ext_hybrid_rrf" -> hybridRrfSql,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand

@@ -69,36 +69,54 @@ object Retrieval {
       .distinct()
 
   /** The postings relation: one row per (token, doc_id) with term frequency
-    * `tf`, doc length `dl` (non-empty tokens), document frequency `df`, and
-    * the denormalized global stats (`n_docs`, `avgdl_x100`) every scorer
-    * needs. ONE corpus scan: tf is the explode + count, dl rides a doc_id
-    * window over the tf rows (no second tokenize pass), df a token window —
-    * the token window is the exchange that co-locates posting lists, i.e.
-    * the index build's inherent shuffle. The global stats come from a
-    * one-row aggregate of the per-doc lengths joined in by broadcast
-    * (constant columns — parquet RLE stores them for free in the persisted
-    * form).
+    * `tf` and doc length `dl` (non-empty tokens). ONE corpus scan: tf is
+    * the explode + count, dl rides a doc_id window over the tf rows (no
+    * second tokenize pass). Everything here is per-doc knowledge — fully
+    * known the moment a doc arrives — which is what makes the persisted
+    * index APPEND-ONLY under corpus growth: df and the global stats are
+    * deliberately NOT stored per row (df is derived from the posting lists
+    * at search time, so it is exact under appends for free; the one-row
+    * stats are additive batch deltas in a side table).
     */
   def bm25Postings(documents: DataFrame): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val withDl = tf.withColumn("dl",
+    tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy("doc_id")).cast("long"))
-    val withDf = withDl.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("token")).cast("long"))
-    // stats re-derive from a narrow re-scan (doc lengths only): the postings
-    // lineage above is about to shuffle twice, and a multi-consumer fork of
-    // it would either recompute the heavier subtree or force a checkpoint;
-    // the one-row aggregate joins back by broadcast either way
-    val stats = documents
+  }
+
+  /** One-row additive stats delta for a doc batch: docs with ≥ 1 token and
+    * their total token count. Summing deltas across batches reproduces the
+    * whole-corpus totals exactly — integer sums are order-free — so the
+    * avgdl of an incrementally grown index equals the one-shot avgdl.
+    * Derived from a narrow re-scan (doc lengths only): the postings lineage
+    * is about to shuffle, and a multi-consumer fork of it would either
+    * recompute the heavier subtree or force a checkpoint.
+    */
+  def bm25StatsDelta(documents: DataFrame): DataFrame =
+    documents
       .select(size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
         .cast("long").as("dl0"))
       .filter(col("dl0") > 0)
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(dl0) * 100 div count(1)").as("avgdl_x100"))
-    withDf.crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).cast("long").as("total_tokens"))
+
+  /** Attach the scorer's derived columns to a postings relation: df as a
+    * token-partitioned window count — over the persisted index this is
+    * EXCHANGE-FREE (the bucketed layout already hash-partitions by token,
+    * and the bucket sort pre-orders it), over the one-shot lineage it is
+    * the posting-list co-location shuffle the index build pays anyway —
+    * and the global constants (`n_docs`, `avgdl_x100`) from a broadcast of
+    * the one-row summed stats.
+    */
+  def withBm25Weights(postings: DataFrame, stats: DataFrame): DataFrame = {
+    val summed = stats
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        expr("sum(total_tokens) * 100 div sum(n_docs)").as("avgdl_x100"))
+    postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+      .crossJoin(broadcast(summed))
   }
 
   /** The exact fixed-point BM25 contribution of one (query term, doc)
@@ -117,15 +135,18 @@ object Retrieval {
 
   /** Score every (query, candidate) pair reachable through a shared term and
     * keep the top `k` docs per query. `postings` must carry the
-    * [[bm25Postings]] columns. The term join is keyed on token — against
+    * [[withBm25Weights]] columns. The term join is keyed on token — against
     * the persisted index that is a pruned bucketed-scan join; the query
     * side is tiny and broadcasts. Per-query ranking is a window over
     * query_id, which plans as WindowGroupLimit: each partition keeps its
     * local top k before the query_id exchange.
     */
-  def bm25Rank(postings: DataFrame, queries: DataFrame, k: Int = TopK): DataFrame = {
-    val scored = postings
-      .join(broadcast(queries), "token")
+  def bm25Rank(postings: DataFrame, queries: DataFrame, k: Int = TopK,
+               excludeSelf: Boolean = false): DataFrame = {
+    val joined = postings.join(broadcast(queries), "token")
+    val candidates =
+      if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id")) else joined
+    val scored = candidates
       .withColumn("contrib", contribExpr)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib")).cast("long").as("score_fp"))
@@ -141,25 +162,115 @@ object Retrieval {
     * query (`ext_bm25_topk`) runs exactly this.
     */
   def bm25TopK(documents: DataFrame, k: Int = TopK): DataFrame =
-    bm25Rank(bm25Postings(documents), bm25Queries(documents), k)
+    bm25Rank(
+      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
+      bm25Queries(documents), k)
 
-  /** Persist the postings as a token-bucketed table — the on-disk inverted
-    * index. Searches ([[searchBm25Index]]) then join query terms against
-    * the bucketed scan: no corpus rescan, no postings-side exchange (the
-    * bucket layout IS the token partitioning), index build cost amortized
-    * over every query batch — the same build-once/probe-many posture as
-    * [[Similarity.buildIvfIndex]] and [[Dedup.buildLshIndex]].
+  /** Persist the postings as a token-bucketed, token-sorted table — the
+    * on-disk inverted index — plus the one-row stats delta in a plain
+    * `<table>_stats` side table. Searches ([[searchBm25Index]]) then join
+    * query terms against the bucketed scan: no corpus rescan, no
+    * postings-side exchange (the bucket layout IS the token partitioning,
+    * so even the df window rides it shuffle-free), index build cost
+    * amortized over every query batch — the same build-once/probe-many
+    * posture as [[Similarity.buildIvfIndex]] and [[Dedup.buildLshIndex]].
     */
-  def buildBm25Index(documents: DataFrame, table: String, buckets: Int = 8): Unit =
+  def buildBm25Index(documents: DataFrame, table: String, buckets: Int = 8): Unit = {
     graft.sources.Bucketing.writeBucketed(
-      bm25Postings(documents), table, "token", buckets)
+      bm25Postings(documents), table, "token", buckets, sortCols = Seq("token"))
+    graft.sources.Bucketing.dropWithLocation(documents.sparkSession, s"${table}_stats")
+    bm25StatsDelta(documents).write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Append a new doc batch to a persisted index: postings rows (same
+    * bucket spec, so searches stay exchange-free as the corpus grows) plus
+    * one additive stats row. Nothing already stored is touched — df and
+    * avgdl are DERIVED at search time, so unlike a df-denormalized layout
+    * there is no stale-weight window and no rebuild debt; this is why the
+    * postings schema stores only per-doc facts.
+    */
+  def appendBm25Index(newDocs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    bm25Postings(newDocs)
+      .write.format("parquet").mode("append")
+      .bucketBy(buckets, "token").sortBy("token").saveAsTable(table)
+    bm25StatsDelta(newDocs).write.mode("append")
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Streaming maintenance of a persisted inverted index: each micro-batch
+    * appends its postings and stats delta ([[appendBm25Index]] semantics),
+    * and the next search sees exactly the enlarged corpus — same loop
+    * shape as [[Similarity.maintainIvfIndex]]. Batch-local tokenize/agg
+    * only; no cross-batch state, so the checkpoint's effectively-once
+    * replay is the only correctness dependency.
+    */
+  def maintainBm25Index(stream: DataFrame, table: String, checkpointDir: String,
+                        buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBm25Index(batch, table, buckets)
+      }
+      .start()
+
+  /** RRF constant (the standard 60 from Cormack/Clarke/Büttcher) and the
+    * per-list depth each retriever contributes to the fusion.
+    */
+  val RrfKConst = 60
+  val RrfDepth = 10
+
+  /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    * semantic ranks by reciprocal-rank fusion — the standard RAG/search
+    * two-tower composition (each retriever surfaces what the other is
+    * blind to: exact term matches vs paraphrase). Per query doc (the `% 97`
+    * carve, matched to its embedding by the aligned vec_id), each retriever
+    * contributes its top-`depth` list with the query doc itself excluded,
+    * and fused_score = Σ 1e6/(60 + rank) over the lists a doc appears in —
+    * computed as exact integer floor division, so ranks and scores
+    * hash-match across engines with no float fusion arithmetic.
+    *
+    * Scale shape: both lists are probe-scoped — Q×depth rows each — so the
+    * fusion full-outer join and final window are O(Q·depth) regardless of
+    * corpus size; the heavy work is the two retrievals themselves, each in
+    * its own already-audited posture (inverted-index probe; brute cosine
+    * here, swappable for any `ann_*` method since fusion only consumes
+    * (query_id, doc_id, rank) lists).
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = TopK,
+                depth: Int = RrfDepth): DataFrame = {
+    val lex = bm25Rank(
+      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
+      bm25Queries(documents), depth, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity
+      .bruteForceTopKFor(embeddings, col("vec_id") % QueryEvery === 0, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfKConst + lex_rank)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfKConst + sem_rank)"), lit(0L)))
+          .cast("long").as("score_fp"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_fp")
+  }
 
   /** Top-k retrieval over a persisted index. Output is identical to
-    * [[bm25TopK]] when `queries` is [[bm25Queries]] of the indexed corpus
-    * (asserted by the equivalence spec); the plan touches only the
+    * [[bm25TopK]] when the index holds [[bm25Queries]]' corpus — however
+    * it got there, one-shot build or a build plus any sequence of appends
+    * (asserted by the equivalence specs); the plan touches only the
     * postings table.
     */
   def searchBm25Index(spark: SparkSession, table: String, queries: DataFrame,
                       k: Int = TopK): DataFrame =
-    bm25Rank(spark.table(table), queries, k)
+    bm25Rank(
+      withBm25Weights(spark.table(table), spark.table(s"${table}_stats")),
+      queries, k)
 }

@@ -213,9 +213,16 @@ object Similarity {
     * rankings use the same total order (sim desc, id asc, NaN first), so
     * the result is identical to the full window formulation the oracle runs.
     */
-  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    bruteForceTopKFor(embeddings, col("vec_id") < numQueries, k)
+
+  /** [[bruteForceTopK]] with an arbitrary query-set predicate — the hybrid
+    * fusion pipeline probes with the corpus-derived `% 97` query carve
+    * rather than a prefix.
+    */
+  def bruteForceTopKFor(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     registerKernels(embeddings)
-    val queries = embeddings.filter(col("vec_id") < numQueries)
+    val queries = embeddings.filter(queryPred)
       .agg(entries(col("vec_id"), col("embedding")).as("ps"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     embeddings

@@ -32,18 +32,25 @@ object Bucketing {
       df0.repartition(buckets, org.apache.spark.sql.functions.col(key))
     else df0
     val spark = df.sparkSession
-    // overwrite must be idempotent across SESSIONS too: a fresh in-memory
-    // catalog has no entry for the table, but a previous session's files at
-    // the managed location make saveAsTable throw LOCATION_ALREADY_EXISTS —
-    // drop both the catalog entry and any orphaned location
+    dropWithLocation(spark, table)
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its warehouse location. Overwrites must be
+    * idempotent across SESSIONS too: a fresh in-memory catalog has no entry
+    * for the table, but a previous session's files at the managed location
+    * make saveAsTable throw LOCATION_ALREADY_EXISTS — drop both the catalog
+    * entry and any orphaned location. Shared by every index writer that
+    * `saveAsTable`s (bucketed or not).
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
   }
 
   /** Equi-join of two bucketed tables on their bucket key. When both sides

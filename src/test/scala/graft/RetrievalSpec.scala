@@ -64,7 +64,8 @@ class RetrievalSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val postings = Retrieval.bm25Postings(docs)
+    val postings =
+      Retrieval.withBm25Weights(Retrieval.bm25Postings(docs), Retrieval.bm25StatsDelta(docs))
     val q = Seq((0L, "kw")).toDF("query_id", "token")
     val s = Retrieval.bm25Rank(postings, q, k = 4)
       .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
@@ -83,6 +84,80 @@ class RetrievalSpec extends SparkSpec {
     assert(oneShot.toSeq == served.toSeq)
   }
 
+  test("hybrid rrf: both-list docs dominate, truncation drops deep ranks, self excluded") {
+    // doc 0 queries with terms {alpha, beta, gamma, tail}; 2D rotations
+    // embedded in 64 dims give a fully controlled cosine order
+    def emb(theta: Double): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = math.cos(theta).toFloat; a(1) = math.sin(theta).toFloat; a
+    }
+    val texts = Seq(
+      0L -> "pad pad alpha beta gamma tail",       // query doc
+      1L -> "alpha beta gamma pad pad pad",        // lex rank 1, sem rank 15
+      2L -> "zzz yyy xxx www vvv uuu",             // no term overlap, sem rank 1
+      3L -> "alpha beta pad pad pad pad")          // lex rank 2, sem rank 2
+    val fillers = (4L to 15L).map(i => i -> s"m$i m$i m$i m$i m$i m$i")
+    val docs = (texts ++ fillers).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val thetas = Map(0L -> 0.0, 1L -> 2.6, 2L -> 0.1, 3L -> 0.45) ++
+      (4L to 15L).map(i => i -> (1.0 + i * 0.04)).toMap
+    val embs = thetas.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, emb(t)) }.toDF("vec_id", "embedding")
+
+    val out = Retrieval.hybridRrf(docs, embs)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == Retrieval.TopK)
+    assert(out.forall(_._1 == 0L))
+    // the query doc never retrieves itself (both lists exclude self)
+    assert(!out.exists(_._3 == 0L))
+    // doc 3 is in BOTH lists at rank 2 (2 x 1e6//62 = 32258): it must beat
+    // every single-list doc, whose ceiling is one 1e6//61 = 16393
+    assert(out(0)._3 == 3L && out(0)._4 == 32258L, out.mkString(", "))
+    // lex-rank-1 doc 1 and sem-rank-1 doc 2 tie at 16393; doc_id breaks it
+    assert(out(1)._3 == 1L && out(2)._3 == 2L, out.mkString(", "))
+    assert(out(1)._4 == 16393L && out(2)._4 == 16393L)
+    // doc 1's semantic rank is 15 — below RrfDepth, so its score carries NO
+    // semantic contribution (truncation is per-list, not global)
+    assert(out(1)._4 == 1000000L / (Retrieval.RrfKConst + 1))
+  }
+
+  test("bm25 index grows by appends: incremental equals one-shot, restart-safe") {
+    val docs = Tables.documents(spark, sfDir)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    // batch append path
+    Retrieval.buildBm25Index(half1, "graft_bm25_incr")
+    Retrieval.appendBm25Index(half2, "graft_bm25_incr")
+    val oneShot = Retrieval.bm25TopK(docs).orderBy("query_id", "rank").collect()
+    val incr = Retrieval
+      .searchBm25Index(spark, "graft_bm25_incr", Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank").collect()
+    // df and avgdl re-derive from the grown index, so the incrementally
+    // built index must answer EXACTLY like a from-scratch build — including
+    // weights for terms whose df changed across the append boundary
+    assert(incr.toSeq == oneShot.toSeq)
+
+    // streaming path with a mid-stream restart: tranche 2 lands while the
+    // maintainer is down; the restarted query appends it exactly once
+    val root = managedTempDir("bm25maint")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    Retrieval.buildBm25Index(half1.limit(0), "graft_bm25_stream")
+    val schema = docs.schema
+    def start() = Retrieval.maintainBm25Index(
+      spark.readStream.schema(schema).parquet(srcDir), "graft_bm25_stream",
+      s"$root/ckpt")
+    half1.write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    half2.write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val streamed = Retrieval
+      .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank").collect()
+    assert(streamed.toSeq == oneShot.toSeq)
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
@@ -97,5 +172,14 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     // per-query top-k plans as WindowGroupLimit (partial before the shuffle)
     assert(p.contains("WindowGroupLimit"), p)
+    // the df derivation rides the bucketed layout: the weighted-postings
+    // subtree's only exchange is the one-row stats aggregate
+    // (SinglePartition) — the token window itself must not repartition
+    val wp = Retrieval.withBm25Weights(
+      spark.table("graft_bm25_spec_plan"),
+      spark.table("graft_bm25_spec_plan_stats"))
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("Bucketed: true"), wp)
+    assert(!wp.contains("Exchange hashpartitioning"), wp)
   }
 }
