@@ -269,6 +269,9 @@ object SparkEntry {
     // hybrid search: BM25 + embedding-cosine lists fused by integer RRF
     "ext_hybrid_rrf" -> ((s, d) =>
       Retrieval.hybridRrf(docs(s, d), emb(s, d)).orderBy("query_id", "rank")),
+    // exact phrase occurrences via the positional-index re-base algorithm
+    "ext_phrase_search" -> ((s, d) =>
+      Retrieval.phraseSearchTopDocs(docs(s, d)).orderBy("query_id", "doc_id")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -522,6 +525,37 @@ object SparkEntry {
        |  FROM hfus)
        |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Positional-index phrase search (see ext.Retrieval.phraseSearch): each
+    * phrase-term occurrence re-bases to pos - idx; a base covered by every
+    * phrase offset is a verbatim occurrence.
+    */
+  private lazy val phraseSearchSql: String =
+    s"""WITH ppq AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
+       |    SELECT doc_id AS query_id,
+       |      unnest(list_transform(range(1, len(sl) + 1),
+       |        i -> struct_pack(idx := i - 1, tok := sl[i]))) AS o
+       |    FROM (SELECT doc_id, list_slice(string_split($NORM, ' '),
+       |        ${Retrieval.QueryTokFrom},
+       |        ${Retrieval.QueryTokFrom + Retrieval.QueryTokLen - 1}) AS sl
+       |      FROM documents WHERE doc_id % ${Retrieval.QueryEvery} = 0))
+       |  WHERE o.tok != ''),
+       |pql AS (SELECT query_id, count(*) AS qlen FROM ppq GROUP BY 1),
+       |ppos AS (SELECT doc_id, o.pos AS pos, o.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+       |      i -> struct_pack(pos := i - 1, tok := t[i]))) AS o
+       |    FROM (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents))
+       |  WHERE o.tok != ''),
+       |pmt AS (SELECT q.query_id, q.idx, p.doc_id, p.pos - q.idx AS base
+       |  FROM ppq q JOIN ppos p ON p.tok = q.tok
+       |  WHERE p.pos - q.idx >= 0),
+       |pgrp AS (SELECT query_id, doc_id, base, count(DISTINCT idx) AS nidx
+       |  FROM pmt GROUP BY 1, 2, 3),
+       |phit AS (SELECT g.query_id, g.doc_id, g.base
+       |  FROM pgrp g JOIN pql l USING (query_id) WHERE g.nidx = l.qlen)
+       |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(base) AS BIGINT) AS first_pos
+       |FROM phit GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
 
   private lazy val bm25Ctes: String = {
     val k1 = Retrieval.K1x100; val b = Retrieval.Bx100
@@ -1938,6 +1972,7 @@ object SparkEntry {
     "ext_bm25_topk" -> bm25Sql,
     "ext_bm25_persisted" -> bm25Sql,
     "ext_hybrid_rrf" -> hybridRrfSql,
+    "ext_phrase_search" -> phraseSearchSql,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand

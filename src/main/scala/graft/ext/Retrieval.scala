@@ -216,6 +216,72 @@ object Retrieval {
       }
       .start()
 
+  /** Ordered phrase queries: (query_id, idx, token) with idx the 0-based
+    * offset of the token inside the phrase — same `% 97` / tokens-3..6
+    * carve as [[bm25Queries]] but WITHOUT de-duplication (a phrase keeps
+    * repeated tokens at their positions).
+    */
+  def phraseQueries(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("doc_id") % QueryEvery === 0)
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(TextAnalysis.tokens(col("text")), QueryTokFrom, QueryTokLen)))
+      .filter(col("col") =!= "")
+      .select(col("query_id"), col("pos").cast("long").as("idx"),
+        col("col").as("token"))
+
+  /** The positional postings relation: one row per token OCCURRENCE —
+    * (token, doc_id, pos), pos 0-based. The positional inverted index is
+    * what phrase/proximity search needs beyond [[bm25Postings]]' bag-of-
+    * words rows; it shares the bag index's layout story (bucket by token,
+    * append-only: positions are per-doc facts).
+    */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .filter(col("col") =!= "")
+      .select(col("col").as("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search: find every document position where the query
+    * phrase occurs verbatim. The classic positional-index algorithm, fully
+    * relational: each phrase term's occurrences re-base to `pos - idx`
+    * (where would the phrase START if this occurrence is term idx), and a
+    * base position hit by ALL phrase offsets is a match —
+    * count(distinct idx) = phrase length per (query, doc, base). Output
+    * (query_id, doc_id, n_matches, first_pos); every query matches at
+    * least its own doc, so the result is never empty.
+    *
+    * Scale shape: the probe joins the (broadcast) phrase terms against the
+    * positional lists keyed by token — only the phrase's tokens' lists are
+    * touched (bucket-pruned against a persisted index) — then two
+    * aggregations over match-scoped rows. Zipf-head phrase terms are the
+    * skew (their occurrence lists are corpus-sized); positional indexes
+    * deploy the same df-cap/stopword guard as the bag index, or
+    * next-word/phrase indexes for known-hot bigrams (the Google n-gram
+    * posture).
+    */
+  def phraseSearch(documents: DataFrame, queries: DataFrame): DataFrame = {
+    val qlen = queries.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    positionalPostings(documents)
+      .join(broadcast(queries), "token")
+      .select(col("query_id"), col("idx"), col("doc_id"),
+        (col("pos") - col("idx")).as("base"))
+      .filter(col("base") >= 0)
+      .groupBy("query_id", "doc_id", "base")
+      .agg(count_distinct(col("idx")).as("nidx"))
+      .join(broadcast(qlen), "query_id")
+      .filter(col("nidx") === col("qlen"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(col("base")).cast("long").as("first_pos"))
+  }
+
+  /** [[phraseSearch]] with the corpus-derived query carve — the oracle
+    * query (`ext_phrase_search`) runs exactly this.
+    */
+  def phraseSearchTopDocs(documents: DataFrame): DataFrame =
+    phraseSearch(documents, phraseQueries(documents))
+
   /** RRF constant (the standard 60 from Cormack/Clarke/Büttcher) and the
     * per-list depth each retriever contributes to the fusion.
     */
@@ -260,6 +326,31 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_fp")
+  }
+
+  /** Compaction — the re-balance half of maintenance that [[appendBm25Index]]
+    * defers, mirroring [[Similarity.compactIvfIndex]]: every append lands
+    * one file set per bucket, so a long append history accumulates small
+    * files per bucket and batch-count rows in the stats table. Compaction
+    * rewrites the postings aligned (one file per bucket) and folds the
+    * stats deltas into a single row. Layout-only: df/avgdl re-derive per
+    * search either way, so answers cannot change (spec-asserted). The rows
+    * are eagerly materialized before the in-place overwrite; a production
+    * deployment writes generation N+1 and swaps a view.
+    */
+  def compactBm25Index(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    val postings = spark.table(table)
+      .select("doc_id", "token", "tf", "dl").localCheckpoint(true)
+    val stats = spark.table(s"${table}_stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_tokens")).cast("long").as("total_tokens"))
+      .localCheckpoint(true)
+    try {
+      graft.sources.Bucketing.writeBucketed(
+        postings, table, "token", buckets, sortCols = Seq("token"), compact = true)
+      graft.sources.Bucketing.dropWithLocation(spark, s"${table}_stats")
+      stats.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    } finally { postings.unpersist(); stats.unpersist() }
   }
 
   /** Top-k retrieval over a persisted index. Output is identical to

@@ -156,6 +156,36 @@ class RetrievalSpec extends SparkSpec {
       .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
       .orderBy("query_id", "rank").collect()
     assert(streamed.toSeq == oneShot.toSeq)
+
+    // compaction is layout-only: stats fold to one row, every answer and
+    // the bucketed layout survive
+    Retrieval.compactBm25Index(spark, "graft_bm25_stream")
+    assert(spark.table("graft_bm25_stream_stats").count() == 1L)
+    val compacted = Retrieval
+      .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank")
+    assert(compacted.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    assert(compacted.collect().toSeq == oneShot.toSeq)
+  }
+
+  test("phrase search: repeated-token phrases, overlapping matches, exact positions") {
+    // query doc 0's phrase is its tokens 3..6 = "a b a b" — repeated tokens
+    // exercise the count(distinct idx) coverage check (a doc holding only
+    // "a b" must NOT match even though every phrase TOKEN occurs)
+    val docs = Seq(
+      (0L, "pad pad a b a b"),
+      (10L, "a b a b a b"),   // overlapping occurrences at base 0 and 2
+      (11L, "a b x a b"),     // all tokens present, no verbatim occurrence
+      (12L, "pad pad pad pad"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Retrieval.phraseSearchTopDocs(docs)
+      .orderBy("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 2L),   // self-match at its own phrase position
+      (0L, 10L, 2L, 0L))) // both overlapping starts count
   }
 
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
