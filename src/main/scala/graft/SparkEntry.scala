@@ -272,6 +272,9 @@ object SparkEntry {
     // exact phrase occurrences via the positional-index re-base algorithm
     "ext_phrase_search" -> ((s, d) =>
       Retrieval.phraseSearchTopDocs(docs(s, d)).orderBy("query_id", "doc_id")),
+    // cluster-curation data map: embedding cells labeled by top terms
+    "ext_cluster_labels" -> ((s, d) =>
+      Similarity.clusterLabels(emb(s, d), docs(s, d)).orderBy("cluster_id", "rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -1973,6 +1976,32 @@ object SparkEntry {
     "ext_bm25_persisted" -> bm25Sql,
     "ext_hybrid_rrf" -> hybridRrfSql,
     "ext_phrase_search" -> phraseSearchSql,
+    "ext_cluster_labels" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.IvfClusters}),
+         |clsc AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cos64("e.embedding", "c.c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id AS doc_id, centroid_id AS cluster_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, centroid_id ASC) AS crank FROM clsc)
+         |  WHERE crank = 1),
+         |cltk AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tfd FROM (
+         |    SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
+         |    FROM documents)
+         |  WHERE token != '' GROUP BY 1, 2),
+         |cldf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM cltk GROUP BY 1),
+         |clsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM assigned GROUP BY 1),
+         |cltf AS (SELECT a.cluster_id, t.token, CAST(sum(t.tfd) AS BIGINT) AS tf
+         |  FROM cltk t JOIN assigned a ON a.doc_id = t.doc_id GROUP BY 1, 2),
+         |clr AS (SELECT cluster_id, token, tf, df,
+         |    CAST(row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY tf DESC, df ASC, token ASC) AS BIGINT) AS rank
+         |  FROM cltf JOIN cldf USING (token))
+         |SELECT cluster_id, rank, token, tf, df, n_docs
+         |FROM clr JOIN clsz USING (cluster_id)
+         |WHERE rank <= 3 ORDER BY cluster_id, rank""".stripMargin,
     "ext_dedup_keepbest" ->
       s"""WITH RECURSIVE ${minhashCtes(PERTURBED_CORPUS)},
          |edge AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand

@@ -268,7 +268,12 @@ object Retrieval {
         (col("pos") - col("idx")).as("base"))
       .filter(col("base") >= 0)
       .groupBy("query_id", "doc_id", "base")
-      .agg(count_distinct(col("idx")).as("nidx"))
+      // count(1), NOT count(distinct idx): for a fixed (query, doc, base)
+      // each phrase offset idx contributes at most one row (the occurrence
+      // at base+idx either carries idx's token or generated no row), so the
+      // two counts are equal — and the plain count skips the distinct
+      // aggregate's Expand + extra exchange
+      .agg(count(lit(1)).as("nidx"))
       .join(broadcast(qlen), "query_id")
       .filter(col("nidx") === col("qlen"))
       .groupBy("query_id", "doc_id")

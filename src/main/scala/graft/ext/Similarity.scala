@@ -326,6 +326,45 @@ object Similarity {
         .select(col("vec_id").as("centroid_id"), col("embedding")),
       upTo)
 
+  /** Cluster labeling — the "data map" pass of cluster-based curation
+    * (SemDeDup/DCLM-style pipelines cluster the corpus in embedding space,
+    * then a human or LM inspects clusters by their top terms to keep/drop/
+    * reweight whole regions): assign every doc's embedding to its nearest
+    * coarse centroid (vec_id-aligned with doc_id), then label each cluster
+    * with its top `top` tokens ranked by in-cluster term count (ties:
+    * globally rarer token first — the tfidfKeywords integer ordering — then
+    * token). Output (cluster_id, rank, token, tf, df, n_docs); pure
+    * integer ranking, so the labels hash-match the SQL twin.
+    *
+    * Scale shape: ONE corpus text scan aggregated to (doc, token, tfd);
+    * df rides that lineage as a token window; the assignment join is
+    * doc-keyed (both sides corpus-sized — the one real shuffle pair); the
+    * per-cluster rank filter plans as WindowGroupLimit. Cluster sizes are
+    * a k-row broadcast.
+    */
+  def clusterLabels(embeddings: DataFrame, documents: DataFrame,
+                    k: Int = IvfClusters, top: Int = 3): DataFrame = {
+    val assigned = assignToCentroids(embeddings, k, 1)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val docTok = documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tfd"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    docTok.join(assigned, "doc_id")
+      .groupBy("cluster_id", "token")
+      .agg(sum(col("tfd")).cast("long").as("tf"), max(col("df")).as("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= top)
+      .join(broadcast(sizes), "cluster_id")
+      .select("cluster_id", "rank", "token", "tf", "df", "n_docs")
+  }
+
   /** Assignment against an EXPLICIT centroid frame (centroid_id, embedding)
     * — the generalization that lets trained centroids drop in wherever the
     * deterministic first-K quantizer is used.

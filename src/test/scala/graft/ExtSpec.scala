@@ -690,6 +690,37 @@ class ExtSpec extends SparkSpec {
     assert(out.filter(_.getLong(1) == 0L).forall(_.getLong(3) == 2L)) // cluster sizes
   }
 
+  test("cluster labels: per-cell top terms, rarity tie-break, sizes") {
+    // two clean cells (centroids = vecs 0 and 1); docs carry disjoint
+    // dominant tokens plus a shared background token
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),   // joins cell 0
+      (3L, Seq(0.1f, 0.9f, 0f, 0f)))   // joins cell 1
+    .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "cats cats shared"),
+      (1L, "dogs dogs shared"),
+      (2L, "cats shared shared"),
+      (3L, "dogs shared birds"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Similarity.clusterLabels(e, docs, k = 2, top = 2)
+      .orderBy("cluster_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cell 0 = docs {0,2}: cats tf 3, shared tf 3 — tie broken by df
+    // (cats in 2 docs < shared in 4) -> cats labels first
+    // cell 1 = docs {1,3}: dogs tf 3, shared tf 2
+    assert(out.toSeq == Seq(
+      (0L, 1L, "cats", 3L, 2L, 2L),
+      (0L, 2L, "shared", 3L, 4L, 2L),
+      (1L, 1L, "dogs", 3L, 2L, 2L),
+      (1L, 2L, "shared", 2L, 4L, 2L)))
+  }
+
   test("length quantiles: exact type-1 ranks on a known distribution") {
     val docs = (1 to 10).map { i =>
       (i.toLong, Seq.fill(i)("tok").mkString(" "), "s1")
