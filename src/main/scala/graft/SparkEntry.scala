@@ -275,6 +275,10 @@ object SparkEntry {
     // cluster-curation data map: embedding cells labeled by top terms
     "ext_cluster_labels" -> ((s, d) =>
       Similarity.clusterLabels(emb(s, d), docs(s, d)).orderBy("cluster_id", "rank")),
+    // retrieval-quality harness: exact MRR of bm25/phrase at finding each
+    // query's planted near-duplicate in the perturbed union
+    "ext_retrieval_eval" -> ((s, d) =>
+      Retrieval.retrievalEval(docs(s, d)).orderBy("method")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -534,7 +538,15 @@ object SparkEntry {
     * phrase offset is a verbatim occurrence.
     */
   private lazy val phraseSearchSql: String =
-    s"""WITH ppq AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
+    s"""WITH ${phraseCtesFor("documents")}
+       |SELECT query_id, doc_id, n_matches, first_pos
+       |FROM pagg ORDER BY query_id, doc_id""".stripMargin
+
+  /** The positional phrase-match CTEs over an arbitrary corpus relation,
+    * ending in `pagg` = (query_id, doc_id, n_matches, first_pos).
+    */
+  private def phraseCtesFor(corpus: String): String =
+    s"""ppq AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
        |    SELECT doc_id AS query_id,
        |      unnest(list_transform(range(1, len(sl) + 1),
        |        i -> struct_pack(idx := i - 1, tok := sl[i]))) AS o
@@ -547,7 +559,7 @@ object SparkEntry {
        |ppos AS (SELECT doc_id, o.pos AS pos, o.tok AS tok FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
        |      i -> struct_pack(pos := i - 1, tok := t[i]))) AS o
-       |    FROM (SELECT doc_id, string_split($NORM, ' ') AS t FROM documents))
+       |    FROM (SELECT doc_id, string_split($NORM, ' ') AS t FROM $corpus))
        |  WHERE o.tok != ''),
        |pmt AS (SELECT q.query_id, q.idx, p.doc_id, p.pos - q.idx AS base
        |  FROM ppq q JOIN ppos p ON p.tok = q.tok
@@ -555,12 +567,53 @@ object SparkEntry {
        |pgrp AS (SELECT query_id, doc_id, base, count(DISTINCT idx) AS nidx
        |  FROM pmt GROUP BY 1, 2, 3),
        |phit AS (SELECT g.query_id, g.doc_id, g.base
-       |  FROM pgrp g JOIN pql l USING (query_id) WHERE g.nidx = l.qlen)
-       |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
-       |  CAST(min(base) AS BIGINT) AS first_pos
-       |FROM phit GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+       |  FROM pgrp g JOIN pql l USING (query_id) WHERE g.nidx = l.qlen),
+       |pagg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |    CAST(min(base) AS BIGINT) AS first_pos
+       |  FROM phit GROUP BY 1, 2)""".stripMargin
 
-  private lazy val bm25Ctes: String = {
+  private lazy val bm25Ctes: String = bm25CtesFor("documents")
+
+  /** Retrieval-quality harness (see ext.Retrieval.retrievalEval): both
+    * retrievers run over the perturbed union; the target of query q is its
+    * planted variant q + 1e6; MRR in exact ppm.
+    */
+  private lazy val retrievalEvalSql: String = {
+    val k = Retrieval.RrfDepth
+    s"""WITH ${bm25CtesFor(s"($PERTURBED_CORPUS)")},
+       |${phraseCtesFor(s"($PERTURBED_CORPUS)")},
+       |lexr AS (SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+       |    FROM bmsc WHERE doc_id != query_id)
+       |  WHERE rank <= $k),
+       |phr AS (SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY n_matches DESC, doc_id ASC) AS BIGINT) AS rank
+       |    FROM pagg WHERE doc_id != query_id)
+       |  WHERE rank <= $k),
+       |allr AS (SELECT 'bm25' AS method, query_id, doc_id, rank FROM lexr
+       |  UNION ALL SELECT 'phrase' AS method, query_id, doc_id, rank FROM phr),
+       |rnq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bmq),
+       |fnd AS (SELECT method,
+       |    CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at1,
+       |    CAST(count(*) AS BIGINT) AS hits_at_k,
+       |    CAST(sum(1000000 // rank) AS BIGINT) AS rr_sum
+       |  FROM allr WHERE doc_id = query_id + 1000000 GROUP BY 1),
+       |mth AS (SELECT 'bm25' AS method UNION ALL SELECT 'phrase' AS method)
+       |SELECT m.method, s.n_queries,
+       |  coalesce(f.hits_at1, 0) AS hits_at1,
+       |  coalesce(f.hits_at_k, 0) AS hits_at_k,
+       |  coalesce(f.rr_sum, 0) // s.n_queries AS mrr_ppm
+       |FROM mth m CROSS JOIN rnq s LEFT JOIN fnd f USING (method)
+       |ORDER BY method""".stripMargin
+  }
+
+  /** The BM25 pipeline CTEs over an arbitrary corpus relation (queries
+    * always derive from the ORIGINAL documents' carve — the eval harness
+    * scores them against the perturbed union).
+    */
+  private def bm25CtesFor(corpus: String): String = {
     val k1 = Retrieval.K1x100; val b = Retrieval.Bx100
     s"""bmq AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
        |    SELECT doc_id, unnest(list_slice(string_split($NORM, ' '),
@@ -570,7 +623,7 @@ object SparkEntry {
        |  WHERE tok != ''),
        |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
-       |    FROM documents)
+       |    FROM $corpus)
        |  WHERE token != '' GROUP BY 1, 2),
        |bmdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM bmtf GROUP BY 1),
        |bmdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM bmtf GROUP BY 1),
@@ -1976,6 +2029,7 @@ object SparkEntry {
     "ext_bm25_persisted" -> bm25Sql,
     "ext_hybrid_rrf" -> hybridRrfSql,
     "ext_phrase_search" -> phraseSearchSql,
+    "ext_retrieval_eval" -> retrievalEvalSql,
     "ext_cluster_labels" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

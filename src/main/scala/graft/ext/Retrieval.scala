@@ -358,6 +358,60 @@ object Retrieval {
     } finally { postings.unpersist(); stats.unpersist() }
   }
 
+  /** Retrieval-quality harness — the lexical counterpart of the ANN recall
+    * harness: can each retriever FIND a known near-duplicate? The corpus is
+    * the dedup family's perturbed union (every doc + a variant with its
+    * first token dropped, id + 1e6); each carve query's target is its own
+    * variant, and per method the harness reports exact hits@1, hits@k and
+    * MRR in ppm (reciprocal ranks in integer 1e6//rank, missed targets
+    * contributing 0, divided by the full query count) — measurement, like
+    * recall, lives in-engine and under the oracle. bm25 ranks by fixed-
+    * point score; phrase ranks by verbatim occurrence count. Both lists
+    * exclude the query doc itself.
+    *
+    * Scale shape: the two retrievals dominate (each in its audited
+    * posture); everything downstream of them is Q×k rows. Eval cost is 2×
+    * the production probe because the corpus carries the planted targets —
+    * the standard price of a labeled eval.
+    */
+  def retrievalEval(documents: DataFrame, k: Int = RrfDepth): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val corpus = Dedup.withPerturbedCopies(documents)
+    val queries = bm25Queries(documents)
+    val lex = bm25Rank(
+      withBm25Weights(bm25Postings(corpus), bm25StatsDelta(corpus)),
+      queries, k, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .withColumn("method", lit("bm25"))
+    val phw = Window.partitionBy("query_id")
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+    val ph = phraseSearch(corpus, phraseQueries(documents))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(phw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .withColumn("method", lit("phrase"))
+    val nq = queries.select("query_id").distinct()
+      .agg(count(lit(1)).cast("long").as("n_queries"))
+    val found = lex.unionByName(ph)
+      .filter(col("doc_id") === col("query_id") + lit(1000000L))
+      .groupBy("method")
+      .agg(
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).cast("long").as("hits_at1"),
+        count(lit(1)).cast("long").as("hits_at_k"),
+        sum(expr("1000000 div rank")).cast("long").as("rr_sum"))
+    Seq("bm25", "phrase").toDF("method")
+      .join(found, Seq("method"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("n_queries"),
+        coalesce(col("hits_at1"), lit(0L)).as("hits_at1"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(col("rr_sum"), lit(0L)).as("rr_sum"))
+      .withColumn("mrr_ppm", expr("rr_sum div n_queries"))
+      .select("method", "n_queries", "hits_at1", "hits_at_k", "mrr_ppm")
+  }
+
   /** Top-k retrieval over a persisted index. Output is identical to
     * [[bm25TopK]] when the index holds [[bm25Queries]]' corpus — however
     * it got there, one-shot build or a build plus any sequence of appends

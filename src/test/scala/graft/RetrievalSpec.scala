@@ -188,6 +188,44 @@ class RetrievalSpec extends SparkSpec {
       (0L, 10L, 2L, 0L))) // both overlapping starts count
   }
 
+  test("retrieval eval: planted variants found, decoys demote, exact mrr") {
+    // distinctive vocabulary: both retrievers should pin query 0's variant
+    // (doc 1000000 = same text minus leading token) at rank 1
+    val docs = Seq(
+      (0L, "u0 u1 alpha beta gamma delta"),
+      (10L, "f f f f f f"),
+      (11L, "g g g g g g"),
+      (12L, "h h h h h h"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Retrieval.retrievalEval(docs)
+      .orderBy("method").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one query (doc 0); its variant "u1 alpha beta gamma delta" holds the
+    // phrase (tokens 3..6 of the original) verbatim and all bm25 terms
+    assert(out.toSeq == Seq(
+      ("bm25", 1L, 1L, 1L, 1000000L),
+      ("phrase", 1L, 1L, 1L, 1000000L)))
+
+    // a decoy that repeats the phrase twice outranks the variant on BOTH
+    // sides (phrase: n_matches 2 > 1; bm25: tf 2 with modest dl penalty),
+    // and the decoy's own variant still holds one phrase occurrence, so the
+    // target lands phrase rank 2 (rr 500000) and bm25 rank 3 (rr 333333 —
+    // hand-computed through the fixed-point arithmetic)
+    val decoy = Seq(
+      (0L, "u0 u1 alpha beta gamma delta"),
+      (10L, "alpha beta gamma delta alpha beta gamma delta"),
+      (11L, "f f f f f f"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = Retrieval.retrievalEval(decoy)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(d("phrase") == ((0L, 500000L)), d.toString)
+    assert(d("bm25") == ((0L, 333333L)), d.toString)
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
