@@ -522,6 +522,62 @@ class PropertySpec extends SparkSpec {
       0).checkInputDataTypes().isFailure)
   }
 
+  test("bm25 fixed point tracks the float rational-idf model on random corpora") {
+    import graft.ext.Retrieval
+    // random corpora over a small alphabet; doc 0 is always present so the
+    // % 97 carve yields a query. The fixed-point pipeline (idf ppm, dl
+    // ratio bp, saturation bp) must stay within floor-rounding distance of
+    // the exact float model — the invariant that catches unit/scale slips
+    // in any of the nested integer divisions.
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, tokGen))
+    (1 to 4).foreach { round =>
+      val texts = Gen.listOfN(12, docGen)(Gen.Parameters.default, Seed(900L + round))
+        .getOrElse(sys.error("gen failed"))
+      val docs = texts.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Retrieval.bm25Rank(
+        Retrieval.withBm25Weights(
+          Retrieval.bm25Postings(docs), Retrieval.bm25StatsDelta(docs)),
+        Retrieval.bm25Queries(docs), k = 12)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+
+      // driver-side float model over the same corpus
+      val toks = texts.map(_.toArray)
+      val n = toks.length
+      val avgdl = toks.map(_.length).sum.toDouble / n
+      val df = toks.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+      val qTerms = toks.head.slice(2, 6).distinct // tokens 3..6, 1-based
+      val expect = toks.zipWithIndex.map { case (dt, i) =>
+        val dl = dt.length
+        val score = qTerms.filter(dt.contains(_)).map { t =>
+          val tf = dt.count(_ == t).toDouble
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5) * 1e6
+          val sat = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e4
+          idf * sat
+        }.sum
+        i.toLong -> score
+      }.toMap
+      got.foreach { case (docId, fp) =>
+        val ref = expect(docId)
+        // each of the ~4 per-term products floors idf (±1 ppm of ~1e6+),
+        // the dl ratio (±1 bp), and the saturation (±1 bp of ~1e4): allow
+        // 1% relative plus a small absolute floor
+        assert(math.abs(fp - ref) <= ref * 0.01 + 4e6,
+          s"round $round doc $docId: fixed $fp vs float $ref")
+      }
+      // ranking agreement where the float model separates scores clearly
+      val gotOrder = got.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      gotOrder.sliding(2).foreach {
+        case Seq(hi, lo) =>
+          assert(expect(hi) >= expect(lo) - math.max(expect(lo) * 0.01, 4e6),
+            s"round $round: fixed ranks $hi above $lo against the float model")
+        case _ => ()
+      }
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {
     // differential fuzz of the native merge-walk kernel against the
     // built-in, over its whole documented domain: sorted-distinct arrays
