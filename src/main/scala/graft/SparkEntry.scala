@@ -279,6 +279,9 @@ object SparkEntry {
     // query's planted near-duplicate in the perturbed union
     "ext_retrieval_eval" -> ((s, d) =>
       Retrieval.retrievalEval(docs(s, d)).orderBy("method")),
+    // DPR-style hard negatives: lexical top-k minus semantic neighbors
+    "ext_hard_negatives" -> ((s, d) =>
+      Retrieval.hardNegatives(docs(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
     "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
@@ -501,15 +504,19 @@ object SparkEntry {
     * (see ext.Retrieval.hybridRrf): both per-retriever lists are depth-10
     * with the query doc excluded, fused by exact integer 1e6//(60+rank).
     */
-  private lazy val hybridRrfSql: String = {
-    val kc = Retrieval.RrfKConst; val depth = Retrieval.RrfDepth
-    s"""WITH $bm25Ctes,
-       |hlex AS (SELECT query_id, doc_id, lex_rank FROM (
+  /** The lexical top-`depth` list (self excluded) over the bm25Ctes' bmsc,
+    * and the semantic top-`depth` list (self excluded) — shared by the
+    * hybrid-fusion and hard-negative oracles.
+    */
+  private def lexListCte(depth: Int): String =
+    s"""hlex AS (SELECT query_id, doc_id, lex_rank FROM (
        |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS lex_rank
        |    FROM bmsc WHERE doc_id != query_id)
-       |  WHERE lex_rank <= $depth),
-       |hq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE lex_rank <= $depth)""".stripMargin
+
+  private def semListCtes(depth: Int): String =
+    s"""hq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
        |  WHERE vec_id % ${Retrieval.QueryEvery} = 0),
        |hsc AS (SELECT q.query_id, c.vec_id AS doc_id,
        |    ${cos64("q.q_emb", "c.embedding")} AS sim
@@ -518,7 +525,25 @@ object SparkEntry {
        |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
        |    FROM hsc)
-       |  WHERE sem_rank <= $depth),
+       |  WHERE sem_rank <= $depth)""".stripMargin
+
+  /** DPR-style hard negatives: lexically top-ranked docs absent from the
+    * semantic neighbor list (see ext.Retrieval.hardNegatives).
+    */
+  private lazy val hardNegativesSql: String =
+    s"""WITH $bm25Ctes,
+       |${lexListCte(Retrieval.RrfDepth)},
+       |${semListCtes(Retrieval.RrfDepth)}
+       |SELECT l.query_id, l.lex_rank, l.doc_id
+       |FROM hlex l LEFT JOIN hsem r
+       |  ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |WHERE r.doc_id IS NULL ORDER BY l.query_id, l.lex_rank""".stripMargin
+
+  private lazy val hybridRrfSql: String = {
+    val kc = Retrieval.RrfKConst; val depth = Retrieval.RrfDepth
+    s"""WITH $bm25Ctes,
+       |${lexListCte(depth)},
+       |${semListCtes(depth)},
        |hfus AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
        |    coalesce(l.doc_id, r.doc_id) AS doc_id,
        |    CAST(coalesce(1000000 // ($kc + l.lex_rank), 0)
@@ -2030,6 +2055,7 @@ object SparkEntry {
     "ext_hybrid_rrf" -> hybridRrfSql,
     "ext_phrase_search" -> phraseSearchSql,
     "ext_retrieval_eval" -> retrievalEvalSql,
+    "ext_hard_negatives" -> hardNegativesSql,
     "ext_cluster_labels" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

@@ -358,6 +358,30 @@ object Retrieval {
     } finally { postings.unpersist(); stats.unpersist() }
   }
 
+  /** Hard-negative mining for embedding-model training (the DPR recipe):
+    * per query, the documents a LEXICAL retriever ranks highly that the
+    * embedding space does NOT consider neighbors — plausible-but-wrong
+    * candidates, the contrastive examples that teach a dual encoder what
+    * term overlap alone misses. lex top-`depth` (self excluded) anti-joined
+    * against the semantic top-`depth`. Output keeps the lexical rank so
+    * training can weight negatives by hardness.
+    *
+    * Scale shape: two probe-scoped lists and an O(Q·depth) anti-join —
+    * same posture as the fusion operator; the retrievals dominate.
+    */
+  def hardNegatives(documents: DataFrame, embeddings: DataFrame,
+                    depth: Int = RrfDepth): DataFrame = {
+    val lex = bm25Rank(
+      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
+      bm25Queries(documents), depth, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity
+      .bruteForceTopKFor(embeddings, col("vec_id") % QueryEvery === 0, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "left_anti")
+      .select("query_id", "lex_rank", "doc_id")
+  }
+
   /** Retrieval-quality harness — the lexical counterpart of the ANN recall
     * harness: can each retriever FIND a known near-duplicate? The corpus is
     * the dedup family's perturbed union (every doc + a variant with its

@@ -121,6 +121,13 @@ class RetrievalSpec extends SparkSpec {
     // doc 1's semantic rank is 15 — below RrfDepth, so its score carries NO
     // semantic contribution (truncation is per-list, not global)
     assert(out(1)._4 == 1000000L / (Retrieval.RrfKConst + 1))
+
+    // hard negatives on the same fixture: the lexical list is {1, 3}, the
+    // semantic top-10 holds 3 but not 1 -> doc 1 is the one hard negative
+    // (lexically plausible, semantically distant — the DPR training pair)
+    val hn = Retrieval.hardNegatives(docs, embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hn.toSeq == Seq((0L, 1L, 1L)), hn.mkString(", "))
   }
 
   test("bm25 index grows by appends: incremental equals one-shot, restart-safe") {
