@@ -436,6 +436,35 @@ object Retrieval {
       .select("method", "n_queries", "hits_at1", "hits_at_k", "mrr_ppm")
   }
 
+  /** Streaming query serving — the other half of the index lifecycle
+    * ([[maintainBm25Index]] grows the index; this answers from it): query
+    * batches of (query_id, token) rows arrive as a stream, each micro-batch
+    * searches the CURRENT persisted index, and answers land partitioned by
+    * batch_id. Replay-idempotent the same way the dedup loops are: a
+    * redelivered batch OVERWRITES its own `batch_id=` partition (dynamic
+    * partition overwrite), so checkpoint replay re-serves identical rows
+    * instead of duplicating them. Search is stateless per batch — the index
+    * tables are the only cross-batch state — so this composes freely with
+    * a concurrent maintenance loop (answers reflect whatever the index
+    * holds at batch time, the serving contract of any search system).
+    */
+  def serveBm25Queries(queryStream: DataFrame, table: String,
+                       checkpointDir: String, answersPath: String,
+                       k: Int = TopK)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        searchBm25Index(batch.sparkSession, table, batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(answersPath)
+      }
+      .start()
+
   /** Top-k retrieval over a persisted index. Output is identical to
     * [[bm25TopK]] when the index holds [[bm25Queries]]' corpus — however
     * it got there, one-shot build or a build plus any sequence of appends

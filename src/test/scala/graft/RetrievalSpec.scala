@@ -233,6 +233,67 @@ class RetrievalSpec extends SparkSpec {
     assert(d("bm25") == ((0L, 333333L)), d.toString)
   }
 
+  test("bm25 serving loop: query batches answered from the live index across restarts") {
+    val docs = Tables.documents(spark, sfDir)
+    Retrieval.buildBm25Index(docs, "graft_bm25_serve")
+    val q1 = Retrieval.bm25Queries(docs)
+    // batch 2 re-asks the same terms under new query ids: answers must be
+    // the same lists relabeled (serving is deterministic and stateless)
+    val q2 = q1.select((col("query_id") + 1000L).as("query_id"), col("token"))
+    val root = managedTempDir("bm25serve")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    def start() = Retrieval.serveBm25Queries(
+      spark.readStream.schema(q1.schema).parquet(srcDir), "graft_bm25_serve",
+      s"$root/ckpt", s"$root/answers")
+    q1.write.mode("append").parquet(srcDir)
+    val s1 = start(); s1.processAllAvailable(); s1.stop()
+    q2.write.mode("append").parquet(srcDir)
+    val s2 = start(); s2.processAllAvailable(); s2.stop()
+
+    val answers = spark.read.parquet(s"$root/answers")
+    val batchExpected = Retrieval
+      .searchBm25Index(spark, "graft_bm25_serve", q1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got1 = answers.filter(col("query_id") < 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got2 = answers.filter(col("query_id") >= 1000L)
+      .collect().map(r => (r.getLong(0) - 1000L, r.getLong(1), r.getLong(2))).toSet
+    assert(batchExpected.nonEmpty)
+    assert(got1 == batchExpected)
+    // the restarted stream served batch 2 once, with identical lists
+    assert(got2 == batchExpected)
+    assert(answers.count() == 2L * batchExpected.size)
+  }
+
+  test("degenerate corpora flow through every retrieval operator") {
+    // no doc_id divisible by 97 -> zero queries; plus empty/short texts
+    val noQueries = Seq(
+      (1L, ""), (2L, "solo"), (3L, "two tokens"), (5L, "a b c d e f"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Retrieval.bm25TopK(noQueries).count() == 0L)
+    assert(Retrieval.phraseSearchTopDocs(noQueries).count() == 0L)
+    assert(Retrieval.hardNegatives(noQueries,
+      Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")).count() == 0L)
+
+    // carve doc present but too short to yield terms (2 tokens < position 3)
+    val shortQuery = Seq((0L, "only two"), (1L, "a b c d e f"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Retrieval.bm25TopK(shortQuery).count() == 0L)
+    assert(Retrieval.phraseSearchTopDocs(shortQuery).count() == 0L)
+
+    // 3-token carve doc: slice yields exactly one term and retrieval works
+    val oneTerm = Seq((0L, "a b kw"), (1L, "kw kw kw"), (2L, "z z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Retrieval.bm25TopK(oneTerm).collect()
+    assert(r.map(_.getLong(2)).toSet == Set(0L, 1L))
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
