@@ -242,6 +242,26 @@ object Retrieval {
       .filter(col("col") =!= "")
       .select(col("col").as("token"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** [[bm25Postings]] derived from a MATERIALIZED positional stream instead
+    * of a fresh corpus scan — tf is the per-(doc, token) occurrence count,
+    * dl the usual doc window. The eval harness runs the bag and positional
+    * retrievers over the same corpus, so it tokenizes ONCE and feeds both
+    * from this (the sketch family's shared-token-stream discipline).
+    */
+  def bm25PostingsFrom(positional: DataFrame): DataFrame =
+    positional
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy("doc_id")).cast("long"))
+
+  /** [[bm25StatsDelta]] from the positional stream: per-doc counts then the
+    * one-row totals — no tokenize re-scan.
+    */
+  def bm25StatsFrom(positional: DataFrame): DataFrame =
+    positional
+      .groupBy("doc_id").agg(count(lit(1)).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).cast("long").as("total_tokens"))
+
   /** Exact phrase search: find every document position where the query
     * phrase occurs verbatim. The classic positional-index algorithm, fully
     * relational: each phrase term's occurrences re-base to `pos - idx`
@@ -260,9 +280,13 @@ object Retrieval {
     * next-word/phrase indexes for known-hot bigrams (the Google n-gram
     * posture).
     */
-  def phraseSearch(documents: DataFrame, queries: DataFrame): DataFrame = {
+  def phraseSearch(documents: DataFrame, queries: DataFrame): DataFrame =
+    phraseSearchFrom(positionalPostings(documents), queries)
+
+  /** [[phraseSearch]] over a materialized positional stream. */
+  def phraseSearchFrom(positional: DataFrame, queries: DataFrame): DataFrame = {
     val qlen = queries.groupBy("query_id").agg(count(lit(1)).as("qlen"))
-    positionalPostings(documents)
+    positional
       .join(broadcast(queries), "token")
       .select(col("query_id"), col("idx"), col("doc_id"),
         (col("pos") - col("idx")).as("base"))
@@ -403,14 +427,18 @@ object Retrieval {
     import spark.implicits._
     val corpus = Dedup.withPerturbedCopies(documents)
     val queries = bm25Queries(documents)
+    // both retrievers consume ONE materialized positional token stream —
+    // tokenize+explode over the 2x corpus is their shared dominant cost
+    // (blocks are released by the harness's per-query cleanup)
+    val pos = positionalPostings(corpus).localCheckpoint(true)
     val lex = bm25Rank(
-      withBm25Weights(bm25Postings(corpus), bm25StatsDelta(corpus)),
+      withBm25Weights(bm25PostingsFrom(pos), bm25StatsFrom(pos)),
       queries, k, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank"))
       .withColumn("method", lit("bm25"))
     val phw = Window.partitionBy("query_id")
       .orderBy(col("n_matches").desc, col("doc_id").asc)
-    val ph = phraseSearch(corpus, phraseQueries(documents))
+    val ph = phraseSearchFrom(pos, phraseQueries(documents))
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(phw).cast("long"))
       .filter(col("rank") <= k)
