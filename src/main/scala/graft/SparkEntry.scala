@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TrainedStore}
+import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TimeSeries, TrainedStore}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -275,6 +275,9 @@ object SparkEntry {
     // cluster-curation data map: embedding cells labeled by top terms
     "ext_cluster_labels" -> ((s, d) =>
       Similarity.clusterLabels(emb(s, d), docs(s, d)).orderBy("cluster_id", "rank")),
+    // SAX-bucketed behavioral neighbor per user (exact integer distances)
+    "ext_ts_neighbors" -> ((s, d) =>
+      TimeSeries.tsTopNeighbor(ev(s, d)).orderBy("user_id")),
     // retrieval-quality harness: exact MRR of bm25/phrase at finding each
     // query's planted near-duplicate in the perturbed union
     "ext_retrieval_eval" -> ((s, d) =>
@@ -2056,6 +2059,44 @@ object SparkEntry {
     "ext_phrase_search" -> phraseSearchSql,
     "ext_retrieval_eval" -> retrievalEvalSql,
     "ext_hard_negatives" -> hardNegativesSql,
+    "ext_ts_neighbors" -> {
+      val days = TimeSeries.TsDays; val segs = TimeSeries.TsSegs
+      val segLen = TimeSeries.SegLen; val a = TimeSeries.Alphabet
+      s"""WITH td0 AS (SELECT min(CAST(ts AS DATE)) AS day0 FROM events),
+         |tcnt AS (SELECT user_id,
+         |    CAST(date_diff('day', t0.day0, CAST(ts AS DATE)) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events CROSS JOIN td0 t0
+         |  WHERE date_diff('day', t0.day0, CAST(ts AS DATE)) >= 0
+         |    AND date_diff('day', t0.day0, CAST(ts AS DATE)) < $days
+         |  GROUP BY 1, 2),
+         |tdays AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, $days)),
+         |tvec AS (SELECT u.user_id, list(coalesce(c.cnt, 0) ORDER BY dd.d) AS v
+         |  FROM (SELECT DISTINCT user_id FROM tcnt) u
+         |  CROSS JOIN tdays dd
+         |  LEFT JOIN tcnt c ON c.user_id = u.user_id AND c.d = dd.d
+         |  GROUP BY 1),
+         |tpaa AS (SELECT user_id, v,
+         |    list_transform(range(0, $segs), s ->
+         |      (CAST(list_sum(v[s * $segLen + 1 : s * $segLen + $segLen]) AS BIGINT) * 100)
+         |        // $segLen) AS paa
+         |  FROM tvec),
+         |tsax AS (SELECT user_id, v, array_to_string(
+         |    list_transform(paa, p ->
+         |      CAST(((p - list_min(paa)) * $a) // (list_max(paa) - list_min(paa) + 1)
+         |        AS VARCHAR)), '') AS word
+         |  FROM tpaa),
+         |tpairs AS (SELECT l.user_id, r.user_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, $days + 1),
+         |      i -> (l.v[i] - r.v[i]) * (l.v[i] - r.v[i]))) AS BIGINT) AS dist
+         |  FROM tsax l JOIN tsax r ON l.word = r.word AND l.user_id != r.user_id)
+         |SELECT user_id, neighbor_id, dist FROM (
+         |  SELECT user_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY dist ASC, neighbor_id ASC) AS rnk
+         |  FROM tpairs)
+         |WHERE rnk = 1 ORDER BY user_id""".stripMargin
+    },
     "ext_cluster_labels" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

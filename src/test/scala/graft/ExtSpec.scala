@@ -721,6 +721,24 @@ class ExtSpec extends SparkSpec {
       (1L, 2L, "shared", 2L, 4L, 2L)))
   }
 
+  test("ts neighbors: identical series distance 0, scaled twins share a word") {
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // users 1/2: identical early-month pattern; users 3/4: late-month
+    // pattern at different magnitudes — min-max SAX puts them in one word
+    // (shape, not scale), exact distance then separates them
+    val evs =
+      (0 until 5).flatMap(d => Seq((1L, t(d, 9)), (2L, t(d, 10)))) ++
+      (25 until 30).flatMap(d =>
+        Seq.fill(2)((3L, t(d, 9))) ++ Seq.fill(3)((4L, t(d, 9))))
+    val out = TimeSeries.tsTopNeighbor(evs.toDF("user_id", "ts"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L), (2L, 1L, 0L),   // identical series: dist 0, mutual
+      (3L, 4L, 5L), (4L, 3L, 5L)))  // 5 days x (2-3)^2
+  }
+
   test("length quantiles: exact type-1 ranks on a known distribution") {
     val docs = (1 to 10).map { i =>
       (i.toLong, Seq.fill(i)("tok").mkString(" "), "s1")
