@@ -608,8 +608,16 @@ object SparkEntry {
     */
   private lazy val retrievalEvalSql: String = {
     val k = Retrieval.RrfDepth
-    s"""WITH ${bm25CtesFor(s"($PERTURBED_CORPUS)")},
-       |${phraseCtesFor(s"($PERTURBED_CORPUS)")},
+    // corpus = every original + a planted variant of each CARVE doc only
+    // (non-query variants would be distractors the originals already are)
+    val evalCorpus =
+      s"""SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 1000000 AS doc_id,
+         |  substr(text, position(' ' IN text) + 1) AS text
+         |FROM documents WHERE doc_id % ${Retrieval.QueryEvery} = 0""".stripMargin
+    s"""WITH ${bm25CtesFor(s"($evalCorpus)")},
+       |${phraseCtesFor(s"($evalCorpus)")},
        |lexr AS (SELECT query_id, doc_id, rank FROM (
        |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank

@@ -408,27 +408,31 @@ object Retrieval {
 
   /** Retrieval-quality harness — the lexical counterpart of the ANN recall
     * harness: can each retriever FIND a known near-duplicate? The corpus is
-    * the dedup family's perturbed union (every doc + a variant with its
-    * first token dropped, id + 1e6); each carve query's target is its own
-    * variant, and per method the harness reports exact hits@1, hits@k and
-    * MRR in ppm (reciprocal ranks in integer 1e6//rank, missed targets
-    * contributing 0, divided by the full query count) — measurement, like
-    * recall, lives in-engine and under the oracle. bm25 ranks by fixed-
-    * point score; phrase ranks by verbatim occurrence count. Both lists
-    * exclude the query doc itself.
+    * the corpus plus a planted variant of each CARVE doc (first token
+    * dropped, id + 1e6 — the dedup family's perturbation); each query's
+    * target is its own variant, every original doc is a distractor, and
+    * per method the harness reports exact hits@1, hits@k and MRR in ppm
+    * (reciprocal ranks in integer 1e6//rank, missed targets contributing
+    * 0, divided by the full query count) — measurement, like recall,
+    * lives in-engine and under the oracle. bm25 ranks by fixed-point
+    * score; phrase ranks by verbatim occurrence count. Both lists exclude
+    * the query doc itself. Variants are planted only for the queries:
+    * non-query variants would be distractors a corpus of N originals
+    * already supplies, at double the scoring cost.
     *
     * Scale shape: the two retrievals dominate (each in its audited
-    * posture); everything downstream of them is Q×k rows. Eval cost is 2×
-    * the production probe because the corpus carries the planted targets —
-    * the standard price of a labeled eval.
+    * posture); everything downstream of them is Q×k rows. Eval cost is
+    * one production probe over N + Q docs — the price of a labeled eval.
     */
   def retrievalEval(documents: DataFrame, k: Int = RrfDepth): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val corpus = Dedup.withPerturbedCopies(documents)
+    val carve = documents.filter(col("doc_id") % QueryEvery === 0)
+    val corpus = documents.select("doc_id", "text").unionByName(
+      Dedup.withPerturbedCopies(carve).filter(col("doc_id") >= 1000000L))
     val queries = bm25Queries(documents)
     // both retrievers consume ONE materialized positional token stream —
-    // tokenize+explode over the 2x corpus is their shared dominant cost
+    // tokenize+explode over the corpus is their shared dominant cost
     // (blocks are released by the harness's per-query cleanup)
     val pos = positionalPostings(corpus).localCheckpoint(true)
     val lex = bm25Rank(

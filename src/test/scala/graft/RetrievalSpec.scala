@@ -216,10 +216,10 @@ class RetrievalSpec extends SparkSpec {
       ("phrase", 1L, 1L, 1L, 1000000L)))
 
     // a decoy that repeats the phrase twice outranks the variant on BOTH
-    // sides (phrase: n_matches 2 > 1; bm25: tf 2 with modest dl penalty),
-    // and the decoy's own variant still holds one phrase occurrence, so the
-    // target lands phrase rank 2 (rr 500000) and bm25 rank 3 (rr 333333 —
-    // hand-computed through the fixed-point arithmetic)
+    // sides (phrase: n_matches 2 > 1; bm25: tf 2 beats tf 1 through the
+    // fixed-point arithmetic at these lengths), so the target lands rank 2
+    // on each — rr 500000 (variants are planted for CARVE docs only, so
+    // the decoy itself has no competing variant)
     val decoy = Seq(
       (0L, "u0 u1 alpha beta gamma delta"),
       (10L, "alpha beta gamma delta alpha beta gamma delta"),
@@ -230,7 +230,7 @@ class RetrievalSpec extends SparkSpec {
     val d = Retrieval.retrievalEval(decoy)
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
     assert(d("phrase") == ((0L, 500000L)), d.toString)
-    assert(d("bm25") == ((0L, 333333L)), d.toString)
+    assert(d("bm25") == ((0L, 500000L)), d.toString)
   }
 
   test("bm25 serving loop: query batches answered from the live index across restarts") {
