@@ -33,8 +33,11 @@ object Bench {
       // ann_recall warms the whole kernel/codegen surface of the 8-method
       // harness — without it the first in-suite run pays the JIT spike
       // (observed 77 ds vs 38-43 steady in the r12 sessions)
+      // ext_retrieval_eval warms the whole BM25 + phrase + metric codegen
+      // surface; ext_ts_neighbors the SAX/vector kernels
       Seq("a3_event_counts", "q1_pricing", "ext_fingerprint", "ann_brute_topk",
-        "ext_frame_sample", "ext_dedup_minhash", "ann_recall").foreach { n =>
+        "ext_frame_sample", "ext_dedup_minhash", "ann_recall",
+        "ext_retrieval_eval", "ext_ts_neighbors").foreach { n =>
         SparkEntry.queries.get(n).foreach { f =>
           try f(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
