@@ -215,6 +215,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("ts neighbors: word-bucketed pairs, partial top-1, no cartesian") {
+    val p = graft.ext.TimeSeries.tsTopNeighbor(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    // candidate pairs come from the SAX-word equi-join (the bucket), never
+    // a cross join of users (the only nested-loop join allowed is the
+    // 1-row day0 global-scalar broadcast)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Join \\[word".r.findAllIn(p).nonEmpty ||
+      p.contains("Join [word"), p)
+    // rank-1 filter plans as WindowGroupLimit (partial before the shuffle)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("hybrid rrf: rank lists meet in one join, top-k is group-limited") {
+    val p = graft.ext.Retrieval.hybridRrf(
+      Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    // the corpus-sized work sits inside the two retrievers; fusion itself
+    // is a join of Q x depth lists plus a group-limited window
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("replay range predicate pushes into the raw events scan") {
     // the derived-ts filter CANNOT push through timestamp_micros(ts div
     // 1000); the pruned path filters the raw nanos-long column instead
