@@ -481,6 +481,11 @@ object SparkEntry {
           aggregate(col("features"), lit(0L), (a, x) => a + x).as("feat_sum"),
           array_min(col("features")).as("feat_min"),
           array_max(col("features")).as("feat_max"))
+        .orderBy("doc_id")),
+    // media near-dup: feature extraction -> sign-bit bucket -> exact
+    // integer-distance top-1 (closes the multimodal -> similarity loop)
+    "ext_media_ann" -> ((s, d) =>
+      Multimodal.mediaTopNeighbor(s, Multimodal.asMedia(docs(s, d)))
         .orderBy("doc_id"))
   )
 
@@ -2669,7 +2674,25 @@ object SparkEntry {
          |SELECT doc_id, features[1] AS f0, features[8] AS f7,
          |  CAST(list_sum(features) AS BIGINT) AS feat_sum,
          |  list_min(features) AS feat_min, list_max(features) AS feat_max
-         |FROM mf ORDER BY doc_id""".stripMargin
+         |FROM mf ORDER BY doc_id""".stripMargin,
+    "ext_media_ann" ->
+      s"""WITH mann AS (SELECT doc_id, list_transform(range(0, ${Multimodal.NumFeatures}),
+         |    i -> ('0x' || substr(md5(text), i * 4 + 1, 4))::BIGINT) AS f
+         |  FROM documents),
+         |mbk AS (SELECT doc_id, f,
+         |    CAST(list_sum(list_transform(range(0, ${Multimodal.NumFeatures}),
+         |      i -> CASE WHEN f[i + 1] >= 32768 THEN 1 << i ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM mann),
+         |mpr AS (SELECT l.doc_id, r.doc_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, ${Multimodal.NumFeatures + 1}),
+         |      i -> (l.f[i] - r.f[i]) * (l.f[i] - r.f[i]))) AS BIGINT) AS dist
+         |  FROM mbk l JOIN mbk r ON l.bucket = r.bucket AND l.doc_id != r.doc_id)
+         |SELECT doc_id, neighbor_id, dist FROM (
+         |  SELECT doc_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY dist ASC, neighbor_id ASC) AS rnk
+         |  FROM mpr)
+         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin
   )
 
   private def langMarkerSql(w: String) =

@@ -124,4 +124,38 @@ object Multimodal {
       }
     }.toDF("doc_id", "frame_idx", "frame_hash")
   }
+
+  /** Media similarity search — the step that closes the multimodal loop
+    * (decode → feature vector → nearest neighbor), i.e. image/video
+    * near-dup detection over extracted features. Candidates come from a
+    * coarse sign-bit bucket over the feature dimensions (each dim
+    * contributes its high bit — 2^NumFeatures buckets, the sign-LSH
+    * posture of [[Similarity.signBucket]] applied to integer features),
+    * then the exact integer squared distance ranks within buckets;
+    * items alone in their bucket are absent, approximate by design.
+    * Everything downstream of [[extractFeatures]] is exact integer, so the
+    * whole pipeline sits under the hash oracle — with a real model's float
+    * embeddings, this operator is [[Similarity]]'s cosine family instead.
+    */
+  def mediaTopNeighbor(spark: SparkSession, media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = extractFeatures(spark, media)
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  zip_with(features, sequence(0, size(features) - 1),
+          |    (x, i) -> IF(x >= 32768L, shiftleft(1L, i), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+    val l = f.select(col("bucket"), col("doc_id"), col("features"))
+    val r = f.select(col("bucket"), col("doc_id").as("neighbor_id"),
+      col("features").as("nf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    l.join(r, "bucket")
+      .filter(col("doc_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(features, nf, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("doc_id", "neighbor_id", "dist")
+  }
 }

@@ -739,6 +739,22 @@ class ExtSpec extends SparkSpec {
       (3L, 4L, 5L), (4L, 3L, 5L)))  // 5 days x (2-3)^2
   }
 
+  test("media ann: identical payloads are mutual zero-distance neighbors") {
+    val docs = Seq(
+      (1L, "the very same media payload"),
+      (2L, "the very same media payload"),
+      (3L, "the very same media payload"),
+      (4L, "something completely different entirely"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaTopNeighbor(spark, Multimodal.asMedia(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical payloads: distance 0, ties broken toward the smaller id
+    assert(out(1L) == ((2L, 0L)) && out(2L) == ((1L, 0L)) && out(3L) == ((1L, 0L)))
+    // the distinct payload either has no bucket-mate (absent) or a
+    // strictly positive distance — never a spurious zero
+    assert(out.get(4L).forall(_._2 > 0L))
+  }
+
   test("length quantiles: exact type-1 ranks on a known distribution") {
     val docs = (1 to 10).map { i =>
       (i.toLong, Seq.fill(i)("tok").mkString(" "), "s1")
