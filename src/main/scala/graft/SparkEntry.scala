@@ -508,10 +508,6 @@ object SparkEntry {
        |  FROM bmsc)
        |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
 
-  /** BM25 + embedding-cosine hybrid retrieval under reciprocal-rank fusion
-    * (see ext.Retrieval.hybridRrf): both per-retriever lists are depth-10
-    * with the query doc excluded, fused by exact integer 1e6//(60+rank).
-    */
   /** The lexical top-`depth` list (self excluded) over the bm25Ctes' bmsc,
     * and the semantic top-`depth` list (self excluded) — shared by the
     * hybrid-fusion and hard-negative oracles.
@@ -547,6 +543,10 @@ object SparkEntry {
        |  ON l.query_id = r.query_id AND l.doc_id = r.doc_id
        |WHERE r.doc_id IS NULL ORDER BY l.query_id, l.lex_rank""".stripMargin
 
+  /** BM25 + embedding-cosine hybrid retrieval under reciprocal-rank fusion
+    * (see ext.Retrieval.hybridRrf): both per-retriever lists are depth-10
+    * with the query doc excluded, fused by exact integer 1e6//(60+rank).
+    */
   private lazy val hybridRrfSql: String = {
     val kc = Retrieval.RrfKConst; val depth = Retrieval.RrfDepth
     s"""WITH $bm25Ctes,

@@ -137,25 +137,13 @@ object Multimodal {
     * whole pipeline sits under the hash oracle — with a real model's float
     * embeddings, this operator is [[Similarity]]'s cosine family instead.
     */
-  def mediaTopNeighbor(spark: SparkSession, media: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val f = extractFeatures(spark, media)
-      .withColumn("bucket", expr(
-        """aggregate(
-          |  zip_with(features, sequence(0, size(features) - 1),
-          |    (x, i) -> IF(x >= 32768L, shiftleft(1L, i), 0L)),
-          |  0L, (a, x) -> a + x)""".stripMargin))
-    val l = f.select(col("bucket"), col("doc_id"), col("features"))
-    val r = f.select(col("bucket"), col("doc_id").as("neighbor_id"),
-      col("features").as("nf"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    l.join(r, "bucket")
-      .filter(col("doc_id") =!= col("neighbor_id"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(features, nf, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("doc_id", "neighbor_id", "dist")
-  }
+  def mediaTopNeighbor(spark: SparkSession, media: DataFrame): DataFrame =
+    Similarity.bucketedTop1Neighbor(
+      extractFeatures(spark, media)
+        .withColumn("bucket", expr(
+          """aggregate(
+            |  zip_with(features, sequence(0, size(features) - 1),
+            |    (x, i) -> IF(x >= 32768L, shiftleft(1L, i), 0L)),
+            |  0L, (a, x) -> a + x)""".stripMargin)),
+      "bucket", "doc_id", "features")
 }

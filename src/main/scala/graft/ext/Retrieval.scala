@@ -198,21 +198,47 @@ object Retrieval {
       .format("parquet").saveAsTable(s"${table}_stats")
   }
 
-  /** Streaming maintenance of a persisted inverted index: each micro-batch
-    * appends its postings and stats delta ([[appendBm25Index]] semantics),
-    * and the next search sees exactly the enlarged corpus — same loop
-    * shape as [[Similarity.maintainIvfIndex]]. Batch-local tokenize/agg
-    * only; no cross-batch state, so the checkpoint's effectively-once
-    * replay is the only correctness dependency.
+  /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
+    * checkpoint replay: the batch's postings and its one stats row land
+    * under their own `batch_id=` partition with dynamic partition
+    * overwrite, so a redelivered batch overwrites its own rows instead of
+    * double-appending — the same idempotence mechanism as
+    * [[serveBm25Queries]]' answer partitions. A plain append into the
+    * bucketed base table would be at-least-once (a crash between the
+    * append and the checkpoint commit re-appends on restart, permanently
+    * inflating df/n_docs/total_tokens for every later search), which is
+    * why the maintenance loop never writes the base table directly.
     */
-  def maintainBm25Index(stream: DataFrame, table: String, checkpointDir: String,
-                        buckets: Int = 8)
+  def applyBm25Delta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    bm25Postings(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$deltaDir/postings")
+    bm25StatsDelta(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$deltaDir/stats")
+  }
+
+  /** Streaming maintenance of a persisted inverted index, LSM-style: each
+    * micro-batch lands in a batch_id-partitioned delta directory
+    * ([[applyBm25Delta]] — replay-idempotent), searches read base ∪ delta
+    * ([[searchBm25IndexWith]]), and [[compactBm25Index]] periodically folds
+    * the delta into the bucketed base. Batch-local tokenize/agg only; no
+    * cross-batch state, and no correctness dependency on effectively-once
+    * delivery — replayed batches overwrite their own partition.
+    */
+  def maintainBm25Index(stream: DataFrame, deltaDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendBm25Index(batch, table, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBm25Delta(batch, deltaDir, batchId)
       }
       .start()
 
@@ -508,4 +534,57 @@ object Retrieval {
     bm25Rank(
       withBm25Weights(spark.table(table), spark.table(s"${table}_stats")),
       queries, k)
+
+  /** Read one layer of a delta directory if it exists (it may not before
+    * the first maintenance batch), dropping the `batch_id` partition
+    * column — the search plane cares about rows, not provenance.
+    */
+  private def readDelta(spark: SparkSession, path: String,
+                        cols: Seq[String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path).select(cols.map(col): _*))
+    else None
+  }
+
+  /** [[searchBm25Index]] over base ∪ delta — the read side of the LSM
+    * posture: answers reflect every compacted batch (bucketed base scan,
+    * exchange-free df window) plus every not-yet-compacted one (delta
+    * union, which DOES cost the probe a delta-sized co-location shuffle —
+    * the price of exactly-once maintenance, bounded by compaction cadence
+    * and zero once [[compactBm25Index]] has folded the delta in).
+    */
+  def searchBm25IndexWith(spark: SparkSession, table: String, deltaDir: String,
+                          queries: DataFrame, k: Int = TopK): DataFrame = {
+    val postings = readDelta(spark, s"$deltaDir/postings",
+        Seq("doc_id", "token", "tf", "dl"))
+      .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
+    val stats = readDelta(spark, s"$deltaDir/stats",
+        Seq("n_docs", "total_tokens"))
+      .map(spark.table(s"${table}_stats").unionByName(_))
+      .getOrElse(spark.table(s"${table}_stats"))
+    bm25Rank(withBm25Weights(postings, stats), queries, k)
+  }
+
+  /** Fold the delta layer into the bucketed base, re-align, and clear the
+    * delta — after which plain [[searchBm25Index]] sees the whole corpus
+    * exchange-free again. Administrative op with the same in-place caveat
+    * as the base compaction (run it from one place, not under concurrent
+    * replay; a production deployment writes generation N+1 and swaps).
+    */
+  def compactBm25Index(spark: SparkSession, table: String, deltaDir: String,
+                       buckets: Int): Unit = {
+    readDelta(spark, s"$deltaDir/postings", Seq("doc_id", "token", "tf", "dl"))
+      .foreach(_.write.format("parquet").mode("append")
+        .bucketBy(buckets, "token").sortBy("token").saveAsTable(table))
+    readDelta(spark, s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
+      .foreach(_.write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_stats"))
+    compactBm25Index(spark, table, buckets)
+    Seq("postings", "stats").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$deltaDir/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
 }

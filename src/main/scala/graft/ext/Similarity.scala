@@ -252,6 +252,35 @@ object Similarity {
       when(element_at(emb, offset + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Exact top-1 neighbor among INTEGER vectors sharing a coarse bucket:
+    * equi-join on the bucket key (never a cross join of items), exact
+    * integer squared distance, per-item rank-1 with ties toward the
+    * smaller neighbor id (plans as a partial WindowGroupLimit before the
+    * rank shuffle). Items alone in their bucket are absent — approximate
+    * by design, like the LSH family. The one pipeline behind
+    * [[TimeSeries.tsTopNeighbor]] (SAX-word buckets over daily-activity
+    * vectors) and [[Multimodal.mediaTopNeighbor]] (sign-bit buckets over
+    * extracted features); a hot-bucket cap lands here once, the same
+    * `maxBucket` sharding as [[lshTopNeighbor]], if a corpus needs it.
+    * Output (<idCol>, neighbor_id, dist).
+    */
+  def bucketedTop1Neighbor(items: DataFrame, bucketCol: String, idCol: String,
+                           vecCol: String): DataFrame = {
+    val l = items.select(col(bucketCol), col(idCol), col(vecCol))
+    val r = items.select(col(bucketCol), col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    l.join(r, bucketCol)
+      .filter(col(idCol) =!= col("neighbor_id"))
+      .withColumn("dist", expr(
+        s"aggregate(zip_with($vecCol, nv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(idCol, "neighbor_id", "dist")
+  }
+
   /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's
     * sign bucket. Output (vec_id, neighbor_id); vectors whose bucket holds no
     * other vector are absent (approximate by design).

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series similarity search over user activity — "which users behave
@@ -74,24 +73,12 @@ object TimeSeries {
       .select("user_id", "v", "word")
 
   /** Top-1 behavioral neighbor per user: exact squared distance on the raw
-    * daily vectors, compared only within SAX buckets (users alone in their
-    * bucket are absent — approximate by design, like the LSH family).
+    * daily vectors, compared only within SAX buckets — the shared
+    * [[Similarity.bucketedTop1Neighbor]] pipeline keyed by the SAX word.
     * Output (user_id, neighbor_id, dist); ties break toward the smaller
     * neighbor id.
     */
-  def tsTopNeighbor(events: DataFrame): DataFrame = {
-    val words = saxWords(activityVectors(events))
-    val l = words.select(col("word"), col("user_id"), col("v"))
-    val r = words.select(col("word"), col("user_id").as("neighbor_id"),
-      col("v").as("nv"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    l.join(r, "word")
-      .filter(col("user_id") =!= col("neighbor_id"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(v, nv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("user_id", "neighbor_id", "dist")
-  }
+  def tsTopNeighbor(events: DataFrame): DataFrame =
+    Similarity.bucketedTop1Neighbor(
+      saxWords(activityVectors(events)), "word", "user_id", "v")
 }

@@ -222,8 +222,7 @@ class PlanSpec extends SparkSpec {
     // a cross join of users (the only nested-loop join allowed is the
     // 1-row day0 global-scalar broadcast)
     assert(!p.contains("CartesianProduct"), p)
-    assert("Join \\[word".r.findAllIn(p).nonEmpty ||
-      p.contains("Join [word"), p)
+    assert(p.contains("Join [word"), p)
     // rank-1 filter plans as WindowGroupLimit (partial before the shuffle)
     assert(p.contains("WindowGroupLimit"), p)
   }

@@ -147,32 +147,57 @@ class RetrievalSpec extends SparkSpec {
     assert(incr.toSeq == oneShot.toSeq)
 
     // streaming path with a mid-stream restart: tranche 2 lands while the
-    // maintainer is down; the restarted query appends it exactly once
+    // maintainer is down; the restarted query applies it exactly once,
+    // into the batch_id-partitioned delta layer
     val root = managedTempDir("bm25maint")
     val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
     Retrieval.buildBm25Index(half1.limit(0), "graft_bm25_stream")
     val schema = docs.schema
     def start() = Retrieval.maintainBm25Index(
-      spark.readStream.schema(schema).parquet(srcDir), "graft_bm25_stream",
-      s"$root/ckpt")
+      spark.readStream.schema(schema).parquet(srcDir), deltaDir, s"$root/ckpt")
     half1.write.mode("append").parquet(srcDir)
     val q1 = start(); q1.processAllAvailable(); q1.stop()
     half2.write.mode("append").parquet(srcDir)
     val q2 = start(); q2.processAllAvailable(); q2.stop()
     val streamed = Retrieval
-      .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
+      .searchBm25IndexWith(spark, "graft_bm25_stream", deltaDir,
+        Retrieval.bm25Queries(docs))
       .orderBy("query_id", "rank").collect()
     assert(streamed.toSeq == oneShot.toSeq)
 
-    // compaction is layout-only: stats fold to one row, every answer and
-    // the bucketed layout survive
-    Retrieval.compactBm25Index(spark, "graft_bm25_stream")
+    // crash-replay idempotence: redeliver half2's batch (id 1 — the
+    // restarted query's first batch) as foreachBatch would after a crash
+    // between the delta write and the checkpoint commit. The partition
+    // overwrite makes it a no-op: stats totals and answers are unchanged
+    // (an at-least-once append would inflate df/n_docs/total_tokens here)
+    val statsBefore = spark.read.parquet(s"$deltaDir/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).collect()(0)
+    Retrieval.applyBm25Delta(half2, deltaDir, 1L)
+    val statsAfter = spark.read.parquet(s"$deltaDir/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).collect()(0)
+    assert(statsAfter == statsBefore)
+    val replayed = Retrieval
+      .searchBm25IndexWith(spark, "graft_bm25_stream", deltaDir,
+        Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank").collect()
+    assert(replayed.toSeq == oneShot.toSeq)
+
+    // compaction folds the delta into the bucketed base and clears it:
+    // stats fold to one row, every answer and the bucketed layout survive,
+    // and the delta-aware search falls back to the base-only plan
+    Retrieval.compactBm25Index(spark, "graft_bm25_stream", deltaDir, 8)
     assert(spark.table("graft_bm25_stream_stats").count() == 1L)
     val compacted = Retrieval
       .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
       .orderBy("query_id", "rank")
     assert(compacted.queryExecution.executedPlan.toString.contains("Bucketed: true"))
     assert(compacted.collect().toSeq == oneShot.toSeq)
+    val afterCompact = Retrieval
+      .searchBm25IndexWith(spark, "graft_bm25_stream", deltaDir,
+        Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank").collect()
+    assert(afterCompact.toSeq == oneShot.toSeq)
   }
 
   test("phrase search: repeated-token phrases, overlapping matches, exact positions") {
