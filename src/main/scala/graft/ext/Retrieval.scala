@@ -535,17 +535,9 @@ object Retrieval {
       withBm25Weights(spark.table(table), spark.table(s"${table}_stats")),
       queries, k)
 
-  /** Read one layer of a delta directory if it exists (it may not before
-    * the first maintenance batch), dropping the `batch_id` partition
-    * column — the search plane cares about rows, not provenance.
-    */
   private def readDelta(spark: SparkSession, path: String,
-                        cols: Seq[String]): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path).select(cols.map(col): _*))
-    else None
-  }
+                        cols: Seq[String]): Option[DataFrame] =
+    graft.sources.Bucketing.readParquetIfExists(spark, path, cols)
 
   /** [[searchBm25Index]] over base ∪ delta — the read side of the LSM
     * posture: answers reflect every compacted batch (bucketed base scan,
@@ -581,10 +573,7 @@ object Retrieval {
       .foreach(_.write.mode("append").format("parquet")
         .saveAsTable(s"${table}_stats"))
     compactBm25Index(spark, table, buckets)
-    Seq("postings", "stats").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$deltaDir/$sub")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      ()
-    }
+    graft.sources.Bucketing.deleteDirs(spark,
+      Seq(s"$deltaDir/postings", s"$deltaDir/stats"))
   }
 }

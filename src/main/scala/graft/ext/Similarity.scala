@@ -657,33 +657,73 @@ object Similarity {
     finally rows.unpersist()
   }
 
-  /** Streaming maintenance of a persisted IVF index: each micro-batch is
-    * assigned against the index's OWN coarse quantizer (the vec_id < k rows
-    * indexed at build time — fixed centroids keep every append consistent
-    * with the existing posting lists) and appended with the same bucket
-    * spec, so [[searchIvfIndex]] stays exchange-free as the corpus grows
-    * and the checkpoint gives effectively-once appends across restarts.
-    * Appends write unsharded rows (m = 1): recomputing shard factors per
-    * batch would disagree with existing rows' m and break the shard grid's
-    * pair coverage, so a CAPPED index refreshes its shard factors at
-    * rebuild/compaction time — the standard maintenance posture of a
-    * production ANN index (grow by append, re-balance by compaction).
+  /** Fold the delta layer into the bucketed base (assignments are stored,
+    * so this stays a layout pass), re-stamp shard factors from the grown
+    * counts, and clear the delta — after which plain [[searchIvfIndex]]
+    * sees the whole corpus exchange-free again. Administrative op with the
+    * same in-place caveat as the base compaction.
     */
-  def maintainIvfIndex(stream: DataFrame, table: String, checkpointDir: String,
-                       k: Int = IvfClusters, buckets: Int = 8)
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      deltaDir: String, buckets: Int, maxBucket: Int): Unit = {
+    val base = spark.table(table).select("cluster_id", "vec_id", "embedding")
+    val rows = graft.sources.Bucketing
+      .readParquetIfExists(spark, s"$deltaDir/postings",
+        Seq("cluster_id", "vec_id", "embedding"))
+      .map(base.unionByName(_)).getOrElse(base)
+      .localCheckpoint(true)
+    try
+      graft.sources.Bucketing.writeBucketed(
+        withShardFactors(rows, maxBucket), table, "cluster_id", buckets)
+    finally rows.unpersist()
+    graft.sources.Bucketing.deleteDirs(spark, Seq(s"$deltaDir/postings"))
+  }
+
+  /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
+    * checkpoint replay: the batch is assigned against the index's OWN
+    * coarse quantizer (the vec_id < k rows indexed at build time — fixed
+    * centroids keep every append consistent with the existing posting
+    * lists) and lands under its own `batch_id=` partition with dynamic
+    * partition overwrite, so a redelivered batch overwrites its own rows.
+    * A plain append into the bucketed base would be at-least-once — a
+    * crash between the append and the checkpoint commit re-appends on
+    * restart, and the duplicated vectors then occupy extra candidate
+    * slots in every affected posting list's top-k. Delta rows are
+    * unsharded (m = 1): recomputing shard factors per batch would
+    * disagree with existing rows' m and break the shard grid's pair
+    * coverage, so a CAPPED index refreshes its shard factors at
+    * compaction time.
+    */
+  def applyIvfDelta(batch: DataFrame, table: String, deltaDir: String,
+                    batchId: Long, k: Int = IvfClusters): Unit = {
+    val cents = batch.sparkSession.table(table).filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    assignTo(batch.select("vec_id", "embedding"), cents, 1)
+      .select(col("cluster_id"), lit(0).as("shard"), lit(1).as("m"),
+        col("vec_id"), col("embedding"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$deltaDir/postings")
+  }
+
+  /** Streaming maintenance of a persisted IVF index, LSM-style like
+    * [[Retrieval.maintainBm25Index]]: each micro-batch lands in a
+    * batch_id-partitioned delta directory ([[applyIvfDelta]] —
+    * replay-idempotent), searches read base ∪ delta
+    * ([[searchIvfIndexWith]]), and [[compactIvfIndex]] periodically folds
+    * the delta into the bucketed base — the standard maintenance posture
+    * of a production ANN index (grow by append, re-balance by compaction),
+    * with no correctness dependency on effectively-once delivery.
+    */
+  def maintainIvfIndex(stream: DataFrame, table: String, deltaDir: String,
+                       checkpointDir: String, k: Int = IvfClusters)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val session = batch.sparkSession
-        val cents = session.table(table).filter(col("vec_id") < k)
-          .select(col("vec_id").as("centroid_id"), col("embedding"))
-        assignTo(batch.select("vec_id", "embedding"), cents, 1)
-          .select(col("cluster_id"), lit(0).as("shard"), lit(1).as("m"),
-            col("vec_id"), col("embedding"))
-          .write.format("parquet").mode("append")
-          .bucketBy(buckets, "cluster_id").saveAsTable(table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfDelta(batch, table, deltaDir, batchId, k)
       }
       .start()
 
@@ -701,8 +741,27 @@ object Similarity {
     * cluster and a single-candidate-set sort.
     */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                     topK: Int = 3): DataFrame = {
-    val idx = spark.table(table)
+                     topK: Int = 3): DataFrame =
+    ivfSearch(spark.table(table), topK)
+
+  /** [[searchIvfIndex]] over base ∪ delta — the read side of the LSM
+    * posture: delta rows (unsharded, m = 1) join their cluster's candidate
+    * pool at the cost of a delta-sized Exchange (the bucketed base alone
+    * satisfies the grouping; the union does not), bounded by compaction
+    * cadence and zero once [[compactIvfIndex]] has folded the delta in.
+    */
+  def searchIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
+                         table: String, deltaDir: String,
+                         topK: Int = 3): DataFrame = {
+    val base = spark.table(table)
+    val idx = graft.sources.Bucketing
+      .readParquetIfExists(spark, s"$deltaDir/postings",
+        Seq("cluster_id", "shard", "m", "vec_id", "embedding"))
+      .map(base.unionByName(_)).getOrElse(base)
+    ivfSearch(idx, topK)
+  }
+
+  private def ivfSearch(idx: DataFrame, topK: Int): DataFrame = {
     registerKernels(idx)
     idx
       .select(col("cluster_id"), col("vec_id"), col("embedding"),

@@ -58,4 +58,29 @@ object Bucketing {
     */
   def bucketedJoin(spark: SparkSession, fact: String, dim: String, key: String): DataFrame =
     spark.table(fact).join(spark.table(dim), Seq(key))
+
+  /** Read a parquet path if it exists (a streaming delta layer may not
+    * before its first batch), projecting to `cols` — which drops any
+    * provenance partition column (e.g. the replay-idempotence `batch_id`).
+    * Shared by the index maintenance loops' base ∪ delta readers.
+    */
+  def readParquetIfExists(spark: SparkSession, path: String,
+                          cols: Seq[String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(path)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*))
+    else None
+  }
+
+  /** Delete a delta layer's directories after compaction has folded them
+    * into the base table.
+    */
+  def deleteDirs(spark: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
 }

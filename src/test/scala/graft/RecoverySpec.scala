@@ -75,27 +75,26 @@ class RecoverySpec extends SparkSpec {
 
     // initial build from the first 100 vectors (contains the k=16 quantizer)
     Similarity.buildIvfIndex(frame(0 until 100), "ivf_maint_test", buckets = 4)
+    val deltaDir = s"$root/delta"
     def startQuery() = Similarity.maintainIvfIndex(
-      spark.readStream.schema(schema).parquet(srcDir), "ivf_maint_test", ckpt,
-      buckets = 4)
+      spark.readStream.schema(schema).parquet(srcDir), "ivf_maint_test",
+      deltaDir, ckpt)
     try {
       frame(100 until 150).write.mode("append").parquet(srcDir)
       val q1 = startQuery()
       q1.processAllAvailable()
       q1.stop()
       // vectors arriving while the maintainer is down; the restarted query
-      // must pick them up WITHOUT re-appending the first batch
+      // must pick them up WITHOUT re-applying the first batch
       frame(150 until 200).write.mode("append").parquet(srcDir)
       val q2 = startQuery()
       q2.processAllAvailable()
       q2.stop()
 
-      val idx = spark.table("ivf_maint_test")
-      assert(idx.count() == 200L, "exactly one append per vector across restarts")
-      val viaIndex = Similarity.searchIvfIndex(spark, "ivf_maint_test", 3)
-      // the grown index still searches with no Exchange anywhere
-      assert(!viaIndex.queryExecution.executedPlan.toString.contains("Exchange"))
-      val got = viaIndex.as[(Long, Long, Long)].collect()
+      assert(spark.read.parquet(s"$deltaDir/postings").count() == 100L,
+        "exactly one delta row per vector across restarts")
+      val got = Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
+        .as[(Long, Long, Long)].collect()
       // post-restart vectors are searchable AND surface as neighbors
       assert(got.exists(_._1 >= 150L) && got.exists(_._3 >= 150L))
       // equivalence: the incrementally-built index answers exactly like a
@@ -104,16 +103,31 @@ class RecoverySpec extends SparkSpec {
       val direct = Similarity.ivfTopKNeighbors(frame(0 until 200), 3)
         .as[(Long, Long, Long)].collect().toSet
       assert(got.toSet == direct)
-      // compaction: appends arrived unsharded (m=1); re-stamping shard
-      // factors at maxBucket=8 must shard the grown lists, keep search
-      // exchange-free, and change no answer
-      Similarity.compactIvfIndex(spark, "ivf_maint_test", buckets = 4, maxBucket = 8)
+      // crash-replay idempotence: redeliver the restarted query's batch
+      // (id 1) as foreachBatch would after a crash between the delta write
+      // and the checkpoint commit — the partition overwrite makes it a
+      // no-op (an at-least-once base append would duplicate 50 vectors)
+      Similarity.applyIvfDelta(frame(150 until 200), "ivf_maint_test",
+        deltaDir, 1L)
+      assert(spark.read.parquet(s"$deltaDir/postings").count() == 100L)
+      assert(Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
+        .as[(Long, Long, Long)].collect().toSet == direct)
+      // compaction folds the delta into the bucketed base: delta rows were
+      // unsharded (m=1); re-stamping shard factors at maxBucket=8 must
+      // shard the grown lists, restore the exchange-free plain search, and
+      // change no answer
+      Similarity.compactIvfIndex(spark, "ivf_maint_test", deltaDir, 4, 8)
       spark.catalog.refreshTable("ivf_maint_test")
       assert(spark.table("ivf_maint_test").count() == 200L)
       assert(spark.table("ivf_maint_test").filter(col("m") > 1).count() > 0)
       val compacted = Similarity.searchIvfIndex(spark, "ivf_maint_test", 3)
       assert(!compacted.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(compacted.as[(Long, Long, Long)].collect().toSet == direct)
+      // delta cleared: the delta-aware search now plans base-only,
+      // exchange-free again
+      val after = Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
+      assert(!after.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(after.as[(Long, Long, Long)].collect().toSet == direct)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_maint_test")
   }
 
