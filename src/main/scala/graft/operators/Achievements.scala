@@ -83,10 +83,20 @@ object Achievements {
       .select("user_id", "threshold", "notification", "latest_attempt")
 
   /** S6 — micro-batch sink in the reference's Processor shape; parquet
-    * stands in for the JDBC upsert target.
+    * stands in for the JDBC upsert target. The upsert is naturally
+    * replay-idempotent (ON CONFLICT re-applies the same row); the parquet
+    * stand-in gets the same property by landing each batch under its own
+    * `batch_id=` partition with dynamic partition overwrite, so a
+    * checkpoint replay overwrites its own rows instead of appending
+    * duplicates.
     */
-  def sinkToParquet(spark: SparkSession, df: DataFrame, path: String): Unit =
-    df.write.mode("append").parquet(path)
+  def sinkToParquet(spark: SparkSession, df: DataFrame, path: String,
+                    batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
 
   // ---- streaming exactly-once crossing detection ----
 

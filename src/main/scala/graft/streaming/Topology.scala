@@ -117,8 +117,8 @@ object Topology {
   def startAchievementsSink(df: DataFrame, path: String): StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Achievements.sinkToParquet(batch.sparkSession, batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Achievements.sinkToParquet(batch.sparkSession, batch, path, batchId)
       }
       .start()
 }

@@ -461,5 +461,10 @@ class StreamingSpec extends SparkSpec {
     val written = spark.read.parquet(s"$dir/out")
     assert(written.count() >= 1)
     assert(written.columns.contains("threshold_achieved"))
+    // crash-replay idempotence: re-sinking the same batch id overwrites its
+    // own partition instead of appending duplicate crossing rows
+    val cnt = written.count()
+    Achievements.sinkToParquet(spark, written.drop("batch_id"), s"$dir/out", 0L)
+    assert(spark.read.parquet(s"$dir/out").count() == cnt)
   }
 }
