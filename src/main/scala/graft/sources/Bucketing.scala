@@ -59,8 +59,10 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, fact: String, dim: String, key: String): DataFrame =
     spark.table(fact).join(spark.table(dim), Seq(key))
 
-  /** Read a parquet path if it exists (a streaming delta layer may not
-    * before its first batch), projecting to `cols` — which drops any
+  /** Read a parquet path if it exists AND holds data (a streaming delta
+    * layer may not before its first batch, and an empty batch's write
+    * leaves only a `_SUCCESS` marker — a directory `spark.read.parquet`
+    * rejects as schema-less), projecting to `cols` — which drops any
     * provenance partition column (e.g. the replay-idempotence `batch_id`).
     * Shared by the index maintenance loops' base ∪ delta readers.
     */
@@ -68,7 +70,16 @@ object Bucketing {
                           cols: Seq[String]): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    // treat a data-less directory as absent, but let genuine schema errors
+    // (e.g. a missing projection column) surface from the read
+    def hasData: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (fs.exists(p) && hasData)
       Some(spark.read.parquet(path)
         .select(cols.map(org.apache.spark.sql.functions.col): _*))
     else None
