@@ -137,7 +137,8 @@ object Multimodal {
     * whole pipeline sits under the hash oracle — with a real model's float
     * embeddings, this operator is [[Similarity]]'s cosine family instead.
     */
-  def mediaTopNeighbor(spark: SparkSession, media: DataFrame): DataFrame =
+  def mediaTopNeighbor(spark: SparkSession, media: DataFrame,
+                       maxBucket: Int = Similarity.NoMaxBucket): DataFrame =
     Similarity.bucketedTop1Neighbor(
       extractFeatures(spark, media)
         .withColumn("bucket", expr(
@@ -145,5 +146,5 @@ object Multimodal {
             |  zip_with(features, sequence(0, size(features) - 1),
             |    (x, i) -> IF(x >= 32768L, shiftleft(1L, i), 0L)),
             |  0L, (a, x) -> a + x)""".stripMargin)),
-      "bucket", "doc_id", "features")
+      "bucket", "doc_id", "features", maxBucket)
 }

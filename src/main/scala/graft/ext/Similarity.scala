@@ -253,32 +253,45 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Exact top-1 neighbor among INTEGER vectors sharing a coarse bucket:
-    * equi-join on the bucket key (never a cross join of items), exact
-    * integer squared distance, per-item rank-1 with ties toward the
-    * smaller neighbor id (plans as a partial WindowGroupLimit before the
-    * rank shuffle). Items alone in their bucket are absent — approximate
-    * by design, like the LSH family. The one pipeline behind
+    * one shuffle of (id, vec) rows keyed by bucket, the quadratic candidate
+    * loop inside the bucket_min_l2 kernel (exact BIGINT Σ(x−y)², smallest
+    * neighbor id on ties), one winner row per item emitted — pair rows
+    * never exist as rows, the same winners-only posture as
+    * [[lshTopNeighbor]]. Items alone in their bucket are absent —
+    * approximate by design, like the LSH family. The one pipeline behind
     * [[TimeSeries.tsTopNeighbor]] (SAX-word buckets over daily-activity
     * vectors) and [[Multimodal.mediaTopNeighbor]] (sign-bit buckets over
-    * extracted features); a hot-bucket cap lands here once, the same
-    * `maxBucket` sharding as [[lshTopNeighbor]], if a corpus needs it.
-    * Output (<idCol>, neighbor_id, dist).
+    * extracted features). `maxBucket` is the family's hot-bucket guard
+    * (see [[MaxBucket]]): a corpus-wide hot SAX word or sign pattern (the
+    * all-inactive-users bucket) is hash-split so every gathered list stays
+    * bounded and per-group kernel cost is ≤ maxBucket²·dims — winner rows
+    * from shard groups compose under the min-(dist, id) argmin exactly as
+    * the cosine family's shards do. Output (<idCol>, neighbor_id, dist);
+    * results are identical on every path.
     */
   def bucketedTop1Neighbor(items: DataFrame, bucketCol: String, idCol: String,
-                           vecCol: String): DataFrame = {
-    val l = items.select(col(bucketCol), col(idCol), col(vecCol))
-    val r = items.select(col(bucketCol), col(idCol).as("neighbor_id"),
-      col(vecCol).as("nv"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    l.join(r, bucketCol)
-      .filter(col(idCol) =!= col("neighbor_id"))
-      .withColumn("dist", expr(
-        s"aggregate(zip_with($vecCol, nv, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, x) -> acc + x)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(idCol, "neighbor_id", "dist")
+                           vecCol: String,
+                           maxBucket: Int = NoMaxBucket): DataFrame = {
+    registerKernels(items)
+    val withBucket = items.select(col(bucketCol).as("bucket"),
+      col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    def winners(lists: DataFrame, vs: String, ps: String): DataFrame =
+      lists.select(explode(expr(s"bucket_min_l2($vs, $ps)")).as("w"))
+        .select(col("w.vec_id").as("vec_id"),
+          col("w.neighbor_id").as("neighbor_id"), col("w.dist").as("dist"))
+    val merged =
+      if (anyBucketOver(withBucket, maxBucket))
+        // sharded gather: up to m winner rows per item — min-of-mins merge
+        winners(shardedSelfLists(withBucket, maxBucket), "vs", "ps")
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("neighbor_id"), col("dist")),
+            struct(col("dist"), col("neighbor_id"))).as("w"))
+          .select(col("vec_id"), col("w.neighbor_id").as("neighbor_id"),
+            col("w.dist").as("dist"))
+      else
+        winners(withBucket.groupBy("bucket")
+          .agg(entries(col("vec_id"), col("embedding")).as("vs")), "vs", "vs")
+    merged.select(col("vec_id").as(idCol), col("neighbor_id"), col("dist"))
   }
 
   /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's

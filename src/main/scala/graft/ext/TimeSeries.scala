@@ -74,11 +74,15 @@ object TimeSeries {
 
   /** Top-1 behavioral neighbor per user: exact squared distance on the raw
     * daily vectors, compared only within SAX buckets — the shared
-    * [[Similarity.bucketedTop1Neighbor]] pipeline keyed by the SAX word.
-    * Output (user_id, neighbor_id, dist); ties break toward the smaller
-    * neighbor id.
+    * [[Similarity.bucketedTop1Neighbor]] kernel pipeline keyed by the SAX
+    * word (winners-only; pair rows never materialize). Output (user_id,
+    * neighbor_id, dist); ties break toward the smaller neighbor id.
+    * `maxBucket` is the hot-bucket guard for the corpus-wide hot word (the
+    * all-inactive cohort) — default off per the family's measure-first
+    * posture ([[Similarity.MaxBucket]]); results are identical either way.
     */
-  def tsTopNeighbor(events: DataFrame): DataFrame =
+  def tsTopNeighbor(events: DataFrame,
+                    maxBucket: Int = Similarity.NoMaxBucket): DataFrame =
     Similarity.bucketedTop1Neighbor(
-      saxWords(activityVectors(events)), "word", "user_id", "v")
+      saxWords(activityVectors(events)), "word", "user_id", "v", maxBucket)
 }

@@ -82,6 +82,32 @@ object AnnKernels {
     (ids, embs)
   }
 
+  /** Integer-vector entry list: array<struct<long, array<long>>> — the
+    * [[EntryType]] analog for the exact-L2² kernels (SAX daily-activity
+    * vectors, extracted media features).
+    */
+  private[functions] val EntryTypeL2: DataType => Boolean = {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.head.dataType == LongType &&
+      (s(1).dataType == ArrayType(LongType, true) ||
+        s(1).dataType == ArrayType(LongType, false)) => true
+    case _ => false
+  }
+
+  private[functions] def parseLong(a: ArrayData): (Array[Long], Array[Array[Long]]) = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = if (row.isNullAt(1)) null else row.getArray(1).toLongArray()
+      i += 1
+    }
+    (ids, vecs)
+  }
+
   /** Registers `bucket_top1(members, probes)` and
     * `cosine_close_pairs(vectors, threshold)`; idempotent like
     * HashExpressions.register.
@@ -131,7 +157,78 @@ object AnnKernels {
           e.head, e(1),
           e(2).eval(EmptyRow).asInstanceOf[Number].intValue()), "built-in")
     }
+    ifAbsent("bucket_min_l2") {
+      reg.createOrReplaceTempFunction(
+        "bucket_min_l2", (e: Seq[Expression]) => BucketMinL2(e.head, e(1)), "built-in")
+    }
   }
+}
+
+/** bucket_min_l2(members, probes): for every probe (id, vec) over INTEGER
+  * vectors, its best member by exact L2² — minimal Σ(xᵢ−yᵢ)² in BIGINT,
+  * smallest member id on ties, self (same id) excluded — as
+  * array<struct<vec_id, neighbor_id, dist>>. The ascending-distance twin of
+  * [[BucketTop1]] with the same contract: probes with no valid candidate
+  * (alone in the bucket, or no member of matching length) emit nothing;
+  * argmin with a total tie-break is order-insensitive over collect_list's
+  * nondeterministic input order; winner rows from distinct shard groups
+  * compose under min-(dist asc, id asc), so the `maxBucket` hash-sharding
+  * machinery applies unchanged. Distances are exact Long sums — identical
+  * arithmetic to the SQL `aggregate(zip_with(...))` fold it replaces, so
+  * results are bit-equal to the pair-join + rank-window formulation the
+  * DuckDB oracle reproduces, while only winner rows (never Θ(bucket²) pair
+  * rows) ever reach the shuffle.
+  */
+case class BucketMinL2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bucket_min_l2"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (AnnKernels.EntryTypeL2(left.dataType) && AnnKernels.EntryTypeL2(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<long, array<long>>>, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override def nullSafeEval(m: Any, p: Any): Any = {
+    val (mIds, mVecs) = AnnKernels.parseLong(m.asInstanceOf[ArrayData])
+    val (pIds, pVecs) = AnnKernels.parseLong(p.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < pIds.length) {
+      val pv = pVecs(i)
+      if (pv != null) {
+        var best = Long.MaxValue
+        var bestId = Long.MaxValue
+        var found = false
+        var j = 0
+        while (j < mIds.length) {
+          val mv = mVecs(j)
+          if (mIds(j) != pIds(i) && mv != null && mv.length == pv.length) {
+            var d = 0L
+            var t = 0
+            while (t < pv.length) {
+              val diff = pv(t) - mv(t)
+              d += diff * diff
+              t += 1
+            }
+            if (!found || d < best || (d == best && mIds(j) < bestId)) {
+              best = d; bestId = mIds(j); found = true
+            }
+          }
+          j += 1
+        }
+        if (found) out += new GenericInternalRow(Array[Any](pIds(i), bestId, best))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** nearest_centroids(embedding, centroids, upTo): the row's `upTo` nearest

@@ -739,6 +739,30 @@ class ExtSpec extends SparkSpec {
       (3L, 4L, 5L), (4L, 3L, 5L)))  // 5 days x (2-3)^2
   }
 
+  test("bucketed top1: hot-bucket sharding returns identical winners") {
+    // one hot bucket of 40 integer vectors (>> maxBucket = 8, so the guard
+    // hash-splits it into 5 shards), one normal bucket, one singleton
+    val items = ((0 until 40).map(i =>
+        (i.toLong, 0L, Seq(i.toLong, (i * 7 % 13).toLong))) ++
+      Seq((100L, 1L, Seq(1L, 1L)), (101L, 1L, Seq(1L, 2L)),
+        (102L, 1L, Seq(9L, 9L)), (200L, 2L, Seq(0L, 0L))))
+      .toDF("id", "bucket", "v")
+    def run(maxBucket: Int) =
+      Similarity.bucketedTop1Neighbor(items, "bucket", "id", "v", maxBucket)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = run(Similarity.NoMaxBucket)
+    val sharded = run(8)
+    // every (probe, member) pair meets in exactly one shard group and the
+    // min-of-mins merge composes — results identical to the plain gather
+    assert(sharded == plain)
+    // hand checks: singleton absent; known winner in the small bucket
+    assert(!plain.map(_._1).contains(200L))
+    assert(plain.find(_._1 == 100L).contains((100L, 101L, 1L))) // (1-1)²+(1-2)²
+    assert(plain.map(_._1).toSet ==
+      ((0 until 40).map(_.toLong) ++ Seq(100L, 101L, 102L)).toSet)
+  }
+
   test("media ann: identical payloads are mutual zero-distance neighbors") {
     val docs = Seq(
       (1L, "the very same media payload"),

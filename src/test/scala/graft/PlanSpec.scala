@@ -215,16 +215,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("ts neighbors: word-bucketed pairs, partial top-1, no cartesian") {
+  test("ts neighbors: word-bucketed kernel gather, winners only, no cartesian") {
     val p = graft.ext.TimeSeries.tsTopNeighbor(Tables.events(spark, sfDir))
       .queryExecution.executedPlan.toString
-    // candidate pairs come from the SAX-word equi-join (the bucket), never
-    // a cross join of users (the only nested-loop join allowed is the
-    // 1-row day0 global-scalar broadcast)
+    // candidates gather per SAX word into the bucket_min_l2 kernel — one
+    // winner row per user, no pair rows, no rank window; never a cross
+    // join of users (the only nested-loop join allowed is the 1-row day0
+    // global-scalar broadcast)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("Join [word"), p)
-    // rank-1 filter plans as WindowGroupLimit (partial before the shuffle)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("bucket_min_l2"), p)
+    // the former |bucket|^2 formulation: an equi-join of users on the word
+    // feeding a rank window — neither may reappear
+    assert(!p.contains("Join [word"), p)
+    assert(!p.contains("row_number"), p)
   }
 
   test("hybrid rrf: rank lists meet in one join, top-k is group-limited") {
