@@ -272,6 +272,17 @@ object SparkEntry {
     // exact phrase occurrences via the positional-index re-base algorithm
     "ext_phrase_search" -> ((s, d) =>
       Retrieval.phraseSearchTopDocs(docs(s, d)).orderBy("query_id", "doc_id")),
+    // df-ceiling skew guard engaged: the injected corpus-wide stopword's
+    // posting list is dropped from the probe (Zipf-head mitigation)
+    "ext_bm25_capped" -> ((s, d) =>
+      Retrieval.bm25TopK(Retrieval.withHotTermInjected(docs(s, d)),
+        maxDfPpm = Retrieval.DfCapPpm).orderBy("query_id", "rank")),
+    // positional analog: the hot phrase term becomes a don't-care position
+    "ext_phrase_capped" -> ((s, d) => {
+      val injected = Retrieval.withHotTermInjected(docs(s, d))
+      Retrieval.phraseSearch(injected, Retrieval.phraseQueries(injected),
+        Retrieval.DfCapPpm).orderBy("query_id", "doc_id")
+    }),
     // cluster-curation data map: embedding cells labeled by top terms
     "ext_cluster_labels" -> ((s, d) =>
       Similarity.clusterLabels(emb(s, d), docs(s, d)).orderBy("cluster_id", "rank")),
@@ -508,6 +519,35 @@ object SparkEntry {
        |  FROM bmsc)
        |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
 
+  /** The hot-term-injected corpus (see Retrieval.withHotTermInjected): four
+    * copies of a synthetic stopword prepended, so every derived query
+    * carries a term whose df is the whole corpus.
+    */
+  private val INJECTED_CORPUS =
+    "(SELECT doc_id, 'xhot xhot xhot xhot ' || text AS text FROM documents)"
+
+  /** BM25 over the injected corpus with the df ceiling engaged: the
+    * stopword's corpus-sized posting list is dropped from the probe
+    * (Retrieval.DfCapPpm), surviving terms score exactly as uncapped.
+    */
+  private lazy val bm25CappedSql: String =
+    s"""WITH ${bm25CtesFor(INJECTED_CORPUS, INJECTED_CORPUS, Retrieval.DfCapPpm)}
+       |SELECT query_id, rank, doc_id, score_fp FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM bmsc)
+       |WHERE rank <= ${Retrieval.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** Phrase search over the injected corpus with the positional df ceiling:
+    * the hot term becomes a don't-care position (stopword-as-wildcard), so
+    * a match needs every SURVIVING offset aligned at a common base.
+    */
+  private lazy val phraseCappedSql: String =
+    s"""WITH ${phraseCtesFor(INJECTED_CORPUS, INJECTED_CORPUS, Retrieval.DfCapPpm)}
+       |SELECT query_id, doc_id, n_matches, first_pos
+       |FROM pagg ORDER BY query_id, doc_id""".stripMargin
+
   /** The lexical top-`depth` list (self excluded) over the bm25Ctes' bmsc,
     * and the semantic top-`depth` list (self excluded) — shared by the
     * hybrid-fusion and hard-negative oracles.
@@ -576,24 +616,42 @@ object SparkEntry {
        |FROM pagg ORDER BY query_id, doc_id""".stripMargin
 
   /** The positional phrase-match CTEs over an arbitrary corpus relation,
-    * ending in `pagg` = (query_id, doc_id, n_matches, first_pos).
+    * ending in `pagg` = (query_id, doc_id, n_matches, first_pos). With a
+    * df ceiling, query terms whose df exceeds maxDfPpm·n_docs/1e6 become
+    * don't-care positions (dropped from ppq before qlen is counted) —
+    * mirroring Retrieval.phraseSearchFrom's wildcard semantics.
     */
-  private def phraseCtesFor(corpus: String): String =
-    s"""ppq AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
+  private def phraseCtesFor(corpus: String, querySrc: String = "documents",
+                            maxDfPpm: Int = Retrieval.DfCeilOff): String = {
+    val capCtes =
+      if (maxDfPpm >= Retrieval.DfCeilOff) ""
+      else
+        s"""pdf AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM ppos GROUP BY 1),
+           |pnd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ppos),
+           |""".stripMargin
+    val ppqFinal =
+      if (maxDfPpm >= Retrieval.DfCeilOff) "ppq AS (SELECT * FROM ppq0),"
+      else
+        s"""ppq AS (SELECT q.query_id, q.idx, q.tok FROM ppq0 q
+           |  JOIN pdf f ON f.tok = q.tok CROSS JOIN pnd n
+           |  WHERE f.df * 1000000 <= $maxDfPpm * n.n_docs),""".stripMargin
+    s"""ppq0 AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
        |    SELECT doc_id AS query_id,
        |      unnest(list_transform(range(1, len(sl) + 1),
        |        i -> struct_pack(idx := i - 1, tok := sl[i]))) AS o
        |    FROM (SELECT doc_id, list_slice(string_split($NORM, ' '),
        |        ${Retrieval.QueryTokFrom},
        |        ${Retrieval.QueryTokFrom + Retrieval.QueryTokLen - 1}) AS sl
-       |      FROM documents WHERE doc_id % ${Retrieval.QueryEvery} = 0))
+       |      FROM $querySrc WHERE doc_id % ${Retrieval.QueryEvery} = 0))
        |  WHERE o.tok != ''),
-       |pql AS (SELECT query_id, count(*) AS qlen FROM ppq GROUP BY 1),
        |ppos AS (SELECT doc_id, o.pos AS pos, o.tok AS tok FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
        |      i -> struct_pack(pos := i - 1, tok := t[i]))) AS o
        |    FROM (SELECT doc_id, string_split($NORM, ' ') AS t FROM $corpus))
        |  WHERE o.tok != ''),
+       |$capCtes$ppqFinal
+       |pql AS (SELECT query_id, count(*) AS qlen FROM ppq GROUP BY 1),
        |pmt AS (SELECT q.query_id, q.idx, p.doc_id, p.pos - q.idx AS base
        |  FROM ppq q JOIN ppos p ON p.tok = q.tok
        |  WHERE p.pos - q.idx >= 0),
@@ -604,6 +662,7 @@ object SparkEntry {
        |pagg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
        |    CAST(min(base) AS BIGINT) AS first_pos
        |  FROM phit GROUP BY 1, 2)""".stripMargin
+  }
 
   private lazy val bm25Ctes: String = bm25CtesFor("documents")
 
@@ -654,13 +713,20 @@ object SparkEntry {
     * always derive from the ORIGINAL documents' carve — the eval harness
     * scores them against the perturbed union).
     */
-  private def bm25CtesFor(corpus: String): String = {
+  private def bm25CtesFor(corpus: String, querySrc: String = "documents",
+                          maxDfPpm: Int = Retrieval.DfCeilOff): String = {
     val k1 = Retrieval.K1x100; val b = Retrieval.Bx100
+    // df ceiling (Retrieval.withBm25Weights): capped terms' posting rows
+    // leave the probe; df/dl/avgdl stay full-corpus so survivors score
+    // exactly as uncapped
+    val capClause =
+      if (maxDfPpm >= Retrieval.DfCeilOff) ""
+      else s"\n  WHERE f.df * 1000000 <= $maxDfPpm * s.n_docs"
     s"""bmq AS (SELECT DISTINCT doc_id AS query_id, tok FROM (
        |    SELECT doc_id, unnest(list_slice(string_split($NORM, ' '),
        |      ${Retrieval.QueryTokFrom},
        |      ${Retrieval.QueryTokFrom + Retrieval.QueryTokLen - 1})) AS tok
-       |    FROM documents WHERE doc_id % ${Retrieval.QueryEvery} = 0)
+       |    FROM $querySrc WHERE doc_id % ${Retrieval.QueryEvery} = 0)
        |  WHERE tok != ''),
        |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id, unnest(string_split($NORM, ' ')) AS token
@@ -680,7 +746,7 @@ object SparkEntry {
        |  FROM bmq q JOIN bmtf p ON p.token = q.tok
        |  JOIN bmdl d ON d.doc_id = p.doc_id
        |  JOIN bmdf f ON f.token = p.token
-       |  CROSS JOIN bmst s
+       |  CROSS JOIN bmst s$capClause
        |  GROUP BY 1, 2)""".stripMargin
   }
   private def h60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
@@ -2068,8 +2134,10 @@ object SparkEntry {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ext_bm25_topk" -> bm25Sql,
     "ext_bm25_persisted" -> bm25Sql,
+    "ext_bm25_capped" -> bm25CappedSql,
     "ext_hybrid_rrf" -> hybridRrfSql,
     "ext_phrase_search" -> phraseSearchSql,
+    "ext_phrase_capped" -> phraseCappedSql,
     "ext_retrieval_eval" -> retrievalEvalSql,
     "ext_hard_negatives" -> hardNegativesSql,
     "ext_ts_neighbors" -> {

@@ -52,6 +52,31 @@ object Retrieval {
   val QueryTokFrom = 3
   val QueryTokLen = 4
 
+  /** Df-ceiling OFF value: a term's df can never exceed the corpus doc
+    * count, so a ceiling of 1 000 000 ppm keeps every posting list — the
+    * default, which leaves the uncapped operators' answers untouched.
+    */
+  val DfCeilOff = 1000000
+
+  /** The capped variants' ceiling (`ext_bm25_capped` / `ext_phrase_capped`):
+    * 900 000 ppm — a term present in > 90% of documents is stopword-grade.
+    * On the test corpus only the injected corpus-wide hot term crosses it
+    * (the natural vocabulary sits near 78% df); on a real Zipfian corpus
+    * this is the knob that keeps a stopword's corpus-sized posting list out
+    * of the probe join. Interpolated into the DuckDB oracle from here.
+    */
+  val DfCapPpm = 900000
+
+  /** Corpus with a synthetic corpus-wide stopword planted inside every
+    * document's query window (tokens 3..6 feed [[bm25Queries]] /
+    * [[phraseQueries]], so prepending four copies puts the hot term at
+    * query positions 1–2): every query then carries a term whose posting
+    * list is the whole corpus — the Zipf-head skew case the df ceiling
+    * exists for, made reproducible on the uniform test vocabulary.
+    */
+  def withHotTermInjected(documents: DataFrame): DataFrame =
+    documents.withColumn("text", concat(lit("xhot xhot xhot xhot "), col("text")))
+
   /** Deterministic query set derived from the corpus: query_id = doc_id,
     * terms = the doc's tokens at positions 3..6 (1-based), de-duplicated.
     * (On a Zipfian corpus self-retrieval would be the expected top hit; the
@@ -109,14 +134,29 @@ object Retrieval {
     * the posting-list co-location shuffle the index build pays anyway —
     * and the global constants (`n_docs`, `avgdl_x100`) from a broadcast of
     * the one-row summed stats.
+    *
+    * `maxDfPpm` is the Zipf-head skew guard: posting rows whose term sits
+    * in more than maxDfPpm·n_docs/10⁶ documents are DROPPED after the df
+    * window — a stopword's corpus-sized posting list (the probe join's
+    * straggler on a real web corpus, where "the" recruits every document
+    * as a candidate for any query containing it) never reaches the probe,
+    * and its idf contribution was noise anyway (idf → 0 as df → n_docs).
+    * The cap rides the df value the scorer already computes — exchange-free
+    * over the persisted index, zero extra passes — and df/dl/avgdl are
+    * still computed over the FULL corpus first, so surviving terms score
+    * exactly as they do uncapped. Default [[DfCeilOff]] keeps everything.
     */
-  def withBm25Weights(postings: DataFrame, stats: DataFrame): DataFrame = {
+  def withBm25Weights(postings: DataFrame, stats: DataFrame,
+                      maxDfPpm: Int = DfCeilOff): DataFrame = {
     val summed = stats
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         expr("sum(total_tokens) * 100 div sum(n_docs)").as("avgdl_x100"))
-    postings
+    val weighted = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")).cast("long"))
       .crossJoin(broadcast(summed))
+    if (maxDfPpm >= DfCeilOff) weighted
+    else weighted.filter(
+      col("df") * lit(1000000L) <= lit(maxDfPpm.toLong) * col("n_docs"))
   }
 
   /** The exact fixed-point BM25 contribution of one (query term, doc)
@@ -159,11 +199,13 @@ object Retrieval {
   }
 
   /** One-shot BM25 top-k: derive queries, build postings, rank. The oracle
-    * query (`ext_bm25_topk`) runs exactly this.
+    * query (`ext_bm25_topk`) runs exactly this; `ext_bm25_capped` runs it
+    * with [[DfCapPpm]] over the hot-term-injected corpus.
     */
-  def bm25TopK(documents: DataFrame, k: Int = TopK): DataFrame =
+  def bm25TopK(documents: DataFrame, k: Int = TopK,
+               maxDfPpm: Int = DfCeilOff): DataFrame =
     bm25Rank(
-      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
+      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents), maxDfPpm),
       bm25Queries(documents), k)
 
   /** Persist the postings as a token-bucketed, token-sorted table — the
@@ -306,11 +348,44 @@ object Retrieval {
     * next-word/phrase indexes for known-hot bigrams (the Google n-gram
     * posture).
     */
-  def phraseSearch(documents: DataFrame, queries: DataFrame): DataFrame =
-    phraseSearchFrom(positionalPostings(documents), queries)
+  def phraseSearch(documents: DataFrame, queries: DataFrame,
+                   maxDfPpm: Int = DfCeilOff): DataFrame =
+    phraseSearchFrom(positionalPostings(documents), queries, maxDfPpm)
 
-  /** [[phraseSearch]] over a materialized positional stream. */
-  def phraseSearchFrom(positional: DataFrame, queries: DataFrame): DataFrame = {
+  /** [[phraseSearch]] over a materialized positional stream.
+    *
+    * `maxDfPpm` is the positional analog of the bag index's df ceiling,
+    * with the classic stopword-as-wildcard semantics (the posture of
+    * positional indexes that don't index stopwords): a phrase term whose
+    * df exceeds maxDfPpm·n_docs/10⁶ is removed from the probe — its
+    * corpus-sized occurrence list is never joined — and its position
+    * becomes a don't-care: a document matches when every SURVIVING phrase
+    * offset aligns at a common base. Queries whose every term is hot have
+    * no anchor left and drop out. The hot set is derived from a narrow
+    * (token, doc) pass whose output is term-count-sized and broadcasts;
+    * against a persisted positional index the df column is precomputed at
+    * build time and the pass disappears. Default [[DfCeilOff]] changes
+    * nothing.
+    */
+  def phraseSearchFrom(positional: DataFrame, queries: DataFrame,
+                       maxDfPpm: Int = DfCeilOff): DataFrame = {
+    val probeQueries =
+      if (maxDfPpm >= DfCeilOff) queries
+      else {
+        val perDoc = positional.select("token", "doc_id").distinct()
+        val nDocs = perDoc.select("doc_id").distinct()
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        val hot = perDoc.groupBy("token")
+          .agg(count(lit(1)).cast("long").as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * lit(1000000L) > lit(maxDfPpm.toLong) * col("n_docs"))
+          .select("token")
+        queries.join(broadcast(hot), Seq("token"), "left_anti")
+      }
+    phraseProbe(positional, probeQueries)
+  }
+
+  private def phraseProbe(positional: DataFrame, queries: DataFrame): DataFrame = {
     val qlen = queries.groupBy("query_id").agg(count(lit(1)).as("qlen"))
     positional
       .join(broadcast(queries), "token")
@@ -458,40 +533,45 @@ object Retrieval {
       Dedup.withPerturbedCopies(carve).filter(col("doc_id") >= 1000000L))
     val queries = bm25Queries(documents)
     // both retrievers consume ONE materialized positional token stream —
-    // tokenize+explode over the corpus is their shared dominant cost
-    // (blocks are released by the harness's per-query cleanup)
+    // tokenize+explode over the corpus is their shared dominant cost; the
+    // stream's blocks are released in the finally below once the tiny
+    // (one row per method) result has been eagerly materialized, so the
+    // operator is self-cleaning as a library API too
     val pos = positionalPostings(corpus).localCheckpoint(true)
-    val lex = bm25Rank(
-      withBm25Weights(bm25PostingsFrom(pos), bm25StatsFrom(pos)),
-      queries, k, excludeSelf = true)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-      .withColumn("method", lit("bm25"))
-    val phw = Window.partitionBy("query_id")
-      .orderBy(col("n_matches").desc, col("doc_id").asc)
-    val ph = phraseSearchFrom(pos, phraseQueries(documents))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(phw).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-      .withColumn("method", lit("phrase"))
-    val nq = queries.select("query_id").distinct()
-      .agg(count(lit(1)).cast("long").as("n_queries"))
-    val found = lex.unionByName(ph)
-      .filter(col("doc_id") === col("query_id") + lit(1000000L))
-      .groupBy("method")
-      .agg(
-        sum(when(col("rank") === 1, 1L).otherwise(0L)).cast("long").as("hits_at1"),
-        count(lit(1)).cast("long").as("hits_at_k"),
-        sum(expr("1000000 div rank")).cast("long").as("rr_sum"))
-    Seq("bm25", "phrase").toDF("method")
-      .join(found, Seq("method"), "left")
-      .crossJoin(broadcast(nq))
-      .select(col("method"), col("n_queries"),
-        coalesce(col("hits_at1"), lit(0L)).as("hits_at1"),
-        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
-        coalesce(col("rr_sum"), lit(0L)).as("rr_sum"))
-      .withColumn("mrr_ppm", expr("rr_sum div n_queries"))
-      .select("method", "n_queries", "hits_at1", "hits_at_k", "mrr_ppm")
+    try {
+      val lex = bm25Rank(
+        withBm25Weights(bm25PostingsFrom(pos), bm25StatsFrom(pos)),
+        queries, k, excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .withColumn("method", lit("bm25"))
+      val phw = Window.partitionBy("query_id")
+        .orderBy(col("n_matches").desc, col("doc_id").asc)
+      val ph = phraseSearchFrom(pos, phraseQueries(documents))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(phw).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .withColumn("method", lit("phrase"))
+      val nq = queries.select("query_id").distinct()
+        .agg(count(lit(1)).cast("long").as("n_queries"))
+      val found = lex.unionByName(ph)
+        .filter(col("doc_id") === col("query_id") + lit(1000000L))
+        .groupBy("method")
+        .agg(
+          sum(when(col("rank") === 1, 1L).otherwise(0L)).cast("long").as("hits_at1"),
+          count(lit(1)).cast("long").as("hits_at_k"),
+          sum(expr("1000000 div rank")).cast("long").as("rr_sum"))
+      Seq("bm25", "phrase").toDF("method")
+        .join(found, Seq("method"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("method"), col("n_queries"),
+          coalesce(col("hits_at1"), lit(0L)).as("hits_at1"),
+          coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+          coalesce(col("rr_sum"), lit(0L)).as("rr_sum"))
+        .withColumn("mrr_ppm", expr("rr_sum div n_queries"))
+        .select("method", "n_queries", "hits_at1", "hits_at_k", "mrr_ppm")
+        .localCheckpoint(true)
+    } finally pos.unpersist()
   }
 
   /** Streaming query serving — the other half of the index lifecycle
@@ -503,18 +583,24 @@ object Retrieval {
     * partition overwrite), so checkpoint replay re-serves identical rows
     * instead of duplicating them. Search is stateless per batch — the index
     * tables are the only cross-batch state — so this composes freely with
-    * a concurrent maintenance loop (answers reflect whatever the index
-    * holds at batch time, the serving contract of any search system).
+    * a concurrent maintenance loop: pass the SAME `deltaDir` the
+    * maintenance loop writes and each batch searches base ∪ delta
+    * ([[searchBm25IndexWith]]), so a document ingested mid-stream is
+    * retrievable from the very next query batch, BEFORE any compaction has
+    * folded it into the bucketed base (spec-asserted). With no `deltaDir`
+    * the loop serves the compacted base alone.
     */
   def serveBm25Queries(queryStream: DataFrame, table: String,
                        checkpointDir: String, answersPath: String,
-                       k: Int = TopK)
+                       k: Int = TopK, deltaDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        searchBm25Index(batch.sparkSession, table, batch, k)
+        deltaDir
+          .map(d => searchBm25IndexWith(batch.sparkSession, table, d, batch, k))
+          .getOrElse(searchBm25Index(batch.sparkSession, table, batch, k))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -530,9 +616,9 @@ object Retrieval {
     * postings table.
     */
   def searchBm25Index(spark: SparkSession, table: String, queries: DataFrame,
-                      k: Int = TopK): DataFrame =
+                      k: Int = TopK, maxDfPpm: Int = DfCeilOff): DataFrame =
     bm25Rank(
-      withBm25Weights(spark.table(table), spark.table(s"${table}_stats")),
+      withBm25Weights(spark.table(table), spark.table(s"${table}_stats"), maxDfPpm),
       queries, k)
 
   private def readDelta(spark: SparkSession, path: String,
@@ -547,7 +633,8 @@ object Retrieval {
     * and zero once [[compactBm25Index]] has folded the delta in).
     */
   def searchBm25IndexWith(spark: SparkSession, table: String, deltaDir: String,
-                          queries: DataFrame, k: Int = TopK): DataFrame = {
+                          queries: DataFrame, k: Int = TopK,
+                          maxDfPpm: Int = DfCeilOff): DataFrame = {
     val postings = readDelta(spark, s"$deltaDir/postings",
         Seq("doc_id", "token", "tf", "dl"))
       .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
@@ -555,7 +642,7 @@ object Retrieval {
         Seq("n_docs", "total_tokens"))
       .map(spark.table(s"${table}_stats").unionByName(_))
       .getOrElse(spark.table(s"${table}_stats"))
-    bm25Rank(withBm25Weights(postings, stats), queries, k)
+    bm25Rank(withBm25Weights(postings, stats, maxDfPpm), queries, k)
   }
 
   /** Fold the delta layer into the bucketed base, re-align, and clear the

@@ -258,6 +258,107 @@ class RetrievalSpec extends SparkSpec {
     assert(d("bm25") == ((0L, 500000L)), d.toString)
   }
 
+  test("bm25 df ceiling: stopword posting list leaves the probe, survivors score unchanged") {
+    // every doc carries "stopx" (df = n_docs = 1e6 ppm > DfCapPpm); docs 11
+    // and 12 share ONLY the stopword with the query — uncapped they are
+    // candidates through its corpus-sized posting list, capped they cannot
+    // be recruited at all
+    val docs = Seq(
+      (0L, "x x kw stopx fil1 fil2"), // query terms: kw stopx fil1 fil2
+      (10L, "kw stopx z z z z"),
+      (11L, "stopx z z z z z"),
+      (12L, "stopx y y y y y"),
+      (13L, "fil1 stopx w w w w"),
+      (14L, "stopx v v v v v"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def weighted(cap: Int) = Retrieval.withBm25Weights(
+      Retrieval.bm25Postings(docs), Retrieval.bm25StatsDelta(docs), cap)
+    val q = Retrieval.bm25Queries(docs)
+    def candidates(cap: Int) = weighted(cap).join(broadcast(q), "token").count()
+    // probe candidate volume drops: the stopword recruited every doc once
+    assert(candidates(Retrieval.DfCeilOff) - candidates(Retrieval.DfCapPpm) == 6L)
+    def topk(cap: Int) = Retrieval.bm25TopK(docs, k = 10, maxDfPpm = cap)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val unc = topk(Retrieval.DfCeilOff)
+    val cap = topk(Retrieval.DfCapPpm)
+    // stopword-only docs are retrievable uncapped, gone under the cap
+    assert(unc.contains(11L) && unc.contains(12L) && unc.contains(14L))
+    assert(!cap.contains(11L) && !cap.contains(12L) && !cap.contains(14L))
+    // survivors score EXACTLY as uncapped minus the stopword contribution:
+    // docs 10 and 11 hold one stopx each at equal dl, so doc 11's whole
+    // uncapped score IS doc 10's stopword term — exact integer identity
+    assert(cap(10L) == unc(10L) - unc(11L), (cap(10L), unc(10L), unc(11L)).toString)
+  }
+
+  test("phrase df ceiling: hot term becomes a don't-care position") {
+    // phrase = tokens 3..6 of doc 0 = "a stopx b c"; stopx is in every doc
+    val docs = Seq(
+      (0L, "p p a stopx b c"),
+      (10L, "a q b c stopx z"), // a@0 b@2 c@3 align at base 0; stopx elsewhere
+      (11L, "a stopx b c z z"), // verbatim occurrence
+      (12L, "stopx z a b c z"), // a@2 b@3 c@4: no common base even as wildcard
+      (13L, "w w w stopx w w"), // fillers: keep a/b/c df below the ceiling
+      (14L, "stopx v v v v v"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def run(cap: Int) = Retrieval
+      .phraseSearch(docs, Retrieval.phraseQueries(docs), cap)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // uncapped: only the exact occurrences (self + doc 11)
+    assert(run(Retrieval.DfCeilOff) == Seq((0L, 1L, 2L), (11L, 1L, 0L)))
+    // capped: stopx's position is a wildcard — doc 10 now matches at base 0,
+    // doc 12 still cannot (its surviving offsets never share a base)
+    assert(run(Retrieval.DfCapPpm) ==
+      Seq((0L, 1L, 2L), (10L, 1L, 0L), (11L, 1L, 0L)))
+  }
+
+  test("bm25 serving loop: mid-stream delta docs retrievable before compaction") {
+    // base index on the initial corpus; a maintenance loop ingests a NEW
+    // doc carrying a novel term; the serving loop composed with the same
+    // deltaDir must retrieve it from the very next query batch — before
+    // any compaction folds the delta into the bucketed base
+    val base = Seq(
+      (1L, "alpha beta gamma delta eps zeta"),
+      (2L, "beta beta gamma pad pad pad"))
+      .toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    Retrieval.buildBm25Index(base, "graft_bm25_delta_serve")
+    val root = managedTempDir("bm25deltaserve")
+    val docSrc = s"$root/docsrc"; new java.io.File(docSrc).mkdirs()
+    val qSrc = s"$root/qsrc"; new java.io.File(qSrc).mkdirs()
+    val deltaDir = s"$root/delta"
+    val maint = Retrieval.maintainBm25Index(
+      spark.readStream.schema(base.schema).parquet(docSrc),
+      deltaDir, s"$root/mckpt")
+    val queries = Seq((900L, "newterm"), (901L, "beta")).toDF("query_id", "token")
+    val serve = Retrieval.serveBm25Queries(
+      spark.readStream.schema(queries.schema).parquet(qSrc),
+      "graft_bm25_delta_serve", s"$root/sckpt", s"$root/answers",
+      deltaDir = Some(deltaDir))
+    try {
+      newDoc.write.mode("append").parquet(docSrc)
+      maint.processAllAvailable()
+      queries.write.mode("append").parquet(qSrc)
+      serve.processAllAvailable()
+    } finally { maint.stop(); serve.stop() }
+    val answers = spark.read.parquet(s"$root/answers")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the delta-only doc answers its novel-term query...
+    assert(answers.contains((900L, 50L)), answers.toString)
+    // ...and base-resident docs still answer theirs (base ∪ delta, not delta)
+    assert(answers.contains((901L, 2L)), answers.toString)
+    // compaction then folds the delta; the plain base-only search agrees
+    Retrieval.compactBm25Index(spark, "graft_bm25_delta_serve", deltaDir, 8)
+    val after = Retrieval.searchBm25Index(spark, "graft_bm25_delta_serve",
+      Seq((900L, "newterm")).toDF("query_id", "token"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(after.contains((900L, 50L)), after.toString)
+  }
+
   test("bm25 serving loop: query batches answered from the live index across restarts") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_serve")
