@@ -513,23 +513,28 @@ object Curation {
   /** The full curation pipeline in one call — what a training-data job runs
     * daily at 100 TB: quality gate (integer-arithmetic thresholds) →
     * exact-dedup canonical survivors → language targeting → per-source
-    * token-budget admission. Emits the final keep list. Shuffle profile:
-    * one dedup hash-agg + broadcast-back, one window shuffle on the stratum
-    * key; the quality/language gates are narrow and push into the scan.
+    * token-budget admission. Emits the final keep list.
+    *
+    * Fused plan: ONE corpus scan computes the quality columns, n_tokens and
+    * the dedup content hash side by side (all narrow per-row expressions —
+    * the former three-subtree form scanned and tokenized the corpus three
+    * times and met itself in two doc_id joins); canonical election is a min
+    * window over the hash (identical keeper to the hash-agg + join-back:
+    * the group's smallest doc_id, elected over the FULL corpus before any
+    * gate filters, so a duplicate of a kept doc never resurrects); the
+    * budget window on the stratum key is the only other shuffle. Two
+    * exchanges total, no joins, nothing scanned twice.
     */
   def pipelineKeep(documents: DataFrame, langs: Seq[String] = Seq("en", "de"),
                    budgetPerSource: Long = 150L): DataFrame = {
-    val quality = TextAnalysis.stats(documents).select("doc_id", "is_quality")
-    val canon = Dedup.exact(documents)
-      .select(col("doc_id"), (!col("is_duplicate")).as("is_canonical"))
-    val survivors = documents
-      .join(quality, "doc_id")
-      .join(canon, "doc_id")
-      .filter(col("is_quality") && col("is_canonical") && col("lang").isin(langs: _*))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    survivors
-      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+    TextAnalysis.withStatsColumns(documents)
+      .withColumn("content_hash",
+        graft.functions.Exact.md5Hash60(TextAnalysis.normalized(col("text"))))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("content_hash")))
+      .filter(col("is_quality") && col("is_canonical") && col("lang").isin(langs: _*))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
       .filter(col("cum_tokens") <= budgetPerSource)
       .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")

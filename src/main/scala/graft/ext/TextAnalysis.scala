@@ -56,20 +56,31 @@ object TextAnalysis {
     * training-data gates (length band, stopword presence, mean-token-length
     * cap) expressed as pure integer arithmetic.
     */
-  def stats(documents: DataFrame): DataFrame = {
+  def stats(documents: DataFrame): DataFrame =
+    withStatsColumns(documents)
+      .select("n_chars_tokens", "doc_id", "n_chars_obs", "n_tokens",
+        "n_distinct_tokens", "n_word_tokens", "n_stopwords", "is_quality")
+
+  /** [[stats]]' derived columns appended to `documents` with every input
+    * column RETAINED — the fusable form for composite pipelines
+    * ([[Curation.pipelineKeep]]) that need is_quality/n_tokens alongside
+    * source/lang/text in ONE corpus scan instead of a stats scan joined
+    * back on doc_id. All columns are narrow per-row expressions, so unused
+    * ones prune out of any consumer's plan.
+    */
+  def withStatsColumns(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     documents
       .withColumn("n_chars_tokens",
         length(regexp_replace(normalized(col("text")), " ", "")).cast("long"))
-      .select(
-        col("n_chars_tokens"),
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_obs"),
-      size(t).cast("long").as("n_tokens"),
-      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
-      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n_word_tokens"),
-      size(expr("filter(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '), " +
-        "w -> w IN ('the','a','of','and','to','in','is'))")).cast("long").as("n_stopwords"))
+      .withColumn("n_chars_obs", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("n_word_tokens",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long"))
+      .withColumn("n_stopwords",
+        size(expr("filter(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '), " +
+          "w -> w IN ('the','a','of','and','to','in','is'))")).cast("long"))
       .withColumn("is_quality",
         col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
           col("n_stopwords") > 0 &&
