@@ -89,6 +89,13 @@ object Achievements {
     * `batch_id=` partition with dynamic partition overwrite, so a
     * checkpoint replay overwrites its own rows instead of appending
     * duplicates.
+    *
+    * Layout migration note: the partitioned layout is incompatible with a
+    * sink directory still holding the pre-r13 FLAT append-mode files —
+    * mixed partitioned/unpartitioned parquet under one root breaks
+    * partition discovery on read. Point fresh sinks at empty directories;
+    * migrate an existing flat sink by rewriting its rows under a
+    * `batch_id=-1` partition (or clearing it) before upgrading.
     */
   def sinkToParquet(spark: SparkSession, df: DataFrame, path: String,
                     batchId: Long): Unit =

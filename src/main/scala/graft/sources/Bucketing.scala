@@ -65,13 +65,20 @@ object Bucketing {
     * rejects as schema-less), projecting to `cols` — which drops any
     * provenance partition column (e.g. the replay-idempotence `batch_id`).
     * Shared by the index maintenance loops' base ∪ delta readers.
+    *
+    * A compaction running elsewhere can delete the delta between the
+    * existence check and the scan; that window reads as ABSENT (None —
+    * base-only answers, exactly what a completed compaction implies)
+    * rather than failing the search. Only missing-file/path errors take
+    * the fallback: genuine schema errors (e.g. a bad projection column)
+    * still surface from the read. The in-place base rewrite keeps its
+    * documented run-from-one-place caveat; see the generation-swap
+    * compaction for the concurrent form.
     */
   def readParquetIfExists(spark: SparkSession, path: String,
                           cols: Seq[String]): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // treat a data-less directory as absent, but let genuine schema errors
-    // (e.g. a missing projection column) surface from the read
     def hasData: Boolean = {
       val it = fs.listFiles(p, true)
       var found = false
@@ -79,10 +86,18 @@ object Bucketing {
         found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
-    if (fs.exists(p) && hasData)
-      Some(spark.read.parquet(path)
-        .select(cols.map(org.apache.spark.sql.functions.col): _*))
-    else None
+    try {
+      if (fs.exists(p) && hasData)
+        Some(spark.read.parquet(path)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*))
+      else None
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            (e.getErrorClass.contains("PATH_NOT_FOUND") ||
+              e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA")) => None
+    }
   }
 
   /** Delete a delta layer's directories after compaction has folded them

@@ -461,10 +461,14 @@ class StreamingSpec extends SparkSpec {
     val written = spark.read.parquet(s"$dir/out")
     assert(written.count() >= 1)
     assert(written.columns.contains("threshold_achieved"))
-    // crash-replay idempotence: re-sinking the same batch id overwrites its
-    // own partition instead of appending duplicate crossing rows
+    // crash-replay idempotence: re-sinking batch 0's OWN rows overwrites its
+    // partition instead of appending duplicates (only batch-0 rows replay —
+    // re-sinking the whole directory under one id would conflate batches if
+    // the stream ever produced more than one)
     val cnt = written.count()
-    Achievements.sinkToParquet(spark, written.drop("batch_id"), s"$dir/out", 0L)
+    val batch0 = written.filter(col("batch_id") === 0L)
+    assert(batch0.count() >= 1)
+    Achievements.sinkToParquet(spark, batch0.drop("batch_id"), s"$dir/out", 0L)
     assert(spark.read.parquet(s"$dir/out").count() == cnt)
   }
 }
