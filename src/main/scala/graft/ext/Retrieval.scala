@@ -649,7 +649,8 @@ object Retrieval {
     * delta — after which plain [[searchBm25Index]] sees the whole corpus
     * exchange-free again. Administrative op with the same in-place caveat
     * as the base compaction (run it from one place, not under concurrent
-    * replay; a production deployment writes generation N+1 and swaps).
+    * replay; [[compactBm25IndexGen]] is the concurrent-safe
+    * generation-swap form).
     */
   def compactBm25Index(spark: SparkSession, table: String, deltaDir: String,
                        buckets: Int): Unit = {
@@ -662,5 +663,69 @@ object Retrieval {
     compactBm25Index(spark, table, buckets)
     graft.sources.Bucketing.deleteDirs(spark,
       Seq(s"$deltaDir/postings", s"$deltaDir/stats"))
+  }
+
+  // ---- generation-swap index lifecycle ----
+  // Same search/maintenance surface as the in-place form — `table` and
+  // `${table}_stats` resolve through [[searchBm25Index]] /
+  // [[searchBm25IndexWith]] unchanged — but the names are VIEWS over
+  // `__g<N>` physical tables (see sources.Bucketing), so compaction can
+  // run WHILE queries serve: generation N+1 is written from generation N
+  // (nothing is overwritten in place), one CREATE OR REPLACE VIEW swaps,
+  // and an in-flight search that already resolved generation N finishes
+  // on its files — generation N-1 is the one retired. RecoverySpec runs a
+  // searcher thread across the swap and asserts every answer it saw was a
+  // valid pre- or post-compaction serving state, never an error.
+
+  /** [[buildBm25Index]] in the generation-swap layout: physical postings
+    * and stats land as generation 1, the logical names become views.
+    */
+  def buildBm25IndexGen(documents: DataFrame, table: String,
+                        buckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    val b = graft.sources.Bucketing
+    val g = b.currentGeneration(spark, table) + 1
+    val phys = b.generationName(table, g)
+    b.writeBucketed(bm25Postings(documents), phys, "token", buckets,
+      sortCols = Seq("token"))
+    b.dropWithLocation(spark, s"${phys}_stats")
+    bm25StatsDelta(documents).write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${phys}_stats")
+    b.swapView(spark, table, phys)
+    b.swapView(spark, s"${table}_stats", s"${phys}_stats")
+    b.dropGeneration(spark, table, g - 2)
+  }
+
+  /** Generation-swap compaction: fold base ∪ delta into generation N+1,
+    * swap the views, clear the delta, retire generation N-1. Safe under a
+    * concurrently serving [[searchBm25Index]]/[[serveBm25Queries]]: the
+    * source generation is never touched, the swap is one catalog
+    * operation per view, and a concurrent delta read that loses the race
+    * with [[sources.Bucketing.deleteDirs]] falls back to base-only (the
+    * post-compaction answer). A crash before the swap leaves an orphan
+    * generation that the next run numbers past and later retires.
+    */
+  def compactBm25IndexGen(spark: SparkSession, table: String, deltaDir: String,
+                          buckets: Int = 8): Unit = {
+    val b = graft.sources.Bucketing
+    val g = b.currentGeneration(spark, table) + 1
+    val phys = b.generationName(table, g)
+    val postings = readDelta(spark, s"$deltaDir/postings",
+        Seq("doc_id", "token", "tf", "dl"))
+      .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
+    val stats = readDelta(spark, s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
+      .map(spark.table(s"${table}_stats").unionByName(_))
+      .getOrElse(spark.table(s"${table}_stats"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_tokens")).cast("long").as("total_tokens"))
+    b.writeBucketed(postings, phys, "token", buckets,
+      sortCols = Seq("token"), compact = true)
+    b.dropWithLocation(spark, s"${phys}_stats")
+    stats.write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_stats")
+    b.swapView(spark, table, phys)
+    b.swapView(spark, s"${table}_stats", s"${phys}_stats")
+    graft.sources.Bucketing.deleteDirs(spark,
+      Seq(s"$deltaDir/postings", s"$deltaDir/stats"))
+    b.dropGeneration(spark, table, g - 2)
   }
 }

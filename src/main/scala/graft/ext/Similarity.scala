@@ -748,6 +748,54 @@ object Similarity {
     graft.sources.Bucketing.deleteDirs(spark, Seq(s"$deltaDir/postings"))
   }
 
+  /** [[buildIvfIndex]] in the generation-swap layout (see
+    * sources.Bucketing): the physical posting table lands as a numbered
+    * generation and `table` becomes a view, so [[compactIvfIndexGen]] can
+    * run while [[searchIvfIndex]]/[[maintainIvfIndex]] serve. Search and
+    * maintenance surfaces are unchanged — views resolve through
+    * `spark.table` exactly like tables, including the bucketed scan's
+    * exchange-free grouping.
+    */
+  def buildIvfIndexGen(embeddings: DataFrame, table: String, k: Int = IvfClusters,
+                       buckets: Int = 8, maxBucket: Int = NoMaxBucket): Unit = {
+    val spark = embeddings.sparkSession
+    val b = graft.sources.Bucketing
+    val g = b.currentGeneration(spark, table) + 1
+    val phys = b.generationName(table, g)
+    val assigned = assignToCentroids(embeddings, k, 1)
+      .select("cluster_id", "vec_id", "embedding")
+    b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
+      "cluster_id", buckets)
+    b.swapView(spark, table, phys)
+    b.dropGeneration(spark, table, g - 2)
+  }
+
+  /** Generation-swap compaction for the IVF index: generation N+1 is
+    * written from generation N ∪ delta (shard factors re-stamped from the
+    * grown counts, nothing overwritten in place — so no eager
+    * materialization), one view swap cuts over, the delta clears, and
+    * generation N-1 retires. Safe under concurrently serving searches and
+    * a running maintenance loop: an in-flight reader that resolved
+    * generation N keeps its files; a delta read racing the cleanup falls
+    * back to base-only (the post-compaction answer).
+    */
+  def compactIvfIndexGen(spark: org.apache.spark.sql.SparkSession, table: String,
+                         deltaDir: String, buckets: Int = 8,
+                         maxBucket: Int = NoMaxBucket): Unit = {
+    val b = graft.sources.Bucketing
+    val g = b.currentGeneration(spark, table) + 1
+    val phys = b.generationName(table, g)
+    val base = spark.table(table).select("cluster_id", "vec_id", "embedding")
+    val rows = b.readParquetIfExists(spark, s"$deltaDir/postings",
+        Seq("cluster_id", "vec_id", "embedding"))
+      .map(base.unionByName(_)).getOrElse(base)
+    b.writeBucketed(withShardFactors(rows, maxBucket), phys,
+      "cluster_id", buckets)
+    b.swapView(spark, table, phys)
+    b.deleteDirs(spark, Seq(s"$deltaDir/postings"))
+    b.dropGeneration(spark, table, g - 2)
+  }
+
   /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
     * checkpoint replay: the batch is assigned against the index's OWN
     * coarse quantizer (the vec_id < k rows indexed at build time — fixed

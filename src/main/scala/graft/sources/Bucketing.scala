@@ -109,4 +109,49 @@ object Bucketing {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
+
+  // ---- generation-swap layout ----
+  // The concurrent-compaction answer the in-place rewrites defer to: the
+  // logical index name is a VIEW over `<name>__g<N>` physical tables.
+  // Compaction writes generation N+1 from generation N (sources are never
+  // overwritten, so no eager materialization and no torn reads), then one
+  // CREATE OR REPLACE VIEW repoints the name. A search that already
+  // resolved generation N keeps reading its files — generation N-1 is the
+  // one retired, so an in-flight reader always has its whole generation on
+  // disk. A crash between the write and the swap leaves an orphan
+  // generation the next compaction skips past (it numbers itself above
+  // every existing physical table) and eventually retires.
+
+  /** Highest existing generation number for `table`'s swap layout (0 when
+    * none exists yet).
+    */
+  def currentGeneration(spark: SparkSession, table: String): Int = {
+    val prefix = s"${table.toLowerCase}__g"
+    spark.catalog.listTables().collect()
+      .map(_.name.toLowerCase).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** Physical table name of generation `g`. */
+  def generationName(table: String, g: Int): String = s"${table}__g$g"
+
+  /** Repoint the logical view at a physical table — the one catalog
+    * operation a swap consists of.
+    */
+  def swapView(spark: SparkSession, view: String, physTable: String): Unit = {
+    spark.sql(s"CREATE OR REPLACE VIEW `$view` AS SELECT * FROM `$physTable`")
+    ()
+  }
+
+  /** Retire generation `g` (no-op for g < 1): dropped AFTER the swap to
+    * g+1 has landed, so only generation g-1's readers — two swaps old —
+    * could ever have held it.
+    */
+  def dropGeneration(spark: SparkSession, table: String, g: Int): Unit =
+    if (g >= 1) {
+      dropWithLocation(spark, generationName(table, g))
+      dropWithLocation(spark, s"${generationName(table, g)}_stats")
+    }
 }

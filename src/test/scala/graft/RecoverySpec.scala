@@ -520,4 +520,89 @@ class RecoverySpec extends SparkSpec {
       .select("user_id", "threshold").as[(Long, Long)].collect().toSeq.sorted
     assert(got == Seq((1L, 1L), (1L, 5L)))
   }
+
+  test("generation-swap bm25 compaction: serving continues across the swap") {
+    import graft.ext.Retrieval
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad"),
+      (3L, "gamma pad pad pad pad pad")).toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    val table = "graft_bm25_genswap"
+    Retrieval.buildBm25IndexGen(base, table)
+    val root = managedTempDir("bm25genswap")
+    val deltaDir = s"$root/delta"
+    Retrieval.applyBm25Delta(newDoc, deltaDir, 0L)
+    val queries = Seq((900L, "beta"), (901L, "newterm")).toDF("query_id", "token")
+
+    def serve(): Set[(Long, Long)] = Retrieval
+      .searchBm25Index(spark, table, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val before = serve() // base-only: newterm unanswered
+    assert(before.contains((900L, 2L)) && !before.exists(_._1 == 901L))
+    val expectedAfter = Retrieval
+      .searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(expectedAfter.contains((901L, 50L)))
+
+    // a searcher hammers the view WHILE compaction writes gen 2 and swaps:
+    // every observed answer set must be a valid serving state (pre- or
+    // post-swap), and no query may error
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val searcher = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(serve())
+        catch { case t: Throwable => errors.add(t); () }
+      }
+    })
+    searcher.start()
+    try Retrieval.compactBm25IndexGen(spark, table, deltaDir)
+    finally { stop.set(true); searcher.join(30000) }
+
+    assert(errors.isEmpty, s"serving failed during swap: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty)
+    assert(seen.asScala.forall(s => s == before || s == expectedAfter),
+      seen.asScala.find(s => s != before && s != expectedAfter).toString)
+    // post-swap: the folded base alone serves the delta doc, the delta dir
+    // is gone, generation 1 is retained for stragglers (retired next swap)
+    assert(serve() == expectedAfter)
+    assert(!new java.io.File(s"$deltaDir/postings").exists())
+    assert(spark.catalog.tableExists("graft_bm25_genswap__g1"))
+    assert(spark.catalog.tableExists("graft_bm25_genswap__g2"))
+    // a second compaction (no delta) keeps answers and retires generation 1
+    Retrieval.compactBm25IndexGen(spark, table, deltaDir)
+    assert(serve() == expectedAfter)
+    assert(!spark.catalog.tableExists("graft_bm25_genswap__g1"))
+  }
+
+  test("generation-swap ivf compaction: delta folds in, search stays consistent") {
+    import graft.ext.Similarity
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y; a
+    }
+    // centroids = first k=2 vectors; two clear clusters
+    val base = Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)),
+      (2L, vec(0.9f, 0.1f)), (3L, vec(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq((10L, vec(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val table = "graft_ivf_genswap"
+    Similarity.buildIvfIndexGen(base, table, k = 2)
+    val root = managedTempDir("ivfgenswap")
+    val deltaDir = s"$root/delta"
+    Similarity.applyIvfDelta(delta, table, deltaDir, 0L, k = 2)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val withDelta = top1(Similarity.searchIvfIndexWith(spark, table, deltaDir))
+    assert(withDelta(10L) == 0L && withDelta(2L) == 10L) // delta doc integrated
+    Similarity.compactIvfIndexGen(spark, table, deltaDir, maxBucket = 2)
+    // the folded generation serves identical answers base-only, with shard
+    // factors re-stamped from the grown counts (cluster 0 now holds 3 > 2)
+    assert(top1(Similarity.searchIvfIndex(spark, table)) == withDelta)
+    assert(spark.table(table).filter(col("m") > 1).count() > 0)
+  }
 }
