@@ -633,9 +633,13 @@ object SparkEntry {
     val ppqFinal =
       if (maxDfPpm >= Retrieval.DfCeilOff) "ppq AS (SELECT * FROM ppq0),"
       else
+        // LEFT JOIN + coalesce(df, 0): a query term ABSENT from the corpus
+        // (df 0, under any cap) must stay in the query and block all
+        // matches, exactly as the Spark side keeps it — an inner join
+        // would silently wildcard it
         s"""ppq AS (SELECT q.query_id, q.idx, q.tok FROM ppq0 q
-           |  JOIN pdf f ON f.tok = q.tok CROSS JOIN pnd n
-           |  WHERE f.df * 1000000 <= $maxDfPpm * n.n_docs),""".stripMargin
+           |  LEFT JOIN pdf f ON f.tok = q.tok CROSS JOIN pnd n
+           |  WHERE coalesce(f.df, 0) * 1000000 <= $maxDfPpm * n.n_docs),""".stripMargin
     s"""ppq0 AS (SELECT query_id, o.idx AS idx, o.tok AS tok FROM (
        |    SELECT doc_id AS query_id,
        |      unnest(list_transform(range(1, len(sl) + 1),

@@ -78,9 +78,9 @@ object TsMediaScaleProbe {
           .select((col("id") + 10000000L).as("doc_id"), lit(onePayload).as("payload"))
         val md = media.unionByName(hotMd).localCheckpoint(true)
         try {
-          val ts0 = median3(TimeSeries.tsTopNeighbor(ev))
+          val ts0 = median3(TimeSeries.tsTopNeighbor(ev, Similarity.NoMaxBucket))
           val ts1 = median3(TimeSeries.tsTopNeighbor(ev, Similarity.MaxBucket))
-          val md0 = median3(Multimodal.mediaTopNeighbor(spark, md))
+          val md0 = median3(Multimodal.mediaTopNeighbor(spark, md, Similarity.NoMaxBucket))
           val md1 = median3(Multimodal.mediaTopNeighbor(spark, md, Similarity.MaxBucket))
           println(s"""{"probe":"tsmedia_skew","hot":$hot,""" +
             s""""ts_s":${r2(ts0)},"ts_capped_s":${r2(ts1)},""" +
@@ -98,9 +98,9 @@ object TsMediaScaleProbe {
       try {
         val users = ev.select("user_id").distinct().count()
         val docs = md.count()
-        val ts0 = median3(TimeSeries.tsTopNeighbor(ev))
+        val ts0 = median3(TimeSeries.tsTopNeighbor(ev, Similarity.NoMaxBucket))
         val ts1 = median3(TimeSeries.tsTopNeighbor(ev, Similarity.MaxBucket))
-        val md0 = median3(Multimodal.mediaTopNeighbor(spark, md))
+        val md0 = median3(Multimodal.mediaTopNeighbor(spark, md, Similarity.NoMaxBucket))
         val md1 = median3(Multimodal.mediaTopNeighbor(spark, md, Similarity.MaxBucket))
         println(s"""{"probe":"tsmedia","scale":$times,"users":$users,""" +
           s""""docs":$docs,"ts_s":${r2(ts0)},"ts_capped_s":${r2(ts1)},""" +

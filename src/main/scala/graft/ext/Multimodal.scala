@@ -138,7 +138,7 @@ object Multimodal {
     * embeddings, this operator is [[Similarity]]'s cosine family instead.
     */
   def mediaTopNeighbor(spark: SparkSession, media: DataFrame,
-                       maxBucket: Int = Similarity.NoMaxBucket): DataFrame =
+                       maxBucket: Int = Similarity.MaxBucket): DataFrame =
     Similarity.bucketedTop1Neighbor(
       extractFeatures(spark, media)
         .withColumn("bucket", expr(

@@ -618,8 +618,22 @@ object Retrieval {
   def searchBm25Index(spark: SparkSession, table: String, queries: DataFrame,
                       k: Int = TopK, maxDfPpm: Int = DfCeilOff): DataFrame =
     bm25Rank(
-      withBm25Weights(spark.table(table), spark.table(s"${table}_stats"), maxDfPpm),
+      withBm25Weights(spark.table(table),
+        spark.table(statsTableFor(spark, table)), maxDfPpm),
       queries, k)
+
+  /** The stats table matching the generation the postings name resolves
+    * to: for a generation-swap view this is the SAME generation's sibling
+    * (so postings and stats can never come from different generations —
+    * the postings-view swap is the only atomic step the layout needs);
+    * for a plain table it is the ordinary `_stats` sibling.
+    */
+  private def statsTableFor(spark: SparkSession, table: String): String = {
+    val phys = graft.sources.Bucketing.resolvePhysical(spark, table)
+    if (phys != table && spark.catalog.tableExists(s"${phys}_stats"))
+      s"${phys}_stats"
+    else s"${table}_stats"
+  }
 
   private def readDelta(spark: SparkSession, path: String,
                         cols: Seq[String]): Option[DataFrame] =
@@ -631,17 +645,30 @@ object Retrieval {
     * union, which DOES cost the probe a delta-sized co-location shuffle —
     * the price of exactly-once maintenance, bounded by compaction cadence
     * and zero once [[compactBm25Index]] has folded the delta in).
+    *
+    * The delta is filtered to batches ABOVE the resolved generation's
+    * folded watermark (see [[sources.Bucketing.writeMeta]]): under a
+    * concurrent [[compactBm25IndexGen]], a search that resolves the NEW
+    * generation sees the folded batches drop out of the delta
+    * automatically, so base ∪ delta never double-counts — and since the
+    * GC of folded partitions is delayed one compaction cycle, a search
+    * that resolved the OLD generation still finds every file it planned
+    * against. Plain (non-generation) layouts have no watermark and read
+    * the whole delta, unchanged.
     */
   def searchBm25IndexWith(spark: SparkSession, table: String, deltaDir: String,
                           queries: DataFrame, k: Int = TopK,
                           maxDfPpm: Int = DfCeilOff): DataFrame = {
-    val postings = readDelta(spark, s"$deltaDir/postings",
+    val folded = graft.sources.Bucketing.foldedBatchMax(spark, table)
+    def unfolded(path: String, cols: Seq[String]): Option[DataFrame] =
+      readDelta(spark, path, cols :+ "batch_id")
+        .map(_.filter(col("batch_id") > folded).drop("batch_id"))
+    val postings = unfolded(s"$deltaDir/postings",
         Seq("doc_id", "token", "tf", "dl"))
       .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
-    val stats = readDelta(spark, s"$deltaDir/stats",
-        Seq("n_docs", "total_tokens"))
-      .map(spark.table(s"${table}_stats").unionByName(_))
-      .getOrElse(spark.table(s"${table}_stats"))
+    val statsBase = spark.table(statsTableFor(spark, table))
+    val stats = unfolded(s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
+      .map(statsBase.unionByName(_)).getOrElse(statsBase)
     bm25Rank(withBm25Weights(postings, stats, maxDfPpm), queries, k)
   }
 
@@ -677,8 +704,12 @@ object Retrieval {
   // searcher thread across the swap and asserts every answer it saw was a
   // valid pre- or post-compaction serving state, never an error.
 
-  /** [[buildBm25Index]] in the generation-swap layout: physical postings
-    * and stats land as generation 1, the logical names become views.
+  /** [[buildBm25Index]] in the generation-swap layout: physical postings,
+    * stats and the folded-batch manifest land as generation 1, the
+    * logical names become views. (The `_stats` view is convenience for
+    * inspection — searchers resolve the stats sibling through the
+    * postings view's generation, see [[statsTableFor]], so only the
+    * postings-view swap is consistency-critical.)
     */
   def buildBm25IndexGen(documents: DataFrame, table: String,
                         buckets: Int = 8): Unit = {
@@ -691,41 +722,58 @@ object Retrieval {
     b.dropWithLocation(spark, s"${phys}_stats")
     bm25StatsDelta(documents).write.mode("overwrite")
       .format("parquet").saveAsTable(s"${phys}_stats")
+    b.writeMeta(spark, phys, -1L)
     b.swapView(spark, table, phys)
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
     b.dropGeneration(spark, table, g - 2)
   }
 
-  /** Generation-swap compaction: fold base ∪ delta into generation N+1,
-    * swap the views, clear the delta, retire generation N-1. Safe under a
-    * concurrently serving [[searchBm25Index]]/[[serveBm25Queries]]: the
-    * source generation is never touched, the swap is one catalog
-    * operation per view, and a concurrent delta read that loses the race
-    * with [[sources.Bucketing.deleteDirs]] falls back to base-only (the
-    * post-compaction answer). A crash before the swap leaves an orphan
-    * generation that the next run numbers past and later retires.
+  /** Generation-swap compaction: fold base ∪ (unfolded) delta into
+    * generation N+1, record the folded watermark in N+1's manifest, swap
+    * the postings view, GC only the delta batches the PREVIOUS generation
+    * had already folded, retire generation N−1. Safe under concurrently
+    * serving [[searchBm25Index]]/[[searchBm25IndexWith]]/
+    * [[serveBm25Queries]]:
+    *  - the source generation is never touched and survives one more
+    *    cycle, so an in-flight reader keeps every file it planned against;
+    *  - stats resolve through the postings view's generation
+    *    ([[statsTableFor]]), so the single view swap can never be observed
+    *    as new-postings-with-old-stats;
+    *  - a base ∪ delta reader filters the delta by its resolved
+    *    generation's watermark, so the window between the swap and any
+    *    cleanup cannot double-count folded batches;
+    *  - delta partitions are GC'd one compaction cycle late (watermark of
+    *    generation N, not N+1), mirroring the generation retention.
+    * A crash before the swap leaves an orphan generation that the next
+    * run numbers past and later retires.
     */
   def compactBm25IndexGen(spark: SparkSession, table: String, deltaDir: String,
                           buckets: Int = 8): Unit = {
     val b = graft.sources.Bucketing
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
-    val postings = readDelta(spark, s"$deltaDir/postings",
+    val prevFolded = b.foldedBatchMax(spark, table)
+    val newFolded = math.max(prevFolded, b.maxBatchId(spark, s"$deltaDir/postings"))
+    def unfolded(path: String, cols: Seq[String]): Option[DataFrame] =
+      readDelta(spark, path, cols :+ "batch_id")
+        .map(_.filter(col("batch_id") > prevFolded).drop("batch_id"))
+    val postings = unfolded(s"$deltaDir/postings",
         Seq("doc_id", "token", "tf", "dl"))
       .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
-    val stats = readDelta(spark, s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
-      .map(spark.table(s"${table}_stats").unionByName(_))
-      .getOrElse(spark.table(s"${table}_stats"))
+    val statsBase = spark.table(statsTableFor(spark, table))
+    val stats = unfolded(s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
+      .map(statsBase.unionByName(_)).getOrElse(statsBase)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_tokens")).cast("long").as("total_tokens"))
     b.writeBucketed(postings, phys, "token", buckets,
       sortCols = Seq("token"), compact = true)
     b.dropWithLocation(spark, s"${phys}_stats")
     stats.write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_stats")
+    b.writeMeta(spark, phys, newFolded)
     b.swapView(spark, table, phys)
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
-    graft.sources.Bucketing.deleteDirs(spark,
-      Seq(s"$deltaDir/postings", s"$deltaDir/stats"))
+    b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
+    b.gcDeltaPartitions(spark, s"$deltaDir/stats", prevFolded)
     b.dropGeneration(spark, table, g - 2)
   }
 }

@@ -273,25 +273,39 @@ object Similarity {
                            vecCol: String,
                            maxBucket: Int = NoMaxBucket): DataFrame = {
     registerKernels(items)
-    val withBucket = items.select(col(bucketCol).as("bucket"),
+    val raw = items.select(col(bucketCol).as("bucket"),
       col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     def winners(lists: DataFrame, vs: String, ps: String): DataFrame =
       lists.select(explode(expr(s"bucket_min_l2($vs, $ps)")).as("w"))
         .select(col("w.vec_id").as("vec_id"),
           col("w.neighbor_id").as("neighbor_id"), col("w.dist").as("dist"))
-    val merged =
-      if (anyBucketOver(withBucket, maxBucket))
-        // sharded gather: up to m winner rows per item — min-of-mins merge
-        winners(shardedSelfLists(withBucket, maxBucket), "vs", "ps")
-          .groupBy("vec_id")
-          .agg(min_by(struct(col("neighbor_id"), col("dist")),
-            struct(col("dist"), col("neighbor_id"))).as("w"))
-          .select(col("vec_id"), col("w.neighbor_id").as("neighbor_id"),
-            col("w.dist").as("dist"))
-      else
-        winners(withBucket.groupBy("bucket")
-          .agg(entries(col("vec_id"), col("embedding")).as("vs")), "vs", "vs")
-    merged.select(col("vec_id").as(idCol), col("neighbor_id"), col("dist"))
+    def plain(withBucket: DataFrame): DataFrame =
+      winners(withBucket.groupBy("bucket")
+        .agg(entries(col("vec_id"), col("embedding")).as("vs")), "vs", "vs")
+    def out(merged: DataFrame): DataFrame =
+      merged.select(col("vec_id").as(idCol), col("neighbor_id"), col("dist"))
+    if (maxBucket <= 0) out(plain(raw))
+    else {
+      // guard path: materialize the bucketed rows ONCE so the counts probe
+      // and the gather share them — without this the probe re-runs the
+      // whole upstream pipeline (for the SAX caller that is the full
+      // (user, day) aggregation chain, doubling the query). The small
+      // winners frame is eagerly taken before the input blocks release.
+      val withBucket = raw.localCheckpoint(true)
+      try {
+        val merged =
+          if (anyBucketOver(withBucket, maxBucket))
+            // sharded gather: up to m winner rows per item — min-of-mins
+            winners(shardedSelfLists(withBucket, maxBucket), "vs", "ps")
+              .groupBy("vec_id")
+              .agg(min_by(struct(col("neighbor_id"), col("dist")),
+                struct(col("dist"), col("neighbor_id"))).as("w"))
+              .select(col("vec_id"), col("w.neighbor_id").as("neighbor_id"),
+                col("w.dist").as("dist"))
+          else plain(withBucket)
+        out(merged).localCheckpoint(true)
+      } finally withBucket.unpersist()
+    }
   }
 
   /** LSH-bucketed approximate nearest neighbor: top-1 within each vector's
@@ -480,15 +494,18 @@ object Similarity {
     // aggregate job — with the literal-codebook path in assignTo, the
     // trained-search query measured 13 → 10 jobs and 1.7 → 1.2 s median.
     // the first-K initialization is k model rows too — fetched once so the
-    // first assignment pass consumes a local codebook like the later ones
-    var cents: DataFrame = {
+    // first assignment pass consumes a local codebook like the later ones;
+    // LAZY so a caller that supplies its own materialized first-K
+    // assignment (the recall harness) never pays the fetch job
+    lazy val initCents: DataFrame = {
       val init = embeddings.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding")).collect()
       embeddings.sparkSession.createDataFrame(
         java.util.Arrays.asList(init: _*), CentroidSchema)
     }
+    var cents: DataFrame = null
     var assigned = initAssign.getOrElse(
-      assignTo(embeddings, cents, 1).drop("crank"))
+      assignTo(embeddings, initCents, 1).drop("crank"))
     var i = 0
     while (i < iters) {
       val aggRows = assigned
@@ -513,7 +530,7 @@ object Similarity {
       i += 1
       if (i < iters) assigned = assignTo(embeddings, cents, 1)
     }
-    cents
+    if (iters == 0) initCents else cents
   }
 
   /** Schema of the driver-side centroid model frames [[trainIvfCentroids]]
@@ -766,33 +783,44 @@ object Similarity {
       .select("cluster_id", "vec_id", "embedding")
     b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
       "cluster_id", buckets)
+    b.writeMeta(spark, phys, -1L)
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }
 
   /** Generation-swap compaction for the IVF index: generation N+1 is
-    * written from generation N ∪ delta (shard factors re-stamped from the
-    * grown counts, nothing overwritten in place — so no eager
-    * materialization), one view swap cuts over, the delta clears, and
-    * generation N-1 retires. Safe under concurrently serving searches and
-    * a running maintenance loop: an in-flight reader that resolved
-    * generation N keeps its files; a delta read racing the cleanup falls
-    * back to base-only (the post-compaction answer).
+    * written from generation N ∪ the UNFOLDED delta batches (shard
+    * factors re-stamped from the grown counts, nothing overwritten in
+    * place — so no eager materialization), the folded watermark lands in
+    * N+1's manifest, one view swap cuts over, delta partitions the
+    * PREVIOUS generation had folded are GC'd (one cycle of grace for
+    * in-flight readers), and generation N−1 retires. Safe under
+    * concurrently serving searches and a running maintenance loop: a
+    * base ∪ delta reader filters the delta by its resolved generation's
+    * watermark ([[searchIvfIndexWith]]), so the swap-to-cleanup window
+    * cannot double-count a vector into two top-k slots. `maxBucket` has
+    * no default deliberately, like the in-place form: compaction
+    * re-stamps EVERY row's shard factors, so a capped index's caller
+    * must restate its cap or silently lose the guard.
     */
   def compactIvfIndexGen(spark: org.apache.spark.sql.SparkSession, table: String,
-                         deltaDir: String, buckets: Int = 8,
-                         maxBucket: Int = NoMaxBucket): Unit = {
+                         deltaDir: String, buckets: Int,
+                         maxBucket: Int): Unit = {
     val b = graft.sources.Bucketing
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
+    val prevFolded = b.foldedBatchMax(spark, table)
+    val newFolded = math.max(prevFolded, b.maxBatchId(spark, s"$deltaDir/postings"))
     val base = spark.table(table).select("cluster_id", "vec_id", "embedding")
     val rows = b.readParquetIfExists(spark, s"$deltaDir/postings",
-        Seq("cluster_id", "vec_id", "embedding"))
+        Seq("cluster_id", "vec_id", "embedding", "batch_id"))
+      .map(_.filter(col("batch_id") > prevFolded).drop("batch_id"))
       .map(base.unionByName(_)).getOrElse(base)
     b.writeBucketed(withShardFactors(rows, maxBucket), phys,
       "cluster_id", buckets)
+    b.writeMeta(spark, phys, newFolded)
     b.swapView(spark, table, phys)
-    b.deleteDirs(spark, Seq(s"$deltaDir/postings"))
+    b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
     b.dropGeneration(spark, table, g - 2)
   }
 
@@ -872,9 +900,15 @@ object Similarity {
                          table: String, deltaDir: String,
                          topK: Int = 3): DataFrame = {
     val base = spark.table(table)
+    // filter the delta to batches above the resolved generation's folded
+    // watermark (−1 on plain layouts = keep everything): under a
+    // concurrent generation-swap compaction, folded batches drop out the
+    // instant the new generation is visible — no double-counted vectors
+    val folded = graft.sources.Bucketing.foldedBatchMax(spark, table)
     val idx = graft.sources.Bucketing
       .readParquetIfExists(spark, s"$deltaDir/postings",
-        Seq("cluster_id", "shard", "m", "vec_id", "embedding"))
+        Seq("cluster_id", "shard", "m", "vec_id", "embedding", "batch_id"))
+      .map(_.filter(col("batch_id") > folded).drop("batch_id"))
       .map(base.unionByName(_)).getOrElse(base)
     ivfSearch(idx, topK)
   }

@@ -78,11 +78,16 @@ object TimeSeries {
     * word (winners-only; pair rows never materialize). Output (user_id,
     * neighbor_id, dist); ties break toward the smaller neighbor id.
     * `maxBucket` is the hot-bucket guard for the corpus-wide hot word (the
-    * all-inactive cohort) — default off per the family's measure-first
-    * posture ([[Similarity.MaxBucket]]); results are identical either way.
+    * all-inactive cohort) — default ON here, unlike the ad-hoc embedding
+    * operators: the gather-based kernel plan makes an unguarded hot
+    * bucket a single Θ(hot²·dims) task with the 2 GB collect_list row as
+    * its cliff, and user-behavior corpora reliably have an inactive
+    * cohort. The adaptive [[Similarity.anyBucketOver]] gate keeps the
+    * plain single-gather plan (one counts probe of overhead) until a
+    * bucket actually exceeds the cap; results are identical either way.
     */
   def tsTopNeighbor(events: DataFrame,
-                    maxBucket: Int = Similarity.NoMaxBucket): DataFrame =
+                    maxBucket: Int = Similarity.MaxBucket): DataFrame =
     Similarity.bucketedTop1Neighbor(
       saxWords(activityVectors(events)), "word", "user_id", "v", maxBucket)
 }

@@ -67,13 +67,17 @@ object Bucketing {
     * Shared by the index maintenance loops' base ∪ delta readers.
     *
     * A compaction running elsewhere can delete the delta between the
-    * existence check and the scan; that window reads as ABSENT (None —
-    * base-only answers, exactly what a completed compaction implies)
-    * rather than failing the search. Only missing-file/path errors take
-    * the fallback: genuine schema errors (e.g. a bad projection column)
-    * still surface from the read. The in-place base rewrite keeps its
-    * documented run-from-one-place caveat; see the generation-swap
-    * compaction for the concurrent form.
+    * existence check and the PLAN-TIME scan (listing + schema inference);
+    * that window reads as ABSENT (None — base-only answers, exactly what
+    * a completed compaction implies) rather than failing the search. Only
+    * missing-file/path errors take the fallback: genuine schema errors
+    * (e.g. a bad projection column) still surface. This guards analysis
+    * only — the returned frame is lazy, so files deleted MID-EXECUTION
+    * would still fail the job; that is why the generation-swap layout
+    * never deletes eagerly (folded partitions get one compaction cycle of
+    * grace via [[gcDeltaPartitions]], and readers exclude them by
+    * watermark), while the in-place rewrites keep their documented
+    * run-from-one-place caveat.
     */
   def readParquetIfExists(spark: SparkSession, path: String,
                           cols: Seq[String]): Option[DataFrame] = {
@@ -153,5 +157,78 @@ object Bucketing {
     if (g >= 1) {
       dropWithLocation(spark, generationName(table, g))
       dropWithLocation(spark, s"${generationName(table, g)}_stats")
+      dropWithLocation(spark, s"${generationName(table, g)}_meta")
     }
+
+  /** The physical catalog table a logical name resolves to — the table
+    * itself, or the generation table behind a view. Readers use this to
+    * pick the SIBLING tables (`_stats` / `_meta`) of the SAME generation
+    * as the postings they just resolved, so the postings-view swap is the
+    * ONLY atomicity the layout needs: stats/manifest can never be observed
+    * from a different generation than the postings.
+    */
+  def resolvePhysical(spark: SparkSession, table: String): String =
+    spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.catalogTable.isDefined => r.catalogTable.get.identifier.table
+    }.getOrElse(table)
+
+  /** Write a generation's one-row manifest: the highest delta `batch_id`
+    * it has folded (−1 = none). Base ∪ delta readers filter the delta to
+    * batches ABOVE their resolved generation's watermark, which closes
+    * the double-count window between a compaction's view swap and its
+    * delta cleanup — after the swap the folded batches simply stop
+    * qualifying.
+    */
+  def writeMeta(spark: SparkSession, phys: String, foldedMax: Long): Unit = {
+    dropWithLocation(spark, s"${phys}_meta")
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(foldedMax)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("folded_batch_max",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_meta")
+  }
+
+  /** Folded-batch watermark of the generation behind `table` (−1 when the
+    * layout has no manifest — plain tables, pre-watermark indexes).
+    */
+  def foldedBatchMax(spark: SparkSession, table: String): Long = {
+    val meta = s"${resolvePhysical(spark, table)}_meta"
+    if (spark.catalog.tableExists(meta))
+      spark.table(meta).collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+    else -1L
+  }
+
+  /** Highest `batch_id` present in a delta directory (−1 when absent or
+    * empty).
+    */
+  def maxBatchId(spark: SparkSession, path: String): Long =
+    readParquetIfExists(spark, path, Seq("batch_id"))
+      // partition-directory inference types batch_id as INT — cast up
+      .map(_.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("batch_id").cast("long")))
+        .collect().head)
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+
+  /** Delete delta `batch_id=` partitions at or below the watermark — the
+    * DELAYED delta GC of the generation layout: a compaction only removes
+    * partitions the PREVIOUS generation had already folded, so an
+    * in-flight base ∪ delta reader gets a full compaction cycle of grace
+    * before any file it may have planned against disappears (the same
+    * retention discipline as [[dropGeneration]]'s g−1 lag).
+    */
+  def gcDeltaPartitions(spark: SparkSession, path: String, upTo: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=")) {
+        val id = scala.util.Try(n.stripPrefix("batch_id=").toLong)
+          .getOrElse(Long.MaxValue)
+        if (id <= upTo) { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
 }

@@ -216,7 +216,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ts neighbors: word-bucketed kernel gather, winners only, no cartesian") {
-    val p = graft.ext.TimeSeries.tsTopNeighbor(Tables.events(spark, sfDir))
+    // pin the kernel pipeline's plan via the unguarded path — the guarded
+    // default returns an eagerly-taken winners frame (a checkpoint scan),
+    // whose upstream is this same plan plus the materialization step
+    val p = graft.ext.TimeSeries
+      .tsTopNeighbor(Tables.events(spark, sfDir), graft.ext.Similarity.NoMaxBucket)
       .queryExecution.executedPlan.toString
     // candidates gather per SAX word into the bucket_min_l2 kernel — one
     // winner row per user, no pair rows, no rank window; never a cross

@@ -566,15 +566,26 @@ class RecoverySpec extends SparkSpec {
     assert(seen.asScala.nonEmpty)
     assert(seen.asScala.forall(s => s == before || s == expectedAfter),
       seen.asScala.find(s => s != before && s != expectedAfter).toString)
-    // post-swap: the folded base alone serves the delta doc, the delta dir
-    // is gone, generation 1 is retained for stragglers (retired next swap)
+    // post-swap: the folded base alone serves the delta doc; the folded
+    // batch partition is RETAINED one cycle for in-flight readers, but a
+    // base ∪ delta search against the new generation filters it by the
+    // folded watermark — NO double count (delta doc appears once, scores
+    // identical to base-only)
     assert(serve() == expectedAfter)
-    assert(!new java.io.File(s"$deltaDir/postings").exists())
+    assert(new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
+    val unioned = Retrieval
+      .searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val baseOnly = Retrieval.searchBm25Index(spark, table, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(unioned == baseOnly, s"folded delta double-counted: $unioned vs $baseOnly")
     assert(spark.catalog.tableExists("graft_bm25_genswap__g1"))
     assert(spark.catalog.tableExists("graft_bm25_genswap__g2"))
-    // a second compaction (no delta) keeps answers and retires generation 1
+    // a second compaction (nothing unfolded) keeps answers, GCs the folded
+    // batch partition, and retires generation 1
     Retrieval.compactBm25IndexGen(spark, table, deltaDir)
     assert(serve() == expectedAfter)
+    assert(!new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
     assert(!spark.catalog.tableExists("graft_bm25_genswap__g1"))
   }
 
@@ -599,10 +610,18 @@ class RecoverySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val withDelta = top1(Similarity.searchIvfIndexWith(spark, table, deltaDir))
     assert(withDelta(10L) == 0L && withDelta(2L) == 10L) // delta doc integrated
-    Similarity.compactIvfIndexGen(spark, table, deltaDir, maxBucket = 2)
+    Similarity.compactIvfIndexGen(spark, table, deltaDir, 8, 2)
     // the folded generation serves identical answers base-only, with shard
     // factors re-stamped from the grown counts (cluster 0 now holds 3 > 2)
     assert(top1(Similarity.searchIvfIndex(spark, table)) == withDelta)
     assert(spark.table(table).filter(col("m") > 1).count() > 0)
+    // the folded batch partition survives one cycle for in-flight readers,
+    // but base ∪ delta filters it by the watermark — the delta vector is
+    // never double-counted into two candidate slots
+    assert(new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
+    assert(top1(Similarity.searchIvfIndexWith(spark, table, deltaDir)) == withDelta)
+    Similarity.compactIvfIndexGen(spark, table, deltaDir, 8, 2)
+    assert(!new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
+    assert(top1(Similarity.searchIvfIndex(spark, table)) == withDelta)
   }
 }
