@@ -46,6 +46,30 @@ object RetrievalScaleProbe {
       }
       ts.sorted.apply(1)
     }
+    def r2(x: Double): Double = math.round(x * 100) / 100.0
+
+    // SKEW mode — the Zipf-head case the df ceiling exists for: every doc
+    // (and therefore every query) carries a corpus-wide stopword, so the
+    // uncapped probe joins each query against a corpus-sized posting list
+    // while the capped probe drops that term after the df window.
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("skew")) {
+      Seq(1, 4, 16).foreach { times =>
+        val corpus = Retrieval.withHotTermInjected(scaled(times))
+          .localCheckpoint(true)
+        try {
+          val n = corpus.count()
+          val bm0 = median3(Retrieval.bm25TopK(corpus))
+          val bm1 = median3(Retrieval.bm25TopK(corpus, maxDfPpm = Retrieval.DfCapPpm))
+          val ph0 = median3(Retrieval.phraseSearchTopDocs(corpus))
+          val ph1 = median3(Retrieval.phraseSearch(corpus,
+            Retrieval.phraseQueries(corpus), Retrieval.DfCapPpm))
+          println(s"""{"probe":"retrieval_skew","scale":$times,"docs":$n,""" +
+            s""""bm25_s":${r2(bm0)},"bm25_capped_s":${r2(bm1)},""" +
+            s""""phrase_s":${r2(ph0)},"phrase_capped_s":${r2(ph1)}}""")
+        } finally corpus.unpersist()
+      }
+      return
+    }
 
     Seq(1, 4, 16).foreach { times =>
       val corpus = scaled(times).localCheckpoint(true)
