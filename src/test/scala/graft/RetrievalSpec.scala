@@ -444,4 +444,33 @@ class RetrievalSpec extends SparkSpec {
     assert(wp.contains("Bucketed: true"), wp)
     assert(!wp.contains("Exchange hashpartitioning"), wp)
   }
+
+  test("generation view keeps the bucketed probe exchange-free; helpers resolve generations") {
+    val b = graft.sources.Bucketing
+    val docs = Tables.documents(spark, sfDir)
+    Retrieval.buildBm25IndexGen(docs, "graft_bm25_genplan")
+    // the logical name is a VIEW — the swap layout must not cost the
+    // 100 TB probe its exchange-free df window: the bucketed distribution
+    // propagates through the view's projection
+    val wp = Retrieval.withBm25Weights(
+      spark.table("graft_bm25_genplan"),
+      spark.table("graft_bm25_genplan_stats"))
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("Bucketed: true"), wp)
+    assert(!wp.contains("Exchange hashpartitioning"), wp)
+    // helper contracts: views resolve to their generation, plain tables to
+    // themselves; plain layouts have no watermark
+    assert(b.resolvePhysical(spark, "graft_bm25_genplan") == "graft_bm25_genplan__g1")
+    assert(b.foldedBatchMax(spark, "graft_bm25_genplan") == -1L)
+    Retrieval.buildBm25Index(docs, "graft_bm25_plainplan")
+    assert(b.resolvePhysical(spark, "graft_bm25_plainplan") == "graft_bm25_plainplan")
+    assert(b.foldedBatchMax(spark, "graft_bm25_plainplan") == -1L)
+    // and the generation search answers match the plain layout exactly
+    val q = Retrieval.bm25Queries(docs)
+    val genAns = Retrieval.searchBm25Index(spark, "graft_bm25_genplan", q)
+      .collect().toSeq
+    val plainAns = Retrieval.searchBm25Index(spark, "graft_bm25_plainplan", q)
+      .collect().toSeq
+    assert(genAns.nonEmpty && genAns == plainAns)
+  }
 }
