@@ -616,24 +616,29 @@ object Retrieval {
     * postings table.
     */
   def searchBm25Index(spark: SparkSession, table: String, queries: DataFrame,
-                      k: Int = TopK, maxDfPpm: Int = DfCeilOff): DataFrame =
-    bm25Rank(
-      withBm25Weights(spark.table(table),
-        spark.table(statsTableFor(spark, table)), maxDfPpm),
-      queries, k)
-
-  /** The stats table matching the generation the postings name resolves
-    * to: for a generation-swap view this is the SAME generation's sibling
-    * (so postings and stats can never come from different generations —
-    * the postings-view swap is the only atomic step the layout needs);
-    * for a plain table it is the ordinary `_stats` sibling.
-    */
-  private def statsTableFor(spark: SparkSession, table: String): String = {
+                      k: Int = TopK, maxDfPpm: Int = DfCeilOff): DataFrame = {
     val phys = graft.sources.Bucketing.resolvePhysical(spark, table)
+    bm25Rank(
+      withBm25Weights(spark.table(phys),
+        spark.table(statsSiblingOf(spark, phys, table)), maxDfPpm),
+      queries, k)
+  }
+
+  /** The stats table matching an ALREADY-RESOLVED postings generation: for
+    * a generation-swap layout this is the SAME generation's sibling (so
+    * postings and stats can never come from different generations — the
+    * postings-view swap is the only atomic step the layout needs); for a
+    * plain table it is the ordinary `_stats` sibling. Takes the physical
+    * name rather than resolving the view itself, so a reader resolves
+    * ONCE and every read — postings, stats, watermark — comes off that
+    * single resolution; a second resolution here would reopen the
+    * mixed-generation window under a concurrent compaction swap.
+    */
+  private def statsSiblingOf(spark: SparkSession, phys: String,
+                             table: String): String =
     if (phys != table && spark.catalog.tableExists(s"${phys}_stats"))
       s"${phys}_stats"
     else s"${table}_stats"
-  }
 
   private def readDelta(spark: SparkSession, path: String,
                         cols: Seq[String]): Option[DataFrame] =
@@ -655,18 +660,26 @@ object Retrieval {
     * that resolved the OLD generation still finds every file it planned
     * against. Plain (non-generation) layouts have no watermark and read
     * the whole delta, unchanged.
+    *
+    * The generation is resolved ONCE and postings, stats AND watermark
+    * all read off that single resolution — resolving per-read would let a
+    * swap landing between two resolutions mix generations (old watermark
+    * with new base double-counts just-folded batches; new stats against
+    * old postings breaks the weights' n_docs).
     */
   def searchBm25IndexWith(spark: SparkSession, table: String, deltaDir: String,
                           queries: DataFrame, k: Int = TopK,
                           maxDfPpm: Int = DfCeilOff): DataFrame = {
-    val folded = graft.sources.Bucketing.foldedBatchMax(spark, table)
+    val b = graft.sources.Bucketing
+    val phys = b.resolvePhysical(spark, table)
+    val folded = b.foldedBatchMaxOf(spark, phys)
     def unfolded(path: String, cols: Seq[String]): Option[DataFrame] =
       readDelta(spark, path, cols :+ "batch_id")
         .map(_.filter(col("batch_id") > folded).drop("batch_id"))
     val postings = unfolded(s"$deltaDir/postings",
         Seq("doc_id", "token", "tf", "dl"))
-      .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
-    val statsBase = spark.table(statsTableFor(spark, table))
+      .map(spark.table(phys).unionByName(_)).getOrElse(spark.table(phys))
+    val statsBase = spark.table(statsSiblingOf(spark, phys, table))
     val stats = unfolded(s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
       .map(statsBase.unionByName(_)).getOrElse(statsBase)
     bm25Rank(withBm25Weights(postings, stats, maxDfPpm), queries, k)
@@ -715,6 +728,7 @@ object Retrieval {
                         buckets: Int = 8): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     b.writeBucketed(bm25Postings(documents), phys, "token", buckets,
@@ -750,18 +764,35 @@ object Retrieval {
   def compactBm25IndexGen(spark: SparkSession, table: String, deltaDir: String,
                           buckets: Int = 8): Unit = {
     val b = graft.sources.Bucketing
+    val srcPhys = b.resolvePhysical(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
-    val prevFolded = b.foldedBatchMax(spark, table)
-    val newFolded = math.max(prevFolded, b.maxBatchId(spark, s"$deltaDir/postings"))
-    def unfolded(path: String, cols: Seq[String]): Option[DataFrame] =
-      readDelta(spark, path, cols :+ "batch_id")
-        .map(_.filter(col("batch_id") > prevFolded).drop("batch_id"))
-    val postings = unfolded(s"$deltaDir/postings",
-        Seq("doc_id", "token", "tf", "dl"))
-      .map(spark.table(table).unionByName(_)).getOrElse(spark.table(table))
-    val statsBase = spark.table(statsTableFor(spark, table))
-    val stats = unfolded(s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
+    val prevFolded = b.foldedBatchMaxOf(spark, srcPhys)
+    // one listing per delta dir: the folded rows AND the recorded watermark
+    // both come from these frames' snapshotted file listings, so a
+    // maintenance batch landing mid-compaction is either wholly folded and
+    // covered by the watermark, or wholly left in the delta — never folded
+    // yet above the watermark (which post-swap readers would double-count).
+    // The watermark is the MIN across the dirs' maxima: a batch whose
+    // postings landed but whose stats write is still in flight stays
+    // unfolded in both layers.
+    val deltaPost = readDelta(spark, s"$deltaDir/postings",
+      Seq("doc_id", "token", "tf", "dl", "batch_id"))
+    val deltaStats = readDelta(spark, s"$deltaDir/stats",
+      Seq("n_docs", "total_tokens", "batch_id"))
+    val maxes = Seq(deltaPost, deltaStats).flatten.map(b.maxBatchIdOf)
+      .filter(_ >= 0L)
+    val newFolded =
+      if (maxes.isEmpty) prevFolded else math.max(prevFolded, maxes.min)
+    def unfolded(df: Option[DataFrame]): Option[DataFrame] =
+      df.map(_.filter(col("batch_id").cast("long") > prevFolded &&
+          col("batch_id").cast("long") <= newFolded)
+        .drop("batch_id"))
+    val postings = unfolded(deltaPost)
+      .map(spark.table(srcPhys).unionByName(_))
+      .getOrElse(spark.table(srcPhys))
+    val statsBase = spark.table(statsSiblingOf(spark, srcPhys, table))
+    val stats = unfolded(deltaStats)
       .map(statsBase.unionByName(_)).getOrElse(statsBase)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_tokens")).cast("long").as("total_tokens"))

@@ -777,6 +777,7 @@ object Similarity {
                        buckets: Int = 8, maxBucket: Int = NoMaxBucket): Unit = {
     val spark = embeddings.sparkSession
     val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     val assigned = assignToCentroids(embeddings, k, 1)
@@ -807,14 +808,25 @@ object Similarity {
                          deltaDir: String, buckets: Int,
                          maxBucket: Int): Unit = {
     val b = graft.sources.Bucketing
+    val srcPhys = b.resolvePhysical(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
-    val prevFolded = b.foldedBatchMax(spark, table)
-    val newFolded = math.max(prevFolded, b.maxBatchId(spark, s"$deltaDir/postings"))
-    val base = spark.table(table).select("cluster_id", "vec_id", "embedding")
-    val rows = b.readParquetIfExists(spark, s"$deltaDir/postings",
-        Seq("cluster_id", "vec_id", "embedding", "batch_id"))
-      .map(_.filter(col("batch_id") > prevFolded).drop("batch_id"))
+    val prevFolded = b.foldedBatchMaxOf(spark, srcPhys)
+    // ONE listing of the delta dir: the recorded watermark and the folded
+    // rows come from the same snapshotted frame ([[Bucketing.maxBatchIdOf]]),
+    // so a maintenance batch landing mid-compaction is either wholly folded
+    // and covered by the watermark or wholly left in the delta — a separate
+    // maxBatchId listing could fold a batch the watermark misses, which
+    // post-swap base ∪ delta readers would double-count.
+    val delta = b.readParquetIfExists(spark, s"$deltaDir/postings",
+      Seq("cluster_id", "vec_id", "embedding", "batch_id"))
+    val newFolded =
+      math.max(prevFolded, delta.map(b.maxBatchIdOf).getOrElse(-1L))
+    val base = spark.table(srcPhys).select("cluster_id", "vec_id", "embedding")
+    val rows = delta
+      .map(_.filter(col("batch_id").cast("long") > prevFolded &&
+          col("batch_id").cast("long") <= newFolded)
+        .drop("batch_id"))
       .map(base.unionByName(_)).getOrElse(base)
     b.writeBucketed(withShardFactors(rows, maxBucket), phys,
       "cluster_id", buckets)
@@ -899,12 +911,18 @@ object Similarity {
   def searchIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String,
                          topK: Int = 3): DataFrame = {
-    val base = spark.table(table)
+    // resolve the generation ONCE and read base and watermark off that
+    // single resolution: resolving the view per-read would let a
+    // concurrent compaction swap land between them (e.g. old base + new
+    // watermark silently drops delta vectors the old base hasn't folded)
+    val b = graft.sources.Bucketing
+    val phys = b.resolvePhysical(spark, table)
+    val base = spark.table(phys)
     // filter the delta to batches above the resolved generation's folded
     // watermark (−1 on plain layouts = keep everything): under a
     // concurrent generation-swap compaction, folded batches drop out the
     // instant the new generation is visible — no double-counted vectors
-    val folded = graft.sources.Bucketing.foldedBatchMax(spark, table)
+    val folded = b.foldedBatchMaxOf(spark, phys)
     val idx = graft.sources.Bucketing
       .readParquetIfExists(spark, s"$deltaDir/postings",
         Seq("cluster_id", "shard", "m", "vec_id", "embedding", "batch_id"))

@@ -174,10 +174,17 @@ object AnnKernels {
   * nondeterministic input order; winner rows from distinct shard groups
   * compose under min-(dist asc, id asc), so the `maxBucket` hash-sharding
   * machinery applies unchanged. Distances are exact Long sums — identical
-  * arithmetic to the SQL `aggregate(zip_with(...))` fold it replaces, so
-  * results are bit-equal to the pair-join + rank-window formulation the
-  * DuckDB oracle reproduces, while only winner rows (never Θ(bucket²) pair
-  * rows) ever reach the shuffle.
+  * arithmetic to the SQL `aggregate(zip_with(...))` fold it replaces — so
+  * for buckets of NON-NULL, UNIFORM-LENGTH vectors (the contract the SAX
+  * word / media-feature producers guarantee and the only shape the oracle
+  * queries exercise) results are bit-equal to the pair-join + rank-window
+  * formulation the DuckDB oracle reproduces, while only winner rows (never
+  * Θ(bucket²) pair rows) ever reach the shuffle. Outside that precondition
+  * the kernel is deliberately STRICTER than the SQL fold it replaced: a
+  * null or length-mismatched candidate is skipped (same guard as
+  * [[BucketTop1]]), where `aggregate(zip_with(...))` produced a null
+  * distance that ranked FIRST under ascending-nulls-first ordering —
+  * a degenerate vector must not become everyone's nearest neighbor.
   */
 case class BucketMinL2(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

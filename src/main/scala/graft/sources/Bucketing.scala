@@ -192,25 +192,74 @@ object Bucketing {
 
   /** Folded-batch watermark of the generation behind `table` (−1 when the
     * layout has no manifest — plain tables, pre-watermark indexes).
+    *
+    * Resolves the generation itself; a reader that ALSO reads the postings
+    * or stats must instead resolve ONCE ([[resolvePhysical]]) and take the
+    * watermark from that same generation via [[foldedBatchMaxOf]] —
+    * resolving twice opens a window where a concurrent compaction swap
+    * lands between the two resolutions and the reader mixes generations
+    * (new watermark against old postings double-drops unfolded batches;
+    * old watermark against new base double-counts just-folded ones).
     */
-  def foldedBatchMax(spark: SparkSession, table: String): Long = {
-    val meta = s"${resolvePhysical(spark, table)}_meta"
+  def foldedBatchMax(spark: SparkSession, table: String): Long =
+    foldedBatchMaxOf(spark, resolvePhysical(spark, table))
+
+  /** [[foldedBatchMax]] for an ALREADY-RESOLVED physical generation: reads
+    * `${phys}_meta` directly, no view resolution — the single-resolution
+    * read path every base ∪ delta reader uses so postings, stats and
+    * watermark all come from one generation.
+    */
+  def foldedBatchMaxOf(spark: SparkSession, phys: String): Long = {
+    val meta = s"${phys}_meta"
     if (spark.catalog.tableExists(meta))
       spark.table(meta).collect().headOption.map(_.getLong(0)).getOrElse(-1L)
     else -1L
   }
 
+  /** Fail fast when `table` already exists as a plain TABLE — i.e. was
+    * built by the in-place lifecycle. The generation-swap and in-place
+    * lifecycles are mutually exclusive per name: a swap builder that ran
+    * anyway would write its `__g1` generation and only THEN hit
+    * `CREATE OR REPLACE VIEW` over the existing table (AnalysisException),
+    * leaving an orphan generation and a half-migrated name. Called by the
+    * `*Gen` builders BEFORE any write, so the failure is clean and the fix
+    * is explicit: drop the plain table ([[dropWithLocation]]) or pick a
+    * new name.
+    */
+  def requireSwapAdoptable(spark: SparkSession, table: String): Unit =
+    if (spark.catalog.tableExists(table) &&
+        spark.catalog.getTable(table).tableType != "VIEW")
+      throw new IllegalStateException(
+        s"`$table` already exists as a plain table (in-place lifecycle); " +
+          "the generation-swap and in-place lifecycles are mutually " +
+          "exclusive per name. Drop it (Bucketing.dropWithLocation) or " +
+          "use a different name for the generation-swap index.")
+
+  /** Highest `batch_id` in an already-opened delta frame (−1 when empty).
+    *
+    * Compactions MUST take their folded watermark from the SAME frame they
+    * fold (the parquet file listing is snapshotted when the frame is
+    * created, so the watermark and the folded rows see an identical batch
+    * set) — a separate directory listing for the watermark races a
+    * running maintenance loop: a batch landing between the two listings
+    * gets folded yet sits above the recorded watermark, and post-swap
+    * base ∪ delta readers double-count it.
+    */
+  def maxBatchIdOf(df: DataFrame): Long = {
+    // partition-directory inference types batch_id as INT — cast up
+    val r = df.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("batch_id").cast("long")))
+      .collect().head
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
   /** Highest `batch_id` present in a delta directory (−1 when absent or
-    * empty).
+    * empty). Fresh listing — see [[maxBatchIdOf]] for why a compaction
+    * must not pair this with a second listing of the same directory.
     */
   def maxBatchId(spark: SparkSession, path: String): Long =
     readParquetIfExists(spark, path, Seq("batch_id"))
-      // partition-directory inference types batch_id as INT — cast up
-      .map(_.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("batch_id").cast("long")))
-        .collect().head)
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-      .getOrElse(-1L)
+      .map(maxBatchIdOf).getOrElse(-1L)
 
   /** Delete delta `batch_id=` partitions at or below the watermark — the
     * DELAYED delta GC of the generation layout: a compaction only removes
