@@ -289,7 +289,42 @@ object Dedup {
     * what is stored).
     */
   def buildJaccardIndex(documents: DataFrame, name: String,
-                        tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
+                        tauPpm: Long = 850000L, buckets: Int = 8): Unit =
+    buildJaccardTables(documents, s"${name}_vocab", s"${name}_toks",
+      s"${name}_prefix", tauPpm, buckets)
+
+  /** The three index-table suffixes of a Jaccard index, in build order. */
+  private val JacLayers = Seq("vocab", "toks", "prefix")
+
+  /** [[buildJaccardIndex]] in the generation-swap layout: each of the
+    * three physical tables lands as a numbered generation and the logical
+    * names become views, so [[compactJaccardIndexGen]] can fold the
+    * [[maintainJaccardDedup]] delta WHILE probes serve. The three views
+    * swap one after another — NOT atomically — which is safe because the
+    * lifecycle never renumbers tids (the vocab order is frozen at build
+    * and extended append-at-end), so any mix of layer generations a
+    * concurrent probe resolves is consistent: each layer read is
+    * individually complete and duplicate-free under its own generation's
+    * watermark, and tids mean the same thing in all of them.
+    */
+  def buildJaccardIndexGen(documents: DataFrame, name: String,
+                           tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    val b = graft.sources.Bucketing
+    val names = JacLayers.map(s => s"${name}_$s")
+    names.foreach(b.requireSwapAdoptable(spark, _))
+    val phys = names.map(n => b.generationName(n, b.currentGeneration(spark, n) + 1))
+    buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
+    phys.zip(names).foreach { case (p, n) =>
+      b.writeMeta(spark, p, -1L)
+      b.swapView(spark, n, p)
+    }
+    names.foreach(n => b.dropGeneration(spark, n, b.currentGeneration(spark, n) - 2))
+  }
+
+  private def buildJaccardTables(documents: DataFrame, vocabT: String,
+                                 toksT: String, prefixT: String,
+                                 tauPpm: Long, buckets: Int): Unit = {
     val spark = documents.sparkSession
     val (tk, tkIds) = Checkpoints.checkpointTracked(documents
       .select(col("doc_id"),
@@ -300,20 +335,42 @@ object Dedup {
           tk.groupBy("token").agg(count(lit(1)).as("df")),
           "tid", col("df").asc, col("token").asc)
         .select("token", "tid"),
-      s"${name}_vocab", "token", buckets, compact = true)
+      vocabT, "token", buckets, compact = true)
     graft.sources.Bucketing.writeBucketed(
-      tk.join(spark.table(s"${name}_vocab"), "token")
+      tk.join(spark.table(vocabT), "token")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("tid"))).as("toks"))
         .withColumn("n", size(col("toks")).cast("long")),
-      s"${name}_toks", "doc_id", buckets, compact = true)
-    Checkpoints.releaseTracked(spark.table(s"${name}_toks"), tkIds)
+      toksT, "doc_id", buckets, compact = true)
+    Checkpoints.releaseTracked(spark.table(toksT), tkIds)
     graft.sources.Bucketing.writeBucketed(
-      spark.table(s"${name}_toks")
+      spark.table(toksT)
         .select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
         .select(col("col").as("tid"), col("doc_id"), col("n"),
           (col("pos") + 1).cast("long").as("rn")),
-      s"${name}_prefix", "tid", buckets, compact = true)
+      prefixT, "tid", buckets, compact = true)
+  }
+
+  /** Fold the Jaccard maintenance delta into NEW generations of the three
+    * index tables — the concurrent-safe compaction of
+    * [[maintainJaccardDedup]], one [[sources.Bucketing.compactLayerGen]]
+    * per layer. Each layer carries its OWN folded watermark, taken from
+    * the same delta frame it folds, so per-layer base ∪ delta reads are
+    * exact even when a probe resolves the layers in different generations
+    * mid-compaction (tids are never renumbered — see
+    * [[buildJaccardIndexGen]] — so cross-layer generation mixes are
+    * consistent by construction).
+    */
+  def compactJaccardIndexGen(spark: org.apache.spark.sql.SparkSession,
+                             name: String, deltaDir: String,
+                             buckets: Int = 8): Unit = {
+    val b = graft.sources.Bucketing
+    b.compactLayerGen(spark, s"${name}_vocab", s"$deltaDir/vocab",
+      "token", Seq("token", "tid"), buckets, compact = true)
+    b.compactLayerGen(spark, s"${name}_toks", s"$deltaDir/toks",
+      "doc_id", Seq("doc_id", "toks", "n"), buckets, compact = true)
+    b.compactLayerGen(spark, s"${name}_prefix", s"$deltaDir/prefix",
+      "tid", Seq("tid", "doc_id", "n", "rn"), buckets, compact = true)
   }
 
   /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the
@@ -343,22 +400,45 @@ object Dedup {
   def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           newDocs: DataFrame, name: String,
                           tauPpm: Long = 850000L): DataFrame =
-    jaccardAgainstIndexTracked(spark, newDocs, name, tauPpm)._1
+    jaccardAgainstIndexTracked(spark, newDocs, name, tauPpm, None, None)._1
+
+  /** [[jaccardAgainstIndex]] over base ∪ delta — the read side of the
+    * Jaccard LSM posture: pairs reflect every compacted batch plus every
+    * not-yet-compacted survivor in the [[maintainJaccardDedup]] delta.
+    * Each of the three layers resolves its generation ONCE and reads base,
+    * watermark and delta off that single resolution
+    * ([[sources.Bucketing.layerWithDelta]]), so a concurrent
+    * [[compactJaccardIndexGen]] can never be observed as duplicated vocab
+    * rows (which would corrupt the probe's sorted tid arrays) or dropped
+    * prefixes (a silent false negative).
+    */
+  def jaccardAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
+                              newDocs: DataFrame, name: String,
+                              deltaDir: String,
+                              tauPpm: Long = 850000L): DataFrame =
+    jaccardAgainstIndexTracked(spark, newDocs, name, tauPpm,
+      Some(deltaDir), None)._1
 
   /** [[jaccardAgainstIndex]] plus the RDD ids of its eager checkpoint, so a
     * long-running caller (the streaming loop) can release exactly its own
     * blocks once the batch's results are consumed — never a blanket
     * session-wide sweep, which would tear down CONCURRENT queries'
     * lineage-truncated checkpoints (unrecoverable by design).
+    * `deltaDir`/`excludeBatch` select the base ∪ delta read shape (see
+    * [[jaccardAgainstIndexWith]] / [[processJaccardBatch]]).
     */
   private def jaccardAgainstIndexTracked(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
-      name: String, tauPpm: Long): (DataFrame, Set[Int]) = {
+      name: String, tauPpm: Long, deltaDir: Option[String],
+      excludeBatch: Option[Long]): (DataFrame, Set[Int]) = {
+    def layer(suffix: String, cols: Seq[String]): DataFrame =
+      graft.sources.Bucketing.layerWithDelta(spark, s"${name}_$suffix",
+        deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
     val (per, perIds) = Checkpoints.checkpointTracked(newDocs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
-      .join(spark.table(s"${name}_vocab"), Seq("token"), "left")
+      .join(layer("vocab", Seq("token", "tid")), Seq("token"), "left")
       .groupBy("doc_id")
       // collect_list drops nulls: toks = KNOWN tids only; n counts all
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
@@ -372,7 +452,7 @@ object Dedup {
       .withColumn("rn", (col("pos") + 1).cast("long") + col("n_unseen"))
       .filter(expr(s"rn <= n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
       .select(col("doc_new"), col("col").as("tid"), col("n").as("na"), col("rn").as("ra"))
-    val idx = spark.table(s"${name}_prefix")
+    val idx = layer("prefix", Seq("tid", "doc_id", "n", "rn"))
       .select(col("tid"), col("doc_id").as("doc_corpus"),
         col("n").as("nb"), col("rn").as("rb"))
     val cand = probePrefix.join(idx, "tid")
@@ -385,7 +465,7 @@ object Dedup {
     graft.functions.SortedIntersectCount.register(spark)
     val out = cand
       .join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")), Seq("doc_new"))
-      .join(spark.table(s"${name}_toks")
+      .join(layer("toks", Seq("doc_id", "toks", "n"))
         .select(col("doc_id").as("doc_corpus"), col("toks").as("tb")), Seq("doc_corpus"))
       .select(col("doc_new"), col("doc_corpus"),
         expr("sorted_intersect_count(ta, tb)").as("n_common"),
@@ -459,14 +539,82 @@ object Dedup {
     } finally Checkpoints.releaseTracked(tk, tkIds)
   }
 
-  /** Streaming exact-dedup loop over a persisted [[buildJaccardIndex]] —
-    * the provably-complete counterpart of [[maintainLshDedup]]: each
-    * micro-batch probes the index with [[jaccardAgainstIndex]], docs with
-    * ANY pair at τ are dropped, survivors are written AND appended to the
-    * index ([[appendToJaccardIndex]]) so later batches dedup against
-    * earlier survivors. Within-batch τ-pairs that match nothing in the
-    * index both survive — run [[jaccardJoin]] on the increment upstream if
-    * intra-batch collapse is required (same contract as the LSH loop).
+  /** One maintenance batch's increments to the Jaccard delta layer —
+    * vocab extension, token arrays and prefixes for `survivors` — each
+    * landing in its own `batch_id=` partition
+    * ([[sources.Bucketing.writeDeltaPartition]]). Tokens new to the
+    * visible vocabulary (base ∪ delta EXCLUDING this batch's own
+    * partition) are assigned tids ABOVE the visible max — the same
+    * append-at-end frozen-order argument as [[appendToJaccardIndex]], so
+    * every stored prefix remains valid with no rebuild.
+    *
+    * REPLAY-IDEMPOTENT by recomputation: excluding the batch's own
+    * partition makes a redelivery see exactly the state the first
+    * delivery saw, every derivation (rank order, tid arithmetic) is
+    * deterministic, and the partition overwrite replaces the first
+    * delivery's rows with identical ones — no missing-doc gates, no
+    * per-batch index scans, and none of the in-place form's
+    * partial-failure ordering subtleties (a crash between layer writes
+    * just re-overwrites all three on replay). The toks join reads the
+    * IN-MEMORY new-vocab frame rather than re-listing the directory just
+    * written, so the batch's own exclusion filter cannot hide its own new
+    * tids.
+    */
+  private[graft] def appendJaccardDelta(
+      spark: org.apache.spark.sql.SparkSession, survivors: DataFrame,
+      name: String, deltaDir: String, batchId: Long, tauPpm: Long): Unit = {
+    val b = graft.sources.Bucketing
+    val vocabVisible = b.layerWithDelta(spark, s"${name}_vocab",
+      Some(s"$deltaDir/vocab"), Seq("token", "tid"),
+      excludeBatch = Some(batchId))
+    val (tk, tkIds) = Checkpoints.checkpointTracked(survivors
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= ""))
+    try {
+      // coalesce: an index built over an empty corpus has an empty vocab
+      // (tids from 1); the visible max is one O(1) driver scalar
+      val maxTid = vocabVisible
+        .agg(coalesce(max(col("tid")), lit(0L))).head.getLong(0)
+      val (newVocab, nvIds) = Checkpoints.checkpointTracked(
+        Ranks.globalRank(
+            tk.select("token").distinct()
+              .join(vocabVisible.select("token"), Seq("token"), "left_anti"),
+            "tid", col("token").asc)
+          .withColumn("tid", col("tid") + lit(maxTid)))
+      try {
+        b.writeDeltaPartition(newVocab, s"$deltaDir/vocab", batchId)
+        val (toks, toksIds) = Checkpoints.checkpointTracked(
+          tk.join(vocabVisible.unionByName(newVocab), "token")
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(col("tid"))).as("toks"))
+            .withColumn("n", size(col("toks")).cast("long")))
+        try {
+          b.writeDeltaPartition(toks.select("doc_id", "toks", "n"),
+            s"$deltaDir/toks", batchId)
+          b.writeDeltaPartition(
+            toks.select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
+              .select(col("col").as("tid"), col("doc_id"), col("n"),
+                (col("pos") + 1).cast("long").as("rn")),
+            s"$deltaDir/prefix", batchId)
+        } finally Checkpoints.releaseTracked(toks, toksIds)
+      } finally Checkpoints.releaseTracked(newVocab, nvIds)
+    } finally Checkpoints.releaseTracked(tk, tkIds)
+  }
+
+  /** Streaming exact-dedup loop over a persisted [[buildJaccardIndex]] /
+    * [[buildJaccardIndexGen]] — the provably-complete counterpart of
+    * [[maintainLshDedup]]: each micro-batch probes base ∪ delta, docs with
+    * ANY pair at τ are dropped, survivors are written AND their vocab/
+    * toks/prefix increments land in the `batch_id=`-partitioned delta
+    * layer under `deltaDir` ([[appendJaccardDelta]]) so later batches
+    * dedup against earlier survivors. [[compactJaccardIndexGen]]
+    * periodically folds the delta into new generations of the three
+    * bucketed tables — safe to run WHILE this loop and any probes serve
+    * (the old in-place table appends had a run-from-one-place caveat).
+    * Within-batch τ-pairs that match nothing in the index both survive —
+    * run [[jaccardJoin]] on the increment upstream if intra-batch
+    * collapse is required (same contract as the LSH loop).
     *
     * Replay-safe: survivors land in a `batch_id=` partition via dynamic
     * partition OVERWRITE (a redelivered batch replaces its own partition,
@@ -482,42 +630,47 @@ object Dedup {
     * (probe + append internals), never a session-wide sweep that would
     * tear down concurrent queries' lineage-truncated checkpoints.
     */
-  def maintainJaccardDedup(stream: DataFrame, name: String, checkpointDir: String,
-                           survivorsPath: String, tauPpm: Long = 850000L,
-                           buckets: Int = 8)
+  def maintainJaccardDedup(stream: DataFrame, name: String, deltaDir: String,
+                           checkpointDir: String, survivorsPath: String,
+                           tauPpm: Long = 850000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processJaccardBatch(batch, batchId, name, survivorsPath, tauPpm, buckets)
+        processJaccardBatch(batch, batchId, name, deltaDir, survivorsPath, tauPpm)
       }
       .start()
 
   /** One micro-batch of [[maintainJaccardDedup]], factored out so replay
     * semantics are directly testable (call twice with the same batchId).
+    * The probe excludes the batch's OWN delta partitions (a redelivery
+    * sees exactly the first delivery's state), and verdicts whose corpus
+    * side is a current-batch doc are dropped — a replayed batch whose
+    * first delivery was already COMPACTED into the base must not drop a
+    * doc for matching itself or a within-batch twin.
     */
   private[graft] def processJaccardBatch(batch: DataFrame, batchId: Long,
-                                         name: String, survivorsPath: String,
-                                         tauPpm: Long, buckets: Int): Unit = {
+                                         name: String, deltaDir: String,
+                                         survivorsPath: String,
+                                         tauPpm: Long): Unit = {
     val session = batch.sparkSession
-    val (pairs, probeIds) =
-      jaccardAgainstIndexTracked(session, batch, name, tauPpm)
+    val (pairs, probeIds) = jaccardAgainstIndexTracked(session, batch, name,
+      tauPpm, Some(deltaDir), Some(batchId))
     try {
       val dupIds = pairs
-        // replay: drop verdicts whose corpus side is a current-batch doc —
-        // self-matches AND within-batch twins the first delivery appended
+        // replay after compaction: the batch's own partitions are excluded
+        // from the probe, but rows its first delivery contributed may
+        // already sit in the BASE — drop verdicts whose corpus side is a
+        // current-batch doc (self-matches AND within-batch twins)
         .join(batch.select(col("doc_id").as("doc_corpus")),
           Seq("doc_corpus"), "left_anti")
         .select(col("doc_new").as("doc_id")).distinct()
       val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
       try {
-        survivors.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(survivorsPath)
-        appendToJaccardIndex(session, survivors, name, tauPpm, buckets)
+        graft.sources.Bucketing.writeDeltaPartition(
+          survivors, survivorsPath, batchId)
+        appendJaccardDelta(session, survivors, name, deltaDir, batchId, tauPpm)
       } finally survivors.unpersist()
     } finally Checkpoints.releaseTracked(pairs, probeIds)
   }
@@ -537,6 +690,30 @@ object Dedup {
         concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
       table, "bkey", buckets)
 
+  /** [[buildLshIndex]] in the generation-swap layout (see
+    * sources.Bucketing): the physical band table lands as a numbered
+    * generation and `table` becomes a view, so [[compactLshIndexGen]] can
+    * fold the maintenance delta WHILE [[dedupAgainstIndex]]/
+    * [[dedupAgainstIndexWith]]/[[maintainLshDedup]] serve. The probe
+    * surface is unchanged — views resolve through `spark.table` exactly
+    * like tables, including the bucketed scan's exchange-free join side.
+    */
+  def buildLshIndexGen(documents: DataFrame, table: String,
+                       buckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, table)
+    val g = b.currentGeneration(spark, table) + 1
+    val phys = b.generationName(table, g)
+    b.writeBucketed(
+      lshBands(documents).select(
+        concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
+      phys, "bkey", buckets)
+    b.writeMeta(spark, phys, -1L)
+    b.swapView(spark, table, phys)
+    b.dropGeneration(spark, table, g - 2)
+  }
+
   /** Near-dup candidates of NEW documents against a persisted LSH index:
     * distinct (new, corpus) pairs sharing any band. Only the new batch pays
     * the MinHash pipeline; the corpus side is the pre-bucketed band table
@@ -547,83 +724,125 @@ object Dedup {
     */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         newDocs: DataFrame, table: String): DataFrame =
+    probeLsh(newDocs, graft.sources.Bucketing.layerWithDelta(
+      spark, table, None, Seq("bkey", "doc_id")))
+
+  /** [[dedupAgainstIndex]] over base ∪ delta — the read side of the LSM
+    * maintenance posture: candidates reflect every compacted batch (the
+    * bucketed base, exchange-free join side) plus every not-yet-compacted
+    * survivor band in the delta (whose join side DOES pay a delta-sized
+    * co-location shuffle, bounded by compaction cadence). The generation
+    * is resolved once and base + watermark read off that single
+    * resolution, so a concurrent [[compactLshIndexGen]] swap can never be
+    * observed as a double-counted or dropped band
+    * ([[sources.Bucketing.layerWithDelta]]).
+    */
+  def dedupAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
+                            newDocs: DataFrame, table: String,
+                            deltaDir: String): DataFrame =
+    probeLsh(newDocs, graft.sources.Bucketing.layerWithDelta(
+      spark, table, Some(s"$deltaDir/bands"), Seq("bkey", "doc_id")))
+
+  private def probeLsh(newDocs: DataFrame, corpus: DataFrame): DataFrame =
     lshBands(newDocs)
       .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
         col("doc_id").as("doc_id_new"))
-      .join(spark.table(table).select(col("bkey"), col("doc_id").as("doc_id_corpus")),
+      .join(corpus.select(col("bkey"), col("doc_id").as("doc_id_corpus")),
         "bkey")
       .select("doc_id_new", "doc_id_corpus")
       .distinct()
 
+  /** Fold the LSH maintenance delta into a NEW generation of the band
+    * table — the concurrent-safe compaction of the [[maintainLshDedup]]
+    * loop, same discipline as [[Retrieval.compactBm25IndexGen]]:
+    * generation N+1 is written from generation N ∪ the unfolded delta
+    * batches (nothing overwritten in place), the folded watermark is
+    * derived from the SAME delta frame being folded (one file listing —
+    * a maintenance batch landing mid-compaction is either wholly folded
+    * and covered by the watermark or wholly left in the delta), one view
+    * swap cuts over, delta partitions the PREVIOUS generation had folded
+    * are GC'd (one cycle of grace for in-flight readers), and generation
+    * N−1 retires. Safe under concurrently serving probes and a running
+    * maintenance loop.
+    */
+  def compactLshIndexGen(spark: org.apache.spark.sql.SparkSession,
+                         table: String, deltaDir: String,
+                         buckets: Int = 8): Unit =
+    graft.sources.Bucketing.compactLayerGen(spark, table, s"$deltaDir/bands",
+      "bkey", Seq("bkey", "doc_id"), buckets)
+
   /** Streaming incremental-dedup loop over a persisted LSH index
-    * ([[buildLshIndex]]): each micro-batch bands its documents, probes the
-    * index, and splits — docs with ANY banded match are duplicates and are
-    * dropped; survivors are written to `survivorsPath` AND their bands are
-    * appended to the index (same bucket spec), so later batches dedup
-    * against earlier survivors too. The checkpoint makes the append
-    * effectively-once across restarts. This is the nightly-crawl loop as a
-    * stream: the corpus side never recomputes its MinHash (paid at
-    * build/append time), each increment pays one banding pass and one
-    * bucketed join.
+    * ([[buildLshIndex]] or [[buildLshIndexGen]]): each micro-batch bands
+    * its documents, probes base ∪ delta, and splits — docs with ANY banded
+    * match are duplicates and are dropped; survivors are written to
+    * `survivorsPath` AND their bands land in the `batch_id=`-partitioned
+    * delta layer under `deltaDir`, so later batches dedup against earlier
+    * survivors too. [[compactLshIndexGen]] periodically folds the delta
+    * into a new generation of the bucketed base — the same LSM posture as
+    * [[Retrieval.maintainBm25Index]], and like it safe under a compaction
+    * running CONCURRENTLY with the loop (the old in-place table append had
+    * a run-from-one-place caveat; the delta write touches only this
+    * batch's own partition). This is the nightly-crawl loop as a stream:
+    * the corpus side never recomputes its MinHash (paid at build/compact
+    * time), each increment pays one banding pass and one bucketed join
+    * plus a delta-sized co-location shuffle that compaction resets to
+    * zero.
     *
     * Within-batch near-dups that match nothing in the index BOTH survive —
     * run [[minhashCandidates]] on the increment upstream if intra-batch
     * collapse is also required (micro-batches are small; the index is the
     * scale axis).
     */
-  def maintainLshDedup(stream: DataFrame, table: String, checkpointDir: String,
-                       survivorsPath: String, buckets: Int = 8)
+  def maintainLshDedup(stream: DataFrame, table: String, deltaDir: String,
+                       checkpointDir: String, survivorsPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processLshBatch(batch, batchId, table, survivorsPath, buckets)
+        processLshBatch(batch, batchId, table, deltaDir, survivorsPath)
       }
       .start()
 
   /** One micro-batch of [[maintainLshDedup]], factored out so replay
     * semantics are directly testable — same discipline as
-    * [[processJaccardBatch]]: survivors overwrite their own `batch_id=`
-    * partition, matches against any CURRENT-batch doc are excluded from
-    * the dup verdict (a replayed batch's bands — including within-batch
-    * twins' — are already in the index; both-survive is the documented
-    * within-batch contract), and the band append is gated on docs missing
-    * from the table (doc_id is globally unique across the corpus and
-    * every increment).
+    * [[processJaccardBatch]]: survivors and the batch's bands each
+    * OVERWRITE their own `batch_id=` partition (dynamic partition
+    * overwrite — a redelivered batch replaces its own rows, never
+    * double-appends, with no missing-doc gate and therefore no per-batch
+    * table scan), the probe excludes the batch's OWN delta partition
+    * (first-delivery bands of a replayed batch), and matches against any
+    * CURRENT-batch doc are excluded from the dup verdict — a replayed
+    * batch whose first delivery was already COMPACTED into the base must
+    * not drop a doc for matching itself or a within-batch twin
+    * (both-survive is the documented within-batch contract).
     */
   private[graft] def processLshBatch(batch: DataFrame, batchId: Long,
-                                     table: String, survivorsPath: String,
-                                     buckets: Int): Unit = {
+                                     table: String, deltaDir: String,
+                                     survivorsPath: String): Unit = {
     val session = batch.sparkSession
     val bands = lshBands(batch)
       .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
         col("doc_id"))
       .persist()
     try {
+      val corpus = graft.sources.Bucketing.layerWithDelta(session, table,
+        Some(s"$deltaDir/bands"), Seq("bkey", "doc_id"),
+        excludeBatch = Some(batchId))
       val dupIds = bands
-        .join(session.table(table)
-          .select(col("bkey"), col("doc_id").as("doc_corpus")), "bkey")
-        // replay: drop verdicts whose corpus side is a current-batch doc —
-        // self-matches AND within-batch twins the first delivery appended
+        .join(corpus.select(col("bkey"), col("doc_id").as("doc_corpus")), "bkey")
+        // replay after compaction: the batch's own partition is excluded
+        // above, but bands its first delivery contributed may already sit
+        // in the BASE — drop verdicts whose corpus side is a current-batch
+        // doc (self-matches AND within-batch twins)
         .join(batch.select(col("doc_id").as("doc_corpus")),
           Seq("doc_corpus"), "left_anti")
         .select("doc_id").distinct()
-      batch.join(dupIds, Seq("doc_id"), "left_anti")
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(survivorsPath)
-      bands.join(dupIds, Seq("doc_id"), "left_anti")
-        // replay gate: only bands of docs not already indexed (the band
-        // table is bkey-bucketed, so this distinct pays one table-scan
-        // shuffle per batch — the idempotency price)
-        .join(session.table(table).select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "bkey").saveAsTable(table)
-      session.catalog.refreshTable(table)
+      graft.sources.Bucketing.writeDeltaPartition(
+        batch.join(dupIds, Seq("doc_id"), "left_anti"), survivorsPath, batchId)
+      graft.sources.Bucketing.writeDeltaPartition(
+        bands.join(dupIds, Seq("doc_id"), "left_anti"),
+        s"$deltaDir/bands", batchId)
     } finally bands.unpersist()
   }
 

@@ -764,6 +764,7 @@ object Retrieval {
   def compactBm25IndexGen(spark: SparkSession, table: String, deltaDir: String,
                           buckets: Int = 8): Unit = {
     val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, table)
     val srcPhys = b.resolvePhysical(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)

@@ -808,6 +808,7 @@ object Similarity {
                          deltaDir: String, buckets: Int,
                          maxBucket: Int): Unit = {
     val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, table)
     val srcPhys = b.resolvePhysical(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)

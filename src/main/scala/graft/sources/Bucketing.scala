@@ -261,6 +261,95 @@ object Bucketing {
     readParquetIfExists(spark, path, Seq("batch_id"))
       .map(maxBatchIdOf).getOrElse(-1L)
 
+  /** Generation-consistent base ∪ delta read of one index layer: resolve
+    * the physical generation behind `table` ONCE and take both the base
+    * rows and the folded-batch watermark off that single resolution, then
+    * union the delta rows ABOVE the watermark (projected to `cols`, the
+    * provenance `batch_id` dropped). This is the one correct read shape
+    * under a concurrent generation-swap compaction — resolving the view
+    * per-read lets a swap land between resolutions and mix generations
+    * (old watermark + new base double-counts just-folded batches; new
+    * watermark + old base silently drops them).
+    *
+    * `excludeBatch` additionally hides one delta batch — a replayed
+    * foreachBatch batch excludes its OWN partition so the redelivery
+    * recomputes from exactly the state the first delivery saw.
+    * No `deltaPath` (None) degrades to a plain single-resolution read;
+    * plain (non-generation) tables resolve to themselves with watermark
+    * −1 and read the whole delta, so the same loop code serves both
+    * layouts.
+    */
+  def layerWithDelta(spark: SparkSession, table: String,
+                     deltaPath: Option[String], cols: Seq[String],
+                     excludeBatch: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val phys = resolvePhysical(spark, table)
+    val base = spark.table(phys).select(cols.map(col): _*)
+    deltaPath.flatMap { p =>
+      val folded = foldedBatchMaxOf(spark, phys)
+      readParquetIfExists(spark, p, cols :+ "batch_id")
+        .map { d =>
+          val live = d.filter(col("batch_id").cast("long") > folded)
+          excludeBatch.map(bId =>
+              live.filter(col("batch_id").cast("long") =!= bId))
+            .getOrElse(live)
+            .drop("batch_id")
+        }
+    }.map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** Write one foreachBatch batch's rows into a delta layer under its own
+    * `batch_id=` partition with dynamic partition OVERWRITE — the
+    * replay-idempotence primitive of every LSM maintenance loop here: a
+    * redelivered batch replaces exactly its own partition (recomputed from
+    * the same visible state via [[layerWithDelta]]'s `excludeBatch`), so
+    * checkpoint replay can never double-append, and no missing-row gate —
+    * hence no per-batch index scan — is needed.
+    */
+  def writeDeltaPartition(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Generation-swap compaction of ONE bucketed index layer — the shared
+    * core of the LSH/Jaccard compactors (BM25/IVF have layer-specific
+    * extras — stats re-aggregation, shard re-stamping — and keep their own
+    * bodies under the same discipline): generation N+1 is written from
+    * generation N ∪ the unfolded delta batches (nothing overwritten in
+    * place), the folded watermark derives from the SAME delta frame being
+    * folded (one file listing, see [[maxBatchIdOf]]), one view swap cuts
+    * over, delta partitions the PREVIOUS generation had folded are GC'd
+    * (one cycle of grace for in-flight readers), and generation N−1
+    * retires. Safe under concurrently serving [[layerWithDelta]] readers
+    * and a running maintenance loop.
+    */
+  def compactLayerGen(spark: SparkSession, table: String, deltaPath: String,
+                      key: String, cols: Seq[String], buckets: Int,
+                      compact: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    requireSwapAdoptable(spark, table)
+    val srcPhys = resolvePhysical(spark, table)
+    val g = currentGeneration(spark, table) + 1
+    val phys = generationName(table, g)
+    val prevFolded = foldedBatchMaxOf(spark, srcPhys)
+    val delta = readParquetIfExists(spark, deltaPath, cols :+ "batch_id")
+    val newFolded =
+      math.max(prevFolded, delta.map(maxBatchIdOf).getOrElse(-1L))
+    val base = spark.table(srcPhys).select(cols.map(col): _*)
+    val rows = delta
+      .map(_.filter(col("batch_id").cast("long") > prevFolded &&
+          col("batch_id").cast("long") <= newFolded)
+        .drop("batch_id"))
+      .map(base.unionByName(_)).getOrElse(base)
+    writeBucketed(rows, phys, key, buckets, compact = compact)
+    writeMeta(spark, phys, newFolded)
+    swapView(spark, table, phys)
+    gcDeltaPartitions(spark, deltaPath, prevFolded)
+    dropGeneration(spark, table, g - 2)
+  }
+
   /** Delete delta `batch_id=` partitions at or below the watermark — the
     * DELAYED delta GC of the generation layout: a compaction only removes
     * partitions the PREVIOUS generation had already folded, so an

@@ -185,8 +185,9 @@ class RecoverySpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
 
+    val deltaDir = s"$root/delta"
     val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(20)
-    Dedup.buildLshIndex(base, "lsh_maint_test", buckets = 4)
+    Dedup.buildLshIndexGen(base, "lsh_maint_test", buckets = 4)
     val baseRows = spark.table("lsh_maint_test").count()
     // batch 1: a near-dup of corpus doc 0 (first token dropped — the
     // perturbation minhash banding is known to catch) + a fresh doc
@@ -198,12 +199,12 @@ class RecoverySpec extends SparkSpec {
       .write.mode("append").parquet(srcDir)
     def start() = Dedup.maintainLshDedup(
       spark.readStream.schema(schema).parquet(srcDir),
-      "lsh_maint_test", ckpt, outDir, buckets = 4)
+      "lsh_maint_test", deltaDir, ckpt, outDir)
     try {
       val q1 = start(); q1.processAllAvailable(); q1.stop()
       // batch 2 arrives while the maintainer is down: a near-dup of the
-      // batch-1 SURVIVOR (must be caught — proves appends took effect) +
-      // another fresh doc
+      // batch-1 SURVIVOR (must be caught — proves the delta append took
+      // effect) + another fresh doc
       Seq(
         (3000L, freshText1.substring(freshText1.indexOf(' ') + 1)),
         (4000L, "completely different content one two three four five six seven"))
@@ -214,14 +215,24 @@ class RecoverySpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(2000L, 4000L),
         s"dup-of-corpus and dup-of-survivor must drop, got $survivors")
-      // index grew by exactly the survivors' bands (NumBands each); refresh
-      // first — this session cached the table's file listing for the
-      // pre-stream baseline count, and foreachBatch appends don't
-      // invalidate the outer session's relation cache
-      spark.catalog.refreshTable("lsh_maint_test")
+      // the delta holds exactly the survivors' bands (NumBands each);
+      // compaction folds them into generation 2 and the folded base alone
+      // then catches a twin of a survivor
+      assert(spark.read.parquet(s"$deltaDir/bands").count() ==
+        2L * Dedup.NumBands)
+      Dedup.compactLshIndexGen(spark, "lsh_maint_test", deltaDir, buckets = 4)
       assert(spark.table("lsh_maint_test").count() ==
         baseRows + 2L * Dedup.NumBands)
-    } finally spark.sql("DROP TABLE IF EXISTS lsh_maint_test")
+      val caught = Dedup.dedupAgainstIndex(spark,
+        Seq((5000L, freshText1)).toDF("doc_id", "text"), "lsh_maint_test")
+        .select("doc_id_corpus").as[Long].collect().toSet
+      assert(caught.contains(2000L),
+        "folded base must catch a twin of the streamed survivor")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS lsh_maint_test")
+      Seq(1, 2).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "lsh_maint_test", g))
+    }
   }
 
   test("streaming exact-jaccard dedup: index appends survive restart") {
@@ -235,12 +246,13 @@ class RecoverySpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
 
+    val deltaDir = s"$root/delta"
     val tau = 900000L
     val base = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (1L, "one two three four five six seven eight nine ten"))
       .toDF("doc_id", "text")
-    Dedup.buildJaccardIndex(base, "jac_maint_test", tau, buckets = 2)
+    Dedup.buildJaccardIndexGen(base, "jac_maint_test", tau, buckets = 2)
     // batch 1: an exact twin of corpus doc 0 (must drop) + a doc of tokens
     // the build never saw (must survive and extend the vocab)
     val freshText = "qq ww ee rr tt yy uu ii oo pp"
@@ -250,11 +262,11 @@ class RecoverySpec extends SparkSpec {
       .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
     def start() = Dedup.maintainJaccardDedup(
       spark.readStream.schema(schema).parquet(srcDir),
-      "jac_maint_test", ckpt, outDir, tau, buckets = 2)
+      "jac_maint_test", deltaDir, ckpt, outDir, tau)
     try {
       val q1 = start(); q1.processAllAvailable(); q1.stop()
       // batch 2 arrives while the maintainer is down: a twin of the batch-1
-      // SURVIVOR — catching it proves the append (including the vocab
+      // SURVIVOR — catching it proves the delta append (including the vocab
       // extension for build-unseen tokens) took effect across the restart
       Seq(
         (3000L, freshText),
@@ -266,14 +278,29 @@ class RecoverySpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(2000L, 4000L),
         s"twin-of-corpus and twin-of-survivor must drop, got $survivors")
+      // compaction folds the streamed survivors into generation 2 of all
+      // three tables; the folded base ALONE then catches a twin of the
+      // streamed survivor (no delta read)
+      Dedup.compactJaccardIndexGen(spark, "jac_maint_test", deltaDir, buckets = 2)
+      val caught = Dedup.jaccardAgainstIndex(spark,
+        Seq((5000L, freshText)).toDF("doc_id", "text"), "jac_maint_test", tau)
+        .select("doc_corpus").as[Long].collect().toSet
+      assert(caught.contains(2000L),
+        "folded base must catch a twin of the streamed survivor")
     } finally Seq("jac_maint_test_vocab", "jac_maint_test_toks", "jac_maint_test_prefix")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        Seq(1, 2).foreach(g => graft.sources.Bucketing.dropGeneration(spark, t, g))
+      }
   }
 
   test("lsh dedup batch REPLAY is idempotent (no dup bands, no self-drop)") {
     import graft.ext.Dedup
     val root = managedTempDir("lshreplay")
     val outDir = s"$root/survivors"
+    val deltaDir = s"$root/delta"
+    // plain (non-generation) build: the delta loop serves both layouts —
+    // a plain table resolves to itself with watermark −1
     val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(10)
     Dedup.buildLshIndex(base, "lsh_replay_test", buckets = 4)
     try {
@@ -281,17 +308,19 @@ class RecoverySpec extends SparkSpec {
       val batch = base.filter(col("doc_id") === 0L)
         .select(lit(1000L).as("doc_id"), col("text")) // twin of corpus -> drop
         .unionByName(Seq((2000L, fresh)).toDF("doc_id", "text"))
-      spark.catalog.refreshTable("lsh_replay_test")
       val before = spark.table("lsh_replay_test").count()
-      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", outDir, 4)
-      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", outDir, 4)
+      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", deltaDir, outDir)
+      Dedup.processLshBatch(batch, 3L, "lsh_replay_test", deltaDir, outDir)
       val survivors = spark.read.parquet(outDir).select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(2000L),
         s"replay must not double-write or self-drop the survivor, got $survivors")
+      // the redelivery overwrote its own delta partition: bands land
+      // exactly once, and the base table is untouched
+      assert(spark.read.parquet(s"$deltaDir/bands").count() == Dedup.NumBands,
+        "band rows written exactly once across replays")
       spark.catalog.refreshTable("lsh_replay_test")
-      assert(spark.table("lsh_replay_test").count() ==
-        before + Dedup.NumBands, "band rows appended exactly once across replays")
+      assert(spark.table("lsh_replay_test").count() == before)
     } finally spark.sql("DROP TABLE IF EXISTS lsh_replay_test")
   }
 
@@ -299,6 +328,7 @@ class RecoverySpec extends SparkSpec {
     import graft.ext.Dedup
     val root = managedTempDir("jacreplay")
     val outDir = s"$root/survivors"
+    val deltaDir = s"$root/delta"
     val tau = 900000L
     val base = Seq((0L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
@@ -309,21 +339,26 @@ class RecoverySpec extends SparkSpec {
         (200L, "qq ww ee rr tt"))                 // fresh -> survive + append
         .toDF("doc_id", "text")
       // foreachBatch redelivery: same batch, same id, twice — the second
-      // pass probes an index that ALREADY contains doc 200
-      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", outDir, tau, 2)
-      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", outDir, tau, 2)
+      // pass recomputes from the first delivery's visible state (its own
+      // delta partitions excluded) and overwrites them with identical rows
+      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", deltaDir, outDir, tau)
+      Dedup.processJaccardBatch(batch, 7L, "jac_replay_test", deltaDir, outDir, tau)
       val survivors = spark.read.parquet(outDir).select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(200L),
         s"replay must not double-write or self-drop the survivor, got $survivors")
-      Seq("toks", "prefix").foreach { t =>
-        spark.catalog.refreshTable(s"jac_replay_test_$t")
-        val dups = spark.table(s"jac_replay_test_$t")
+      // base ∪ delta — what any probe reads — holds each row exactly once
+      def union(suffix: String, cols: Seq[String]) =
+        graft.sources.Bucketing.layerWithDelta(spark, s"jac_replay_test_$suffix",
+          Some(s"$deltaDir/$suffix"), cols)
+      Seq("toks" -> Seq("doc_id", "toks", "n"),
+          "prefix" -> Seq("tid", "doc_id", "n", "rn")).foreach { case (t, cols) =>
+        val dups = union(t, cols)
           .groupBy(col("doc_id"), if (t == "prefix") col("tid") else col("n"))
           .count().filter($"count" > 1).count()
         assert(dups == 0L, s"duplicate rows in $t after replay")
       }
-      val vocabDups = spark.table("jac_replay_test_vocab")
+      val vocabDups = union("vocab", Seq("token", "tid"))
         .groupBy("token").count().filter($"count" > 1).count()
       assert(vocabDups == 0L, "duplicate vocab tokens after replay")
     } finally Seq("jac_replay_test_vocab", "jac_replay_test_toks", "jac_replay_test_prefix")
@@ -334,6 +369,7 @@ class RecoverySpec extends SparkSpec {
     import graft.ext.Dedup
     val root = managedTempDir("jactwin")
     val outDir = s"$root/survivors"
+    val deltaDir = s"$root/delta"
     val tau = 900000L
     val base = Seq((0L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
@@ -347,15 +383,16 @@ class RecoverySpec extends SparkSpec {
         (200L, "qq ww ee rr tt"),
         (300L, "zz xx cc vv bb"))
         .toDF("doc_id", "text")
-      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", outDir, tau, 2)
-      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", outDir, tau, 2)
+      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", deltaDir, outDir, tau)
+      Dedup.processJaccardBatch(batch, 7L, "jac_twin_test", deltaDir, outDir, tau)
       val survivors = spark.read.parquet(outDir).select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(100L, 200L, 300L),
         s"within-batch twins must both survive replay, got $survivors")
-      // and the index holds each twin's toks exactly once
-      spark.catalog.refreshTable("jac_twin_test_toks")
-      val dups = spark.table("jac_twin_test_toks")
+      // and base ∪ delta holds each twin's toks exactly once
+      val dups = graft.sources.Bucketing.layerWithDelta(spark,
+          "jac_twin_test_toks", Some(s"$deltaDir/toks"),
+          Seq("doc_id", "toks", "n"))
         .groupBy("doc_id").count().filter($"count" > 1).count()
       assert(dups == 0L, "duplicate toks rows after twin replay")
     } finally Seq("jac_twin_test_vocab", "jac_twin_test_toks", "jac_twin_test_prefix")
@@ -366,19 +403,20 @@ class RecoverySpec extends SparkSpec {
     import graft.ext.Dedup
     val root = managedTempDir("lshtwin")
     val outDir = s"$root/survivors"
+    val deltaDir = s"$root/delta"
     val base = Tables.documents(spark, sfDir).select("doc_id", "text").limit(10)
     Dedup.buildLshIndex(base, "lsh_twin_test", buckets = 4)
     try {
       val fresh = "zqx wvu tsr qpo nml kji hgf edc ba nine eight seven"
       val batch = Seq((1000L, fresh), (2000L, fresh)).toDF("doc_id", "text")
-      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", outDir, 4)
-      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", outDir, 4)
+      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", deltaDir, outDir)
+      Dedup.processLshBatch(batch, 3L, "lsh_twin_test", deltaDir, outDir)
       val survivors = spark.read.parquet(outDir).select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(survivors == Seq(1000L, 2000L),
         s"within-batch twins must both survive replay, got $survivors")
-      spark.catalog.refreshTable("lsh_twin_test")
-      val bandDups = spark.table("lsh_twin_test")
+      val bandDups = graft.sources.Bucketing.layerWithDelta(spark,
+          "lsh_twin_test", Some(s"$deltaDir/bands"), Seq("bkey", "doc_id"))
         .groupBy("doc_id", "bkey").count().filter($"count" > 1).count()
       assert(bandDups == 0L, "duplicate band rows after twin replay")
     } finally spark.sql("DROP TABLE IF EXISTS lsh_twin_test")
@@ -623,5 +661,135 @@ class RecoverySpec extends SparkSpec {
     Similarity.compactIvfIndexGen(spark, table, deltaDir, 8, 2)
     assert(!new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
     assert(top1(Similarity.searchIvfIndex(spark, table)) == withDelta)
+  }
+
+  test("generation-swap lsh compaction: probing continues across the swap") {
+    import graft.ext.Dedup
+    val table = "graft_lsh_genswap"
+    val root = managedTempDir("lshgenswap")
+    val deltaDir = s"$root/delta"
+    val outDir = s"$root/survivors"
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    Dedup.buildLshIndexGen(base, table, buckets = 4)
+    // one maintenance batch puts a fresh survivor's bands in the delta
+    val fresh = "qq ww ee rr tt yy uu ii"
+    Dedup.processLshBatch(Seq((100L, fresh)).toDF("doc_id", "text"),
+      0L, table, deltaDir, outDir)
+    val probeDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"), // twin of base doc
+      (901L, fresh))                                           // twin of delta survivor
+      .toDF("doc_id", "text")
+    def probe(): Set[(Long, Long)] = Dedup
+      .dedupAgainstIndexWith(spark, probeDocs, table, deltaDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.contains((900L, 0L)) && before.contains((901L, 100L)))
+
+    // a prober hammers base ∪ delta WHILE compaction folds the delta into
+    // generation 2 and swaps: compaction moves rows, never changes the
+    // visible corpus, so EVERY observed answer set must equal `before`
+    // (the single-resolution read makes double-count/drop impossible) and
+    // no probe may error
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(probe())
+        catch { case t: Throwable => errors.add(t); () }
+      }
+    })
+    prober.start()
+    try Dedup.compactLshIndexGen(spark, table, deltaDir, buckets = 4)
+    finally { stop.set(true); prober.join(30000) }
+
+    assert(errors.isEmpty, s"probing failed during swap: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty)
+    assert(seen.asScala.forall(_ == before),
+      seen.asScala.find(_ != before).toString)
+    // post-swap: the folded base ALONE answers both probes; the folded
+    // partition survives one cycle but the watermark excludes it from
+    // base ∪ delta (no double-counted candidate pairs)
+    assert(probe() == before)
+    assert(Dedup.dedupAgainstIndex(spark, probeDocs, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    assert(new java.io.File(s"$deltaDir/bands/batch_id=0").exists())
+    // second compaction (nothing unfolded) keeps answers, GCs the folded
+    // partition, retires generation 1
+    Dedup.compactLshIndexGen(spark, table, deltaDir, buckets = 4)
+    assert(probe() == before)
+    assert(!new java.io.File(s"$deltaDir/bands/batch_id=0").exists())
+    assert(!spark.catalog.tableExists(s"${table}__g1"))
+  }
+
+  test("generation-swap jaccard compaction: probing continues across the swap") {
+    import graft.ext.Dedup
+    val name = "graft_jac_genswap"
+    val root = managedTempDir("jacgenswap")
+    val deltaDir = s"$root/delta"
+    val outDir = s"$root/survivors"
+    val tau = 900000L
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five"))
+      .toDF("doc_id", "text")
+    Dedup.buildJaccardIndexGen(base, name, tau, buckets = 2)
+    // one maintenance batch: a fresh survivor whose tokens extend the vocab
+    val fresh = "qq ww ee rr tt"
+    Dedup.processJaccardBatch(Seq((100L, fresh)).toDF("doc_id", "text"),
+      0L, name, deltaDir, outDir, tau)
+    val probeDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon"), // twin of base doc
+      (901L, fresh))                            // twin of delta survivor
+      .toDF("doc_id", "text")
+    def probe(): Set[(Long, Long)] = Dedup
+      .jaccardAgainstIndexWith(spark, probeDocs, name, deltaDir, tau)
+      .select("doc_new", "doc_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before == Set((900L, 0L), (901L, 100L)))
+
+    // a prober hammers base ∪ delta WHILE compaction folds all three
+    // layers: the three views swap one after another, so the prober may
+    // resolve MIXED layer generations — which must still answer `before`
+    // exactly (tids are never renumbered; each layer read is individually
+    // complete and duplicate-free under its own watermark)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(probe())
+        catch { case t: Throwable => errors.add(t); () }
+      }
+    })
+    prober.start()
+    try Dedup.compactJaccardIndexGen(spark, name, deltaDir, buckets = 2)
+    finally { stop.set(true); prober.join(30000) }
+
+    assert(errors.isEmpty, s"probing failed during swap: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty)
+    assert(seen.asScala.forall(_ == before),
+      seen.asScala.find(_ != before).toString)
+    // post-swap: folded base alone answers both probes (vocab extension
+    // included); folded partitions survive one cycle, excluded by each
+    // layer's watermark
+    assert(probe() == before)
+    assert(Dedup.jaccardAgainstIndex(spark, probeDocs, name, tau)
+      .select("doc_new", "doc_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    assert(new java.io.File(s"$deltaDir/toks/batch_id=0").exists())
+    // second compaction GCs folded partitions and retires generation 1 of
+    // every layer
+    Dedup.compactJaccardIndexGen(spark, name, deltaDir, buckets = 2)
+    assert(probe() == before)
+    assert(!new java.io.File(s"$deltaDir/toks/batch_id=0").exists())
+    assert(!spark.catalog.tableExists(s"${name}_vocab__g1"))
+    assert(!spark.catalog.tableExists(s"${name}_prefix__g1"))
   }
 }
