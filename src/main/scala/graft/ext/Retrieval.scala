@@ -269,7 +269,7 @@ object Retrieval {
   /** Streaming maintenance of a persisted inverted index, LSM-style: each
     * micro-batch lands in a batch_id-partitioned delta directory
     * ([[applyBm25Delta]] — replay-idempotent), searches read base ∪ delta
-    * ([[searchBm25IndexWith]]), and [[compactBm25Index]] periodically folds
+    * ([[searchBm25IndexWith]]), and [[compactBm25IndexGen]] periodically folds
     * the delta into the bucketed base. Batch-local tokenize/agg only; no
     * cross-batch state, and no correctness dependency on effectively-once
     * delivery — replayed batches overwrite their own partition.
@@ -649,7 +649,7 @@ object Retrieval {
     * exchange-free df window) plus every not-yet-compacted one (delta
     * union, which DOES cost the probe a delta-sized co-location shuffle —
     * the price of exactly-once maintenance, bounded by compaction cadence
-    * and zero once [[compactBm25Index]] has folded the delta in).
+    * and zero once [[compactBm25IndexGen]] has folded the delta in).
     *
     * The delta is filtered to batches ABOVE the resolved generation's
     * folded watermark (see [[sources.Bucketing.writeMeta]]): under a
@@ -685,27 +685,13 @@ object Retrieval {
     bm25Rank(withBm25Weights(postings, stats, maxDfPpm), queries, k)
   }
 
-  /** Fold the delta layer into the bucketed base, re-align, and clear the
-    * delta — after which plain [[searchBm25Index]] sees the whole corpus
-    * exchange-free again. Administrative op with the same in-place caveat
-    * as the base compaction (run it from one place, not under concurrent
-    * replay; [[compactBm25IndexGen]] is the concurrent-safe
-    * generation-swap form).
-    */
-  def compactBm25Index(spark: SparkSession, table: String, deltaDir: String,
-                       buckets: Int): Unit = {
-    readDelta(spark, s"$deltaDir/postings", Seq("doc_id", "token", "tf", "dl"))
-      .foreach(_.write.format("parquet").mode("append")
-        .bucketBy(buckets, "token").sortBy("token").saveAsTable(table))
-    readDelta(spark, s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
-      .foreach(_.write.mode("append").format("parquet")
-        .saveAsTable(s"${table}_stats"))
-    compactBm25Index(spark, table, buckets)
-    graft.sources.Bucketing.deleteDirs(spark,
-      Seq(s"$deltaDir/postings", s"$deltaDir/stats"))
-  }
-
   // ---- generation-swap index lifecycle ----
+  // The ONLY delta-fold compaction story: the in-place delta fold this
+  // library once carried (append delta into the bucketed table, rewrite,
+  // delete the delta) had an unavoidable run-from-one-place caveat — a
+  // reader planning against files the rewrite deletes — so it was retired
+  // in favor of the generation swap below, which serves the same plain
+  // search surface and is safe under concurrent readers and maintenance.
   // Same search/maintenance surface as the in-place form — `table` and
   // `${table}_stats` resolve through [[searchBm25Index]] /
   // [[searchBm25IndexWith]] unchanged — but the names are VIEWS over

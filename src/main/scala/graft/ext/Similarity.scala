@@ -744,26 +744,10 @@ object Similarity {
     finally rows.unpersist()
   }
 
-  /** Fold the delta layer into the bucketed base (assignments are stored,
-    * so this stays a layout pass), re-stamp shard factors from the grown
-    * counts, and clear the delta — after which plain [[searchIvfIndex]]
-    * sees the whole corpus exchange-free again. Administrative op with the
-    * same in-place caveat as the base compaction.
-    */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                      deltaDir: String, buckets: Int, maxBucket: Int): Unit = {
-    val base = spark.table(table).select("cluster_id", "vec_id", "embedding")
-    val rows = graft.sources.Bucketing
-      .readParquetIfExists(spark, s"$deltaDir/postings",
-        Seq("cluster_id", "vec_id", "embedding"))
-      .map(base.unionByName(_)).getOrElse(base)
-      .localCheckpoint(true)
-    try
-      graft.sources.Bucketing.writeBucketed(
-        withShardFactors(rows, maxBucket), table, "cluster_id", buckets)
-    finally rows.unpersist()
-    graft.sources.Bucketing.deleteDirs(spark, Seq(s"$deltaDir/postings"))
-  }
+  // The ONLY delta-fold compaction story is the generation swap below —
+  // the in-place delta fold this library once carried was retired with
+  // its run-from-one-place caveat (see the note in Retrieval's
+  // generation-swap section).
 
   /** [[buildIvfIndex]] in the generation-swap layout (see
     * sources.Bucketing): the physical posting table lands as a numbered
@@ -870,7 +854,7 @@ object Similarity {
     * [[Retrieval.maintainBm25Index]]: each micro-batch lands in a
     * batch_id-partitioned delta directory ([[applyIvfDelta]] —
     * replay-idempotent), searches read base ∪ delta
-    * ([[searchIvfIndexWith]]), and [[compactIvfIndex]] periodically folds
+    * ([[searchIvfIndexWith]]), and [[compactIvfIndexGen]] periodically folds
     * the delta into the bucketed base — the standard maintenance posture
     * of a production ANN index (grow by append, re-balance by compaction),
     * with no correctness dependency on effectively-once delivery.
@@ -907,7 +891,7 @@ object Similarity {
     * posture: delta rows (unsharded, m = 1) join their cluster's candidate
     * pool at the cost of a delta-sized Exchange (the bucketed base alone
     * satisfies the grouping; the union does not), bounded by compaction
-    * cadence and zero once [[compactIvfIndex]] has folded the delta in.
+    * cadence and zero once [[compactIvfIndexGen]] has folded the delta in.
     */
   def searchIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String,

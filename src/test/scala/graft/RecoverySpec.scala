@@ -74,7 +74,7 @@ class RecoverySpec extends SparkSpec {
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
     // initial build from the first 100 vectors (contains the k=16 quantizer)
-    Similarity.buildIvfIndex(frame(0 until 100), "ivf_maint_test", buckets = 4)
+    Similarity.buildIvfIndexGen(frame(0 until 100), "ivf_maint_test", buckets = 4)
     val deltaDir = s"$root/delta"
     def startQuery() = Similarity.maintainIvfIndex(
       spark.readStream.schema(schema).parquet(srcDir), "ivf_maint_test",
@@ -112,23 +112,30 @@ class RecoverySpec extends SparkSpec {
       assert(spark.read.parquet(s"$deltaDir/postings").count() == 100L)
       assert(Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
         .as[(Long, Long, Long)].collect().toSet == direct)
-      // compaction folds the delta into the bucketed base: delta rows were
-      // unsharded (m=1); re-stamping shard factors at maxBucket=8 must
-      // shard the grown lists, restore the exchange-free plain search, and
-      // change no answer
-      Similarity.compactIvfIndex(spark, "ivf_maint_test", deltaDir, 4, 8)
-      spark.catalog.refreshTable("ivf_maint_test")
+      // generation-swap compaction folds the delta into generation 2:
+      // delta rows were unsharded (m=1); re-stamping shard factors at
+      // maxBucket=8 must shard the grown lists, restore the exchange-free
+      // plain search, and change no answer
+      Similarity.compactIvfIndexGen(spark, "ivf_maint_test", deltaDir, 4, 8)
       assert(spark.table("ivf_maint_test").count() == 200L)
       assert(spark.table("ivf_maint_test").filter(col("m") > 1).count() > 0)
       val compacted = Similarity.searchIvfIndex(spark, "ivf_maint_test", 3)
       assert(!compacted.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(compacted.as[(Long, Long, Long)].collect().toSet == direct)
-      // delta cleared: the delta-aware search now plans base-only,
-      // exchange-free again
+      // the folded partitions survive one cycle (watermark-excluded, no
+      // double count); a second compaction GCs them and the delta-aware
+      // search plans base-only, exchange-free again
+      assert(Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
+        .as[(Long, Long, Long)].collect().toSet == direct)
+      Similarity.compactIvfIndexGen(spark, "ivf_maint_test", deltaDir, 4, 8)
       val after = Similarity.searchIvfIndexWith(spark, "ivf_maint_test", deltaDir, 3)
       assert(!after.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(after.as[(Long, Long, Long)].collect().toSet == direct)
-    } finally spark.sql("DROP TABLE IF EXISTS ivf_maint_test")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS ivf_maint_test")
+      (1 to 3).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "ivf_maint_test", g))
+    }
   }
 
   test("streaming trending tokens: window sketch state survives restart") {

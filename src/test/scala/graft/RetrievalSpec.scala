@@ -152,7 +152,7 @@ class RetrievalSpec extends SparkSpec {
     val root = managedTempDir("bm25maint")
     val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
     val deltaDir = s"$root/delta"
-    Retrieval.buildBm25Index(half1.limit(0), "graft_bm25_stream")
+    Retrieval.buildBm25IndexGen(half1.limit(0), "graft_bm25_stream")
     val schema = docs.schema
     def start() = Retrieval.maintainBm25Index(
       spark.readStream.schema(schema).parquet(srcDir), deltaDir, s"$root/ckpt")
@@ -183,10 +183,12 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect()
     assert(replayed.toSeq == oneShot.toSeq)
 
-    // compaction folds the delta into the bucketed base and clears it:
-    // stats fold to one row, every answer and the bucketed layout survive,
-    // and the delta-aware search falls back to the base-only plan
-    Retrieval.compactBm25Index(spark, "graft_bm25_stream", deltaDir, 8)
+    // generation-swap compaction folds the delta into generation 2: stats
+    // fold to one row, every answer and the bucketed layout survive, and
+    // the delta-aware search filters the folded batches by the new
+    // generation's watermark (partitions are retained one cycle for
+    // in-flight readers — no double count)
+    Retrieval.compactBm25IndexGen(spark, "graft_bm25_stream", deltaDir)
     assert(spark.table("graft_bm25_stream_stats").count() == 1L)
     val compacted = Retrieval
       .searchBm25Index(spark, "graft_bm25_stream", Retrieval.bm25Queries(docs))
@@ -326,7 +328,7 @@ class RetrievalSpec extends SparkSpec {
       (2L, "beta beta gamma pad pad pad"))
       .toDF("doc_id", "text")
     val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
-    Retrieval.buildBm25Index(base, "graft_bm25_delta_serve")
+    Retrieval.buildBm25IndexGen(base, "graft_bm25_delta_serve")
     val root = managedTempDir("bm25deltaserve")
     val docSrc = s"$root/docsrc"; new java.io.File(docSrc).mkdirs()
     val qSrc = s"$root/qsrc"; new java.io.File(qSrc).mkdirs()
@@ -352,7 +354,7 @@ class RetrievalSpec extends SparkSpec {
     // ...and base-resident docs still answer theirs (base ∪ delta, not delta)
     assert(answers.contains((901L, 2L)), answers.toString)
     // compaction then folds the delta; the plain base-only search agrees
-    Retrieval.compactBm25Index(spark, "graft_bm25_delta_serve", deltaDir, 8)
+    Retrieval.compactBm25IndexGen(spark, "graft_bm25_delta_serve", deltaDir)
     val after = Retrieval.searchBm25Index(spark, "graft_bm25_delta_serve",
       Seq((900L, "newterm")).toDF("query_id", "token"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
