@@ -393,6 +393,51 @@ class RetrievalSpec extends SparkSpec {
     assert(answers.count() == 2L * batchExpected.size)
   }
 
+  test("bm25 serving loop: generation swap between query batches, zero errors, identical answers") {
+    // the serving loop (base ∪ delta) composed with compactBm25IndexGen —
+    // the swap fires between two micro-batches of a LIVE streaming query:
+    // batch 2 must re-answer identically off the folded generation, with
+    // no error and no restart (RecoverySpec covers a searcher THREAD
+    // across the swap; this covers the streaming serving loop itself)
+    val base = Seq(
+      (1L, "alpha beta gamma delta eps zeta"),
+      (2L, "beta beta gamma pad pad pad"))
+      .toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    val table = "graft_bm25_swap_serve"
+    Retrieval.buildBm25IndexGen(base, table)
+    val root = managedTempDir("bm25swapserve")
+    val qSrc = s"$root/qsrc"; new java.io.File(qSrc).mkdirs()
+    val deltaDir = s"$root/delta"
+    Retrieval.applyBm25Delta(newDoc, deltaDir, 0L)
+    val q1 = Seq((900L, "newterm"), (901L, "beta")).toDF("query_id", "token")
+    val q2 = q1.select((col("query_id") + 1000L).as("query_id"), col("token"))
+    val serve = Retrieval.serveBm25Queries(
+      spark.readStream.schema(q1.schema).parquet(qSrc), table,
+      s"$root/sckpt", s"$root/answers", deltaDir = Some(deltaDir))
+    try {
+      q1.write.mode("append").parquet(qSrc)
+      serve.processAllAvailable()
+      // compaction folds the delta into generation 2 and swaps WHILE the
+      // serving query stays up
+      Retrieval.compactBm25IndexGen(spark, table, deltaDir)
+      q2.write.mode("append").parquet(qSrc)
+      serve.processAllAvailable()
+      assert(serve.exception.isEmpty,
+        s"serving query errored across the swap: ${serve.exception}")
+    } finally serve.stop()
+    val answers = spark.read.parquet(s"$root/answers")
+    val got1 = answers.filter(col("query_id") < 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got2 = answers.filter(col("query_id") >= 1000L)
+      .collect().map(r => (r.getLong(0) - 1000L, r.getLong(1), r.getLong(2))).toSet
+    // pre-swap batch answered base ∪ delta (the delta-only doc included);
+    // post-swap batch must be set-identical off the folded base — the
+    // watermark excludes the retained folded partition, no double count
+    assert(got1.exists(_._1 == 900L))
+    assert(got2 == got1, s"post-swap answers diverged: $got2 vs $got1")
+  }
+
   test("degenerate corpora flow through every retrieval operator") {
     // no doc_id divisible by 97 -> zero queries; plus empty/short texts
     val noQueries = Seq(
