@@ -56,6 +56,11 @@ object ScaleProbe {
       // sizing rule: signBits ≈ 8 + log2(scale) keeps expected bucket size
       // constant as the corpus grows; 8 held fixed shows the quadratic blowup
       val sized = 8 + (math.log(times.toDouble) / math.log(2.0)).round.toInt
+      // the measure-then-size hook must reproduce the manual ladder from
+      // the corpus alone (one count pass)
+      val auto = Similarity.autoSignBits(emb)
+      println(s"""{"probe":"auto_signbits","scale":$times,"n":$n,""" +
+        s""""auto":$auto,"manual_sized":$sized}""")
       Seq(8, sized).distinct.foreach { signBits =>
         val h = emb
           .groupBy(Similarity.signBucket(col("embedding"), signBits).as("bucket"))

@@ -239,9 +239,40 @@ object Similarity {
 
   /** Default sign-plane count, sized for the test corpora (~500–5k vectors
     * → expected bucket ≈ N/256 ≤ ~20). See the SIZING note above for how a
-    * deployment picks this: signBits ≈ log2(N / targetBucketSize).
+    * deployment picks this: signBits ≈ log2(N / targetBucketSize) — or let
+    * [[autoSignBits]] compute it from the corpus.
     */
   val SignBits = 8
+
+  /** Expected bucket size the sizing rule targets: [[SignBits]] = 8 was
+    * chosen for the ~2k-vector test corpus, i.e. ~8 vectors per bucket —
+    * kept as the explicit constant so [[autoSignBits]] reproduces the
+    * measured SCALE.md ladder (8 → 11 → 15 bits at 1×/10×/100×) exactly.
+    */
+  val TargetBucketSize = 8
+
+  /** Measure-then-size for the sign-LSH family: the `signBits` the SIZING
+    * rule picks for THIS corpus — one count pass, then
+    * `round(log2(n / targetBucket))` clamped to [1, maxBits]. Growing the
+    * bucket count linearly with N holds expected bucket size (and so the
+    * kernel's Σ bucket² work term) constant per unit of data — the
+    * measured exponent is 0.97 sized vs 1.97 at a fixed bucket count
+    * (SCALE.md, graft.ScaleProbe); the maxBucket cap is only the guard for
+    * the skewed TAIL the sizing cannot remove. `maxBits` bounds the
+    * bucket-id space (2²⁴ ≈ 17 M buckets keeps the counts broadcast tens
+    * of MB at any N) and must stay ≤ the embedding dims for a single
+    * table (≤ dims/tables for multi-table probing). After sizing, verify
+    * the outcome with [[bucketHistogram]] — a skewed tail surviving the
+    * resize is the signal to ALSO engage `maxBucket`, not to add bits.
+    */
+  def autoSignBits(embeddings: DataFrame,
+                   targetBucket: Int = TargetBucketSize,
+                   maxBits: Int = 24): Int = {
+    val n = math.max(1L, embeddings.count())
+    val bits = math.round(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(1, math.min(maxBits, bits))
+  }
 
   /** Sign-pattern LSH bucket id from `signBits` coordinates starting at
     * `offset` (0-based) — distinct offsets give the independent hash tables

@@ -479,6 +479,46 @@ class ExtSpec extends SparkSpec {
     assert(out.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("autoSignBits reproduces the measured sizing ladder; auto-sized 100x keeps sum-bucket-sq linear") {
+    // the ScaleProbe construction: dim-rotated copies so each copy's sign
+    // pattern differs (scaling by a constant would replicate the base
+    // bucket distribution). 4x the sf0.001 corpus = 2 000 vectors — the
+    // exact 1x population of SCALE.md's measured ladder (8 → 11 → 15 bits
+    // at 1x/10x/100x)
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    def scaled(times: Int) = (0 until times).map { c =>
+      val r = c % 64
+      base.select(
+        (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    def sumSq(df: org.apache.spark.sql.DataFrame, bits: Int): Long =
+      df.groupBy(Similarity.signBucket(col("embedding"), bits).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head.getLong(0)
+
+    val x1 = scaled(4).localCheckpoint(true)
+    val x100 = scaled(400).localCheckpoint(true)
+    try {
+      // the measure-then-size hook reproduces the manual ladder from the
+      // corpus alone — including the default SignBits at the 1x population
+      assert(Similarity.autoSignBits(x1) == Similarity.SignBits)
+      assert(Similarity.autoSignBits(scaled(40)) == 11)
+      val auto100 = Similarity.autoSignBits(x100)
+      assert(auto100 == 15, s"100x corpus must size to 15 bits, got $auto100")
+      // auto-sized 100x matches the manual 15-bit row's work term exactly
+      // (same bucketing), and that work term stays LINEAR: sized growth
+      // ≤ 1.5 * scale vs the 1x reference (measured exponent 0.97; the
+      // fixed-8-bit exponent is 1.97, i.e. ~100x worse at this scale)
+      val s1 = sumSq(x1, Similarity.SignBits)
+      val s100 = sumSq(x100, auto100)
+      assert(s100 == sumSq(x100, 15))
+      assert(s100 <= s1 * 100L * 3L / 2L,
+        s"auto-sized sum-bucket-sq not linear: 1x=$s1 100x=$s100")
+    } finally { x1.unpersist(); x100.unpersist(); () }
+  }
+
   test("IVF: every vector assigned to exactly one posting list; centroids own themselves") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(200)
