@@ -407,7 +407,7 @@ object Similarity {
     * sorting N×k scored rows before discarding all but upTo per vector —
     * a shuffle that served no purpose the per-row top-upTo loop doesn't.
     */
-  private def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame =
+  private[graft] def assignToCentroids(embeddings: DataFrame, k: Int, upTo: Int): DataFrame =
     assignTo(embeddings,
       embeddings.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding")),
