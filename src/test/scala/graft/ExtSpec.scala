@@ -531,6 +531,26 @@ class ExtSpec extends SparkSpec {
     assert(own == 0)
   }
 
+  test("ivf base compaction re-stamps shard factors in place; answers unchanged") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    // plain-lifecycle layout pass: uncapped build, then an in-place
+    // re-bucket with a cap — shard factors appear, the exchange-free scan
+    // survives, and no answer changes (assignments are stored, not
+    // recomputed)
+    Similarity.buildIvfIndex(e, "ivf_rebucket_test", buckets = 4)
+    try {
+      val before = Similarity.searchIvfIndex(spark, "ivf_rebucket_test", 3)
+        .as[(Long, Long, Long)].collect().toSet
+      Similarity.compactIvfIndex(spark, "ivf_rebucket_test", 4, maxBucket = 8)
+      spark.catalog.refreshTable("ivf_rebucket_test")
+      assert(spark.table("ivf_rebucket_test").filter(col("m") > 1).count() > 0)
+      val after = Similarity.searchIvfIndex(spark, "ivf_rebucket_test", 3)
+      assert(!after.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(after.as[(Long, Long, Long)].collect().toSet == before)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_rebucket_test")
+  }
+
   test("embedding near-dup finds every scaled copy pair") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(100)

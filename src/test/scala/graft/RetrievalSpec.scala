@@ -145,6 +145,16 @@ class RetrievalSpec extends SparkSpec {
     // built index must answer EXACTLY like a from-scratch build — including
     // weights for terms whose df changed across the append boundary
     assert(incr.toSeq == oneShot.toSeq)
+    // the plain lifecycle's base re-bucketing (align append files to
+    // one-per-bucket, fold stats to one row) is layout-only: answers
+    // identical, layout still bucketed
+    Retrieval.compactBm25Index(spark, "graft_bm25_incr", 8)
+    assert(spark.table("graft_bm25_incr_stats").count() == 1L)
+    val rebucketed = Retrieval
+      .searchBm25Index(spark, "graft_bm25_incr", Retrieval.bm25Queries(docs))
+      .orderBy("query_id", "rank")
+    assert(rebucketed.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    assert(rebucketed.collect().toSeq == oneShot.toSeq)
 
     // streaming path with a mid-stream restart: tranche 2 lands while the
     // maintainer is down; the restarted query applies it exactly once,
