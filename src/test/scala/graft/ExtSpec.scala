@@ -1095,6 +1095,28 @@ class ExtSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
   }
 
+  test("generation-view LSH probe: physical generation table, index side unshuffled") {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.buildLshIndexGen(docs.filter(col("doc_id") % 2 === 0),
+      "lsh_genplan_test", buckets = 4)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Dedup.dedupAgainstIndex(spark,
+        docs.filter(col("doc_id") % 2 =!= 0), "lsh_genplan_test")
+        .queryExecution.executedPlan.toString
+      // the single-resolution read plans against the physical generation —
+      // same two probe-side exchanges as the plain-table pin (probe join
+      // shuffle + final distinct), never a third for the index side
+      assert(p.contains("lsh_genplan_test__g1"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.sql("DROP VIEW IF EXISTS lsh_genplan_test")
+      graft.sources.Bucketing.dropGeneration(spark, "lsh_genplan_test", 1)
+    }
+  }
+
   test("persisted IVF index: search is exchange-free and matches direct top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     CosineSimilarity.register(spark)

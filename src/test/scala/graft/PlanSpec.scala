@@ -127,6 +127,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("generation-view jaccard probe: physical generation tables, zero index-side shuffles") {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.buildJaccardIndexGen(docs.filter(col("doc_id") % 2 === 0),
+      "jac_genplan_test", 850000L, buckets = 4)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Dedup.jaccardAgainstIndex(spark,
+        docs.filter(col("doc_id") % 2 =!= 0), "jac_genplan_test", 850000L)
+        .queryExecution.executedPlan.toString
+      // single-resolution reads plan against the PHYSICAL generation
+      // tables (not the views), so the bucketed layout — and the plan
+      // contract below — is identical to the plain-table pin above
+      assert(p.contains("jac_genplan_test_prefix__g1") &&
+        p.contains("jac_genplan_test_toks__g1"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 5, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      Seq("jac_genplan_test_vocab", "jac_genplan_test_toks", "jac_genplan_test_prefix")
+        .foreach { t =>
+          spark.sql(s"DROP VIEW IF EXISTS $t")
+          graft.sources.Bucketing.dropGeneration(spark, t, 1)
+        }
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (QxN, never NxN shuffle)") {
     graft.functions.CosineSimilarity.register(spark)
     val p = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 20, 5))
