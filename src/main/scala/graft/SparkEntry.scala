@@ -333,7 +333,10 @@ object SparkEntry {
     // order, losslessness preserved)
     "ext_jaccard_incremental" -> ((s, d) => {
       val base = docs(s, d).filter(col("doc_id") % 7 === 0)
-      Dedup.buildJaccardIndex(base.filter(col("doc_id") % 3 =!= 0), "graft_jac_idx_q")
+      // generation-swap layout (r15): the oracle exercises the production
+      // lifecycle — build lands as a numbered generation behind views, the
+      // probe's single-resolution read plans against the physical tables
+      Dedup.buildJaccardIndexGen(base.filter(col("doc_id") % 3 =!= 0), "graft_jac_idx_q")
       Dedup.jaccardAgainstIndex(s, base.filter(col("doc_id") % 3 === 0), "graft_jac_idx_q")
         .orderBy("doc_new", "doc_corpus")
     }),
@@ -372,7 +375,8 @@ object SparkEntry {
     // incremental dedup: index the corpus once, probe the "new crawl"
     // (the perturbed half) against the persisted band table
     "ext_dedup_incremental" -> ((s, d) => {
-      Dedup.buildLshIndex(docs(s, d), "graft_lsh_idx_q")
+      // generation-swap layout (r15) — see ext_jaccard_incremental
+      Dedup.buildLshIndexGen(docs(s, d), "graft_lsh_idx_q")
       Dedup.dedupAgainstIndex(s,
         Dedup.withPerturbedCopies(docs(s, d)).filter(col("doc_id") >= 1000000L),
         "graft_lsh_idx_q")

@@ -315,10 +315,10 @@ object Dedup {
     names.foreach(b.requireSwapAdoptable(spark, _))
     val phys = names.map(n => b.generationName(n, b.currentGeneration(spark, n) + 1))
     buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
-    phys.zip(names).foreach { case (p, n) =>
-      b.writeMeta(spark, p, -1L)
-      b.swapView(spark, n, p)
-    }
+    // no writeMeta at build: an absent generation manifest reads as
+    // watermark −1 (foldedBatchMaxOf), which is exactly a fresh build's
+    // state — the three one-row table writes would be pure per-build jobs
+    phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
     names.foreach(n => b.dropGeneration(spark, n, b.currentGeneration(spark, n) - 2))
   }
 
@@ -709,7 +709,7 @@ object Dedup {
       lshBands(documents).select(
         concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
       phys, "bkey", buckets)
-    b.writeMeta(spark, phys, -1L)
+    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }

@@ -722,7 +722,7 @@ object Retrieval {
     b.dropWithLocation(spark, s"${phys}_stats")
     bm25StatsDelta(documents).write.mode("overwrite")
       .format("parquet").saveAsTable(s"${phys}_stats")
-    b.writeMeta(spark, phys, -1L)
+    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
     b.swapView(spark, table, phys)
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
     b.dropGeneration(spark, table, g - 2)

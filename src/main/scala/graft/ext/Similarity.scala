@@ -799,7 +799,7 @@ object Similarity {
       .select("cluster_id", "vec_id", "embedding")
     b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
       "cluster_id", buckets)
-    b.writeMeta(spark, phys, -1L)
+    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }
