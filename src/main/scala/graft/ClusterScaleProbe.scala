@@ -45,32 +45,18 @@ object ClusterScaleProbe {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
-    // dim-rotated copies (the ScaleProbe construction): each copy's
-    // centroid affinity differs, so the cluster distribution stays
+    // dim-rotated copies (the shared ScaleProbe construction): each
+    // copy's centroid affinity differs, so the cluster distribution stays
     // realistic instead of replicating the base corpus k times
-    def scaledEmb(times: Int): DataFrame =
-      (0 until times).map { c =>
-        val r = c % 64
-        emb.select(
-          (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-          expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
-            .as("embedding"))
-      }.reduce(_ unionByName _)
+    def scaledEmb(times: Int): DataFrame = ProbeUtil.rotatedCopies(emb, times)
     def scaledDocs(times: Int): DataFrame =
       (0 until times).map { c =>
         docs.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
           col("text"))
       }.reduce(_ unionByName _)
 
-    def median3(mk: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply(1)
-    }
-    def r2(x: Double): Double = math.round(x * 100) / 100.0
+    def median3(mk: => DataFrame): Double = ProbeUtil.median3(mk)
+    def r2(x: Double): Double = ProbeUtil.r2(x)
 
     def clusterHist(e: DataFrame, k: Int): (Long, Long) = {
       val h = Similarity.assignToCentroids(e, k, 1)
@@ -132,7 +118,9 @@ object ClusterScaleProbe {
         // fixed k — the misconfiguration; sized k — the N/targetCluster rule
         val kFixed = Similarity.IvfClusters
         val kSized = Similarity.IvfClusters * times
-        Seq(("fixed", kFixed), ("sized", kSized)).distinct.foreach { case (mode, k) =>
+        // dedup on k (at 1× fixed == sized — one measurement, one row)
+        Seq(("fixed", kFixed), ("sized", kSized)).distinctBy(_._2)
+          .foreach { case (mode, k) =>
           val (maxc, sumsq) = clusterHist(ev, k)
           val sd = median3(Similarity.semDedup(ev, 0.95, k))
           val cl = median3(Similarity.clusterLabels(ev, dv, k))

@@ -29,23 +29,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    def scaled(times: Int): DataFrame =
-      (0 until times).map { c =>
-        val r = c % 64
-        base.select(
-          (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-          expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
-            .as("embedding"))
-      }.reduce(_ unionByName _)
-
-    def median3(mk: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply(1)
-    }
+    def scaled(times: Int): DataFrame = ProbeUtil.rotatedCopies(base, times)
+    def median3(mk: => DataFrame): Double = ProbeUtil.median3(mk)
 
     // JVM/codegen warmup so the first measured tier isn't inflated
     Similarity.lshTopNeighbor(base).write.format("noop").mode("overwrite").save()

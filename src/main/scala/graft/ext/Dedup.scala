@@ -299,25 +299,41 @@ object Dedup {
   /** [[buildJaccardIndex]] in the generation-swap layout: each of the
     * three physical tables lands as a numbered generation and the logical
     * names become views, so [[compactJaccardIndexGen]] can fold the
-    * [[maintainJaccardDedup]] delta WHILE probes serve. The three views
-    * swap one after another — NOT atomically — which is safe because the
-    * lifecycle never renumbers tids (the vocab order is frozen at build
-    * and extended append-at-end), so any mix of layer generations a
-    * concurrent probe resolves is consistent: each layer read is
-    * individually complete and duplicate-free under its own generation's
-    * watermark, and tids mean the same thing in all of them.
+    * [[maintainJaccardDedup]] delta WHILE probes serve. Consistency has
+    * two layers:
+    *  - probes derive the toks/prefix physical tables from the VOCAB
+    *    generation (see [[jaccardAgainstIndexTracked]]) and all three
+    *    physical tables are written here BEFORE the vocab view swaps, so
+    *    the vocab swap is the single atomic step — even a REBUILD, which
+    *    REASSIGNS tids (the vocab re-ranks by the new corpus's df), can
+    *    never be observed as a mixed dictionary;
+    *  - a compaction's per-layer swaps copy rows verbatim (tids
+    *    preserved), so its transient generation mixes are consistent by
+    *    construction regardless of which layer a probe's fallback
+    *    resolution lands on.
+    *
+    * A fresh build writes no folded-batch manifests (absent ≡ −1). When
+    * REBUILDING over a live delta layer, quiesce the maintenance loop and
+    * pass `deltaDir`: every layer of the rebuilt generation is stamped
+    * with the delta's current highest batch_id, because the rebuilt base
+    * supersedes those partitions AND their rows carry the OLD tid
+    * numbering — exposing them against the re-ranked vocab would corrupt
+    * the probe's sorted tid arrays, not just double-count
+    * ([[sources.Bucketing.stampRebuildWatermark]]).
     */
   def buildJaccardIndexGen(documents: DataFrame, name: String,
-                           tauPpm: Long = 850000L, buckets: Int = 8): Unit = {
+                           tauPpm: Long = 850000L, buckets: Int = 8,
+                           deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     val names = JacLayers.map(s => s"${name}_$s")
     names.foreach(b.requireSwapAdoptable(spark, _))
     val phys = names.map(n => b.generationName(n, b.currentGeneration(spark, n) + 1))
     buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
-    // no writeMeta at build: an absent generation manifest reads as
-    // watermark −1 (foldedBatchMaxOf), which is exactly a fresh build's
-    // state — the three one-row table writes would be pure per-build jobs
+    deltaDir.foreach { d =>
+      val allDirs = JacLayers.map(s => s"$d/$s")
+      phys.foreach(p => b.stampRebuildWatermark(spark, p, allDirs))
+    }
     phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
     names.foreach(n => b.dropGeneration(spark, n, b.currentGeneration(spark, n) - 2))
   }
@@ -411,6 +427,14 @@ object Dedup {
     * [[compactJaccardIndexGen]] can never be observed as duplicated vocab
     * rows (which would corrupt the probe's sorted tid arrays) or dropped
     * prefixes (a silent false negative).
+    *
+    * Cost model, stated honestly: the delta unions erase the index
+    * tables' bucketed output partitioning, so while ANY delta batch is
+    * unfolded the candidate and verification joins re-shuffle base +
+    * delta on their keys (the build-time co-location shuffles, paid per
+    * probe) — reset to the exchange-free pinned plan as soon as
+    * compaction folds the delta. Compaction cadence bounds how often
+    * probes run in that window.
     */
   def jaccardAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
                               newDocs: DataFrame, name: String,
@@ -431,8 +455,26 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       name: String, tauPpm: Long, deltaDir: Option[String],
       excludeBatch: Option[Long]): (DataFrame, Set[Int]) = {
+    val b = graft.sources.Bucketing
+    // the VOCAB swap is the probe's single consistency point: toks/prefix
+    // physical tables are DERIVED from the vocab generation when that
+    // generation's siblings exist (a build/rebuild writes all three
+    // physical tables BEFORE swapping the vocab view), falling back to
+    // their own view resolution otherwise (mid-compaction, where layers
+    // fold one at a time — safe, compaction copies rows verbatim). This
+    // makes even a REBUILD that renumbers tids concurrent-safe: a probe
+    // sees all-old or all-new dictionaries, never the vocab of one
+    // numbering against the toks/prefix of another.
+    val vocabPhys = b.resolvePhysical(spark, s"${name}_vocab")
+    val genSuffix = vocabPhys.stripPrefix(s"${name}_vocab")
+    def layerTable(suffix: String): String =
+      if (suffix != "vocab" && genSuffix.nonEmpty &&
+          spark.catalog.tableExists(s"${name}_$suffix$genSuffix"))
+        s"${name}_$suffix$genSuffix"
+      else if (suffix == "vocab") vocabPhys
+      else b.resolvePhysical(spark, s"${name}_$suffix")
     def layer(suffix: String, cols: Seq[String]): DataFrame =
-      graft.sources.Bucketing.layerWithDelta(spark, s"${name}_$suffix",
+      b.layerWithDelta(spark, layerTable(suffix),
         deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
     val (per, perIds) = Checkpoints.checkpointTracked(newDocs
       .select(col("doc_id"),
@@ -612,6 +654,8 @@ object Dedup {
     * periodically folds the delta into new generations of the three
     * bucketed tables — safe to run WHILE this loop and any probes serve
     * (the old in-place table appends had a run-from-one-place caveat).
+    * Like the LSH loop, an UNBOUNDED run must build with
+    * [[buildJaccardIndexGen]]: plain tables serve but have no fold path.
     * Within-batch τ-pairs that match nothing in the index both survive —
     * run [[jaccardJoin]] on the increment upstream if intra-batch
     * collapse is required (same contract as the LSH loop).
@@ -699,7 +743,8 @@ object Dedup {
     * like tables, including the bucketed scan's exchange-free join side.
     */
   def buildLshIndexGen(documents: DataFrame, table: String,
-                       buckets: Int = 8): Unit = {
+                       buckets: Int = 8,
+                       deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
@@ -709,7 +754,12 @@ object Dedup {
       lshBands(documents).select(
         concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
       phys, "bkey", buckets)
-    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
+    // fresh build: no manifest (absent ≡ watermark −1). REBUILD over a
+    // live delta layer: quiesce the loop and pass deltaDir — the rebuilt
+    // base already holds those survivors' bands, so the retained delta
+    // partitions must be stamped folded, not double-counted
+    deltaDir.foreach(d =>
+      b.stampRebuildWatermark(spark, phys, Seq(s"$d/bands")))
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }
@@ -723,34 +773,55 @@ object Dedup {
     * probe each increment, append verified survivors to the index.
     */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
-                        newDocs: DataFrame, table: String): DataFrame =
-    probeLsh(newDocs, graft.sources.Bucketing.layerWithDelta(
-      spark, table, None, Seq("bkey", "doc_id")))
+                        newDocs: DataFrame, table: String): DataFrame = {
+    val (base, _) = graft.sources.Bucketing.layerParts(
+      spark, table, None, Seq("bkey", "doc_id"))
+    probeBands(newDocs)
+      .transform(lshCandidates(base, None))
+      .distinct()
+  }
 
-  /** [[dedupAgainstIndex]] over base ∪ delta — the read side of the LSM
-    * maintenance posture: candidates reflect every compacted batch (the
-    * bucketed base, exchange-free join side) plus every not-yet-compacted
-    * survivor band in the delta (whose join side DOES pay a delta-sized
-    * co-location shuffle, bounded by compaction cadence). The generation
-    * is resolved once and base + watermark read off that single
-    * resolution, so a concurrent [[compactLshIndexGen]] swap can never be
-    * observed as a double-counted or dropped band
-    * ([[sources.Bucketing.layerWithDelta]]).
+  /** [[dedupAgainstIndex]] over base + delta — the read side of the LSM
+    * maintenance posture: candidates reflect every compacted batch plus
+    * every not-yet-compacted survivor band in the delta. The probe is
+    * SPLIT per part (`probe ⋈ (base ∪ delta) = (probe ⋈ base) ∪
+    * (probe ⋈ delta)`): the bucketed base join stays exchange-free — a
+    * union-then-join would erase the base's bucketing and re-shuffle the
+    * corpus-sized band table on every probe — and only the delta join
+    * shuffles, delta-sized, a cost compaction resets to zero. The
+    * generation is resolved once and base + watermark read off that
+    * single resolution, so a concurrent [[compactLshIndexGen]] swap can
+    * never be observed as a double-counted or dropped band
+    * ([[sources.Bucketing.layerParts]]).
     */
   def dedupAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
                             newDocs: DataFrame, table: String,
-                            deltaDir: String): DataFrame =
-    probeLsh(newDocs, graft.sources.Bucketing.layerWithDelta(
-      spark, table, Some(s"$deltaDir/bands"), Seq("bkey", "doc_id")))
+                            deltaDir: String): DataFrame = {
+    val (base, delta) = graft.sources.Bucketing.layerParts(
+      spark, table, Some(s"$deltaDir/bands"), Seq("bkey", "doc_id"))
+    probeBands(newDocs)
+      .transform(lshCandidates(base, delta))
+      .distinct()
+  }
 
-  private def probeLsh(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+  /** The probe side's banded keys: (bkey, doc_id_new). */
+  private def probeBands(newDocs: DataFrame): DataFrame =
     lshBands(newDocs)
       .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
         col("doc_id").as("doc_id_new"))
-      .join(corpus.select(col("bkey"), col("doc_id").as("doc_id_corpus")),
-        "bkey")
-      .select("doc_id_new", "doc_id_corpus")
-      .distinct()
+
+  /** Split candidate generation over the two index parts — see
+    * [[dedupAgainstIndexWith]]. Output (doc_id_new, doc_id_corpus), NOT
+    * deduplicated (callers `distinct()` after any further composition).
+    */
+  private def lshCandidates(base: DataFrame, delta: Option[DataFrame])
+                           (bands: DataFrame): DataFrame = {
+    def cand(corpus: DataFrame): DataFrame =
+      bands.join(corpus.select(col("bkey"), col("doc_id").as("doc_id_corpus")),
+          "bkey")
+        .select("doc_id_new", "doc_id_corpus")
+    delta.map(d => cand(base).unionByName(cand(d))).getOrElse(cand(base))
+  }
 
   /** Fold the LSH maintenance delta into a NEW generation of the band
     * table — the concurrent-safe compaction of the [[maintainLshDedup]]
@@ -784,9 +855,17 @@ object Dedup {
     * a run-from-one-place caveat; the delta write touches only this
     * batch's own partition). This is the nightly-crawl loop as a stream:
     * the corpus side never recomputes its MinHash (paid at build/compact
-    * time), each increment pays one banding pass and one bucketed join
-    * plus a delta-sized co-location shuffle that compaction resets to
-    * zero.
+    * time), each increment pays one banding pass plus the split probe's
+    * two joins (bucketed base side exchange-free, delta side delta-sized
+    * — see [[dedupAgainstIndexWith]]); compaction resets the delta side
+    * to zero.
+    *
+    * Layout choice: the loop SERVES either layout (a plain table resolves
+    * with watermark −1), but only the generation-swap layout has a
+    * compaction path — the Gen compactors refuse plain tables and the
+    * in-place fold is retired — so an UNBOUNDED loop must build with
+    * [[buildLshIndexGen]]; a plain [[buildLshIndex]] suits bounded runs
+    * whose delta is dropped with the run.
     *
     * Within-batch near-dups that match nothing in the index BOTH survive —
     * run [[minhashCandidates]] on the increment upstream if intra-batch
@@ -826,18 +905,18 @@ object Dedup {
         col("doc_id"))
       .persist()
     try {
-      val corpus = graft.sources.Bucketing.layerWithDelta(session, table,
+      val (base, delta) = graft.sources.Bucketing.layerParts(session, table,
         Some(s"$deltaDir/bands"), Seq("bkey", "doc_id"),
         excludeBatch = Some(batchId))
-      val dupIds = bands
-        .join(corpus.select(col("bkey"), col("doc_id").as("doc_corpus")), "bkey")
+      val dupIds = bands.select(col("bkey"), col("doc_id").as("doc_id_new"))
+        .transform(lshCandidates(base, delta))
         // replay after compaction: the batch's own partition is excluded
         // above, but bands its first delivery contributed may already sit
         // in the BASE — drop verdicts whose corpus side is a current-batch
         // doc (self-matches AND within-batch twins)
-        .join(batch.select(col("doc_id").as("doc_corpus")),
-          Seq("doc_corpus"), "left_anti")
-        .select("doc_id").distinct()
+        .join(batch.select(col("doc_id").as("doc_id_corpus")),
+          Seq("doc_id_corpus"), "left_anti")
+        .select(col("doc_id_new").as("doc_id")).distinct()
       graft.sources.Bucketing.writeDeltaPartition(
         batch.join(dupIds, Seq("doc_id"), "left_anti"), survivorsPath, batchId)
       graft.sources.Bucketing.writeDeltaPartition(

@@ -645,11 +645,18 @@ object Retrieval {
     graft.sources.Bucketing.readParquetIfExists(spark, path, cols)
 
   /** [[searchBm25Index]] over base ∪ delta — the read side of the LSM
-    * posture: answers reflect every compacted batch (bucketed base scan,
-    * exchange-free df window) plus every not-yet-compacted one (delta
-    * union, which DOES cost the probe a delta-sized co-location shuffle —
-    * the price of exactly-once maintenance, bounded by compaction cadence
-    * and zero once [[compactBm25IndexGen]] has folded the delta in).
+    * posture: answers reflect every compacted batch plus every
+    * not-yet-compacted one. Cost model, stated honestly: the df window
+    * must see EVERY posting row of a token across both parts (df is a
+    * count over the union — no per-part decomposition exists, unlike the
+    * LSH candidate join), and the Union erases the base's bucketed output
+    * partitioning, so while ANY delta batch is unfolded the probe pays
+    * the posting-list co-location shuffle over base + delta — the same
+    * shuffle the one-shot build pays, reset to the exchange-free
+    * base-only plan as soon as [[compactBm25IndexGen]] folds the delta.
+    * Compaction cadence is therefore the knob that bounds how often
+    * searches run in the degraded-plan window, not how MUCH of the corpus
+    * that window re-shuffles.
     *
     * The delta is filtered to batches ABOVE the resolved generation's
     * folded watermark (see [[sources.Bucketing.writeMeta]]): under a
@@ -703,15 +710,25 @@ object Retrieval {
   // searcher thread across the swap and asserts every answer it saw was a
   // valid pre- or post-compaction serving state, never an error.
 
-  /** [[buildBm25Index]] in the generation-swap layout: physical postings,
-    * stats and the folded-batch manifest land as generation 1, the
-    * logical names become views. (The `_stats` view is convenience for
-    * inspection — searchers resolve the stats sibling through the
-    * postings view's generation, see [[statsTableFor]], so only the
-    * postings-view swap is consistency-critical.)
+  /** [[buildBm25Index]] in the generation-swap layout: physical postings
+    * and stats land as a numbered generation, the logical names become
+    * views. (The `_stats` view is convenience for inspection — searchers
+    * resolve the stats sibling through the postings view's generation,
+    * see [[statsSiblingOf]], so only the postings-view swap is
+    * consistency-critical.)
+    *
+    * A fresh build writes no folded-batch manifest (absent ≡ −1). When
+    * REBUILDING an index that has a live delta layer, QUIESCE the
+    * maintenance loop, rebuild over the full current corpus, and pass
+    * `deltaDir`: the rebuilt generation is stamped with the delta's
+    * current highest batch_id, so the retained delta partitions —
+    * whose documents the rebuilt base already contains — stay below the
+    * watermark instead of double-counting
+    * ([[sources.Bucketing.stampRebuildWatermark]]).
     */
   def buildBm25IndexGen(documents: DataFrame, table: String,
-                        buckets: Int = 8): Unit = {
+                        buckets: Int = 8,
+                        deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
@@ -722,7 +739,8 @@ object Retrieval {
     b.dropWithLocation(spark, s"${phys}_stats")
     bm25StatsDelta(documents).write.mode("overwrite")
       .format("parquet").saveAsTable(s"${phys}_stats")
-    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
+    deltaDir.foreach(d => b.stampRebuildWatermark(spark, phys,
+      Seq(s"$d/postings", s"$d/stats")))
     b.swapView(spark, table, phys)
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
     b.dropGeneration(spark, table, g - 2)
@@ -737,7 +755,7 @@ object Retrieval {
     *  - the source generation is never touched and survives one more
     *    cycle, so an in-flight reader keeps every file it planned against;
     *  - stats resolve through the postings view's generation
-    *    ([[statsTableFor]]), so the single view swap can never be observed
+    *    ([[statsSiblingOf]]), so the single view swap can never be observed
     *    as new-postings-with-old-stats;
     *  - a base ∪ delta reader filters the delta by its resolved
     *    generation's watermark, so the window between the swap and any
@@ -760,17 +778,22 @@ object Retrieval {
     // maintenance batch landing mid-compaction is either wholly folded and
     // covered by the watermark, or wholly left in the delta — never folded
     // yet above the watermark (which post-swap readers would double-count).
-    // The watermark is the MIN across the dirs' maxima: a batch whose
-    // postings landed but whose stats write is still in flight stays
-    // unfolded in both layers.
+    // The watermark is the MIN across the dirs' maxima, and it only
+    // advances when BOTH layers are visible: applyBm25Delta writes the two
+    // layers per batch, so a listing that sees one layer and not the other
+    // caught a batch mid-write — folding the visible half would hide the
+    // other half below the watermark FOREVER once it lands (e.g. postings
+    // folded without their n_docs/total_tokens row permanently
+    // undercounting every later score). The skipped batch folds next cycle.
     val deltaPost = readDelta(spark, s"$deltaDir/postings",
       Seq("doc_id", "token", "tf", "dl", "batch_id"))
     val deltaStats = readDelta(spark, s"$deltaDir/stats",
       Seq("n_docs", "total_tokens", "batch_id"))
-    val maxes = Seq(deltaPost, deltaStats).flatten.map(b.maxBatchIdOf)
-      .filter(_ >= 0L)
+    val maxes = Seq(deltaPost, deltaStats).map(_.map(b.maxBatchIdOf))
     val newFolded =
-      if (maxes.isEmpty) prevFolded else math.max(prevFolded, maxes.min)
+      if (maxes.forall(_.isDefined))
+        math.max(prevFolded, maxes.flatten.min)
+      else prevFolded
     def unfolded(df: Option[DataFrame]): Option[DataFrame] =
       df.map(_.filter(col("batch_id").cast("long") > prevFolded &&
           col("batch_id").cast("long") <= newFolded)

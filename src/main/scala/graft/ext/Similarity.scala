@@ -787,9 +787,16 @@ object Similarity {
     * maintenance surfaces are unchanged — views resolve through
     * `spark.table` exactly like tables, including the bucketed scan's
     * exchange-free grouping.
+    *
+    * A fresh build writes no folded-batch manifest (absent ≡ −1). When
+    * REBUILDING over a live delta layer, quiesce the maintenance loop and
+    * pass `deltaDir` so the retained delta partitions — whose vectors the
+    * rebuilt base already contains — are stamped folded instead of
+    * double-counting ([[sources.Bucketing.stampRebuildWatermark]]).
     */
   def buildIvfIndexGen(embeddings: DataFrame, table: String, k: Int = IvfClusters,
-                       buckets: Int = 8, maxBucket: Int = NoMaxBucket): Unit = {
+                       buckets: Int = 8, maxBucket: Int = NoMaxBucket,
+                       deltaDir: Option[String] = None): Unit = {
     val spark = embeddings.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
@@ -799,7 +806,8 @@ object Similarity {
       .select("cluster_id", "vec_id", "embedding")
     b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
       "cluster_id", buckets)
-    // no writeMeta at build — absent manifest ≡ watermark −1 (fresh)
+    deltaDir.foreach(d =>
+      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings")))
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }
@@ -919,10 +927,17 @@ object Similarity {
     ivfSearch(spark.table(table), topK)
 
   /** [[searchIvfIndex]] over base ∪ delta — the read side of the LSM
-    * posture: delta rows (unsharded, m = 1) join their cluster's candidate
-    * pool at the cost of a delta-sized Exchange (the bucketed base alone
-    * satisfies the grouping; the union does not), bounded by compaction
-    * cadence and zero once [[compactIvfIndexGen]] has folded the delta in.
+    * posture. Cost model, stated honestly: a delta vector must be
+    * GATHERED with its cluster's base vectors into one candidate list (the
+    * kernel compares them pairwise — no per-part decomposition exists,
+    * unlike the LSH candidate join), and the Union erases the base's
+    * bucketed output partitioning, so while ANY delta batch is unfolded
+    * the search pays the cluster co-location shuffle over base + delta —
+    * the same shuffle the build paid, reset to the exchange-free
+    * base-only plan as soon as [[compactIvfIndexGen]] folds the delta in.
+    * Compaction cadence bounds how often searches run in that
+    * degraded-plan window, not how much of the corpus the window
+    * re-shuffles.
     */
   def searchIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String,

@@ -190,6 +190,25 @@ object Bucketing {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_meta")
   }
 
+  /** Stamp a REBUILT generation's manifest with the delta layer's current
+    * highest batch_id — the rebuild counterpart of a compaction watermark.
+    * A fresh build writes no manifest (absent ≡ −1), which is only correct
+    * when no delta layer exists: rebuilding an index whose maintenance
+    * loop has already landed batches would otherwise expose every
+    * retained/unfolded delta partition against a base that ALREADY
+    * contains those documents — double-counted rows (and, for a
+    * renumbering rebuild like Jaccard's, stale-tid collisions). Callers
+    * rebuild with the maintenance loop QUIESCED (stop the stream, rebuild
+    * over the full current corpus, restart), so the listing here is exact:
+    * everything currently in the delta is superseded by the rebuilt base
+    * and marked folded. No-op when every path is absent/empty.
+    */
+  def stampRebuildWatermark(spark: SparkSession, phys: String,
+                            deltaPaths: Seq[String]): Unit = {
+    val m = deltaPaths.map(maxBatchId(spark, _)).foldLeft(-1L)(math.max)
+    if (m >= 0L) writeMeta(spark, phys, m)
+  }
+
   /** Folded-batch watermark of the generation behind `table` (−1 when the
     * layout has no manifest — plain tables, pre-watermark indexes).
     *
@@ -282,10 +301,30 @@ object Bucketing {
   def layerWithDelta(spark: SparkSession, table: String,
                      deltaPath: Option[String], cols: Seq[String],
                      excludeBatch: Option[Long] = None): DataFrame = {
+    val (base, delta) = layerParts(spark, table, deltaPath, cols, excludeBatch)
+    delta.map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** [[layerWithDelta]] with the base and live-delta frames returned
+    * SEPARATELY (same single-resolution discipline). Callers whose
+    * consumer is an equi-join should prefer this and join each part on
+    * its own — `probe ⋈ (base ∪ delta) = (probe ⋈ base) ∪ (probe ⋈ delta)`
+    * by distributivity, and the split keeps the bucketed base side's
+    * output partitioning (exchange-free join) where the union form erases
+    * it and re-shuffles the whole corpus-sized base per probe. A consumer
+    * that genuinely needs all rows co-located per key across BOTH parts
+    * (a window/groupBy over the union, e.g. the BM25 df derivation) has
+    * no such decomposition and pays the union-wide shuffle until
+    * compaction empties the delta.
+    */
+  def layerParts(spark: SparkSession, table: String,
+                 deltaPath: Option[String], cols: Seq[String],
+                 excludeBatch: Option[Long] = None)
+      : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.functions.col
     val phys = resolvePhysical(spark, table)
     val base = spark.table(phys).select(cols.map(col): _*)
-    deltaPath.flatMap { p =>
+    val delta = deltaPath.flatMap { p =>
       val folded = foldedBatchMaxOf(spark, phys)
       readParquetIfExists(spark, p, cols :+ "batch_id")
         .map { d =>
@@ -295,7 +334,8 @@ object Bucketing {
             .getOrElse(live)
             .drop("batch_id")
         }
-    }.map(base.unionByName(_)).getOrElse(base)
+    }
+    (base, delta)
   }
 
   /** Write one foreachBatch batch's rows into a delta layer under its own
@@ -343,8 +383,16 @@ object Bucketing {
           col("batch_id").cast("long") <= newFolded)
         .drop("batch_id"))
       .map(base.unionByName(_)).getOrElse(base)
-    writeBucketed(rows, phys, key, buckets, compact = compact)
+    // manifest BEFORE the physical table: readers that DERIVE a sibling
+    // generation (the Jaccard probe derives toks/prefix from the vocab
+    // generation) pick the table up the moment it exists in the catalog —
+    // before any view swap — so its watermark must already be there, or
+    // the window between the two writes reads folded rows at watermark −1
+    // and double-counts them against the delta. A crash in between leaves
+    // an orphan `_meta` the generation numbering skips past and
+    // [[dropGeneration]] eventually retires.
     writeMeta(spark, phys, newFolded)
+    writeBucketed(rows, phys, key, buckets, compact = compact)
     swapView(spark, table, phys)
     gcDeltaPartitions(spark, deltaPath, prevFolded)
     dropGeneration(spark, table, g - 2)

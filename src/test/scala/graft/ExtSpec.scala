@@ -486,13 +486,7 @@ class ExtSpec extends SparkSpec {
     // exact 1x population of SCALE.md's measured ladder (8 → 11 → 15 bits
     // at 1x/10x/100x)
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    def scaled(times: Int) = (0 until times).map { c =>
-      val r = c % 64
-      base.select(
-        (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
-          .as("embedding"))
-    }.reduce(_ unionByName _)
+    def scaled(times: Int) = graft.ProbeUtil.rotatedCopies(base, times)
     def sumSq(df: org.apache.spark.sql.DataFrame, bits: Int): Long =
       df.groupBy(Similarity.signBucket(col("embedding"), bits).as("bucket"))
         .agg(count(lit(1)).as("c"))

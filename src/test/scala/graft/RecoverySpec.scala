@@ -670,6 +670,74 @@ class RecoverySpec extends SparkSpec {
     assert(top1(Similarity.searchIvfIndex(spark, table)) == withDelta)
   }
 
+  test("bm25 gen compaction holds the watermark back for a half-written batch") {
+    import graft.ext.Retrieval
+    import graft.sources.Bucketing
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    val table = "graft_bm25_halfbatch"
+    Retrieval.buildBm25IndexGen(base, table)
+    val root = managedTempDir("bm25half")
+    val deltaDir = s"$root/delta"
+    // simulate compaction racing applyBm25Delta mid-write: only the
+    // POSTINGS half of batch 0 is on disk when compaction lists the dirs
+    Bucketing.writeDeltaPartition(
+      Retrieval.bm25Postings(newDoc), s"$deltaDir/postings", 0L)
+    Retrieval.compactBm25IndexGen(spark, table, deltaDir)
+    // folding the visible half would hide the stats row below the
+    // watermark FOREVER once it lands — the watermark must not advance
+    assert(Bucketing.foldedBatchMax(spark, table) == -1L)
+    // the postings half is still live in the delta: base ∪ delta answers
+    // the new doc's term even though nothing folded
+    val queries = Seq((900L, "newterm")).toDF("query_id", "token")
+    assert(Retrieval.searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(_.getLong(2)).toSet == Set(50L))
+    // the stats half lands; the next compaction folds the whole batch
+    Bucketing.writeDeltaPartition(
+      Retrieval.bm25StatsDelta(newDoc), s"$deltaDir/stats", 0L)
+    Retrieval.compactBm25IndexGen(spark, table, deltaDir)
+    assert(Bucketing.foldedBatchMax(spark, table) == 0L)
+    assert(Retrieval.searchBm25Index(spark, table, queries)
+      .collect().map(_.getLong(2)).toSet == Set(50L))
+    // and the folded base agrees with base ∪ delta (no double count)
+    assert(Retrieval.searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(_.getLong(2)).toSet == Set(50L))
+  }
+
+  test("gen rebuild over a live delta stamps the watermark: no double count") {
+    import graft.ext.Retrieval
+    import graft.sources.Bucketing
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    val table = "graft_bm25_rebuild"
+    Retrieval.buildBm25IndexGen(base, table)
+    val root = managedTempDir("bm25rebuild")
+    val deltaDir = s"$root/delta"
+    Retrieval.applyBm25Delta(newDoc, deltaDir, 0L)
+    val queries = Seq((900L, "newterm"), (901L, "beta")).toDF("query_id", "token")
+    def withDelta() = Retrieval
+      .searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = withDelta()
+    // quiesced rebuild over the FULL current corpus, deltaDir passed: the
+    // rebuilt generation is stamped with the delta's max batch_id, so the
+    // retained partition (still on disk) stays below the watermark
+    Retrieval.buildBm25IndexGen(base.unionByName(newDoc), table,
+      deltaDir = Some(deltaDir))
+    assert(new java.io.File(s"$deltaDir/postings/batch_id=0").exists())
+    assert(Bucketing.foldedBatchMax(spark, table) == 0L)
+    // identical scores: the rebuilt corpus equals base ∪ delta, and the
+    // stale partition is never double-counted against it
+    assert(withDelta() == expected)
+    assert(Retrieval.searchBm25Index(spark, table, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      == expected)
+  }
+
   test("generation-swap lsh compaction: probing continues across the swap") {
     import graft.ext.Dedup
     val table = "graft_lsh_genswap"
