@@ -644,19 +644,22 @@ object Retrieval {
                         cols: Seq[String]): Option[DataFrame] =
     graft.sources.Bucketing.readParquetIfExists(spark, path, cols)
 
-  /** [[searchBm25Index]] over base ∪ delta — the read side of the LSM
+  /** [[searchBm25Index]] over base + delta — the read side of the LSM
     * posture: answers reflect every compacted batch plus every
-    * not-yet-compacted one. Cost model, stated honestly: the df window
-    * must see EVERY posting row of a token across both parts (df is a
-    * count over the union — no per-part decomposition exists, unlike the
-    * LSH candidate join), and the Union erases the base's bucketed output
-    * partitioning, so while ANY delta batch is unfolded the probe pays
-    * the posting-list co-location shuffle over base + delta — the same
-    * shuffle the one-shot build pays, reset to the exchange-free
-    * base-only plan as soon as [[compactBm25IndexGen]] folds the delta.
-    * Compaction cadence is therefore the knob that bounds how often
-    * searches run in the degraded-plan window, not how MUCH of the corpus
-    * that window re-shuffles.
+    * not-yet-compacted one. The df derivation is SPLIT per part rather
+    * than windowed over a union (which would erase the base's bucketed
+    * partitioning and re-shuffle the corpus-sized posting table on every
+    * search): df(token) = own-part posting count + other-part posting
+    * count, so each part computes its window over its OWN rows — the
+    * base's rides the bucketed layout exchange-free, the delta's is
+    * delta-sized — and takes the cross-part adjustment as a broadcast of
+    * per-token counts ([[weightsWithDfAdjust]]). The delta's base-side
+    * counts cost one extra bucketed-base SCAN (broadcast-semi to the
+    * delta's tokens, grouped exchange-free on the bucket key) — a scan,
+    * not a shuffle, which is the 100 TB difference. A doc's postings live
+    * wholly in one part (folded XOR unfolded), so per-part scoring then
+    * unions doc-level candidates under the unchanged broadcast query
+    * join; compaction resets the probe to the plain base-only plan.
     *
     * The delta is filtered to batches ABOVE the resolved generation's
     * folded watermark (see [[sources.Bucketing.writeMeta]]): under a
@@ -683,13 +686,52 @@ object Retrieval {
     def unfolded(path: String, cols: Seq[String]): Option[DataFrame] =
       readDelta(spark, path, cols :+ "batch_id")
         .map(_.filter(col("batch_id") > folded).drop("batch_id"))
-    val postings = unfolded(s"$deltaDir/postings",
-        Seq("doc_id", "token", "tf", "dl"))
-      .map(spark.table(phys).unionByName(_)).getOrElse(spark.table(phys))
+    val base = spark.table(phys)
     val statsBase = spark.table(statsSiblingOf(spark, phys, table))
     val stats = unfolded(s"$deltaDir/stats", Seq("n_docs", "total_tokens"))
       .map(statsBase.unionByName(_)).getOrElse(statsBase)
-    bm25Rank(withBm25Weights(postings, stats, maxDfPpm), queries, k)
+    unfolded(s"$deltaDir/postings", Seq("doc_id", "token", "tf", "dl")) match {
+      case None =>
+        bm25Rank(withBm25Weights(base, stats, maxDfPpm), queries, k)
+      case Some(dp) =>
+        // split df derivation — see the scaladoc. Per-token posting counts
+        // of each part feed the OTHER part's adjustment as broadcasts.
+        val dfDelta = dp.groupBy("token")
+          .agg(count(lit(1)).cast("long").as("df_extra"))
+        val dfBaseForDelta = base.select("token")
+          .join(broadcast(dfDelta.select("token")), "token")
+          .groupBy("token").agg(count(lit(1)).cast("long").as("df_extra"))
+        val weighted = weightsWithDfAdjust(base, stats, dfDelta, maxDfPpm)
+          .unionByName(weightsWithDfAdjust(dp, stats, dfBaseForDelta, maxDfPpm))
+        bm25Rank(weighted, queries, k)
+    }
+  }
+
+  /** [[withBm25Weights]] with a per-token df adjustment: df = the window
+    * count over THESE postings plus `dfAdjust`'s (token, df_extra) —
+    * broadcast, absent tokens adjust by 0. The split-probe building block
+    * of [[searchBm25IndexWith]]: each part's window runs over its own
+    * rows only, so the bucketed base never re-shuffles for the union's
+    * benefit, and surviving rows score bit-identically to the
+    * union-windowed form (df, n_docs and avgdl are the same numbers by
+    * construction).
+    */
+  private def weightsWithDfAdjust(postings: DataFrame, stats: DataFrame,
+                                  dfAdjust: DataFrame,
+                                  maxDfPpm: Int): DataFrame = {
+    val summed = stats
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        expr("sum(total_tokens) * 100 div sum(n_docs)").as("avgdl_x100"))
+    val weighted = postings
+      .withColumn("df_own",
+        count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+      .join(broadcast(dfAdjust), Seq("token"), "left")
+      .withColumn("df", col("df_own") + coalesce(col("df_extra"), lit(0L)))
+      .drop("df_own", "df_extra")
+      .crossJoin(broadcast(summed))
+    if (maxDfPpm >= DfCeilOff) weighted
+    else weighted.filter(
+      col("df") * lit(1000000L) <= lit(maxDfPpm.toLong) * col("n_docs"))
   }
 
   // ---- generation-swap index lifecycle ----

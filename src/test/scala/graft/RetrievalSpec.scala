@@ -477,6 +477,39 @@ class RetrievalSpec extends SparkSpec {
     assert(r.map(_.getLong(2)).toSet == Set(0L, 1L))
   }
 
+  test("bm25 base+delta probe plan: split df keeps the bucketed base unshuffled") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    val newDoc = Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+    Retrieval.buildBm25IndexGen(base, "graft_bm25_splitplan")
+    val root = managedTempDir("bm25splitplan")
+    val deltaDir = s"$root/delta"
+    Retrieval.applyBm25Delta(newDoc, deltaDir, 0L)
+    val queries = Seq((900L, "newterm"), (901L, "beta")).toDF("query_id", "token")
+    val probe = Retrieval.searchBm25IndexWith(
+      spark, "graft_bm25_splitplan", deltaDir, queries)
+    val p = probe.queryExecution.executedPlan.toString
+    // the physical base appears twice — the weighted scan and the
+    // df-for-delta counting scan — and EVERY base scan rides the bucketed
+    // layout (the union-windowed form read it once but re-shuffled it)
+    val baseScans = p.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains("graft_bm25_splitplan__g1["))
+    assert(baseScans.length == 2, p)
+    assert(baseScans.forall(_.contains("Bucketed: true")), p)
+    // exactly five hashpartitioning exchanges, all probe/delta-sized:
+    // the delta's own df window, the delta df-count feeding each
+    // broadcast adjustment (2), the candidate (query, doc) groupBy, and
+    // the rank window's query_id exchange. The union-windowed form added
+    // a SIXTH carrying base + delta — the corpus-sized one this plan
+    // exists to avoid.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 5, p)
+    // the token-keyed exchanges all hang off delta scans, never the base
+    assert("delta/postings".r.findAllIn(p).length >= 2, p)
+    // and answers are unchanged (delta doc retrievable)
+    assert(probe.collect().map(_.getLong(2)).toSet == Set(50L, 2L, 1L))
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
