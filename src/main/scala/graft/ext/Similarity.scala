@@ -926,18 +926,17 @@ object Similarity {
                      topK: Int = 3): DataFrame =
     ivfSearch(spark.table(table), topK)
 
-  /** [[searchIvfIndex]] over base ∪ delta — the read side of the LSM
-    * posture. Cost model, stated honestly: a delta vector must be
-    * GATHERED with its cluster's base vectors into one candidate list (the
-    * kernel compares them pairwise — no per-part decomposition exists,
-    * unlike the LSH candidate join), and the Union erases the base's
-    * bucketed output partitioning, so while ANY delta batch is unfolded
-    * the search pays the cluster co-location shuffle over base + delta —
-    * the same shuffle the build paid, reset to the exchange-free
-    * base-only plan as soon as [[compactIvfIndexGen]] folds the delta in.
-    * Compaction cadence bounds how often searches run in that
-    * degraded-plan window, not how much of the corpus the window
-    * re-shuffles.
+  /** [[searchIvfIndex]] over base + delta — the read side of the LSM
+    * posture, SPLIT per part (see the inline doc): base–base pairs run
+    * the plain exchange-free grid, delta–base pairs meet in a
+    * per-(cluster, shard) list join whose base side rides the bucketed
+    * layout, delta–delta pairs in a delta self-call — so the base never
+    * re-shuffles for the delta's benefit (only delta-sized exchanges),
+    * and a CAPPED base's cross-shard coverage is complete, which the
+    * retired union-then-search form silently lost (delta rows carried
+    * m = 1 through a m > 1 grid and only ever met shard-0 members).
+    * Compaction ([[compactIvfIndexGen]]) folds the delta and restores
+    * the single-plan base-only search.
     */
   def searchIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String,
@@ -954,15 +953,66 @@ object Similarity {
     // concurrent generation-swap compaction, folded batches drop out the
     // instant the new generation is visible — no double-counted vectors
     val folded = b.foldedBatchMaxOf(spark, phys)
-    val idx = graft.sources.Bucketing
+    graft.sources.Bucketing
       .readParquetIfExists(spark, s"$deltaDir/postings",
         Seq("cluster_id", "shard", "m", "vec_id", "embedding", "batch_id"))
-      .map(_.filter(col("batch_id") > folded).drop("batch_id"))
-      .map(base.unionByName(_)).getOrElse(base)
-    ivfSearch(idx, topK)
+      .map(_.filter(col("batch_id") > folded).drop("batch_id")) match {
+      case None => ivfSearch(base, topK)
+      case Some(dp) =>
+        // SPLIT search, pair coverage by construction (each candidate pair
+        // meets exactly once): base–base pairs in the base grid
+        // ([[ivfWinners]], exchange-free off the bucketed layout);
+        // delta–base pairs in a per-(cluster, shard) list join — delta
+        // probes visit EVERY base shard list of their cluster and base
+        // vectors probe the delta list from their own shard row — and
+        // delta–delta pairs in the delta's self-call. Winner top-k lists
+        // compose under the shared (sim desc, id asc) total order, so the
+        // merged rank equals a one-shot search over the union corpus.
+        // Two structural wins over the retired union-then-search form:
+        //  - the Union erased the base's bucketed partitioning and
+        //    re-shuffled the corpus-sized posting table per search; here
+        //    the base never re-shuffles (its grid AND the shard-list
+        //    aggregation ride the bucketed layout; the list join reuses
+        //    the delta aggregation's partitioning) — only delta-sized
+        //    exchanges remain;
+        //  - the union form ran delta rows (m = 1) through the shard grid
+        //    of a CAPPED base (m > 1), where they only ever met shard-0
+        //    members — silently missing cross-shard neighbors; the list
+        //    join restores full coverage (spec-asserted against a capped
+        //    index with a live delta).
+        registerKernels(base)
+        val deltaLists = dp.groupBy("cluster_id")
+          .agg(entries(col("vec_id"), col("embedding")).as("dvs"))
+        val baseShardLists = base.groupBy(col("cluster_id"), col("shard"))
+          .agg(entries(col("vec_id"), col("embedding")).as("bvs"))
+        val joined = baseShardLists.join(deltaLists, "cluster_id")
+        def unw(df: DataFrame): DataFrame =
+          df.select(col("cluster_id"), col("w.vec_id").as("vec_id"),
+            col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+        val crossDeltaProbes = unw(joined.select(col("cluster_id"),
+          explode(expr(s"bucket_topk(bvs, dvs, $topK)")).as("w")))
+        val crossBaseProbes = unw(joined.select(col("cluster_id"),
+          explode(expr(s"bucket_topk(dvs, bvs, $topK)")).as("w")))
+        val deltaSelf = unw(deltaLists.select(col("cluster_id"),
+          explode(expr(s"bucket_topk(dvs, dvs, $topK)")).as("w")))
+        rankIvfWinners(
+          ivfWinners(base, topK)
+            .unionByName(crossDeltaProbes)
+            .unionByName(crossBaseProbes)
+            .unionByName(deltaSelf),
+          topK)
+    }
   }
 
-  private def ivfSearch(idx: DataFrame, topK: Int): DataFrame = {
+  private def ivfSearch(idx: DataFrame, topK: Int): DataFrame =
+    rankIvfWinners(ivfWinners(idx, topK), topK)
+
+  /** The shard-grid winner stage of [[ivfSearch]]: per (vector,
+    * shard-group) top-k candidates as (cluster_id, vec_id, neighbor_id,
+    * sim) rows. Fully satisfied by the bucketed layout's cluster_id
+    * partitioning — no exchange.
+    */
+  private def ivfWinners(idx: DataFrame, topK: Int): DataFrame = {
     registerKernels(idx)
     idx
       .select(col("cluster_id"), col("vec_id"), col("embedding"),
@@ -984,6 +1034,15 @@ object Similarity {
       .select(col("cluster_id"), explode(expr(s"bucket_topk(vs, ps, $topK)")).as("w"))
       .select(col("cluster_id"), col("w.vec_id").as("vec_id"),
         col("w.neighbor_id").as("neighbor_id"), col("w.sim").as("sim"))
+  }
+
+  /** The cross-group rank merge of [[ivfSearch]]: each vector's ≤ m·topK
+    * winner candidates sorted under the (sim desc, id asc, NaN first)
+    * total order — per-group top-k lists compose, so the result equals a
+    * global rank over every candidate pair the groups covered.
+    */
+  private def rankIvfWinners(winners: DataFrame, topK: Int): DataFrame =
+    winners
       .groupBy("cluster_id", "vec_id")
       .agg(expr(s"""slice(
         |  sort_array(collect_list(struct(sim, -neighbor_id AS negid, neighbor_id AS nid)), false),
@@ -991,7 +1050,6 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.nid").as("neighbor_id"))
-  }
 
   /** One Lloyd (k-means) training iteration for the IVF coarse quantizer:
     * assign every vector to its nearest current centroid, then emit the new

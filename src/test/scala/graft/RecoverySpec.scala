@@ -738,6 +738,43 @@ class RecoverySpec extends SparkSpec {
       == expected)
   }
 
+  test("capped ivf base + live delta: cross-shard pairs covered, base stays bucketed") {
+    import graft.ext.Similarity
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y; a
+    }
+    // cluster 0 holds 5 of 7 base vectors; maxBucket = 2 shards it (m = 3)
+    val base = Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)),
+      (2L, vec(0.99f, 0.01f)), (3L, vec(0.98f, 0.02f)),
+      (4L, vec(0.97f, 0.03f)), (5L, vec(0.96f, 0.04f)),
+      (6L, vec(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, vec(0.985f, 0.015f)), (11L, vec(0.975f, 0.025f)),
+      (12L, vec(0.965f, 0.035f))).toDF("vec_id", "embedding")
+    val table = "graft_ivf_capdelta"
+    Similarity.buildIvfIndexGen(base, table, k = 2, buckets = 4, maxBucket = 2)
+    assert(spark.table(table).filter(col("m") > 1).count() > 0)
+    val root = managedTempDir("ivfcapdelta")
+    val deltaDir = s"$root/delta"
+    Similarity.applyIvfDelta(delta, table, deltaDir, 0L, k = 2)
+    // the split search must equal a from-scratch search over the union —
+    // INCLUDING delta-vs-nonzero-shard pairs, which the retired
+    // union-then-search form missed (delta rows carried m = 1 through the
+    // m = 3 grid and only ever met shard-0 members)
+    val probe = Similarity.searchIvfIndexWith(spark, table, deltaDir, 3)
+    val got = probe.as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.ivfTopKNeighbors(base.unionByName(delta), 3, k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"missing pairs: ${want.diff(got)}; extra: ${got.diff(want)}")
+    // and the base never re-shuffles: every base scan rides the bucketed
+    // layout (delta-sized exchanges only)
+    val p = probe.queryExecution.executedPlan.toString
+    val baseScans = p.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains(s"${table}__g1["))
+    assert(baseScans.nonEmpty && baseScans.forall(_.contains("Bucketed: true")), p)
+  }
+
   test("generation-swap lsh compaction: probing continues across the swap") {
     import graft.ext.Dedup
     val table = "graft_lsh_genswap"
