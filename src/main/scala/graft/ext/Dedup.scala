@@ -428,13 +428,13 @@ object Dedup {
     * rows (which would corrupt the probe's sorted tid arrays) or dropped
     * prefixes (a silent false negative).
     *
-    * Cost model, stated honestly: the delta unions erase the index
-    * tables' bucketed output partitioning, so while ANY delta batch is
-    * unfolded the candidate and verification joins re-shuffle base +
-    * delta on their keys (the build-time co-location shuffles, paid per
-    * probe) — reset to the exchange-free pinned plan as soon as
-    * compaction folds the delta. Compaction cadence bounds how often
-    * probes run in that window.
+    * The candidate (prefix) and verification (toks) joins are SPLIT per
+    * part — bucketed base side exchange-free, delta side delta-sized
+    * (see the inline doc) — so the corpus-sized index tables never
+    * re-shuffle for the delta's benefit; only the dictionary-sized vocab
+    * rides a union (its shuffle is bounded by distinct-token count, not
+    * corpus rows). Compaction folds the delta and restores the pinned
+    * single-plan probe.
     */
   def jaccardAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
                               newDocs: DataFrame, name: String,
@@ -476,6 +476,22 @@ object Dedup {
     def layer(suffix: String, cols: Seq[String]): DataFrame =
       b.layerWithDelta(spark, layerTable(suffix),
         deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
+    def parts(suffix: String, cols: Seq[String]): (DataFrame, Option[DataFrame]) =
+      b.layerParts(spark, layerTable(suffix),
+        deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
+    // inner joins against the corpus-sized layers are SPLIT per part
+    // (probe ⋈ (base ∪ delta) = (probe ⋈ base) ∪ (probe ⋈ delta)): the
+    // bucketed base side stays exchange-free and only the delta side
+    // shuffles, delta-sized. The vocab LEFT join below keeps the plain
+    // union — the vocab is the dictionary-sized table (distinct tokens,
+    // ≪ corpus rows), so its union shuffle is dictionary-bounded.
+    def splitJoin(probe: DataFrame, suffix: String, cols: Seq[String],
+                  key: String)(shape: DataFrame => DataFrame): DataFrame = {
+      val (baseP, deltaP) = parts(suffix, cols)
+      val withBase = probe.join(shape(baseP), key)
+      deltaP.map(d => withBase.unionByName(probe.join(shape(d), key)))
+        .getOrElse(withBase)
+    }
     val (per, perIds) = Checkpoints.checkpointTracked(newDocs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
@@ -494,10 +510,10 @@ object Dedup {
       .withColumn("rn", (col("pos") + 1).cast("long") + col("n_unseen"))
       .filter(expr(s"rn <= n - ((n * ${tauPpm}L + 999999L) div 1000000L) + 1L"))
       .select(col("doc_new"), col("col").as("tid"), col("n").as("na"), col("rn").as("ra"))
-    val idx = layer("prefix", Seq("tid", "doc_id", "n", "rn"))
-      .select(col("tid"), col("doc_id").as("doc_corpus"),
-        col("n").as("nb"), col("rn").as("rb"))
-    val cand = probePrefix.join(idx, "tid")
+    val cand = splitJoin(probePrefix, "prefix",
+        Seq("tid", "doc_id", "n", "rn"), "tid")(
+        _.select(col("tid"), col("doc_id").as("doc_corpus"),
+          col("n").as("nb"), col("rn").as("rb")))
       .filter(expr(s"least(na, nb) * 1000000L >= greatest(na, nb) * ${tauPpm}L"))
       .filter(expr(
         s"(least(na - ra, nb - rb) + 1L) * ${1000000L + tauPpm}L" +
@@ -505,10 +521,13 @@ object Dedup {
       .select("doc_new", "doc_corpus", "na", "nb")
       .distinct()
     graft.functions.SortedIntersectCount.register(spark)
-    val out = cand
-      .join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")), Seq("doc_new"))
-      .join(layer("toks", Seq("doc_id", "toks", "n"))
-        .select(col("doc_id").as("doc_corpus"), col("toks").as("tb")), Seq("doc_corpus"))
+    // a corpus doc's toks row lives in exactly one part, so the split
+    // verification join produces each candidate's row exactly once
+    val out = splitJoin(
+        cand.join(per.select(col("doc_id").as("doc_new"), col("toks").as("ta")),
+          Seq("doc_new")),
+        "toks", Seq("doc_id", "toks", "n"), "doc_corpus")(
+        _.select(col("doc_id").as("doc_corpus"), col("toks").as("tb")))
       .select(col("doc_new"), col("doc_corpus"),
         expr("sorted_intersect_count(ta, tb)").as("n_common"),
         col("na"), col("nb"))
