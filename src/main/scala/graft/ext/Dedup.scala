@@ -328,14 +328,16 @@ object Dedup {
     val b = graft.sources.Bucketing
     val names = JacLayers.map(s => s"${name}_$s")
     names.foreach(b.requireSwapAdoptable(spark, _))
-    val phys = names.map(n => b.generationName(n, b.currentGeneration(spark, n) + 1))
+    // one catalog listing for all three names, reused for the retirement
+    val gens = b.currentGenerations(spark, names)
+    val phys = names.map(n => b.generationName(n, gens(n) + 1))
     buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
     deltaDir.foreach { d =>
       val allDirs = JacLayers.map(s => s"$d/$s")
       phys.foreach(p => b.stampRebuildWatermark(spark, p, allDirs))
     }
     phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
-    names.foreach(n => b.dropGeneration(spark, n, b.currentGeneration(spark, n) - 2))
+    names.foreach(n => b.dropGeneration(spark, n, gens(n) - 1))
   }
 
   private def buildJaccardTables(documents: DataFrame, vocabT: String,

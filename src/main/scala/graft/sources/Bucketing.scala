@@ -46,7 +46,11 @@ object Bucketing {
     * `saveAsTable`s (bucketed or not).
     */
   def dropWithLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // catalog lookup first: the SQL round-trip (parse + exec) is only paid
+    // when there is a table to drop — generation retirement probes
+    // `_stats`/`_meta` siblings that usually don't exist
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,13 +133,24 @@ object Bucketing {
   /** Highest existing generation number for `table`'s swap layout (0 when
     * none exists yet).
     */
-  def currentGeneration(spark: SparkSession, table: String): Int = {
-    val prefix = s"${table.toLowerCase}__g"
-    spark.catalog.listTables().collect()
-      .map(_.name.toLowerCase).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).takeWhile(_.isDigit))
-      .filter(_.nonEmpty).map(_.toInt)
-      .foldLeft(0)(math.max)
+  def currentGeneration(spark: SparkSession, table: String): Int =
+    currentGenerations(spark, Seq(table))(table)
+
+  /** [[currentGeneration]] for several names off ONE catalog listing —
+    * multi-table layouts (the Jaccard index's three tables) call this once
+    * per lifecycle step instead of paying a listTables round-trip per
+    * name.
+    */
+  def currentGenerations(spark: SparkSession,
+                         tables: Seq[String]): Map[String, Int] = {
+    val names = spark.catalog.listTables().collect().map(_.name.toLowerCase)
+    tables.map { t =>
+      val prefix = s"${t.toLowerCase}__g"
+      t -> names.filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).takeWhile(_.isDigit))
+        .filter(_.nonEmpty).map(_.toInt)
+        .foldLeft(0)(math.max)
+    }.toMap
   }
 
   /** Physical table name of generation `g`. */
