@@ -49,15 +49,8 @@ object TsMediaScaleProbe {
           concat(col("payload"), lit(s"#$c").cast("binary")).as("payload"))
       }.reduce(_ unionByName _)
 
-    def median3(mk: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.sorted.apply(1)
-    }
-    def r2(x: Double): Double = math.round(x * 100) / 100.0
+    def median3(mk: => DataFrame): Double = ProbeUtil.median3(mk)
+    def r2(x: Double): Double = ProbeUtil.r2(x)
 
     // SKEW mode — the scenario the guard exists for: the population grows
     // by users/docs that all land in ONE bucket (a corpus-wide "inactive"
