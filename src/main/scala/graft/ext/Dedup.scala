@@ -328,16 +328,20 @@ object Dedup {
     val b = graft.sources.Bucketing
     val names = JacLayers.map(s => s"${name}_$s")
     names.foreach(b.requireSwapAdoptable(spark, _))
-    // one catalog listing for all three names, reused for the retirement
-    val gens = b.currentGenerations(spark, names)
-    val phys = names.map(n => b.generationName(n, gens(n) + 1))
+    // ONE shared generation number for all three layers (max over their
+    // currents + 1, off one catalog listing): the probe's vocab-derived
+    // sibling lookup requires that vocab__gN existing implies toks/prefix
+    // __gN exist — per-layer numbering could skew after a crashed
+    // compaction, silently disabling the rebuild-atomicity path; a shared
+    // number re-aligns the layers on every rebuild
+    val g = b.currentGenerations(spark, names).values.max + 1
+    val phys = names.map(b.generationName(_, g))
     buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
     deltaDir.foreach { d =>
-      val allDirs = JacLayers.map(s => s"$d/$s")
-      phys.foreach(p => b.stampRebuildWatermark(spark, p, allDirs))
+      b.stampRebuildWatermark(spark, phys, JacLayers.map(s => s"$d/$s"))
     }
     phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
-    names.foreach(n => b.dropGeneration(spark, n, gens(n) - 1))
+    names.foreach(n => b.dropGeneration(spark, n, g - 2))
   }
 
   private def buildJaccardTables(documents: DataFrame, vocabT: String,
@@ -467,12 +471,16 @@ object Dedup {
     // makes even a REBUILD that renumbers tids concurrent-safe: a probe
     // sees all-old or all-new dictionaries, never the vocab of one
     // numbering against the toks/prefix of another.
+    // lowercase before deriving: resolvePhysical returns the CATALOG'S
+    // lowercased name, so a mixed-case `name` would never strip and the
+    // protection would silently fall back to per-layer view resolution
+    val lname = name.toLowerCase
     val vocabPhys = b.resolvePhysical(spark, s"${name}_vocab")
-    val genSuffix = vocabPhys.stripPrefix(s"${name}_vocab")
+    val genSuffix = vocabPhys.toLowerCase.stripPrefix(s"${lname}_vocab")
     def layerTable(suffix: String): String =
       if (suffix != "vocab" && genSuffix.nonEmpty &&
-          spark.catalog.tableExists(s"${name}_$suffix$genSuffix"))
-        s"${name}_$suffix$genSuffix"
+          spark.catalog.tableExists(s"${lname}_$suffix$genSuffix"))
+        s"${lname}_$suffix$genSuffix"
       else if (suffix == "vocab") vocabPhys
       else b.resolvePhysical(spark, s"${name}_$suffix")
     def layer(suffix: String, cols: Seq[String]): DataFrame =

@@ -836,6 +836,16 @@ object Retrieval {
       if (maxes.forall(_.isDefined))
         math.max(prevFolded, maxes.flatten.min)
       else prevFolded
+    if (newFolded == prevFolded) {
+      // nothing qualifies to fold: skip the corpus-sized rewrite (a stuck
+      // half-written batch must not make every cycle re-copy the index);
+      // still GC partitions the current generation already folded and
+      // retire the generation behind it (see Bucketing.compactLayerGen)
+      b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
+      b.gcDeltaPartitions(spark, s"$deltaDir/stats", prevFolded)
+      b.dropGeneration(spark, table, g - 2)
+      return
+    }
     def unfolded(df: Option[DataFrame]): Option[DataFrame] =
       df.map(_.filter(col("batch_id").cast("long") > prevFolded &&
           col("batch_id").cast("long") <= newFolded)

@@ -846,6 +846,16 @@ object Similarity {
       Seq("cluster_id", "vec_id", "embedding", "batch_id"))
     val newFolded =
       math.max(prevFolded, delta.map(b.maxBatchIdOf).getOrElse(-1L))
+    if (newFolded == prevFolded && delta.isDefined) {
+      // a fully-folded delta: GC-only cycle, no corpus rewrite (see
+      // Bucketing.compactLayerGen). A MISSING/empty delta deliberately
+      // still takes the full path — compaction-with-no-delta is the
+      // documented way to re-stamp shard factors under a NEW maxBucket,
+      // and skipping it would silently drop that admin workflow.
+      b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
+      b.dropGeneration(spark, table, g - 2)
+      return
+    }
     val base = spark.table(srcPhys).select("cluster_id", "vec_id", "embedding")
     val rows = delta
       .map(_.filter(col("batch_id").cast("long") > prevFolded &&

@@ -146,9 +146,15 @@ object Bucketing {
     val names = spark.catalog.listTables().collect().map(_.name.toLowerCase)
     tables.map { t =>
       val prefix = s"${t.toLowerCase}__g"
+      // count only EXACT generation tables (`__g<digits>` to the end):
+      // sibling names (`__g2_meta`, `__g2_stats`) must not register as
+      // generations — an orphan manifest from a crash between a
+      // compaction's meta write and its table write would otherwise make
+      // the next cycle skip a number and retire the LIVE generation's
+      // predecessor a cycle early
       t -> names.filter(_.startsWith(prefix))
-        .map(_.stripPrefix(prefix).takeWhile(_.isDigit))
-        .filter(_.nonEmpty).map(_.toInt)
+        .map(_.stripPrefix(prefix))
+        .filter(r => r.nonEmpty && r.forall(_.isDigit)).map(_.toInt)
         .foldLeft(0)(math.max)
     }.toMap
   }
@@ -219,9 +225,16 @@ object Bucketing {
     * and marked folded. No-op when every path is absent/empty.
     */
   def stampRebuildWatermark(spark: SparkSession, phys: String,
+                            deltaPaths: Seq[String]): Unit =
+    stampRebuildWatermark(spark, Seq(phys), deltaPaths)
+
+  /** [[stampRebuildWatermark]] for a multi-table layout: the delta dirs
+    * are listed ONCE and every physical table gets the same stamp.
+    */
+  def stampRebuildWatermark(spark: SparkSession, physes: Seq[String],
                             deltaPaths: Seq[String]): Unit = {
     val m = deltaPaths.map(maxBatchId(spark, _)).foldLeft(-1L)(math.max)
-    if (m >= 0L) writeMeta(spark, phys, m)
+    if (m >= 0L) physes.foreach(writeMeta(spark, _, m))
   }
 
   /** Folded-batch watermark of the generation behind `table` (−1 when the
@@ -392,6 +405,18 @@ object Bucketing {
     val delta = readParquetIfExists(spark, deltaPath, cols :+ "batch_id")
     val newFolded =
       math.max(prevFolded, delta.map(maxBatchIdOf).getOrElse(-1L))
+    if (newFolded == prevFolded) {
+      // nothing qualifies to fold (absent/fully-folded delta, or a
+      // half-written batch being held back): skip the corpus-sized
+      // rewrite and the generation churn — a stuck maintenance loop must
+      // not make every scheduled cycle re-copy the index. Still run the
+      // delayed maintenance the cycle owes: GC the partitions the CURRENT
+      // generation already folded (their grace clock started at the swap
+      // that folded them) and retire the generation behind it.
+      gcDeltaPartitions(spark, deltaPath, prevFolded)
+      dropGeneration(spark, table, g - 2)
+      return
+    }
     val base = spark.table(srcPhys).select(cols.map(col): _*)
     val rows = delta
       .map(_.filter(col("batch_id").cast("long") > prevFolded &&
