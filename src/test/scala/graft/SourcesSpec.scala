@@ -209,4 +209,26 @@ class SourcesSpec extends SparkSpec {
     val plain = JdbcSink("jdbc:x", "t", "u", "p")
     assert(plain.upsertSql(Seq("a", "b")) == "INSERT INTO t (a, b) VALUES (?, ?)")
   }
+
+  test("generation numbering ignores sibling names and orphan manifests") {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    // a generation table, its stats/meta siblings, and an ORPHAN manifest
+    // left by a crash between a compaction's meta write and table write —
+    // only the exact __gN table may count, or the next cycle skips a
+    // number and retires the live generation's predecessor early
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable("gennum_t__g1")
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable("gennum_t__g1_stats")
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable("gennum_t__g1_meta")
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable("gennum_t__g3_meta") // orphan
+    try {
+      assert(Bucketing.currentGeneration(spark, "gennum_t") == 1)
+      // multi-name form reads them all off one listing
+      val gens = Bucketing.currentGenerations(spark,
+        Seq("gennum_t", "gennum_other"))
+      assert(gens("gennum_t") == 1 && gens("gennum_other") == 0)
+    } finally Seq("gennum_t__g1", "gennum_t__g1_stats", "gennum_t__g1_meta",
+      "gennum_t__g3_meta")
+      .foreach(t => Bucketing.dropWithLocation(spark, t))
+  }
 }
