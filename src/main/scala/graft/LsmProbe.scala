@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Retrieval}
+
+/** Scale-evidence probe for the SPLIT base+delta probes (SCALE.md /
+  * PLANS.md round-15): base corpus grown 1×/4×/16×, delta held CONSTANT,
+  * probe query set held CONSTANT. The split formulation's claim is that a
+  * live delta costs the probe delta-sized work on top of the base-only
+  * plan — the retired union-then-probe formulation re-shuffled the whole
+  * base whenever any delta batch was unfolded, so its delta overhead
+  * would GROW with the base. Measured: `with_delta − base_only` per scale
+  * for the BM25 search and the LSH candidate probe; flat overhead across
+  * the ladder is the claim confirmed.
+  */
+object LsmProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def scaledDocs(times: Int): DataFrame =
+      (0 until times).map { c =>
+        docs.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+    // constant delta: 50 fresh docs, ids clear of every scaled copy
+    val deltaDocs = docs.limit(50)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    // constant probe load: the 1× corpus's query carve / a fixed doc slice
+    val queries = Retrieval.bm25Queries(docs).localCheckpoint(true)
+    val probeDocs = docs.limit(100)
+      .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    def r2(x: Double) = ProbeUtil.r2(x)
+    val tmp = java.nio.file.Files.createTempDirectory("lsmprobe").toString
+
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    scales.foreach { times =>
+      val corpus = scaledDocs(times).localCheckpoint(true)
+      val n = corpus.count()
+      // ---- BM25 ----
+      val bt = s"lsm_bm25_x$times"
+      val bd = s"$tmp/bm25_x$times"
+      Retrieval.buildBm25IndexGen(corpus, bt)
+      Retrieval.applyBm25Delta(deltaDocs, bd, 0L)
+      // warmup both shapes once, then median-of-3
+      Retrieval.searchBm25Index(spark, bt, queries)
+        .write.format("noop").mode("overwrite").save()
+      val tb = ProbeUtil.median3(Retrieval.searchBm25Index(spark, bt, queries))
+      val tw = ProbeUtil.median3(
+        Retrieval.searchBm25IndexWith(spark, bt, bd, queries))
+      println(s"""{"probe":"lsm_bm25","scale":$times,"n":$n,""" +
+        s""""base_s":${r2(tb)},"with_delta_s":${r2(tw)},""" +
+        s""""delta_overhead_s":${r2(tw - tb)}}""")
+      // ---- LSH ----
+      val lt = s"lsm_lsh_x$times"
+      val ld = s"$tmp/lsh_x$times"
+      Dedup.buildLshIndexGen(corpus, lt)
+      Dedup.processLshBatch(deltaDocs, 0L, lt, ld, s"$tmp/surv_x$times")
+      Dedup.dedupAgainstIndex(spark, probeDocs, lt)
+        .write.format("noop").mode("overwrite").save()
+      val lb = ProbeUtil.median3(Dedup.dedupAgainstIndex(spark, probeDocs, lt))
+      val lw = ProbeUtil.median3(
+        Dedup.dedupAgainstIndexWith(spark, probeDocs, lt, ld))
+      println(s"""{"probe":"lsm_lsh","scale":$times,"n":$n,""" +
+        s""""base_s":${r2(lb)},"with_delta_s":${r2(lw)},""" +
+        s""""delta_overhead_s":${r2(lw - lb)}}""")
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}
