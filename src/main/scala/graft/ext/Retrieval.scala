@@ -869,4 +869,30 @@ object Retrieval {
     b.gcDeltaPartitions(spark, s"$deltaDir/stats", prevFolded)
     b.dropGeneration(spark, table, g - 2)
   }
+
+  /** The "when to compact" knob wired: fold only when the delta has
+    * accumulated more than `maxUnfolded` batches above the current
+    * generation's watermark, and report whether a fold ran. The pressure
+    * reading ([[sources.Bucketing.unfoldedBatchCount]]) is one directory
+    * listing plus the one-row manifest — no Spark job — so a maintenance
+    * or serving loop can call this every batch. The trade it encodes:
+    * while batches sit unfolded, every base ∪ delta search pays a
+    * delta-sized overhead that is FLAT in base size (measured, SCALE.md
+    * round 15), while each fold rewrites the base once — so the
+    * threshold is (tolerable per-search overhead) ÷ (per-batch delta
+    * growth), not anything that scales with the corpus. Safe to call
+    * from one maintenance site while searches and the ingest loop run
+    * (the generation-swap guarantees); like [[compactBm25IndexGen]], a
+    * concurrent duplicate caller is the one thing to avoid — two folds
+    * racing would write the same generation number.
+    */
+  def compactBm25IfNeeded(spark: SparkSession, table: String,
+                          deltaDir: String, maxUnfolded: Int,
+                          buckets: Int = 8): Boolean = {
+    val pressure = graft.sources.Bucketing
+      .unfoldedBatchCount(spark, table, s"$deltaDir/postings")
+    if (pressure > maxUnfolded) {
+      compactBm25IndexGen(spark, table, deltaDir, buckets); true
+    } else false
+  }
 }

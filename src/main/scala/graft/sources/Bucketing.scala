@@ -438,6 +438,30 @@ object Bucketing {
     dropGeneration(spark, table, g - 2)
   }
 
+  /** Compaction-pressure reading: how many delta `batch_id=` partitions
+    * sit ABOVE the resolved generation's folded watermark. One directory
+    * listing plus the one-row manifest read — no Spark job — so a
+    * maintenance loop can take the reading every batch and trigger its
+    * family's generation-swap compaction at a threshold (e.g.
+    * [[ext.Retrieval.compactBm25IfNeeded]]): the split probes' delta
+    * overhead is delta-sized (measured flat under 16× base growth,
+    * SCALE.md round 15), so the threshold trades that bounded per-probe
+    * cost against compaction's base-rewrite cost.
+    */
+  def unfoldedBatchCount(spark: SparkSession, table: String,
+                         deltaPath: String): Int = {
+    val folded = foldedBatchMax(spark, table)
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong)
+          .toOption.exists(_ > folded)
+    }
+  }
+
   /** Delete delta `batch_id=` partitions at or below the watermark — the
     * DELAYED delta GC of the generation layout: a compaction only removes
     * partitions the PREVIOUS generation had already folded, so an

@@ -510,6 +510,38 @@ class RetrievalSpec extends SparkSpec {
     assert(probe.collect().map(_.getLong(2)).toSet == Set(50L, 2L, 1L))
   }
 
+  test("compactBm25IfNeeded: pressure reading gates the fold") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    val table = "graft_bm25_pressure"
+    Retrieval.buildBm25IndexGen(base, table)
+    val root = managedTempDir("bm25pressure")
+    val deltaDir = s"$root/delta"
+    (0 until 3).foreach { i =>
+      Retrieval.applyBm25Delta(
+        Seq((50L + i, s"newterm$i alpha pad pad pad pad")).toDF("doc_id", "text"),
+        deltaDir, i.toLong)
+    }
+    assert(graft.sources.Bucketing.unfoldedBatchCount(
+      spark, table, s"$deltaDir/postings") == 3)
+    // under the threshold: no fold, pressure unchanged
+    assert(!Retrieval.compactBm25IfNeeded(spark, table, deltaDir, maxUnfolded = 5))
+    assert(graft.sources.Bucketing.unfoldedBatchCount(
+      spark, table, s"$deltaDir/postings") == 3)
+    // over the threshold: folds, pressure drops to zero, answers intact
+    val queries = Seq((900L, "newterm1"), (901L, "beta")).toDF("query_id", "token")
+    val before = Retrieval.searchBm25IndexWith(spark, table, deltaDir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(Retrieval.compactBm25IfNeeded(spark, table, deltaDir, maxUnfolded = 2))
+    assert(graft.sources.Bucketing.unfoldedBatchCount(
+      spark, table, s"$deltaDir/postings") == 0)
+    assert(Retrieval.searchBm25Index(spark, table, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet == before)
+    // nothing left to fold: the gate holds shut again
+    assert(!Retrieval.compactBm25IfNeeded(spark, table, deltaDir, maxUnfolded = 0))
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
