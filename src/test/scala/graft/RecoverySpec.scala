@@ -838,6 +838,66 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}__g1"))
   }
 
+  test("jaccard REBUILD renumbers tids across a live prober: never a mixed dictionary") {
+    import graft.ext.Dedup
+    val name = "graft_jac_rebuild"
+    val tau = 900000L
+    val corpusA = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five"))
+      .toDF("doc_id", "text")
+    // the grown corpus shares doc 0's tokens unevenly, so a rebuild
+    // re-ranks the vocabulary by the NEW df order — tids genuinely
+    // renumber (asserted below), the case the vocab-derived sibling
+    // lookup exists for
+    val newDoc = Seq((2L, "alpha beta qq ww ee")).toDF("doc_id", "text")
+    Dedup.buildJaccardIndexGen(corpusA, name, tau, buckets = 2)
+    val tidsBefore = spark.table(s"${name}_vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probeDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon"), // twin of doc 0 — always a dup
+      (901L, "alpha beta qq ww ee"))            // twin of doc 2 — dup post-rebuild
+      .toDF("doc_id", "text")
+    def probe(): Set[(Long, Long)] = Dedup
+      .jaccardAgainstIndex(spark, probeDocs, name, tau)
+      .select("doc_new", "doc_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before == Set((900L, 0L)))
+    val after = Set((900L, 0L), (901L, 2L))
+
+    // prober hammers WHILE the rebuild writes three renumbered tables and
+    // swaps: every observed answer set must be the complete OLD or the
+    // complete NEW state — a mixed dictionary (new vocab tids against old
+    // toks/prefix arrays) would produce garbage verdicts, and the
+    // vocab-derived sibling lookup makes the vocab swap the single
+    // consistency point precisely so that state cannot be observed
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(probe())
+        catch { case t: Throwable => errors.add(t); () }
+      }
+    })
+    prober.start()
+    try Dedup.buildJaccardIndexGen(corpusA.unionByName(newDoc), name, tau, buckets = 2)
+    finally { stop.set(true); prober.join(30000) }
+
+    assert(errors.isEmpty, s"probing failed during rebuild: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty)
+    assert(seen.asScala.forall(s => s == before || s == after),
+      seen.asScala.find(s => s != before && s != after).toString)
+    assert(probe() == after)
+    // the rebuild really did renumber: at least one shared token moved
+    val tidsAfter = spark.table(s"${name}_vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tidsBefore.keys.exists(t => tidsAfter.get(t).exists(_ != tidsBefore(t))),
+      s"construction failed to renumber: $tidsBefore vs $tidsAfter")
+  }
+
   test("generation-swap jaccard compaction: probing continues across the swap") {
     import graft.ext.Dedup
     val name = "graft_jac_genswap"
