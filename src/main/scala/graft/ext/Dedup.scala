@@ -395,6 +395,18 @@ object Dedup {
       "tid", Seq("tid", "doc_id", "n", "rn"), buckets, compact = true)
   }
 
+  /** Threshold-gated [[compactJaccardIndexGen]] — the compaction-cadence
+    * knob (see [[Retrieval.compactBm25IfNeeded]]); pressure is read from
+    * the toks layer (every batch with surviving docs writes it).
+    */
+  def compactJaccardIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                             name: String, deltaDir: String,
+                             maxUnfolded: Int, buckets: Int = 8): Boolean =
+    if (graft.sources.Bucketing.unfoldedBatchCount(
+        spark, s"${name}_toks", s"$deltaDir/toks") > maxUnfolded) {
+      compactJaccardIndexGen(spark, name, deltaDir, buckets); true
+    } else false
+
   /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the
     * batch join, the index build and the probe side so the cut can never
     * drift between them.
@@ -870,6 +882,19 @@ object Dedup {
                          buckets: Int = 8): Unit =
     graft.sources.Bucketing.compactLayerGen(spark, table, s"$deltaDir/bands",
       "bkey", Seq("bkey", "doc_id"), buckets)
+
+  /** Threshold-gated [[compactLshIndexGen]] — the compaction-cadence knob
+    * (see [[Retrieval.compactBm25IfNeeded]] for the cost trade it
+    * encodes): folds when more than `maxUnfolded` delta batches sit above
+    * the current watermark, reports whether it ran.
+    */
+  def compactLshIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                         table: String, deltaDir: String, maxUnfolded: Int,
+                         buckets: Int = 8): Boolean =
+    if (graft.sources.Bucketing.unfoldedBatchCount(
+        spark, table, s"$deltaDir/bands") > maxUnfolded) {
+      compactLshIndexGen(spark, table, deltaDir, buckets); true
+    } else false
 
   /** Streaming incremental-dedup loop over a persisted LSH index
     * ([[buildLshIndex]] or [[buildLshIndexGen]]): each micro-batch bands

@@ -870,6 +870,18 @@ object Similarity {
     b.dropGeneration(spark, table, g - 2)
   }
 
+  /** Threshold-gated [[compactIvfIndexGen]] — the compaction-cadence knob
+    * (see [[Retrieval.compactBm25IfNeeded]] for the cost trade). Like the
+    * Gen compactor, a CAPPED index's caller must restate `maxBucket`.
+    */
+  def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                         table: String, deltaDir: String, maxUnfolded: Int,
+                         buckets: Int, maxBucket: Int): Boolean =
+    if (graft.sources.Bucketing.unfoldedBatchCount(
+        spark, table, s"$deltaDir/postings") > maxUnfolded) {
+      compactIvfIndexGen(spark, table, deltaDir, buckets, maxBucket); true
+    } else false
+
   /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
     * checkpoint replay: the batch is assigned against the index's OWN
     * coarse quantizer (the vec_id < k rows indexed at build time — fixed

@@ -838,6 +838,42 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}__g1"))
   }
 
+  test("compaction-cadence knob gates the lsh, jaccard and ivf folds") {
+    import graft.ext.{Dedup, Similarity}
+    import graft.sources.Bucketing
+    val root = managedTempDir("cadence")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five")).toDF("doc_id", "text")
+    val fresh = Seq((100L, "qq ww ee rr tt")).toDF("doc_id", "text")
+
+    Dedup.buildLshIndexGen(docs, "cad_lsh", buckets = 2)
+    Dedup.processLshBatch(fresh, 0L, "cad_lsh", s"$root/lshd", s"$root/lshs")
+    assert(!Dedup.compactLshIfNeeded(spark, "cad_lsh", s"$root/lshd", maxUnfolded = 3))
+    assert(Dedup.compactLshIfNeeded(spark, "cad_lsh", s"$root/lshd",
+      maxUnfolded = 0, buckets = 2))
+    assert(Bucketing.unfoldedBatchCount(spark, "cad_lsh", s"$root/lshd/bands") == 0)
+
+    Dedup.buildJaccardIndexGen(docs, "cad_jac", buckets = 2)
+    Dedup.processJaccardBatch(fresh, 0L, "cad_jac", s"$root/jacd", s"$root/jacs", 900000L)
+    assert(!Dedup.compactJaccardIfNeeded(spark, "cad_jac", s"$root/jacd", maxUnfolded = 3))
+    assert(Dedup.compactJaccardIfNeeded(spark, "cad_jac", s"$root/jacd",
+      maxUnfolded = 0, buckets = 2))
+    assert(Bucketing.unfoldedBatchCount(spark, "cad_jac_toks", s"$root/jacd/toks") == 0)
+
+    def vec(x: Float): Array[Float] = { val a = Array.fill(64)(0f); a(0) = x; a }
+    val vecs = Seq((0L, vec(1f)), (1L, vec(-1f)), (2L, vec(0.9f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndexGen(vecs, "cad_ivf", k = 2, buckets = 2)
+    Similarity.applyIvfDelta(Seq((10L, vec(0.95f))).toDF("vec_id", "embedding"),
+      "cad_ivf", s"$root/ivfd", 0L, k = 2)
+    assert(!Similarity.compactIvfIfNeeded(spark, "cad_ivf", s"$root/ivfd",
+      3, 2, Similarity.NoMaxBucket))
+    assert(Similarity.compactIvfIfNeeded(spark, "cad_ivf", s"$root/ivfd",
+      0, 2, Similarity.NoMaxBucket))
+    assert(Bucketing.unfoldedBatchCount(spark, "cad_ivf", s"$root/ivfd/postings") == 0)
+  }
+
   test("jaccard REBUILD renumbers tids across a live prober: never a mixed dictionary") {
     import graft.ext.Dedup
     val name = "graft_jac_rebuild"
