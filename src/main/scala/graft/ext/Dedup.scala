@@ -926,14 +926,31 @@ object Dedup {
     * collapse is also required (micro-batches are small; the index is the
     * scale axis).
     */
+  /** `autoCompactAt` (> 0) makes the loop SELF-COMPACTING: after each
+    * batch's delta write, [[compactLshIfNeeded]] folds once the unfolded
+    * delta passes the threshold — the fully automated grow-by-append /
+    * re-balance-by-compaction posture, requiring a [[buildLshIndexGen]]
+    * layout. Crash-safe with replay: a batch redelivered after its fold
+    * recomputes against the batch-excluded visible state (its folded rows
+    * sit in the base, excluded from verdicts by the doc_id anti-join) and
+    * its re-written delta partition stays below the watermark — the
+    * replay-after-compaction path the REPLAY specs pin. Default 0 = off
+    * (compaction stays an external cadence decision).
+    */
   def maintainLshDedup(stream: DataFrame, table: String, deltaDir: String,
-                       checkpointDir: String, survivorsPath: String)
+                       checkpointDir: String, survivorsPath: String,
+                       autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processLshBatch(batch, batchId, table, deltaDir, survivorsPath)
+        if (autoCompactAt > 0) {
+          compactLshIfNeeded(batch.sparkSession, table, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
+          ()
+        }
       }
       .start()
 

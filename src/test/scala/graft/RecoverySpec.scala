@@ -838,6 +838,53 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}__g1"))
   }
 
+  test("self-compacting LSH loop: folds mid-stream at the pressure threshold") {
+    import graft.ext.Dedup
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("lshauto")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    Dedup.buildLshIndexGen(base, "lsh_auto_test", buckets = 2)
+    val freshA = "qq ww ee rr tt yy uu ii"
+    Seq((100L, freshA)).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    // threshold 1: fold after every batch — the fully automated posture
+    val q = Dedup.maintainLshDedup(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "lsh_auto_test", deltaDir, s"$root/ckpt", s"$root/surv",
+      autoCompactAt = 1)
+    try {
+      q.processAllAvailable()
+      // batch 0's bands were folded into a new generation by the loop
+      // itself: no unfolded pressure, watermark advanced
+      assert(Bucketing.unfoldedBatchCount(
+        spark, "lsh_auto_test", s"$deltaDir/bands") == 0)
+      assert(Bucketing.foldedBatchMax(spark, "lsh_auto_test") >= 0L)
+      // batch 1: a twin of the FOLDED survivor must drop (probed off the
+      // base — its bands are no longer in the delta) + a fresh doc
+      Seq((200L, freshA),
+          (300L, "zz xx cc vv bb nn mm kk"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$root/surv").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(100L, 300L),
+      s"twin of the folded survivor must drop, got $survivors")
+    // and the folded base alone catches a twin of either survivor
+    val caught = Dedup.dedupAgainstIndex(spark,
+      Seq((900L, freshA)).toDF("doc_id", "text"), "lsh_auto_test")
+      .select("doc_id_corpus").as[Long].collect().toSet
+    assert(caught.contains(100L))
+  }
+
   test("compaction-cadence knob gates the lsh, jaccard and ivf folds") {
     import graft.ext.{Dedup, Similarity}
     import graft.sources.Bucketing
