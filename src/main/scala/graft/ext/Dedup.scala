@@ -715,15 +715,25 @@ object Dedup {
     * (probe + append internals), never a session-wide sweep that would
     * tear down concurrent queries' lineage-truncated checkpoints.
     */
+  /** `autoCompactAt` (> 0) makes the loop self-compacting, exactly like
+    * [[maintainLshDedup]]'s option (threshold-gated
+    * [[compactJaccardIfNeeded]] after each batch; requires the
+    * [[buildJaccardIndexGen]] layout; default 0 = off).
+    */
   def maintainJaccardDedup(stream: DataFrame, name: String, deltaDir: String,
                            checkpointDir: String, survivorsPath: String,
-                           tauPpm: Long = 850000L)
+                           tauPpm: Long = 850000L, autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processJaccardBatch(batch, batchId, name, deltaDir, survivorsPath, tauPpm)
+        if (autoCompactAt > 0) {
+          compactJaccardIfNeeded(batch.sparkSession, name, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
+          ()
+        }
       }
       .start()
 

@@ -885,6 +885,43 @@ class RecoverySpec extends SparkSpec {
     assert(caught.contains(100L))
   }
 
+  test("self-compacting jaccard loop: vocab extension survives the mid-stream fold") {
+    import graft.ext.Dedup
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("jacauto")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
+    val tau = 900000L
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.buildJaccardIndexGen(base, "jac_auto_test", tau, buckets = 2)
+    val fresh = "qq ww ee rr tt" // tokens the build never saw
+    Seq((100L, fresh)).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val q = Dedup.maintainJaccardDedup(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "jac_auto_test", deltaDir, s"$root/ckpt", s"$root/surv", tau,
+      autoCompactAt = 1)
+    try {
+      q.processAllAvailable()
+      // the loop folded batch 0 itself — including the vocab extension
+      assert(Bucketing.unfoldedBatchCount(
+        spark, "jac_auto_test_toks", s"$deltaDir/toks") == 0)
+      assert(Bucketing.foldedBatchMax(spark, "jac_auto_test_vocab") >= 0L)
+      // a twin of the folded survivor must drop off the BASE alone
+      Seq((200L, fresh), (300L, "zz xx cc vv bb"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$root/surv").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(100L, 300L),
+      s"twin of the folded survivor must drop, got $survivors")
+  }
+
   test("compaction-cadence knob gates the lsh, jaccard and ivf folds") {
     import graft.ext.{Dedup, Similarity}
     import graft.sources.Bucketing
