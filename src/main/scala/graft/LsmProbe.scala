@@ -35,9 +35,14 @@ object LsmProbe {
         docs.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
           col("text"))
       }.reduce(_ unionByName _)
-    // constant delta: 50 fresh docs, ids clear of every scaled copy
-    val deltaDocs = docs.limit(50)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    // constant delta: 50 docs with SYNTHESIZED vocabulary (unique tokens,
+    // absent from every base copy) — base-text twins would be dropped by
+    // the LSH dedup loop as duplicates and leave the delta EMPTY, turning
+    // the with-delta measurement into a base-only one
+    val deltaDocs = spark.range(50).select(
+      (col("id") + 900000000L).as("doc_id"),
+      concat_ws(" ", (0 until 8).map(t =>
+        concat(lit(s"zz${t}x"), col("id"))): _*).as("text"))
     // constant probe load: the 1× corpus's query carve / a fixed doc slice
     val queries = Retrieval.bm25Queries(docs).localCheckpoint(true)
     val probeDocs = docs.limit(100)
@@ -57,28 +62,39 @@ object LsmProbe {
       val bd = s"$tmp/bm25_x$times"
       Retrieval.buildBm25IndexGen(corpus, bt)
       Retrieval.applyBm25Delta(deltaDocs, bd, 0L)
-      // warmup both shapes once, then median-of-3
+      val bmDeltaRows = spark.read.parquet(s"$bd/postings").count()
+      // warmup BOTH shapes once (the with-delta plan has its own codegen),
+      // then median-of-3
       Retrieval.searchBm25Index(spark, bt, queries)
+        .write.format("noop").mode("overwrite").save()
+      Retrieval.searchBm25IndexWith(spark, bt, bd, queries)
         .write.format("noop").mode("overwrite").save()
       val tb = ProbeUtil.median3(Retrieval.searchBm25Index(spark, bt, queries))
       val tw = ProbeUtil.median3(
         Retrieval.searchBm25IndexWith(spark, bt, bd, queries))
       println(s"""{"probe":"lsm_bm25","scale":$times,"n":$n,""" +
-        s""""base_s":${r2(tb)},"with_delta_s":${r2(tw)},""" +
-        s""""delta_overhead_s":${r2(tw - tb)}}""")
+        s""""delta_rows":$bmDeltaRows,"base_s":${r2(tb)},""" +
+        s""""with_delta_s":${r2(tw)},"delta_overhead_s":${r2(tw - tb)}}""")
       // ---- LSH ----
       val lt = s"lsm_lsh_x$times"
       val ld = s"$tmp/lsh_x$times"
       Dedup.buildLshIndexGen(corpus, lt)
       Dedup.processLshBatch(deltaDocs, 0L, lt, ld, s"$tmp/surv_x$times")
+      // the delta must actually HOLD the survivors' bands — an
+      // all-duplicates delta batch would leave it empty and fake a zero
+      // overhead (the with-delta plan degenerates to base-only)
+      val lshDeltaRows = spark.read.parquet(s"$ld/bands").count()
+      require(lshDeltaRows > 0, "LSH delta is empty — measurement vacuous")
       Dedup.dedupAgainstIndex(spark, probeDocs, lt)
+        .write.format("noop").mode("overwrite").save()
+      Dedup.dedupAgainstIndexWith(spark, probeDocs, lt, ld)
         .write.format("noop").mode("overwrite").save()
       val lb = ProbeUtil.median3(Dedup.dedupAgainstIndex(spark, probeDocs, lt))
       val lw = ProbeUtil.median3(
         Dedup.dedupAgainstIndexWith(spark, probeDocs, lt, ld))
       println(s"""{"probe":"lsm_lsh","scale":$times,"n":$n,""" +
-        s""""base_s":${r2(lb)},"with_delta_s":${r2(lw)},""" +
-        s""""delta_overhead_s":${r2(lw - lb)}}""")
+        s""""delta_rows":$lshDeltaRows,"base_s":${r2(lb)},""" +
+        s""""with_delta_s":${r2(lw)},"delta_overhead_s":${r2(lw - lb)}}""")
       corpus.unpersist()
     }
     spark.stop()

@@ -401,11 +401,16 @@ object Dedup {
     */
   def compactJaccardIfNeeded(spark: org.apache.spark.sql.SparkSession,
                              name: String, deltaDir: String,
-                             maxUnfolded: Int, buckets: Int = 8): Boolean =
-    if (graft.sources.Bucketing.unfoldedBatchCount(
-        spark, s"${name}_toks", s"$deltaDir/toks") > maxUnfolded) {
-      compactJaccardIndexGen(spark, name, deltaDir, buckets); true
+                             maxUnfolded: Int, buckets: Int = 8): Boolean = {
+    val b = graft.sources.Bucketing
+    if (b.unfoldedBatchCount(spark, s"${name}_toks", s"$deltaDir/toks")
+        > maxUnfolded) {
+      // true only when the watermark ADVANCED (see compactBm25IfNeeded)
+      val before = b.foldedBatchMax(spark, s"${name}_toks")
+      compactJaccardIndexGen(spark, name, deltaDir, buckets)
+      b.foldedBatchMax(spark, s"${name}_toks") > before
     } else false
+  }
 
   /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the
     * batch join, the index build and the probe side so the cut can never
@@ -696,7 +701,11 @@ object Dedup {
     * bucketed tables — safe to run WHILE this loop and any probes serve
     * (the old in-place table appends had a run-from-one-place caveat).
     * Like the LSH loop, an UNBOUNDED run must build with
-    * [[buildJaccardIndexGen]]: plain tables serve but have no fold path.
+    * [[buildJaccardIndexGen]]: plain tables serve but have no fold path,
+    * and `autoCompactAt` (> 0) makes this loop self-compacting exactly
+    * like [[maintainLshDedup]]'s option (threshold-gated
+    * [[compactJaccardIfNeeded]] after each batch, bucket count inherited
+    * from the current generation; default 0 = off).
     * Within-batch τ-pairs that match nothing in the index both survive —
     * run [[jaccardJoin]] on the increment upstream if intra-batch
     * collapse is required (same contract as the LSH loop).
@@ -715,11 +724,6 @@ object Dedup {
     * (probe + append internals), never a session-wide sweep that would
     * tear down concurrent queries' lineage-truncated checkpoints.
     */
-  /** `autoCompactAt` (> 0) makes the loop self-compacting, exactly like
-    * [[maintainLshDedup]]'s option (threshold-gated
-    * [[compactJaccardIfNeeded]] after each batch; requires the
-    * [[buildJaccardIndexGen]] layout; default 0 = off).
-    */
   def maintainJaccardDedup(stream: DataFrame, name: String, deltaDir: String,
                            checkpointDir: String, survivorsPath: String,
                            tauPpm: Long = 850000L, autoCompactAt: Int = 0)
@@ -730,8 +734,11 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processJaccardBatch(batch, batchId, name, deltaDir, survivorsPath, tauPpm)
         if (autoCompactAt > 0) {
-          compactJaccardIfNeeded(batch.sparkSession, name, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
+          val session = batch.sparkSession
+          compactJaccardIfNeeded(session, name, deltaDir,
+            maxUnfolded = autoCompactAt - 1,
+            buckets = graft.sources.Bucketing.bucketCountOf(
+              session, s"${name}_toks", 8))
           ()
         }
       }
@@ -900,11 +907,15 @@ object Dedup {
     */
   def compactLshIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
-                         buckets: Int = 8): Boolean =
-    if (graft.sources.Bucketing.unfoldedBatchCount(
-        spark, table, s"$deltaDir/bands") > maxUnfolded) {
-      compactLshIndexGen(spark, table, deltaDir, buckets); true
+                         buckets: Int = 8): Boolean = {
+    val b = graft.sources.Bucketing
+    if (b.unfoldedBatchCount(spark, table, s"$deltaDir/bands") > maxUnfolded) {
+      // true only when the watermark ADVANCED (see compactBm25IfNeeded)
+      val before = b.foldedBatchMax(spark, table)
+      compactLshIndexGen(spark, table, deltaDir, buckets)
+      b.foldedBatchMax(spark, table) > before
     } else false
+  }
 
   /** Streaming incremental-dedup loop over a persisted LSH index
     * ([[buildLshIndex]] or [[buildLshIndexGen]]): each micro-batch bands
@@ -935,17 +946,19 @@ object Dedup {
     * run [[minhashCandidates]] on the increment upstream if intra-batch
     * collapse is also required (micro-batches are small; the index is the
     * scale axis).
-    */
-  /** `autoCompactAt` (> 0) makes the loop SELF-COMPACTING: after each
+    *
+    * `autoCompactAt` (> 0) makes the loop SELF-COMPACTING: after each
     * batch's delta write, [[compactLshIfNeeded]] folds once the unfolded
-    * delta passes the threshold — the fully automated grow-by-append /
-    * re-balance-by-compaction posture, requiring a [[buildLshIndexGen]]
-    * layout. Crash-safe with replay: a batch redelivered after its fold
-    * recomputes against the batch-excluded visible state (its folded rows
-    * sit in the base, excluded from verdicts by the doc_id anti-join) and
-    * its re-written delta partition stays below the watermark — the
-    * replay-after-compaction path the REPLAY specs pin. Default 0 = off
-    * (compaction stays an external cadence decision).
+    * delta passes the threshold (bucket count inherited from the current
+    * generation) — the fully automated grow-by-append /
+    * re-balance-by-compaction posture, requiring the
+    * [[buildLshIndexGen]] layout. Crash-safe with replay: a batch
+    * redelivered after its fold recomputes against the batch-excluded
+    * visible state (its folded rows sit in the base, excluded from
+    * verdicts by the doc_id anti-join) and its re-written delta
+    * partition stays below the watermark — the replay-after-compaction
+    * path the REPLAY specs pin. Default 0 = off (compaction stays an
+    * external cadence decision).
     */
   def maintainLshDedup(stream: DataFrame, table: String, deltaDir: String,
                        checkpointDir: String, survivorsPath: String,
@@ -957,8 +970,13 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processLshBatch(batch, batchId, table, deltaDir, survivorsPath)
         if (autoCompactAt > 0) {
-          compactLshIfNeeded(batch.sparkSession, table, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
+          val session = batch.sparkSession
+          // the fold preserves the BUILD'S bucket count (read off the
+          // current generation) — a hardcoded default would silently
+          // re-bucket the index on the first auto-fold
+          compactLshIfNeeded(session, table, deltaDir,
+            maxUnfolded = autoCompactAt - 1,
+            buckets = graft.sources.Bucketing.bucketCountOf(session, table, 8))
           ()
         }
       }

@@ -889,10 +889,17 @@ object Retrieval {
   def compactBm25IfNeeded(spark: SparkSession, table: String,
                           deltaDir: String, maxUnfolded: Int,
                           buckets: Int = 8): Boolean = {
-    val pressure = graft.sources.Bucketing
-      .unfoldedBatchCount(spark, table, s"$deltaDir/postings")
+    val b = graft.sources.Bucketing
+    val pressure = b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
     if (pressure > maxUnfolded) {
-      compactBm25IndexGen(spark, table, deltaDir, buckets); true
+      // report whether the watermark actually ADVANCED — the compactor's
+      // half-batch hold-back can legitimately fold nothing (e.g. an
+      // orphan postings partition whose stats half never landed), and a
+      // caller treating the return as "pressure relieved" must not
+      // believe a no-op fold cleared it
+      val before = b.foldedBatchMax(spark, table)
+      compactBm25IndexGen(spark, table, deltaDir, buckets)
+      b.foldedBatchMax(spark, table) > before
     } else false
   }
 }

@@ -876,11 +876,17 @@ object Similarity {
     */
   def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
-                         buckets: Int, maxBucket: Int): Boolean =
-    if (graft.sources.Bucketing.unfoldedBatchCount(
-        spark, table, s"$deltaDir/postings") > maxUnfolded) {
-      compactIvfIndexGen(spark, table, deltaDir, buckets, maxBucket); true
+                         buckets: Int, maxBucket: Int): Boolean = {
+    val b = graft.sources.Bucketing
+    if (b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
+        > maxUnfolded) {
+      // true only when the watermark ADVANCED (see
+      // Retrieval.compactBm25IfNeeded)
+      val before = b.foldedBatchMax(spark, table)
+      compactIvfIndexGen(spark, table, deltaDir, buckets, maxBucket)
+      b.foldedBatchMax(spark, table) > before
     } else false
+  }
 
   /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
     * checkpoint replay: the batch is assigned against the index's OWN

@@ -440,13 +440,13 @@ object Bucketing {
 
   /** Compaction-pressure reading: how many delta `batch_id=` partitions
     * sit ABOVE the resolved generation's folded watermark. One directory
-    * listing plus the one-row manifest read — no Spark job — so a
-    * maintenance loop can take the reading every batch and trigger its
-    * family's generation-swap compaction at a threshold (e.g.
-    * [[ext.Retrieval.compactBm25IfNeeded]]): the split probes' delta
-    * overhead is delta-sized (measured flat under 16× base growth,
-    * SCALE.md round 15), so the threshold trades that bounded per-probe
-    * cost against compaction's base-rewrite cost.
+    * listing plus the one-row manifest read (a tiny single-task job once
+    * a manifest exists) — cheap enough for a maintenance loop to take the
+    * reading every batch and trigger its family's generation-swap
+    * compaction at a threshold (e.g. [[ext.Retrieval.compactBm25IfNeeded]]):
+    * the split probes' delta overhead is delta-sized (measured flat under
+    * 16× base growth, SCALE.md round 15), so the threshold trades that
+    * bounded per-probe cost against compaction's base-rewrite cost.
     */
   def unfoldedBatchCount(spark: SparkSession, table: String,
                          deltaPath: String): Int = {
@@ -460,6 +460,19 @@ object Bucketing {
         scala.util.Try(n.stripPrefix("batch_id=").toLong)
           .toOption.exists(_ > folded)
     }
+  }
+
+  /** Bucket count of the physical generation behind `table` (`default`
+    * when the layout carries no bucket spec). The self-compacting loops
+    * read this so an auto-fold preserves the BUILD'S bucket count instead
+    * of silently re-bucketing the index to a hardcoded default.
+    */
+  def bucketCountOf(spark: SparkSession, table: String, default: Int): Int = {
+    val phys = resolvePhysical(spark, table)
+    scala.util.Try(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(phys))
+        .bucketSpec.map(_.numBuckets))
+      .toOption.flatten.getOrElse(default)
   }
 
   /** Delete delta `batch_id=` partitions at or below the watermark — the

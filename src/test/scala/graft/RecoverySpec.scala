@@ -863,10 +863,12 @@ class RecoverySpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // batch 0's bands were folded into a new generation by the loop
-      // itself: no unfolded pressure, watermark advanced
+      // itself: no unfolded pressure, watermark advanced — and the fold
+      // PRESERVED the build's bucket count (2, not a hardcoded default)
       assert(Bucketing.unfoldedBatchCount(
         spark, "lsh_auto_test", s"$deltaDir/bands") == 0)
       assert(Bucketing.foldedBatchMax(spark, "lsh_auto_test") >= 0L)
+      assert(Bucketing.bucketCountOf(spark, "lsh_auto_test", -1) == 2)
       // batch 1: a twin of the FOLDED survivor must drop (probed off the
       // base — its bands are no longer in the delta) + a fresh doc
       Seq((200L, freshA),
