@@ -273,16 +273,38 @@ object Retrieval {
     * the delta into the bucketed base. Batch-local tokenize/agg only; no
     * cross-batch state, and no correctness dependency on effectively-once
     * delivery — replayed batches overwrite their own partition.
+    *
+    * `autoCompactAt` (> 0) makes the loop SELF-COMPACTING exactly like
+    * [[Dedup.maintainLshDedup]]'s option: after each batch's delta write,
+    * [[compactBm25IfNeeded]] folds once the unfolded delta passes the
+    * threshold, with the bucket count inherited from the current
+    * generation (a hardcoded default would silently re-bucket the index
+    * on the first auto-fold). Requires `table` (the generation-view name
+    * the folds swap) and the [[buildBm25IndexGen]] layout — the Gen
+    * compactor refuses plain tables. Default 0 = off, `table` unused:
+    * compaction stays an external cadence decision and the loop never
+    * touches the catalog.
     */
-  def maintainBm25Index(stream: DataFrame, deltaDir: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+  def maintainBm25Index(stream: DataFrame, deltaDir: String, checkpointDir: String,
+                        table: String = "", autoCompactAt: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(autoCompactAt <= 0 || table.nonEmpty,
+      "autoCompactAt needs the index's generation-view name to fold into")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBm25Delta(batch, deltaDir, batchId)
+        if (autoCompactAt > 0) {
+          val session = batch.sparkSession
+          compactBm25IfNeeded(session, table, deltaDir,
+            maxUnfolded = autoCompactAt - 1,
+            buckets = graft.sources.Bucketing.bucketCountOf(session, table, 8))
+          ()
+        }
       }
       .start()
+  }
 
   /** Ordered phrase queries: (query_id, idx, token) with idx the 0-based
     * offset of the token inside the phrase — same `% 97` / tokens-3..6

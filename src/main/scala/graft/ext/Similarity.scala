@@ -925,15 +925,34 @@ object Similarity {
     * the delta into the bucketed base — the standard maintenance posture
     * of a production ANN index (grow by append, re-balance by compaction),
     * with no correctness dependency on effectively-once delivery.
+    *
+    * `autoCompactAt` (> 0) makes the loop SELF-COMPACTING exactly like
+    * [[Dedup.maintainLshDedup]]'s option: after each batch's delta write,
+    * [[compactIvfIfNeeded]] folds once the unfolded delta passes the
+    * threshold, bucket count inherited from the current generation —
+    * requires the [[buildIvfIndexGen]] layout. A CAPPED index's caller
+    * must restate `maxBucket` (shard factors are stored per row, not as
+    * a scalar — same contract as the Gen compactor); the auto-fold
+    * re-stamps them so grown posting lists re-shard at the cap. Default
+    * 0 = off: compaction stays an external cadence decision.
     */
   def maintainIvfIndex(stream: DataFrame, table: String, deltaDir: String,
-                       checkpointDir: String, k: Int = IvfClusters)
+                       checkpointDir: String, k: Int = IvfClusters,
+                       autoCompactAt: Int = 0, maxBucket: Int = NoMaxBucket)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfDelta(batch, table, deltaDir, batchId, k)
+        if (autoCompactAt > 0) {
+          val session = batch.sparkSession
+          compactIvfIfNeeded(session, table, deltaDir,
+            autoCompactAt - 1,
+            graft.sources.Bucketing.bucketCountOf(session, table, 8),
+            maxBucket)
+          ()
+        }
       }
       .start()
 

@@ -960,6 +960,58 @@ class RecoverySpec extends SparkSpec {
     assert(Bucketing.unfoldedBatchCount(spark, "cad_ivf", s"$root/ivfd/postings") == 0)
   }
 
+  test("self-compacting ivf loop: folds mid-stream, re-stamps the cap's shard factors") {
+    import graft.ext.Similarity
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.types._
+    graft.functions.CosineSimilarity.register(spark)
+    val root = managedTempDir("ivfauto")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(i * 64 + d) * 0.9).toFloat)
+    def frame(ids: Range) =
+      ids.map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "embedding")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    Similarity.buildIvfIndexGen(frame(0 until 100), "ivf_auto_test", buckets = 4)
+    frame(100 until 150).write.mode("append").parquet(srcDir)
+    // threshold 1: fold after every batch, shard factors re-stamped at the
+    // restated cap (per-row m carries no scalar to inherit — the
+    // maintainIvfIndex contract)
+    val q = Similarity.maintainIvfIndex(
+      spark.readStream.schema(schema).parquet(srcDir), "ivf_auto_test",
+      deltaDir, s"$root/ckpt", autoCompactAt = 1, maxBucket = 8)
+    try {
+      q.processAllAvailable()
+      // batch 0 was folded by the loop itself: no unfolded pressure,
+      // watermark advanced, bucket count inherited from the build
+      assert(Bucketing.unfoldedBatchCount(
+        spark, "ivf_auto_test", s"$deltaDir/postings") == 0)
+      assert(Bucketing.foldedBatchMax(spark, "ivf_auto_test") >= 0L)
+      assert(Bucketing.bucketCountOf(spark, "ivf_auto_test", -1) == 4)
+      frame(150 until 200).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    try {
+      // both folds landed; the cap re-stamp sharded the grown lists
+      assert(spark.table("ivf_auto_test").count() == 200L)
+      assert(spark.table("ivf_auto_test").filter(col("m") > 1).count() > 0)
+      // base-only search is exchange-free and answers like a from-scratch
+      // direct search over the full corpus (same first-16 quantizer)
+      val got = Similarity.searchIvfIndex(spark, "ivf_auto_test", 3)
+      assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(got.as[(Long, Long, Long)].collect().toSet ==
+        Similarity.ivfTopKNeighbors(frame(0 until 200), 3)
+          .as[(Long, Long, Long)].collect().toSet)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS ivf_auto_test")
+      (1 to 3).foreach(g =>
+        Bucketing.dropGeneration(spark, "ivf_auto_test", g))
+    }
+  }
+
   test("jaccard REBUILD renumbers tids across a live prober: never a mixed dictionary") {
     import graft.ext.Dedup
     val name = "graft_jac_rebuild"

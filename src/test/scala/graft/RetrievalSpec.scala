@@ -542,6 +542,52 @@ class RetrievalSpec extends SparkSpec {
     assert(!Retrieval.compactBm25IfNeeded(spark, table, deltaDir, maxUnfolded = 0))
   }
 
+  test("self-compacting bm25 loop: folds mid-stream at the pressure threshold") {
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("bm25auto")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
+    val table = "bm25_auto_test"
+    val base = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    Retrieval.buildBm25IndexGen(base, table, buckets = 4)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((50L, "newterm alpha pad pad pad pad")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    // threshold 1: fold after every batch — the fully automated posture
+    val q = Retrieval.maintainBm25Index(
+      spark.readStream.schema(schema).parquet(srcDir), deltaDir, s"$root/ckpt",
+      table = table, autoCompactAt = 1)
+    try {
+      q.processAllAvailable()
+      // batch 0 was folded by the loop itself: no unfolded pressure,
+      // watermark advanced, stats folded to one row — and the fold
+      // PRESERVED the build's bucket count (4, not a hardcoded default)
+      assert(graft.sources.Bucketing.unfoldedBatchCount(
+        spark, table, s"$deltaDir/postings") == 0)
+      assert(graft.sources.Bucketing.foldedBatchMax(spark, table) >= 0L)
+      assert(graft.sources.Bucketing.bucketCountOf(spark, table, -1) == 4)
+      assert(spark.table(s"${table}_stats").count() == 1L)
+      Seq((51L, "other beta pad pad pad pad")).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // both folds landed: the BASE alone answers like a from-scratch build
+    // over the full corpus (df/avgdl re-derived across the fold boundary)
+    val full = base.union(Seq(
+      (50L, "newterm alpha pad pad pad pad"),
+      (51L, "other beta pad pad pad pad")).toDF("doc_id", "text"))
+    Retrieval.buildBm25IndexGen(full, "bm25_auto_ref", buckets = 4)
+    val queries = Seq((900L, "newterm"), (901L, "beta")).toDF("query_id", "token")
+    val got = Retrieval.searchBm25Index(spark, table, queries)
+      .orderBy("query_id", "rank").collect()
+    val ref = Retrieval.searchBm25Index(spark, "bm25_auto_ref", queries)
+      .orderBy("query_id", "rank").collect()
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("bm25 probe plan: no corpus rescan, broadcast query join, top-k group limit") {
     val docs = Tables.documents(spark, sfDir)
     Retrieval.buildBm25Index(docs, "graft_bm25_spec_plan")
