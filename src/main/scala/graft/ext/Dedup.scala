@@ -401,13 +401,18 @@ object Dedup {
     */
   def compactJaccardIfNeeded(spark: org.apache.spark.sql.SparkSession,
                              name: String, deltaDir: String,
-                             maxUnfolded: Int, buckets: Int = 8): Boolean = {
+                             maxUnfolded: Int, buckets: Int = -1): Boolean = {
     val b = graft.sources.Bucketing
     if (b.unfoldedBatchCount(spark, s"${name}_toks", s"$deltaDir/toks")
         > maxUnfolded) {
       // true only when the watermark ADVANCED (see compactBm25IfNeeded)
       val before = b.foldedBatchMax(spark, s"${name}_toks")
-      compactJaccardIndexGen(spark, name, deltaDir, buckets)
+      // default −1 = inherit the build's bucket count strictly from the
+      // toks layer (the same table the pressure read resolves), lazily —
+      // the below-threshold fast path pays no catalog metadata read
+      val useBuckets = if (buckets > 0) buckets
+        else b.inheritedBucketCount(spark, s"${name}_toks")
+      compactJaccardIndexGen(spark, name, deltaDir, useBuckets)
       b.foldedBatchMax(spark, s"${name}_toks") > before
     } else false
   }
@@ -705,7 +710,10 @@ object Dedup {
     * and `autoCompactAt` (> 0) makes this loop self-compacting exactly
     * like [[maintainLshDedup]]'s option (threshold-gated
     * [[compactJaccardIfNeeded]] after each batch, bucket count inherited
-    * from the current generation; default 0 = off).
+    * from the current generation; default 0 = off; a threshold of 1
+    * shrinks the one-generation GC grace for in-flight probes to a
+    * single micro-batch — size it so a fold cycle outlasts the longest
+    * concurrent probe).
     * Within-batch τ-pairs that match nothing in the index both survive —
     * run [[jaccardJoin]] on the increment upstream if intra-batch
     * collapse is required (same contract as the LSH loop).
@@ -734,11 +742,8 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processJaccardBatch(batch, batchId, name, deltaDir, survivorsPath, tauPpm)
         if (autoCompactAt > 0) {
-          val session = batch.sparkSession
-          compactJaccardIfNeeded(session, name, deltaDir,
-            maxUnfolded = autoCompactAt - 1,
-            buckets = graft.sources.Bucketing.bucketCountOf(
-              session, s"${name}_toks", 8))
+          compactJaccardIfNeeded(batch.sparkSession, name, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
           ()
         }
       }
@@ -907,12 +912,16 @@ object Dedup {
     */
   def compactLshIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
-                         buckets: Int = 8): Boolean = {
+                         buckets: Int = -1): Boolean = {
     val b = graft.sources.Bucketing
     if (b.unfoldedBatchCount(spark, table, s"$deltaDir/bands") > maxUnfolded) {
       // true only when the watermark ADVANCED (see compactBm25IfNeeded)
       val before = b.foldedBatchMax(spark, table)
-      compactLshIndexGen(spark, table, deltaDir, buckets)
+      // default −1 = inherit the build's bucket count strictly and
+      // lazily (see compactJaccardIfNeeded)
+      val useBuckets =
+        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
+      compactLshIndexGen(spark, table, deltaDir, useBuckets)
       b.foldedBatchMax(spark, table) > before
     } else false
   }
@@ -958,7 +967,10 @@ object Dedup {
     * verdicts by the doc_id anti-join) and its re-written delta
     * partition stays below the watermark — the replay-after-compaction
     * path the REPLAY specs pin. Default 0 = off (compaction stays an
-    * external cadence decision).
+    * external cadence decision). A threshold of 1 shrinks the
+    * one-generation GC grace for in-flight probes to a single
+    * micro-batch — size it so a fold cycle outlasts the longest
+    * concurrent probe.
     */
   def maintainLshDedup(stream: DataFrame, table: String, deltaDir: String,
                        checkpointDir: String, survivorsPath: String,
@@ -970,13 +982,11 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processLshBatch(batch, batchId, table, deltaDir, survivorsPath)
         if (autoCompactAt > 0) {
-          val session = batch.sparkSession
-          // the fold preserves the BUILD'S bucket count (read off the
-          // current generation) — a hardcoded default would silently
-          // re-bucket the index on the first auto-fold
-          compactLshIfNeeded(session, table, deltaDir,
-            maxUnfolded = autoCompactAt - 1,
-            buckets = graft.sources.Bucketing.bucketCountOf(session, table, 8))
+          // the fold inherits the BUILD'S bucket count (strictly, inside
+          // the IfNeeded fold branch) — a hardcoded default would
+          // silently re-bucket the index on the first auto-fold
+          compactLshIfNeeded(batch.sparkSession, table, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
           ()
         }
       }

@@ -278,12 +278,15 @@ object Retrieval {
     * [[Dedup.maintainLshDedup]]'s option: after each batch's delta write,
     * [[compactBm25IfNeeded]] folds once the unfolded delta passes the
     * threshold, with the bucket count inherited from the current
-    * generation (a hardcoded default would silently re-bucket the index
-    * on the first auto-fold). Requires `table` (the generation-view name
-    * the folds swap) and the [[buildBm25IndexGen]] layout — the Gen
-    * compactor refuses plain tables. Default 0 = off, `table` unused:
-    * compaction stays an external cadence decision and the loop never
-    * touches the catalog.
+    * generation (strictly — a hardcoded default would silently re-bucket
+    * the index on the first auto-fold). Requires `table` (the
+    * generation-view name the folds swap) and the [[buildBm25IndexGen]]
+    * layout — the Gen compactor refuses plain tables. Default 0 = off,
+    * `table` unused: compaction stays an external cadence decision and
+    * the loop never touches the catalog. A threshold of 1 folds EVERY
+    * batch, shrinking the one-generation GC grace for in-flight
+    * base ∪ delta readers to a single micro-batch — size the threshold
+    * so a full fold cycle outlasts the longest concurrent search.
     */
   def maintainBm25Index(stream: DataFrame, deltaDir: String, checkpointDir: String,
                         table: String = "", autoCompactAt: Int = 0)
@@ -296,10 +299,8 @@ object Retrieval {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBm25Delta(batch, deltaDir, batchId)
         if (autoCompactAt > 0) {
-          val session = batch.sparkSession
-          compactBm25IfNeeded(session, table, deltaDir,
-            maxUnfolded = autoCompactAt - 1,
-            buckets = graft.sources.Bucketing.bucketCountOf(session, table, 8))
+          compactBm25IfNeeded(batch.sparkSession, table, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
           ()
         }
       }
@@ -910,7 +911,7 @@ object Retrieval {
     */
   def compactBm25IfNeeded(spark: SparkSession, table: String,
                           deltaDir: String, maxUnfolded: Int,
-                          buckets: Int = 8): Boolean = {
+                          buckets: Int = -1): Boolean = {
     val b = graft.sources.Bucketing
     val pressure = b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
     if (pressure > maxUnfolded) {
@@ -920,7 +921,12 @@ object Retrieval {
       // caller treating the return as "pressure relieved" must not
       // believe a no-op fold cleared it
       val before = b.foldedBatchMax(spark, table)
-      compactBm25IndexGen(spark, table, deltaDir, buckets)
+      // default −1 = inherit the BUILD'S bucket count, strictly: resolved
+      // lazily here (not on the below-threshold fast path), and refusing
+      // to guess rather than silently re-bucketing the index
+      val useBuckets =
+        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
+      compactBm25IndexGen(spark, table, deltaDir, useBuckets)
       b.foldedBatchMax(spark, table) > before
     } else false
   }

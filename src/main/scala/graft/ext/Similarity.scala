@@ -81,6 +81,17 @@ object Similarity {
     */
   val NoMaxBucket = 0
 
+  /** Inherit sentinel for the generation-lifecycle folds: take the cap
+    * from the CURRENT generation's manifest ([[sources.Bucketing.maxBucketOf]]
+    * — persisted by [[buildIvfIndexGen]] and re-persisted by every fold),
+    * so a capped index keeps its shard guard across auto-folds without
+    * every maintenance call site restating it. A manifest that predates
+    * cap persistence reads back as [[NoMaxBucket]]: such an index must
+    * restate its cap (or run one explicit-cap compaction, which persists
+    * it from then on).
+    */
+  val InheritMaxBucket = -1
+
   /** Bucket-size histogram for a bucketing of the corpus — the measurement
     * that decides whether to pay for the hot-bucket guard (measure, don't
     * guess): rows (bucket_size_log2, n_buckets, max_bucket).
@@ -788,11 +799,13 @@ object Similarity {
     * `spark.table` exactly like tables, including the bucketed scan's
     * exchange-free grouping.
     *
-    * A fresh build writes no folded-batch manifest (absent ≡ −1). When
-    * REBUILDING over a live delta layer, quiesce the maintenance loop and
-    * pass `deltaDir` so the retained delta partitions — whose vectors the
-    * rebuilt base already contains — are stamped folded instead of
-    * double-counting ([[sources.Bucketing.stampRebuildWatermark]]).
+    * A fresh UNCAPPED build writes no folded-batch manifest (absent ≡ −1);
+    * a CAPPED build writes one carrying the cap, so generation folds can
+    * inherit the shard guard ([[InheritMaxBucket]]). When REBUILDING over
+    * a live delta layer, quiesce the maintenance loop and pass `deltaDir`
+    * so the retained delta partitions — whose vectors the rebuilt base
+    * already contains — are stamped folded instead of double-counting
+    * ([[sources.Bucketing.stampRebuildWatermark]]).
     */
   def buildIvfIndexGen(embeddings: DataFrame, table: String, k: Int = IvfClusters,
                        buckets: Int = 8, maxBucket: Int = NoMaxBucket,
@@ -806,8 +819,13 @@ object Similarity {
       .select("cluster_id", "vec_id", "embedding")
     b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
       "cluster_id", buckets)
+    // a CAPPED build persists its cap in the manifest so later folds can
+    // inherit the shard guard ([[InheritMaxBucket]]); uncapped builds keep
+    // the manifest-less fresh-build shape (absent ≡ uncapped, −1 folded)
+    if (maxBucket != NoMaxBucket)
+      b.writeMeta(spark, phys, -1L, maxBucket)
     deltaDir.foreach(d =>
-      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings")))
+      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings"), maxBucket))
     b.swapView(spark, table, phys)
     b.dropGeneration(spark, table, g - 2)
   }
@@ -824,8 +842,13 @@ object Similarity {
     * watermark ([[searchIvfIndexWith]]), so the swap-to-cleanup window
     * cannot double-count a vector into two top-k slots. `maxBucket` has
     * no default deliberately, like the in-place form: compaction
-    * re-stamps EVERY row's shard factors, so a capped index's caller
-    * must restate its cap or silently lose the guard.
+    * re-stamps EVERY row's shard factors, so the caller either restates
+    * the cap (also the admin workflow for CHANGING it — the restated cap
+    * is re-persisted in the new generation's manifest) or passes
+    * [[InheritMaxBucket]] to take it from the current generation's
+    * manifest. A capped build persists its cap, so inherit is safe for
+    * any index built by this lifecycle; only a pre-cap-persistence
+    * manifest reads back uncapped and must restate.
     */
   def compactIvfIndexGen(spark: org.apache.spark.sql.SparkSession, table: String,
                          deltaDir: String, buckets: Int,
@@ -833,6 +856,8 @@ object Similarity {
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
     val srcPhys = b.resolvePhysical(spark, table)
+    val cap = if (maxBucket == InheritMaxBucket)
+      b.maxBucketOf(spark, srcPhys, NoMaxBucket) else maxBucket
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     val prevFolded = b.foldedBatchMaxOf(spark, srcPhys)
@@ -862,28 +887,36 @@ object Similarity {
           col("batch_id").cast("long") <= newFolded)
         .drop("batch_id"))
       .map(base.unionByName(_)).getOrElse(base)
-    b.writeBucketed(withShardFactors(rows, maxBucket), phys,
+    b.writeBucketed(withShardFactors(rows, cap), phys,
       "cluster_id", buckets)
-    b.writeMeta(spark, phys, newFolded)
+    b.writeMeta(spark, phys, newFolded, cap)
     b.swapView(spark, table, phys)
     b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
     b.dropGeneration(spark, table, g - 2)
   }
 
   /** Threshold-gated [[compactIvfIndexGen]] — the compaction-cadence knob
-    * (see [[Retrieval.compactBm25IfNeeded]] for the cost trade). Like the
-    * Gen compactor, a CAPPED index's caller must restate `maxBucket`.
+    * (see [[Retrieval.compactBm25IfNeeded]] for the cost trade). The
+    * defaults INHERIT the build's layout from the current generation —
+    * bucket count strictly ([[sources.Bucketing.inheritedBucketCount]]
+    * refuses to guess) and the hot-bucket cap from the manifest
+    * ([[InheritMaxBucket]]) — resolved lazily inside the fold branch, so
+    * the below-threshold fast path stays one fs listing plus the one-row
+    * manifest read.
     */
   def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
-                         buckets: Int, maxBucket: Int): Boolean = {
+                         buckets: Int = -1,
+                         maxBucket: Int = InheritMaxBucket): Boolean = {
     val b = graft.sources.Bucketing
     if (b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
         > maxUnfolded) {
       // true only when the watermark ADVANCED (see
       // Retrieval.compactBm25IfNeeded)
       val before = b.foldedBatchMax(spark, table)
-      compactIvfIndexGen(spark, table, deltaDir, buckets, maxBucket)
+      val useBuckets =
+        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
+      compactIvfIndexGen(spark, table, deltaDir, useBuckets, maxBucket)
       b.foldedBatchMax(spark, table) > before
     } else false
   }
@@ -929,16 +962,20 @@ object Similarity {
     * `autoCompactAt` (> 0) makes the loop SELF-COMPACTING exactly like
     * [[Dedup.maintainLshDedup]]'s option: after each batch's delta write,
     * [[compactIvfIfNeeded]] folds once the unfolded delta passes the
-    * threshold, bucket count inherited from the current generation —
-    * requires the [[buildIvfIndexGen]] layout. A CAPPED index's caller
-    * must restate `maxBucket` (shard factors are stored per row, not as
-    * a scalar — same contract as the Gen compactor); the auto-fold
-    * re-stamps them so grown posting lists re-shard at the cap. Default
-    * 0 = off: compaction stays an external cadence decision.
+    * threshold, inheriting the build's bucket count AND its persisted
+    * hot-bucket cap from the current generation — a capped index keeps
+    * its shard guard across auto-folds with nothing restated (restate
+    * `maxBucket` only to override, or for an index whose manifest
+    * predates cap persistence). Default 0 = off: compaction stays an
+    * external cadence decision. A threshold of 1 folds EVERY batch,
+    * shrinking the one-generation GC grace for in-flight base ∪ delta
+    * readers to a single micro-batch — size the threshold so a full fold
+    * cycle outlasts the longest concurrent search.
     */
   def maintainIvfIndex(stream: DataFrame, table: String, deltaDir: String,
                        checkpointDir: String, k: Int = IvfClusters,
-                       autoCompactAt: Int = 0, maxBucket: Int = NoMaxBucket)
+                       autoCompactAt: Int = 0,
+                       maxBucket: Int = InheritMaxBucket)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -946,11 +983,8 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfDelta(batch, table, deltaDir, batchId, k)
         if (autoCompactAt > 0) {
-          val session = batch.sparkSession
-          compactIvfIfNeeded(session, table, deltaDir,
-            autoCompactAt - 1,
-            graft.sources.Bucketing.bucketCountOf(session, table, 8),
-            maxBucket)
+          compactIvfIfNeeded(batch.sparkSession, table, deltaDir,
+            autoCompactAt - 1, maxBucket = maxBucket)
           ()
         }
       }

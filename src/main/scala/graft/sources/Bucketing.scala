@@ -200,14 +200,25 @@ object Bucketing {
     * the double-count window between a compaction's view swap and its
     * delta cleanup — after the swap the folded batches simply stop
     * qualifying.
+    *
+    * `maxBucket` (> 0) additionally persists a hot-bucket cap in the
+    * manifest, so threshold-gated auto-folds can inherit a capped build's
+    * shard guard instead of requiring every maintenance call site to
+    * restate it ([[maxBucketOf]]; the restate-or-silently-unshard footgun
+    * this closes is the cap analogue of [[bucketCountOf]]'s bucket-count
+    * inheritance). 0 = uncapped, written as-is — an ABSENT manifest and a
+    * cap of 0 read back identically.
     */
-  def writeMeta(spark: SparkSession, phys: String, foldedMax: Long): Unit = {
+  def writeMeta(spark: SparkSession, phys: String, foldedMax: Long,
+                maxBucket: Int = 0): Unit = {
     dropWithLocation(spark, s"${phys}_meta")
     spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(foldedMax)),
+        java.util.Arrays.asList(org.apache.spark.sql.Row(foldedMax, maxBucket)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("folded_batch_max",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("max_bucket",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_meta")
   }
 
@@ -228,13 +239,25 @@ object Bucketing {
                             deltaPaths: Seq[String]): Unit =
     stampRebuildWatermark(spark, Seq(phys), deltaPaths)
 
+  /** Single-table [[stampRebuildWatermark]] carrying a hot-bucket cap
+    * (explicit overload: Scala allows default arguments on only one
+    * overloaded alternative, and the Seq form keeps them).
+    */
+  def stampRebuildWatermark(spark: SparkSession, phys: String,
+                            deltaPaths: Seq[String],
+                            maxBucket: Int): Unit =
+    stampRebuildWatermark(spark, Seq(phys), deltaPaths, maxBucket)
+
   /** [[stampRebuildWatermark]] for a multi-table layout: the delta dirs
     * are listed ONCE and every physical table gets the same stamp.
+    * `maxBucket` is carried into the stamped manifest (a capped rebuild
+    * must not lose its persisted shard guard to the watermark stamp).
     */
   def stampRebuildWatermark(spark: SparkSession, physes: Seq[String],
-                            deltaPaths: Seq[String]): Unit = {
+                            deltaPaths: Seq[String],
+                            maxBucket: Int = 0): Unit = {
     val m = deltaPaths.map(maxBatchId(spark, _)).foldLeft(-1L)(math.max)
-    if (m >= 0L) physes.foreach(writeMeta(spark, _, m))
+    if (m >= 0L) physes.foreach(writeMeta(spark, _, m, maxBucket))
   }
 
   /** Folded-batch watermark of the generation behind `table` (−1 when the
@@ -259,8 +282,26 @@ object Bucketing {
   def foldedBatchMaxOf(spark: SparkSession, phys: String): Long = {
     val meta = s"${phys}_meta"
     if (spark.catalog.tableExists(meta))
-      spark.table(meta).collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+      spark.table(meta).collect().headOption
+        .map(_.getAs[Long]("folded_batch_max")).getOrElse(-1L)
     else -1L
+  }
+
+  /** Hot-bucket cap persisted in the generation's manifest ([[writeMeta]]);
+    * `default` when the manifest is absent or predates cap persistence
+    * (pre-cap manifests carry only `folded_batch_max`). Like
+    * [[foldedBatchMaxOf]], takes an ALREADY-RESOLVED physical generation so
+    * cap and postings come from one resolution.
+    */
+  def maxBucketOf(spark: SparkSession, phys: String, default: Int): Int = {
+    val meta = s"${phys}_meta"
+    if (!spark.catalog.tableExists(meta)) default
+    else {
+      val df = spark.table(meta)
+      if (!df.schema.fieldNames.contains("max_bucket")) default
+      else df.collect().headOption
+        .map(_.getAs[Int]("max_bucket")).getOrElse(default)
+    }
   }
 
   /** Fail fast when `table` already exists as a plain TABLE — i.e. was
@@ -473,6 +514,19 @@ object Bucketing {
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(phys))
         .bucketSpec.map(_.numBuckets))
       .toOption.flatten.getOrElse(default)
+  }
+
+  /** [[bucketCountOf]] that REFUSES to guess: the inherit path of the
+    * threshold-gated compactors, where a swallowed metadata failure or a
+    * bucket-spec-less layout must fail loudly rather than silently
+    * re-bucket the index to a hardcoded default on the next fold.
+    */
+  def inheritedBucketCount(spark: SparkSession, table: String): Int = {
+    val n = bucketCountOf(spark, table, -1)
+    if (n <= 0) throw new IllegalStateException(
+      s"cannot infer the bucket count behind `$table` (no bucket spec on " +
+        "the resolved generation) — pass `buckets` explicitly to the fold")
+    n
   }
 
   /** Delete delta `batch_id=` partitions at or below the watermark — the

@@ -960,7 +960,7 @@ class RecoverySpec extends SparkSpec {
     assert(Bucketing.unfoldedBatchCount(spark, "cad_ivf", s"$root/ivfd/postings") == 0)
   }
 
-  test("self-compacting ivf loop: folds mid-stream, re-stamps the cap's shard factors") {
+  test("self-compacting ivf loop: folds mid-stream, INHERITS the build's persisted cap") {
     import graft.ext.Similarity
     import graft.sources.Bucketing
     import org.apache.spark.sql.types._
@@ -975,14 +975,17 @@ class RecoverySpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    Similarity.buildIvfIndexGen(frame(0 until 100), "ivf_auto_test", buckets = 4)
+    // a CAPPED build persists its cap in the generation manifest …
+    Similarity.buildIvfIndexGen(frame(0 until 100), "ivf_auto_test",
+      buckets = 4, maxBucket = 8)
     frame(100 until 150).write.mode("append").parquet(srcDir)
-    // threshold 1: fold after every batch, shard factors re-stamped at the
-    // restated cap (per-row m carries no scalar to inherit — the
-    // maintainIvfIndex contract)
+    // … so the self-compacting loop restates NOTHING: threshold 1 folds
+    // after every batch, and each auto-fold inherits bucket count AND cap
+    // from the current generation (the silent-unsharding footgun this
+    // lifecycle closes)
     val q = Similarity.maintainIvfIndex(
       spark.readStream.schema(schema).parquet(srcDir), "ivf_auto_test",
-      deltaDir, s"$root/ckpt", autoCompactAt = 1, maxBucket = 8)
+      deltaDir, s"$root/ckpt", autoCompactAt = 1)
     try {
       q.processAllAvailable()
       // batch 0 was folded by the loop itself: no unfolded pressure,
@@ -995,9 +998,14 @@ class RecoverySpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     try {
-      // both folds landed; the cap re-stamp sharded the grown lists
+      // both folds landed; the INHERITED cap kept the grown lists sharded
+      // (nothing was restated — an unsharded base here would be the exact
+      // silent degradation the persisted cap prevents) and the new
+      // generation's manifest re-persists it for the next fold
       assert(spark.table("ivf_auto_test").count() == 200L)
       assert(spark.table("ivf_auto_test").filter(col("m") > 1).count() > 0)
+      assert(Bucketing.maxBucketOf(spark,
+        Bucketing.resolvePhysical(spark, "ivf_auto_test"), -99) == 8)
       // base-only search is exchange-free and answers like a from-scratch
       // direct search over the full corpus (same first-16 quantizer)
       val got = Similarity.searchIvfIndex(spark, "ivf_auto_test", 3)

@@ -231,4 +231,25 @@ class SourcesSpec extends SparkSpec {
       "gennum_t__g3_meta")
       .foreach(t => Bucketing.dropWithLocation(spark, t))
   }
+
+  test("manifest cap persistence: capped writes read back; pre-cap manifests default") {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    // new-form manifest: folded watermark plus the persisted hot-bucket cap
+    Bucketing.writeMeta(spark, "meta_evo_new", 7L, maxBucket = 16)
+    // PRE-CAP manifest (folded_batch_max only) — the shape of every
+    // generation written before cap persistence existed; readers must
+    // take the default, not throw on the missing column
+    Seq(5L).toDF("folded_batch_max").write.saveAsTable("meta_evo_old_meta")
+    try {
+      assert(Bucketing.foldedBatchMaxOf(spark, "meta_evo_new") == 7L)
+      assert(Bucketing.maxBucketOf(spark, "meta_evo_new", -99) == 16)
+      assert(Bucketing.foldedBatchMaxOf(spark, "meta_evo_old") == 5L)
+      assert(Bucketing.maxBucketOf(spark, "meta_evo_old", 0) == 0)
+      // absent manifest: both readers fall back (−1 / default)
+      assert(Bucketing.foldedBatchMaxOf(spark, "meta_evo_none") == -1L)
+      assert(Bucketing.maxBucketOf(spark, "meta_evo_none", 3) == 3)
+    } finally Seq("meta_evo_new_meta", "meta_evo_old_meta")
+      .foreach(t => Bucketing.dropWithLocation(spark, t))
+  }
 }
