@@ -456,13 +456,13 @@ object Dedup {
     * rows (which would corrupt the probe's sorted tid arrays) or dropped
     * prefixes (a silent false negative).
     *
-    * The candidate (prefix) and verification (toks) joins are SPLIT per
-    * part — bucketed base side exchange-free, delta side delta-sized
-    * (see the inline doc) — so the corpus-sized index tables never
-    * re-shuffle for the delta's benefit; only the dictionary-sized vocab
-    * rides a union (its shuffle is bounded by distinct-token count, not
-    * corpus rows). Compaction folds the delta and restores the pinned
-    * single-plan probe.
+    * EVERY index-side join is SPLIT per part — the candidate (prefix)
+    * and verification (toks) inner joins as a per-part union, the vocab
+    * LEFT join as base-join + coalesce(delta-join), exact because delta
+    * vocab batches are token-disjoint from the base by construction —
+    * so neither the corpus-sized index tables NOR the dictionary ever
+    * re-shuffle for the delta's benefit. Compaction folds the delta and
+    * restores the pinned single-plan probe.
     */
   def jaccardAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
                               newDocs: DataFrame, name: String,
@@ -505,18 +505,20 @@ object Dedup {
         s"${lname}_$suffix$genSuffix"
       else if (suffix == "vocab") vocabPhys
       else b.resolvePhysical(spark, s"${name}_$suffix")
-    def layer(suffix: String, cols: Seq[String]): DataFrame =
-      b.layerWithDelta(spark, layerTable(suffix),
-        deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
     def parts(suffix: String, cols: Seq[String]): (DataFrame, Option[DataFrame]) =
       b.layerParts(spark, layerTable(suffix),
         deltaDir.map(d => s"$d/$suffix"), cols, excludeBatch)
-    // inner joins against the corpus-sized layers are SPLIT per part
-    // (probe ⋈ (base ∪ delta) = (probe ⋈ base) ∪ (probe ⋈ delta)): the
-    // bucketed base side stays exchange-free and only the delta side
-    // shuffles, delta-sized. The vocab LEFT join below keeps the plain
-    // union — the vocab is the dictionary-sized table (distinct tokens,
-    // ≪ corpus rows), so its union shuffle is dictionary-bounded.
+    // ALL joins against base ∪ delta layers are SPLIT per part. Inner
+    // joins decompose as probe ⋈ (base ∪ delta) = (probe ⋈ base) ∪
+    // (probe ⋈ delta): the bucketed base side stays exchange-free and
+    // only the delta side shuffles, delta-sized. The vocab LEFT join
+    // splits too, as base-join + coalesce(delta-join): delta vocab
+    // batches are left_anti-assigned against the visible dictionary
+    // ([[appendJaccardDelta]]), so base and delta vocabs are
+    // token-DISJOINT and at most one side can supply a tid — the union
+    // form dragged the full dictionary (web-scale: 10⁸–10⁹ distinct
+    // tokens) through an exchange per probe batch just to serve a
+    // delta-sized extension.
     def splitJoin(probe: DataFrame, suffix: String, cols: Seq[String],
                   key: String)(shape: DataFrame => DataFrame): DataFrame = {
       val (baseP, deltaP) = parts(suffix, cols)
@@ -524,11 +526,20 @@ object Dedup {
       deltaP.map(d => withBase.unionByName(probe.join(shape(d), key)))
         .getOrElse(withBase)
     }
-    val (per, perIds) = Checkpoints.checkpointTracked(newDocs
+    val probeTokens = newDocs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
-      .join(layer("vocab", Seq("token", "tid")), Seq("token"), "left")
+    val (vocabBase, vocabDelta) = parts("vocab", Seq("token", "tid"))
+    val withTid = vocabDelta match {
+      case Some(d) => probeTokens
+        .join(vocabBase, Seq("token"), "left")
+        .join(d.withColumnRenamed("tid", "tid_delta"), Seq("token"), "left")
+        .withColumn("tid", coalesce(col("tid"), col("tid_delta")))
+        .drop("tid_delta")
+      case None => probeTokens.join(vocabBase, Seq("token"), "left")
+    }
+    val (per, perIds) = Checkpoints.checkpointTracked(withTid
       .groupBy("doc_id")
       // collect_list drops nulls: toks = KNOWN tids only; n counts all
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
