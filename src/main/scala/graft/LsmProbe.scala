@@ -97,6 +97,43 @@ object LsmProbe {
         s""""with_delta_s":${r2(lw)},"delta_overhead_s":${r2(lw - lb)}}""")
       corpus.unpersist()
     }
+
+    // ---- Jaccard: grow the DICTIONARY, not just the corpus ----
+    // The split vocab LEFT join's claim (late round 15): a live delta no
+    // longer drags the dictionary through an exchange per probe — the
+    // union form's with-delta overhead would grow with DISTINCT-TOKEN
+    // count. The testdata corpus has a ~31-word vocabulary, so this
+    // ladder synthesizes one: V = 20000×scale distinct tokens across
+    // 2000×scale docs (each doc 10 near-unique tokens — candidate pairs
+    // stay rare, so runtime is the scans/joins, not verification). The
+    // probe set (100 docs over the x1 token space, present at every
+    // scale) and the 50-doc new-token delta are CONSTANT.
+    def vocabDocs(nDocs: Int, vocab: Int, offset: Long): DataFrame =
+      spark.range(nDocs).select(
+        (col("id") + offset).as("doc_id"),
+        concat_ws(" ", (0 until 10).map(j =>
+          concat(lit("t"), (col("id") * 7 + j) % vocab)): _*).as("text"))
+    val jacProbe = vocabDocs(100, 20000, 970000000L).localCheckpoint(true)
+    scales.foreach { times =>
+      val jt = s"lsm_jac_x$times"
+      val jd = s"$tmp/jac_x$times"
+      val corpus = vocabDocs(2000 * times, 20000 * times, 0L)
+      Dedup.buildJaccardIndexGen(corpus, jt)
+      Dedup.appendJaccardDelta(spark, deltaDocs, jt, jd, 0L, 850000L)
+      val vocabDeltaRows = spark.read.parquet(s"$jd/vocab").count()
+      require(vocabDeltaRows > 0, "jaccard vocab delta empty — vacuous")
+      Dedup.jaccardAgainstIndex(spark, jacProbe, jt)
+        .write.format("noop").mode("overwrite").save()
+      Dedup.jaccardAgainstIndexWith(spark, jacProbe, jt, jd)
+        .write.format("noop").mode("overwrite").save()
+      val jb = ProbeUtil.median3(Dedup.jaccardAgainstIndex(spark, jacProbe, jt))
+      val jw = ProbeUtil.median3(
+        Dedup.jaccardAgainstIndexWith(spark, jacProbe, jt, jd))
+      println(s"""{"probe":"lsm_jaccard_vocab","scale":$times,""" +
+        s""""vocab":${20000 * times},"delta_vocab_rows":$vocabDeltaRows,""" +
+        s""""base_s":${r2(jb)},"with_delta_s":${r2(jw)},""" +
+        s""""delta_overhead_s":${r2(jw - jb)}}""")
+    }
     spark.stop()
   }
 }
