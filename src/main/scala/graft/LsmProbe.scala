@@ -103,21 +103,23 @@ object LsmProbe {
     // longer drags the dictionary through an exchange per probe — the
     // union form's with-delta overhead would grow with DISTINCT-TOKEN
     // count. The testdata corpus has a ~31-word vocabulary, so this
-    // ladder synthesizes one: V = 20000×scale distinct tokens across
-    // 2000×scale docs (each doc 10 near-unique tokens — candidate pairs
-    // stay rare, so runtime is the scans/joins, not verification). The
-    // probe set (100 docs over the x1 token space, present at every
-    // scale) and the 50-doc new-token delta are CONSTANT.
-    def vocabDocs(nDocs: Int, vocab: Int, offset: Long): DataFrame =
+    // ladder synthesizes one: doc id i carries tokens t(10i)..t(10i+9) —
+    // the dictionary is EXACTLY 10·docs = 20,000×scale distinct tokens
+    // over 2,000×scale docs with no cross-doc sharing, so candidate
+    // pairs arise only from the probe's deliberate overlap and runtime
+    // is the scans/joins, not verification. The probe set (100 docs over
+    // the x1 token space, present at every scale) and the 50-doc
+    // new-token delta are CONSTANT.
+    def vocabDocs(nDocs: Int, offset: Long): DataFrame =
       spark.range(nDocs).select(
         (col("id") + offset).as("doc_id"),
         concat_ws(" ", (0 until 10).map(j =>
-          concat(lit("t"), (col("id") * 7 + j) % vocab)): _*).as("text"))
-    val jacProbe = vocabDocs(100, 20000, 970000000L).localCheckpoint(true)
+          concat(lit("t"), col("id") * 10 + j)): _*).as("text"))
+    val jacProbe = vocabDocs(100, 970000000L).localCheckpoint(true)
     scales.foreach { times =>
       val jt = s"lsm_jac_x$times"
       val jd = s"$tmp/jac_x$times"
-      val corpus = vocabDocs(2000 * times, 20000 * times, 0L)
+      val corpus = vocabDocs(2000 * times, 0L)
       Dedup.buildJaccardIndexGen(corpus, jt)
       Dedup.appendJaccardDelta(spark, deltaDocs, jt, jd, 0L, 850000L)
       val vocabDeltaRows = spark.read.parquet(s"$jd/vocab").count()

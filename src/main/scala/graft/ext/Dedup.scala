@@ -328,6 +328,10 @@ object Dedup {
     val b = graft.sources.Bucketing
     val names = JacLayers.map(s => s"${name}_$s")
     names.foreach(b.requireSwapAdoptable(spark, _))
+    // retire relative to each layer's SERVING generation, not the shared
+    // g − 2: an orphan generation table inflates g past the live one
+    // (see Bucketing.generationNumberOf)
+    val liveGens = names.map(n => n -> b.liveGeneration(spark, n)).toMap
     // ONE shared generation number for all three layers (max over their
     // currents + 1, off one catalog listing): the probe's vocab-derived
     // sibling lookup requires that vocab__gN existing implies toks/prefix
@@ -341,7 +345,7 @@ object Dedup {
       b.stampRebuildWatermark(spark, phys, JacLayers.map(s => s"$d/$s"))
     }
     phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
-    names.foreach(n => b.dropGeneration(spark, n, g - 2))
+    names.foreach(n => b.retireBelow(spark, n, liveGens(n)))
   }
 
   private def buildJaccardTables(documents: DataFrame, vocabT: String,
@@ -822,6 +826,9 @@ object Dedup {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
+    // retire relative to the SERVING generation, not g − 2 (see
+    // Bucketing.generationNumberOf)
+    val liveGen = b.liveGeneration(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     b.writeBucketed(
@@ -835,7 +842,7 @@ object Dedup {
     deltaDir.foreach(d =>
       b.stampRebuildWatermark(spark, phys, Seq(s"$d/bands")))
     b.swapView(spark, table, phys)
-    b.dropGeneration(spark, table, g - 2)
+    b.retireBelow(spark, table, liveGen)
   }
 
   /** Near-dup candidates of NEW documents against a persisted LSH index:

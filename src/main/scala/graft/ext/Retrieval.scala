@@ -797,6 +797,10 @@ object Retrieval {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
+    // retire relative to the generation SERVING before this swap, not
+    // g - 2: an orphan generation table inflates g past the live one
+    // (see Bucketing.generationNumberOf)
+    val liveGen = b.liveGeneration(spark, table)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     b.writeBucketed(bm25Postings(documents), phys, "token", buckets,
@@ -808,7 +812,7 @@ object Retrieval {
       Seq(s"$d/postings", s"$d/stats")))
     b.swapView(spark, table, phys)
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
-    b.dropGeneration(spark, table, g - 2)
+    b.retireBelow(spark, table, liveGen)
   }
 
   /** Generation-swap compaction: fold base ∪ (unfolded) delta into
@@ -835,6 +839,10 @@ object Retrieval {
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
     val srcPhys = b.resolvePhysical(spark, table)
+    // retirement anchored on the resolved source (see
+    // Bucketing.generationNumberOf): orphan generations must not cost
+    // the serving generation its reader grace
+    val srcGen = b.generationNumberOf(table, srcPhys)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     val prevFolded = b.foldedBatchMaxOf(spark, srcPhys)
@@ -866,7 +874,7 @@ object Retrieval {
       // retire the generation behind it (see Bucketing.compactLayerGen)
       b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
       b.gcDeltaPartitions(spark, s"$deltaDir/stats", prevFolded)
-      b.dropGeneration(spark, table, g - 2)
+      b.retireBelow(spark, table, srcGen)
       return
     }
     def unfolded(df: Option[DataFrame]): Option[DataFrame] =
@@ -890,7 +898,7 @@ object Retrieval {
     b.swapView(spark, s"${table}_stats", s"${phys}_stats")
     b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
     b.gcDeltaPartitions(spark, s"$deltaDir/stats", prevFolded)
-    b.dropGeneration(spark, table, g - 2)
+    b.retireBelow(spark, table, srcGen)
   }
 
   /** The "when to compact" knob wired: fold only when the delta has

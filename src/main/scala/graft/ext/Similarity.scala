@@ -813,21 +813,35 @@ object Similarity {
     val spark = embeddings.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
+    val liveGen = b.liveGeneration(spark, table)
+    // cap normalization: [[InheritMaxBucket]] on a REBUILD keeps the live
+    // generation's persisted cap (symmetric with the fold's inherit; a
+    // fresh build has nothing to inherit → uncapped); any other
+    // non-positive value is uncapped — a raw negative must never reach
+    // the manifest as a nonsense "cap"
+    val cap =
+      if (maxBucket == InheritMaxBucket && liveGen > 0)
+        b.maxBucketOf(spark, b.generationName(table, liveGen), NoMaxBucket)
+      else math.max(maxBucket, NoMaxBucket)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     val assigned = assignToCentroids(embeddings, k, 1)
       .select("cluster_id", "vec_id", "embedding")
-    b.writeBucketed(withShardFactors(assigned, maxBucket), phys,
+    b.writeBucketed(withShardFactors(assigned, cap), phys,
       "cluster_id", buckets)
     // a CAPPED build persists its cap in the manifest so later folds can
     // inherit the shard guard ([[InheritMaxBucket]]); uncapped builds keep
     // the manifest-less fresh-build shape (absent ≡ uncapped, −1 folded)
-    if (maxBucket != NoMaxBucket)
-      b.writeMeta(spark, phys, -1L, maxBucket)
+    if (cap > NoMaxBucket)
+      b.writeMeta(spark, phys, -1L, cap)
     deltaDir.foreach(d =>
-      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings"), maxBucket))
+      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings"), cap))
     b.swapView(spark, table, phys)
-    b.dropGeneration(spark, table, g - 2)
+    // retire relative to the generation SERVING before this swap — an
+    // orphan generation table inflates g past the live one, and g − 2
+    // would retire the serving generation with zero grace
+    // (see Bucketing.generationNumberOf)
+    b.retireBelow(spark, table, liveGen)
   }
 
   /** Generation-swap compaction for the IVF index: generation N+1 is
@@ -856,8 +870,13 @@ object Similarity {
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, table)
     val srcPhys = b.resolvePhysical(spark, table)
-    val cap = if (maxBucket == InheritMaxBucket)
-      b.maxBucketOf(spark, srcPhys, NoMaxBucket) else maxBucket
+    // retirement anchored on the resolved source (see
+    // Bucketing.generationNumberOf): orphan generations must not cost
+    // the serving generation its reader grace
+    val srcGen = b.generationNumberOf(table, srcPhys)
+    val prevCap = b.maxBucketOf(spark, srcPhys, NoMaxBucket)
+    val cap = if (maxBucket == InheritMaxBucket) prevCap
+      else math.max(maxBucket, NoMaxBucket)
     val g = b.currentGeneration(spark, table) + 1
     val phys = b.generationName(table, g)
     val prevFolded = b.foldedBatchMaxOf(spark, srcPhys)
@@ -871,14 +890,17 @@ object Similarity {
       Seq("cluster_id", "vec_id", "embedding", "batch_id"))
     val newFolded =
       math.max(prevFolded, delta.map(b.maxBatchIdOf).getOrElse(-1L))
-    if (newFolded == prevFolded && delta.isDefined) {
-      // a fully-folded delta: GC-only cycle, no corpus rewrite (see
-      // Bucketing.compactLayerGen). A MISSING/empty delta deliberately
-      // still takes the full path — compaction-with-no-delta is the
-      // documented way to re-stamp shard factors under a NEW maxBucket,
-      // and skipping it would silently drop that admin workflow.
+    if (newFolded == prevFolded && delta.isDefined && cap == prevCap) {
+      // a fully-folded delta under an UNCHANGED cap: GC-only cycle, no
+      // corpus rewrite (see Bucketing.compactLayerGen). A MISSING/empty
+      // delta — or a RESTATED cap that differs from the persisted one,
+      // even over a delta the grace window still retains — deliberately
+      // takes the full path: compaction-with-nothing-to-fold is the
+      // documented admin workflow for re-stamping shard factors under a
+      // new maxBucket, and the GC-only shortcut must not silently
+      // swallow it.
       b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
-      b.dropGeneration(spark, table, g - 2)
+      b.retireBelow(spark, table, srcGen)
       return
     }
     val base = spark.table(srcPhys).select("cluster_id", "vec_id", "embedding")
@@ -892,7 +914,7 @@ object Similarity {
     b.writeMeta(spark, phys, newFolded, cap)
     b.swapView(spark, table, phys)
     b.gcDeltaPartitions(spark, s"$deltaDir/postings", prevFolded)
-    b.dropGeneration(spark, table, g - 2)
+    b.retireBelow(spark, table, srcGen)
   }
 
   /** Threshold-gated [[compactIvfIndexGen]] — the compaction-cadence knob

@@ -181,6 +181,49 @@ object Bucketing {
       dropWithLocation(spark, s"${generationName(table, g)}_meta")
     }
 
+  /** Generation number encoded in a physical generation table name
+    * (`table__gN` → N); 0 when `phys` is the bare table or carries no
+    * `__g<digits>` suffix. The retirement sites use this to derive "the
+    * generation behind the one we just replaced" from the RESOLVED source
+    * rather than from the catalog's max-numbered table: after a crashed
+    * compaction leaves an orphan `__gN` TABLE (written but never swapped
+    * in), `currentGeneration + 1 − 2` can land ON the serving generation
+    * — retiring it at the very swap that replaced it and destroying the
+    * one-cycle reader grace. `sourceGeneration − 1` never can.
+    */
+  def generationNumberOf(table: String, phys: String): Int = {
+    val p = s"${table.toLowerCase}__g"
+    val s = phys.toLowerCase
+    if (!s.startsWith(p)) 0
+    else {
+      val r = s.stripPrefix(p)
+      if (r.nonEmpty && r.forall(_.isDigit)) r.toInt else 0
+    }
+  }
+
+  /** Retire every generation strictly BELOW `srcGen` (the generation
+    * that was serving when the current lifecycle step resolved its
+    * source). Each of those was replaced at least one full swap ago, so
+    * the documented one-cycle reader grace has elapsed; `srcGen` itself
+    * always survives the step that just swapped away from it. Ranging
+    * over ALL lower numbers (not just `srcGen − 1`) also sweeps
+    * generations a crash-skewed numbering jumped over — a `srcGen − 1`
+    * rule would leak them forever. Cheap: [[dropGeneration]] is a
+    * tableExists fast path per probed name.
+    */
+  def retireBelow(spark: SparkSession, table: String, srcGen: Int): Unit =
+    (1 until srcGen).foreach(dropGeneration(spark, table, _))
+
+  /** Generation number currently SERVING behind `table`'s view — 0 when
+    * the view doesn't exist yet (fresh build) or resolves to a plain
+    * table. The builders take this BEFORE their swap so they can retire
+    * `live − 1` afterwards (see [[generationNumberOf]]).
+    */
+  def liveGeneration(spark: SparkSession, table: String): Int =
+    if (spark.catalog.tableExists(table))
+      generationNumberOf(table, resolvePhysical(spark, table))
+    else 0
+
   /** The physical catalog table a logical name resolves to — the table
     * itself, or the generation table behind a view. Readers use this to
     * pick the SIBLING tables (`_stats` / `_meta`) of the SAME generation
@@ -440,6 +483,10 @@ object Bucketing {
     import org.apache.spark.sql.functions.col
     requireSwapAdoptable(spark, table)
     val srcPhys = resolvePhysical(spark, table)
+    // retirement is anchored on the RESOLVED source, not g − 2: an orphan
+    // generation table (crash between write and swap) inflates g, and
+    // g − 2 would then retire the serving generation with zero grace
+    val srcGen = generationNumberOf(table, srcPhys)
     val g = currentGeneration(spark, table) + 1
     val phys = generationName(table, g)
     val prevFolded = foldedBatchMaxOf(spark, srcPhys)
@@ -455,7 +502,7 @@ object Bucketing {
       // generation already folded (their grace clock started at the swap
       // that folded them) and retire the generation behind it.
       gcDeltaPartitions(spark, deltaPath, prevFolded)
-      dropGeneration(spark, table, g - 2)
+      retireBelow(spark, table, srcGen)
       return
     }
     val base = spark.table(srcPhys).select(cols.map(col): _*)
@@ -476,7 +523,7 @@ object Bucketing {
     writeBucketed(rows, phys, key, buckets, compact = compact)
     swapView(spark, table, phys)
     gcDeltaPartitions(spark, deltaPath, prevFolded)
-    dropGeneration(spark, table, g - 2)
+    retireBelow(spark, table, srcGen)
   }
 
   /** Compaction-pressure reading: how many delta `batch_id=` partitions

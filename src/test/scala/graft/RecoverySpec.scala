@@ -1020,6 +1020,78 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("cap change takes the full re-stamp path even when the delta is fully folded") {
+    import graft.ext.Similarity
+    import graft.sources.Bucketing
+    graft.functions.CosineSimilarity.register(spark)
+    val root = managedTempDir("ivfrecap")
+    val deltaDir = s"$root/delta"
+    val t = "ivf_recap_test"
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(32)(d => (math.cos(i * 32 + d) * 0.9).toFloat)
+    val base = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.buildIvfIndexGen(base, t, buckets = 4, maxBucket = 64)
+    try {
+      Similarity.applyIvfDelta(
+        (120L until 140L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        t, deltaDir, 0L)
+      // fold with the INHERITED cap (64): the delta is now fully folded
+      // but its partitions are grace-retained on disk
+      Similarity.compactIvfIndexGen(spark, t, deltaDir, buckets = 4,
+        maxBucket = Similarity.InheritMaxBucket)
+      val afterFold = Bucketing.resolvePhysical(spark, t)
+      assert(Bucketing.maxBucketOf(spark, afterFold, -99) == 64)
+      // an admin cap CHANGE over that state must NOT be swallowed by the
+      // GC-only shortcut: the full path re-stamps shard factors under the
+      // new cap and persists it
+      Similarity.compactIvfIndexGen(spark, t, deltaDir, buckets = 4,
+        maxBucket = 8)
+      val afterRecap = Bucketing.resolvePhysical(spark, t)
+      assert(afterRecap != afterFold)
+      assert(Bucketing.maxBucketOf(spark, afterRecap, -99) == 8)
+      assert(spark.table(t).filter(col("m") > 1).count() > 0)
+      assert(spark.table(t).count() == 140L)
+      // recreate the grace state (a folded-but-retained delta): one more
+      // batch, folded with inherit — the new generation keeps cap 8
+      Similarity.applyIvfDelta(
+        (140L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        t, deltaDir, 1L)
+      Similarity.compactIvfIndexGen(spark, t, deltaDir, buckets = 4,
+        maxBucket = Similarity.InheritMaxBucket)
+      val afterFold2 = Bucketing.resolvePhysical(spark, t)
+      assert(Bucketing.maxBucketOf(spark, afterFold2, -99) == 8)
+      assert(spark.table(t).count() == 150L)
+      // and with the cap UNCHANGED (inherit) over the grace-retained
+      // delta, the cycle stays GC-only: no new generation is written
+      Similarity.compactIvfIndexGen(spark, t, deltaDir, buckets = 4,
+        maxBucket = Similarity.InheritMaxBucket)
+      assert(Bucketing.resolvePhysical(spark, t) == afterFold2)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $t")
+      (1 to 6).foreach(g => Bucketing.dropGeneration(spark, t, g))
+    }
+  }
+
+  test("a fresh build ignores a negative cap instead of persisting nonsense") {
+    import graft.ext.Similarity
+    import graft.sources.Bucketing
+    val t = "ivf_negcap_test"
+    val base = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))).toDF("vec_id", "embedding")
+    // InheritMaxBucket on a FRESH build has nothing to inherit: uncapped,
+    // and no manifest row carrying a negative "cap"
+    Similarity.buildIvfIndexGen(base, t, buckets = 2,
+      maxBucket = Similarity.InheritMaxBucket)
+    try {
+      val phys = Bucketing.resolvePhysical(spark, t)
+      assert(Bucketing.maxBucketOf(spark, phys, -99) == -99)
+      assert(spark.table(t).filter(col("m") =!= 1).count() == 0L)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $t")
+      (1 to 2).foreach(g => Bucketing.dropGeneration(spark, t, g))
+    }
+  }
+
   test("jaccard REBUILD renumbers tids across a live prober: never a mixed dictionary") {
     import graft.ext.Dedup
     val name = "graft_jac_rebuild"

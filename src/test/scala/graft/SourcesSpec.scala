@@ -252,4 +252,43 @@ class SourcesSpec extends SparkSpec {
     } finally Seq("meta_evo_new_meta", "meta_evo_old_meta")
       .foreach(t => Bucketing.dropWithLocation(spark, t))
   }
+
+  test("orphan generation table never costs the serving generation its reader grace") {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    val root = managedTempDir("orphangrace")
+    val delta = s"$root/delta"
+    // live __g1 serving, plus an ORPHAN __g2 left by a crash between a
+    // compaction's table write and its view swap — the next fold numbers
+    // itself __g3 and, under a g−2 retirement rule, would have dropped
+    // the SERVING __g1 at the very swap replacing it (zero grace)
+    Bucketing.writeBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "og_t__g1", "k", 2)
+    Bucketing.swapView(spark, "og_t", "og_t__g1")
+    Bucketing.writeBucketed(
+      Seq((1L, "a")).toDF("k", "v"), "og_t__g2", "k", 2)
+    Bucketing.writeDeltaPartition(
+      Seq((3L, "c")).toDF("k", "v"), delta, 0L)
+    try {
+      Bucketing.compactLayerGen(spark, "og_t", delta, "k", Seq("k", "v"), 2)
+      assert(Bucketing.resolvePhysical(spark, "og_t") == "og_t__g3")
+      assert(spark.table("og_t").count() == 3L)
+      // the source of the swap keeps its one-cycle grace; the orphan is
+      // not yet swept either (it retires with everything below the NEW
+      // source on the next cycle)
+      assert(spark.catalog.tableExists("og_t__g1"))
+      assert(spark.catalog.tableExists("og_t__g2"))
+      // next cycle (nothing to fold → GC-only): everything below the now
+      // serving __g3 retires, including the skipped-over __g1 a plain
+      // srcGen−1 rule would have leaked forever
+      Bucketing.compactLayerGen(spark, "og_t", delta, "k", Seq("k", "v"), 2)
+      assert(Bucketing.resolvePhysical(spark, "og_t") == "og_t__g3")
+      assert(!spark.catalog.tableExists("og_t__g1"))
+      assert(!spark.catalog.tableExists("og_t__g2"))
+      assert(spark.table("og_t").count() == 3L)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS og_t")
+      (1 to 4).foreach(g => Bucketing.dropGeneration(spark, "og_t", g))
+    }
+  }
 }
