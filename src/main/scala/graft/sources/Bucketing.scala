@@ -205,14 +205,23 @@ object Bucketing {
     * that was serving when the current lifecycle step resolved its
     * source). Each of those was replaced at least one full swap ago, so
     * the documented one-cycle reader grace has elapsed; `srcGen` itself
-    * always survives the step that just swapped away from it. Ranging
-    * over ALL lower numbers (not just `srcGen − 1`) also sweeps
+    * always survives the step that just swapped away from it. Sweeping
+    * ALL lower generations (not just `srcGen − 1`) also retires
     * generations a crash-skewed numbering jumped over — a `srcGen − 1`
-    * rule would leak them forever. Cheap: [[dropGeneration]] is a
-    * tableExists fast path per probed name.
+    * rule would leak them forever. The sweep set comes from ONE catalog
+    * listing of generations that actually EXIST (normally ≤ 2 entries),
+    * not a `1 until srcGen` walk — a long-lived maintenance loop at
+    * generation N must not pay O(N) catalog/fs probes per cycle.
     */
-  def retireBelow(spark: SparkSession, table: String, srcGen: Int): Unit =
-    (1 until srcGen).foreach(dropGeneration(spark, table, _))
+  def retireBelow(spark: SparkSession, table: String, srcGen: Int): Unit = {
+    val prefix = s"${table.toLowerCase}__g"
+    spark.catalog.listTables().collect().map(_.name.toLowerCase)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      .filter(r => r.nonEmpty && r.forall(_.isDigit)).map(_.toInt)
+      .distinct.filter(_ < srcGen)
+      .foreach(dropGeneration(spark, table, _))
+  }
 
   /** Generation number currently SERVING behind `table`'s view — 0 when
     * the view doesn't exist yet (fresh build) or resolves to a plain
