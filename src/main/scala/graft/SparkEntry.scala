@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Graphs, Layout, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TimeSeries, TrainedStore}
+import graft.ext.{Curation, Dedup, Fuzzy, Graphs, Layout, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TimeSeries, TrainedStore}
 import graft.functions.CosineSimilarity
 import graft.operators._
 
@@ -289,6 +289,19 @@ object SparkEntry {
     // SAX-bucketed behavioral neighbor per user (exact integer distances)
     "ext_ts_neighbors" -> ((s, d) =>
       TimeSeries.tsTopNeighbor(ev(s, d)).orderBy("user_id")),
+    // fixed-interval OHLC downsample: one exchange, total-order open/close
+    "ext_ts_resample" -> ((s, d) =>
+      TimeSeries.resampleOhlc(ev(s, d)).orderBy("event_type", "h")),
+    // dense hourly grid + LOCF forward-fill per (cohort, event_type) series
+    "ext_ts_gapfill" -> ((s, d) =>
+      TimeSeries.gapfillHourly(ev(s, d)).orderBy("cohort", "event_type", "h")),
+    // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
+    // exact levenshtein verify — oracle twin is brute-force all-pairs
+    "ext_fuzzy_match" -> ((s, d) =>
+      Fuzzy.spellMatch(docs(s, d)).orderBy("doc_id", "dict_term")),
+    // SCD2 dimension history: order-status validity intervals per customer
+    "ext_scd2" -> ((s, d) =>
+      Relational.scd2OrderStatus(Tables.orders(s, d)).orderBy("o_custkey", "scd_ver")),
     // retrieval-quality harness: exact MRR of bm25/phrase at finding each
     // query's planted near-duplicate in the perturbed union
     "ext_retrieval_eval" -> ((s, d) =>
@@ -2186,6 +2199,87 @@ object SparkEntry {
          |  FROM tpairs)
          |WHERE rnk = 1 ORDER BY user_id""".stripMargin
     },
+    "ext_ts_resample" ->
+      s"""WITH tr AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, value, ts, event_id,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events)
+         |SELECT event_type, h, count(*) AS n_events,
+         |  ${moneySumSql("value")} AS sum_value,
+         |  min(value) AS low_value, max(value) AS high_value,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close_value
+         |FROM tr GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin,
+    "ext_ts_gapfill" -> {
+      val c = TimeSeries.GapfillCohorts
+      s"""WITH gk AS (SELECT user_id % $c AS cohort, event_type,
+         |    date_trunc('hour', ts) AS h, value FROM events),
+         |ghourly AS (SELECT cohort, event_type, h, count(*) AS n_obs,
+         |    ${moneySumSql("value")} AS sum_value
+         |  FROM gk GROUP BY 1, 2, 3),
+         |gspan AS (SELECT min(h) AS h0, max(h) AS h1 FROM gk),
+         |ggrid AS (SELECT k.cohort, k.event_type, g.h
+         |  FROM (SELECT DISTINCT cohort, event_type FROM gk) k
+         |  CROSS JOIN (SELECT unnest(generate_series(
+         |    (SELECT h0 FROM gspan), (SELECT h1 FROM gspan),
+         |    INTERVAL 1 HOUR)) AS h) g)
+         |SELECT g.cohort, g.event_type, g.h,
+         |  coalesce(hh.n_obs, 0) AS n_events,
+         |  last_value(hh.sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY g.cohort, g.event_type ORDER BY g.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+         |FROM ggrid g LEFT JOIN ghourly hh
+         |  ON g.cohort = hh.cohort AND g.event_type = hh.event_type AND g.h = hh.h
+         |ORDER BY g.cohort, g.event_type, g.h""".stripMargin
+    },
+    // oracle uses the brute-force all-pairs form (length-banded): the
+    // delete-neighborhood blocking is lossless at distance <= 1, so the
+    // qualifying-pair SET is identical by construction
+    "ext_fuzzy_match" -> {
+      val p = s"CAST((doc_id // 3) % length(term) AS INT)"
+      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
+         |fsh AS (SELECT doc_id, unnest(sh) AS shingle FROM scte),
+         |fdict AS (SELECT shingle AS term FROM fsh
+         |  WHERE length(shingle) >= ${graft.ext.Fuzzy.MinTermLen}
+         |  GROUP BY 1 HAVING count(*) >= ${graft.ext.Fuzzy.DictMinCount}),
+         |fq0 AS (SELECT doc_id, min(shingle) AS term FROM fsh
+         |  WHERE doc_id % 5 = 0 GROUP BY 1),
+         |fq1 AS (SELECT doc_id, term FROM fq0
+         |  WHERE length(term) >= ${graft.ext.Fuzzy.MinTermLen}),
+         |fq AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN substr(term, 1, $p) || substr(term, $p + 2, length(term))
+         |    WHEN 1 THEN substr(term, 1, $p) || 'q' || substr(term, $p + 2, length(term))
+         |    ELSE substr(term, 1, $p + 1) || 'q' || substr(term, $p + 2, length(term))
+         |  END AS q_term FROM fq1)
+         |SELECT q.doc_id, q.q_term, d.term AS dict_term,
+         |  CAST(levenshtein(q.q_term, d.term) AS BIGINT) AS dist
+         |FROM fq q JOIN fdict d ON abs(length(q.q_term) - length(d.term)) <= 1
+         |WHERE levenshtein(q.q_term, d.term) <= 1
+         |ORDER BY doc_id, dict_term""".stripMargin
+    },
+    "ext_scd2" ->
+      s"""WITH sseq AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+         |           OR lag(o_orderstatus) OVER w != o_orderstatus
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         |srun AS (SELECT *, CAST(sum(chg) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+         |  FROM sseq),
+         |sagg AS (SELECT o_custkey, run_id, min(o_orderstatus) AS o_orderstatus,
+         |    min(o_orderdate) AS valid_from, count(*) AS n_orders
+         |  FROM srun GROUP BY 1, 2)
+         |SELECT o_custkey, o_orderstatus, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+         |  n_orders, run_id AS scd_ver
+         |FROM sagg ORDER BY o_custkey, scd_ver""".stripMargin,
     "ext_cluster_labels" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < ${Similarity.IvfClusters}),

@@ -437,6 +437,37 @@ object Curation {
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** Sketch variant of [[profile]] for WIDE tables at full corpus scale:
+    * same shape, but `n_distinct` is an HLL++ estimate
+    * (`approx_count_distinct`, `rsd` relative error, default 5%) — which
+    * removes the Expand entirely: exact multi-distinct expands every input
+    * row |cols|+1 ways before the shuffle, so a 100-column profile of a
+    * 100 TB drop shuffles ~100× the projected bytes, while the HLL partials
+    * are fixed-size mergeable state per column. Not oracle-comparable
+    * (sketch layouts are engine-specific), so ExtSpec pins it against
+    * [[profile]]'s exact counts within the configured rsd instead.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__null"),
+        approx_count_distinct(col(c), rsd).cast("long").as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}__null").as("n_null"),
+      col(s"${c}__distinct").as("n_distinct_est"),
+      col(s"${c}__min").as("min_val"),
+      col(s"${c}__max").as("max_val"))): _*)
+    df.agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(perCol).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct_est"), col("p.min_val"), col("p.max_val"))
+  }
+
   /** Deterministic train/validation/test split: a salted content-free hash
     * of doc_id lands each doc in one of 1000 buckets; buckets [0,900) →
     * train, [900,950) → val, rest → test. Hash-of-key (not random()) makes

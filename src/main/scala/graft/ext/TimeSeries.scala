@@ -1,7 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
 
 /** Time-series similarity search over user activity — "which users behave
   * alike over time" (cohorting, anomaly triage, account-sharing signals).
@@ -90,4 +93,81 @@ object TimeSeries {
                     maxBucket: Int = Similarity.MaxBucket): DataFrame =
     Similarity.bucketedTop1Neighbor(
       saxWords(activityVectors(events)), "word", "user_id", "v", maxBucket)
+
+  /** Fixed-interval downsampling with OHLC semantics: per (event_type,
+    * hour) — count, exact DECIMAL-routed sum, min/max (raw pass-through,
+    * no float accumulation), and open/close picked by a TOTAL order
+    * (`ts, event_id` — `min_by`-style tie behavior is engine-defined, a
+    * row_number over a total order is not). The time-series family's
+    * "resample" verb: the raw stream is too fine to train on or plot;
+    * this is the one-pass reduction to a fixed grid.
+    *
+    * Plan shape: both row_numbers share one hash partitioning on the
+    * grouping key (two sorts, ONE exchange — the second window and the
+    * final hash aggregation reuse the first's partitioning), so the whole
+    * operator is one shuffle of (key, value, ts, id) tuples — at 100 TB
+    * the map side carries nothing but the grouping columns.
+    */
+  def resampleOhlc(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("h", date_trunc("hour", col("ts")))
+    val part = Window.partitionBy(col("event_type"), col("h"))
+    val asc = part.orderBy(col("ts").asc, col("event_id").asc)
+    val desc = part.orderBy(col("ts").desc, col("event_id").desc)
+    keyed
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("event_type", "h")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("sum_value"),
+        min("value").as("low_value"),
+        max("value").as("high_value"),
+        max(when(col("rn_a") === 1, col("value"))).as("open_value"),
+        max(when(col("rn_d") === 1, col("value"))).as("close_value"))
+  }
+
+  /** Series-key cohort width for [[gapfillHourly]] — interpolated into the
+    * DuckDB oracle so grid shapes cannot diverge.
+    */
+  val GapfillCohorts = 23
+
+  /** Hourly grid + forward-fill: every (cohort, event_type) series gets
+    * one row per hour of the corpus span; silent hours carry `n_events=0`
+    * and the LAST observed hourly sum (`last(..., ignoreNulls)` over a
+    * running frame — hours before a series' first observation stay null).
+    * This is the gap-fill / LOCF resample a feature pipeline runs before
+    * windowed training joins: downstream as-of logic needs a dense grid.
+    *
+    * Scale: the grid is GENERATED (|series| × horizon rows from a
+    * broadcast 1-row span — never shuffled into existence), the hourly
+    * reduction is one shuffle, the grid join and fill window both hash on
+    * the series key. Horizon × |series| bounds the output; the raw corpus
+    * never re-shuffles.
+    */
+  def gapfillHourly(events: DataFrame, cohorts: Int = GapfillCohorts): DataFrame = {
+    val keyed = events
+      .withColumn("cohort", col("user_id") % cohorts)
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val hourly = keyed.groupBy("cohort", "event_type", "h")
+      .agg(count(lit(1)).as("n_obs"), Exact.moneySum(col("value")).as("sum_value"))
+    // span and series derive from the HOURLY aggregate, not the raw
+    // corpus: date_trunc preserves min/max and a series with zero events
+    // has no grid either way. Catalyst COLLAPSES these agg-of-agg trees
+    // into direct aggregations over column-pruned scans ((user_id,
+    // event_type) / (ts) only), so the plan is three narrow map-side
+    // passes whose exchanges all carry aggregated partials — raw rows
+    // never cross the network (PlanSpec pins that shape)
+    val span = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = hourly.select("cohort", "event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("cohort"), col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val fill = Window.partitionBy(col("cohort"), col("event_type"))
+      .orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("cohort", "event_type", "h"), "left")
+      .select(col("cohort"), col("event_type"), col("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(fill).as("filled_sum"))
+  }
 }

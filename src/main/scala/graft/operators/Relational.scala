@@ -210,4 +210,41 @@ object Relational {
       .withColumn("user_id_back", expr("substring_index(composite_key, '-', 1)").cast("long"))
       .withColumn("q_page_back", expr("substring_index(composite_key, '-', -1)").cast("long"))
       .select("composite_key", "user_id_back", "q_page_back", "n")
+
+  /** SCD type-2 history build: collapse each customer's order-status
+    * timeline into validity intervals `[valid_from, valid_to)` — the
+    * dimension-history form of the reference's latest-value KTable (A1 is
+    * SCD1: keep the last; this keeps them ALL, versioned). Consecutive
+    * orders with the same status merge into one run; a status that recurs
+    * later opens a NEW version (run-length islands, not a status groupBy).
+    *
+    * Run detection is the lag-change + running-sum formulation
+    * (one window spec, total order `o_orderdate, o_orderkey`): the
+    * change-flag, the run id, the run aggregation, AND the final
+    * `lead(valid_from)` all hash on `o_custkey` alone, so the whole
+    * operator is ONE exchange of the orders projection — the rn−rn_s
+    * two-ranking alternative costs a second (custkey, status) shuffle for
+    * the same result.
+    */
+  def scd2OrderStatus(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = orders
+      .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(byCust).isNull
+          || lag(col("o_orderstatus"), 1).over(byCust) =!= col("o_orderstatus"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(running))
+    val byRun = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+    seq.groupBy("o_custkey", "run_id")
+      .agg(min("o_orderstatus").as("o_orderstatus"),
+        min("o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("valid_from"),
+        lead(col("valid_from"), 1).over(byRun).as("valid_to"),
+        col("n_orders"), col("run_id").as("scd_ver"))
+  }
 }

@@ -1629,4 +1629,137 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzzy: delete neighborhood is the term plus every single deletion") {
+    val out = Seq(Tuple1("abc")).toDF("q_term")
+      .select(Fuzzy.deleteNeighborhood("q_term"))
+      .as[Seq[String]].head()
+    assert(out.toSet == Set("abc", "bc", "ac", "ab"))
+    // doubled character: both deletions collapse to one variant
+    val dd = Seq(Tuple1("aab")).toDF("q_term")
+      .select(Fuzzy.deleteNeighborhood("q_term"))
+      .as[Seq[String]].head()
+    assert(dd.toSet == Set("aab", "ab", "aa"))
+  }
+
+  test("fuzzy match: insert/delete/substitute hit, transposition verified OUT") {
+    val dict = Seq("table scan fast", "merge join slow").toDF("term")
+    val queries = Seq(
+      (1L, "table scan fast"),   // exact (dist 0)
+      (2L, "tble scan fast"),    // deletion in query
+      (3L, "table sscan fast"),  // insertion in query
+      (4L, "table scan fasq"),   // substitution
+      (5L, "tabel scan fast"),   // transposition = dist 2: shares a
+                                 // delete key, the verify must drop it
+      (6L, "window sort limit")) // unrelated
+      .toDF("doc_id", "q_term")
+    val out = Fuzzy.fuzzyMatch(queries, dict)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "table scan fast", "table scan fast", 0L),
+      (2L, "tble scan fast", "table scan fast", 1L),
+      (3L, "table sscan fast", "table scan fast", 1L),
+      (4L, "table scan fasq", "table scan fast", 1L)))
+  }
+
+  test("fuzzy match: blocked join equals brute-force levenshtein (differential)") {
+    // adversarial mini-universe: chains of distance-1 neighbors, repeats,
+    // shared deletions — every pair within distance 1 must surface
+    val universe = Seq("abcd", "abc", "abd", "acd", "bcd", "abcde",
+      "xbcd", "axcd", "abxd", "abcx", "wxyz", "abab", "baba")
+    val dict = universe.toDF("term")
+    val queries = universe.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "q_term")
+    val got = Fuzzy.fuzzyMatch(queries, dict)
+      .select("doc_id", "dict_term").as[(Long, String)].collect().toSet
+    val want = (for {
+      (q, i) <- universe.zipWithIndex; d <- universe
+      if levenshteinDist(q, d) <= 1
+    } yield (i.toLong, d)).toSet
+    assert(got == want)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("fuzzy spellMatch: every injected typo finds its source shingle") {
+    val out = Fuzzy.spellMatch(Tables.documents(spark, sfDir))
+    // the typo'd first shingle of every doc_id%5 doc is one edit from a
+    // real corpus shingle; shingles seen >=2 times are in the dictionary,
+    // so a non-trivial match set must come back, every row dist<=1
+    val collected = out.select("doc_id", "dist").as[(Long, Long)].collect()
+    assert(collected.nonEmpty)
+    assert(collected.forall(_._2 <= 1L))
+  }
+
+  test("resample OHLC: open/close picked by total (ts, event_id) order") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val evs = Seq(
+      // same ts for first two rows: event_id breaks the tie for open
+      (11L, t0, 1L, "click", 5.0, ""),
+      (10L, t0, 2L, "click", 3.0, ""),
+      (12L, t1, 3L, "click", 9.0, ""),
+      (13L, t1, 4L, "view", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = TimeSeries.resampleOhlc(evs)
+      .orderBy("event_type")
+      .select("event_type", "n_events", "sum_value", "low_value",
+        "high_value", "open_value", "close_value")
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("click", 3L, 17.0, 3.0, 9.0, 3.0, 9.0),
+      ("view", 1L, 2.0, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  test("gapfill: silent hours get zero counts and the last observed sum") {
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), 1L, "click", 4.0, ""),
+      // 11:00 silent
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:05:00"), 1L, "click", 6.0, ""),
+      // a second series whose first observation is LATE: its leading
+      // hours must stay null-filled, not inherit another series' sum
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 2L, "view", 1.5, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = TimeSeries.gapfillHourly(evs, cohorts = 100)
+      .orderBy("cohort", "event_type", "h")
+      .select("cohort", "event_type", "n_events", "filled_sum")
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, "click", 1L, Some(4.0)),   // 10:00
+      (1L, "click", 0L, Some(4.0)),   // 11:00 gap: count 0, LOCF sum
+      (1L, "click", 1L, Some(6.0)),   // 12:00
+      (2L, "view", 0L, None),         // 10:00 pre-first-observation
+      (2L, "view", 0L, None),         // 11:00
+      (2L, "view", 1L, Some(1.5))))   // 12:00
+  }
+
+  test("profileApprox: same shape as exact profile, estimates near exact") {
+    val df = Tables.documents(spark, sfDir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val exact = Curation.profile(df, cols).orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    val approx = Curation.profileApprox(df, cols).orderBy("column_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(approx.map(_._1).toSeq == exact.map(_._1).toSeq)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(a._2 == e._2 && a._3 == e._3, s"rows/nulls must be exact: $a vs $e")
+      assert(a._5 == e._5 && a._6 == e._6, s"min/max must be exact: $a vs $e")
+      // HLL++ at 5% rsd: generous 3-sigma-ish band
+      assert(math.abs(a._4 - e._4) <= math.max(2L, (e._4 * 0.15).toLong),
+        s"distinct estimate off: $a vs $e")
+    }
+    // the whole point: the approx plan has NO Expand
+    val p = Curation.profileApprox(df, cols).queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p)
+  }
 }

@@ -146,4 +146,36 @@ class OperatorsSpec extends SparkSpec {
     // all event users exist in this testdata, so it is actually equal
     assert(enriched.count() == e.count())
   }
+
+  test("SCD2: consecutive runs merge, recurring status reopens a version") {
+    def d(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+    val orders = Seq(
+      // customer 1: O,O -> F -> O again (status recurs: three versions)
+      (101L, 1L, "O", 10.0, d("1995-01-01"), "x"),
+      (102L, 1L, "O", 10.0, d("1995-02-01"), "x"),
+      (103L, 1L, "F", 10.0, d("1995-03-01"), "x"),
+      (104L, 1L, "O", 10.0, d("1995-04-01"), "x"),
+      // customer 2: single order, open-ended interval
+      (201L, 2L, "P", 10.0, d("1995-06-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Relational.scd2OrderStatus(orders)
+      .orderBy("o_custkey", "scd_ver")
+      .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "n_orders", "scd_ver")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "O", d("1995-01-01"), Some(d("1995-03-01")), 2L, 1L),
+      (1L, "F", d("1995-03-01"), Some(d("1995-04-01")), 1L, 2L),
+      (1L, "O", d("1995-04-01"), None, 1L, 3L),
+      (2L, "P", d("1995-06-01"), None, 1L, 1L)))
+    // intervals chain: every valid_to equals the NEXT version's valid_from
+    out.groupBy(_._1).values.foreach { runs =>
+      runs.sortBy(_._6).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
 }

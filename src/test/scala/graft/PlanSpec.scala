@@ -287,4 +287,40 @@ class PlanSpec extends SparkSpec {
       .orderBy("record_key", "record_value").collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("resample OHLC: both rank windows and the agg share ONE exchange") {
+    val p = plan(graft.ext.TimeSeries.resampleOhlc(Tables.events(spark, sfDir)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("scd2: lag-change formulation keys everything on custkey — one exchange") {
+    val p = plan(graft.operators.Relational.scd2OrderStatus(
+      spark.read.parquet(s"$sfDir/orders.parquet")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("fuzzy match: neighborhood equi-join, never a cartesian") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.ext.Fuzzy.spellMatch(docs)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("gapfill: every exchange carries aggregated partials, never raw rows") {
+    val df = graft.ext.TimeSeries.gapfillHourly(Tables.events(spark, sfDir))
+    df.collect() // AQE: judge the final adaptive plan
+    // the adaptive toString prints Final AND Initial plans — count the final
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // three column-pruned passes (hourly / series keys / span), each
+    // partially aggregated BEFORE its exchange: two key-hash exchanges +
+    // the 1-row span SinglePartition; the only nested-loop join is that
+    // 1-row span broadcast (the house global-scalar pattern)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the raw corpus is never globally sorted; the fill window sorts
+    // grid-sized data within series partitions only
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
