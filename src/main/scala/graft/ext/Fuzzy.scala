@@ -61,8 +61,8 @@ object Fuzzy {
     * the fingerprint family.
     */
   def dictionary(documents: DataFrame, minCount: Int = DictMinCount): DataFrame =
-    TextAnalysis.withShingles(documents, "sh")
-      .select(explode(col("sh")).as("term"))
+    TextAnalysis.shingleStream(documents)
+      .select(col("shingle").as("term"))
       .filter(length(col("term")) >= MinTermLen)
       .groupBy("term").agg(count(lit(1)).as("term_count"))
       .filter(col("term_count") >= minCount)
@@ -75,9 +75,7 @@ object Fuzzy {
     * pattern for a corpus whose real vocabulary is uniform.
     */
   def typoQueries(documents: DataFrame, mod: Int = 5): DataFrame =
-    TextAnalysis.withShingles(documents, "sh")
-      .filter(col("doc_id") % mod === 0)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    TextAnalysis.shingleStream(documents.filter(col("doc_id") % mod === 0))
       .groupBy("doc_id").agg(min("shingle").as("term"))
       .filter(length(col("term")) >= MinTermLen)
       .select(col("doc_id"), expr(

@@ -43,14 +43,19 @@ object TextAnalysis {
            |    element_at($toksCol, j + 2),
            |    element_at($toksCol, j + 3)))""".stripMargin))
 
-  /** Convenience form over raw text (adds the token column itself); prefer
-    * `df.withColumn("toks", tokens(col("text")))` + `shinglesFromTokens`
-    * when the caller also needs the tokens.
+  /** Exploded `(doc_id, shingle)` stream over raw text — the safe
+    * composition of [[tokens]] + [[shinglesFromTokens]]: the Generate
+    * (explode) node between the two projections stops CollapseProject
+    * from inlining the tokenization into the shingle lambda. A
+    * `withColumn(sh)`/`drop` convenience form used to live here and was
+    * measured at 18× this form's wall at sf0.1 — the collapsed plan
+    * re-tokenized per lambda element, exactly the O(tokens²) pathology
+    * the [[shinglesFromTokens]] docstring warns about, so the trap API
+    * is gone and callers get the exploded stream.
     */
-  def withShingles(df: DataFrame, out: String = "sh"): DataFrame =
+  def shingleStream(df: DataFrame): DataFrame =
     df.withColumn("__toks", tokens(col("text")))
-      .withColumn(out, shinglesFromTokens("__toks"))
-      .drop("__toks")
+      .select(col("doc_id"), explode(shinglesFromTokens("__toks")).as("shingle"))
 
   /** Token / length / quality statistics. `is_quality` uses the usual
     * training-data gates (length band, stopword presence, mean-token-length
