@@ -353,6 +353,10 @@ object SparkEntry {
       Dedup.jaccardAgainstIndex(s, base.filter(col("doc_id") % 3 === 0), "graft_jac_idx_q")
         .orderBy("doc_new", "doc_corpus")
     }),
+    // asymmetric shingle containment at tau=60%: each planted half-doc
+    // "benchmark" must flag its parent regardless of the parent's length
+    "ext_containment" -> ((s, d) =>
+      Dedup.decontaminationContainment(docs(s, d)).orderBy("q_id", "doc_id")),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "ext_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
@@ -1637,6 +1641,30 @@ object SparkEntry {
          |FROM jpr JOIN jsz sa ON sa.doc_id = doc_corpus JOIN jsz sb ON sb.doc_id = doc_new
          |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
          |ORDER BY doc_new, doc_corpus""".stripMargin,
+    // naive all-pairs containment twin: the prefix filter is lossless, so
+    // the qualifying SET is identical; the Spark side's blocked form is
+    // what runs at corpus scale
+    "ext_containment" ->
+      s"""WITH hhalf AS (SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(words[len(words) // 2 + 1 :], ' ') AS text
+         |  FROM (SELECT doc_id, string_split($NORM, ' ') AS words
+         |        FROM documents WHERE doc_id % 9 = 0)),
+         |${shingleCtes(
+             "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 " +
+             "UNION ALL SELECT doc_id, text FROM hhalf")},
+         |ash AS (SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(sh) AS shingle FROM scte)
+         |  WHERE shingle != ''),
+         |ccsh AS (SELECT doc_id, shingle FROM ash WHERE doc_id < 2000000),
+         |cqsh AS (SELECT doc_id AS q_id, shingle FROM ash WHERE doc_id >= 2000000),
+         |cnq AS (SELECT q_id, count(*) AS n_q FROM cqsh GROUP BY 1),
+         |ccom AS (SELECT q.q_id, c.doc_id, count(*) AS n_common
+         |  FROM cqsh q JOIN ccsh c ON q.shingle = c.shingle GROUP BY 1, 2)
+         |SELECT m.q_id, m.doc_id, m.n_common, n.n_q,
+         |  (m.n_common * 1000000) // n.n_q AS c_ppm
+         |FROM ccom m JOIN cnq n USING (q_id)
+         |WHERE (m.n_common * 1000000) // n.n_q >= 600000
+         |ORDER BY q_id, doc_id""".stripMargin,
     "ext_simhash" ->
       s"""WITH ${simhashCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,

@@ -269,6 +269,91 @@ object Dedup {
       .filter(col("j_ppm") >= tauPpm)
   }
 
+  /** Exact τ-CONTAINMENT join — the asymmetric sibling of [[jaccardJoin]]
+    * and the real decontamination primitive: C(A→B) = |A∩B| / |A| ≥ τ
+    * flags corpus docs B that CONTAIN most of benchmark doc A regardless
+    * of how much other text B carries (symmetric Jaccard misses exactly
+    * the bad case — a benchmark pasted into a long page — because |∪|
+    * grows with B). Shingle-level sets (3-token), so topical word overlap
+    * doesn't trigger, verbatim passages do.
+    *
+    * Losslessness (prefix filter, containment form): order the corpus
+    * shingle vocabulary df-asc. A qualifying pair needs
+    * o = ⌈τ·n_A⌉ common shingles, so A's globally-rarest common shingle
+    * sits within A's first |toks_A| − o + 1 in that order — an
+    * explode(prefix) × corpus-postings equi-join generates every
+    * qualifying pair (B-side pruning is impossible: containment puts no
+    * bound on |B|, which is the point). Query shingles UNSEEN in the
+    * corpus vocabulary can't match anything but still count into n_A (and
+    * shrink the prefix only through o — they are excluded from toks_A, so
+    * the prefix stays a superset of the lossless one). Verification is
+    * the [[jaccardJoin]] merge walk (`sorted_intersect_count`).
+    *
+    * Scale: vocabulary rank is distributed ([[Ranks.globalRank]]); the
+    * candidate join is query-prefix rows against the corpus posting
+    * stream — rarest-first prefixes keep the joined dfs in the low tail
+    * (the PPJoin economics), and the benchmark side of a decontamination
+    * run is orders smaller than the corpus, so candidates ≈ planted hits.
+    * Nothing is ever all-pairs; the oracle twin runs the naive form and
+    * the result SET matches because the filter is lossless.
+    */
+  def containmentJoin(queries: DataFrame, corpus: DataFrame,
+                      tauPpm: Long = 600000L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.SortedIntersectCount.register(spark)
+    val csh = TextAnalysis.shingleStream(corpus)
+      .filter(col("shingle") =!= "").distinct()
+    val qsh = TextAnalysis.shingleStream(queries)
+      .filter(col("shingle") =!= "").distinct()
+      .withColumnRenamed("doc_id", "q_id")
+    val vocab = Ranks.globalRank(
+        csh.groupBy("shingle").agg(count(lit(1)).as("df")),
+        "tid", col("df").asc, col("shingle").asc)
+      .withColumn("tid", col("tid").cast("int"))
+      .select("shingle", "tid")
+    val cstream = csh.join(broadcast(vocab), "shingle")
+      .select(col("doc_id"), col("tid"))
+    val ctoks = cstream.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("tb"))
+    val qtoks = qsh.join(broadcast(vocab), Seq("shingle"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_q"),
+        sort_array(collect_list(col("tid"))).as("ta"))
+      .withColumn("o", expr(s"(n_q * ${tauPpm}L + 999999L) div 1000000L"))
+      .filter(size(col("ta")) >= col("o"))
+    val prefix = qtoks
+      .select(col("q_id"),
+        explode(expr("slice(ta, 1, int(size(ta) - o + 1L))")).as("tid"))
+    val cand = prefix.join(cstream, "tid")
+      .select("q_id", "doc_id").distinct()
+    cand
+      .join(qtoks.select("q_id", "n_q", "o", "ta"), "q_id")
+      .join(ctoks, "doc_id")
+      .withColumn("n_common", expr("sorted_intersect_count(ta, tb)"))
+      .filter(col("n_common") >= col("o"))
+      .select(col("q_id"), col("doc_id"), col("n_common"), col("n_q"),
+        expr("(n_common * 1000000L) div n_q").as("c_ppm"))
+      .filter(col("c_ppm") >= tauPpm)
+  }
+
+  /** The oracle-checked decontamination composition: "benchmarks" are the
+    * second token-halves of every doc_id % 9 doc (id-shifted by 2,000,000
+    * — each half's shingle set is contained in its parent by
+    * construction), the corpus is the doc_id % 3 universe. A half must
+    * surface its parent at τ = 60 % containment; unrelated docs only on
+    * real shingle overlap.
+    */
+  def decontaminationContainment(documents: DataFrame,
+                                 tauPpm: Long = 600000L): DataFrame = {
+    val corpus = documents.filter(col("doc_id") % 3 === 0)
+    val halves = documents.filter(col("doc_id") % 9 === 0)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(expr("slice(__toks, size(__toks) div 2 + 1, size(__toks))"),
+          " ").as("text"))
+    containmentJoin(halves, corpus, tauPpm)
+  }
+
   /** Build the persisted prefix index for INCREMENTAL exact τ-Jaccard dedup
     * — [[jaccardJoin]]'s build-once/probe-many form, completing the exact
     * half of the nightly-crawl story next to [[buildLshIndex]]. Three

@@ -1630,6 +1630,63 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("containment: pasted benchmark flags a LONG page that Jaccard misses") {
+    // benchmark doc pasted verbatim into a much longer page: containment
+    // C(A->B) = 100%, Jaccard ~ |A|/|B| << tau — the asymmetric case the
+    // operator exists for
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"filler$i word$i noise$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $bench $filler"),       // contains the benchmark
+      (2L, "totally unrelated content here"), // doesn't
+      (3L, bench))                            // exact copy
+      .toDF("doc_id", "text")
+    val queries = Seq((900L, bench)).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(queries, corpus, tauPpm = 600000L)
+      .orderBy("doc_id")
+      .select("q_id", "doc_id", "c_ppm").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((900L, 1L, 1000000L), (900L, 3L, 1000000L)))
+    // the same pair is INVISIBLE to symmetric Jaccard at any usable tau:
+    // doc 1's shingle set dwarfs the benchmark's
+    val j = Dedup.jaccardJoin(
+      Seq((900L, bench), (1L, s"$filler $bench $filler")).toDF("doc_id", "text"),
+      tauPpm = 600000L).collect()
+    assert(j.isEmpty)
+  }
+
+  test("containment: partial overlap below tau is dropped by the verify") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // 8 shingles in the query, only 2 shared ("one two three" prefix run)
+    // -> containment 25% < 60%: candidate generated (shared rare
+    // shingle), then verified OUT
+    val queries = Seq(
+      (900L, "one two three four xx yy zz ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(queries, corpus, tauPpm = 600000L).collect()
+    assert(out.isEmpty)
+    // same universes at tau=20%: the pair now qualifies, and n_common
+    // counts exactly the shared shingle run
+    val low = Dedup.containmentJoin(queries, corpus, tauPpm = 200000L)
+      .select("q_id", "doc_id", "n_common", "n_q")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(low == Seq((900L, 1L, 2L, 10L)))
+  }
+
+  test("containment: corpus-unseen query shingles count in n_q, never match") {
+    // every query shingle is OOV except one: n_q must still be the FULL
+    // distinct count (the denominator a decontamination audit reports)
+    val corpus = Seq((1L, "shared run here and more text")).toDF("doc_id", "text")
+    val queries = Seq((900L, "shared run here qq rr ss")).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(queries, corpus, tauPpm = 250000L)
+      .select("q_id", "doc_id", "n_common", "n_q")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // query shingles: 4 distinct ("shared run here", "run here qq",
+    // "here qq rr", "qq rr ss"); only the first exists in the corpus
+    assert(out == Seq((900L, 1L, 1L, 4L)))
+  }
+
   test("fuzzy: delete neighborhood is the term plus every single deletion") {
     val out = Seq(Tuple1("abc")).toDF("q_term")
       .select(Fuzzy.deleteNeighborhood("q_term"))
