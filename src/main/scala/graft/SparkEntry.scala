@@ -299,6 +299,23 @@ object SparkEntry {
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
       Fuzzy.spellMatch(docs(s, d)).orderBy("doc_id", "dict_term")),
+    // the persisted-dictionary lifecycle END-TO-END under the oracle:
+    // build the generation-swap index on 2/3 of the corpus, append the
+    // remainder as one LIVE delta batch, probe base ∪ delta — answers
+    // must equal one-shot whole-corpus spellMatch, which only holds if
+    // admission counts sum across layers (a term below DictMinCount in
+    // each layer alone must still match when the total crosses it)
+    "ext_fuzzy_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fuzzy_delta").toString
+      Fuzzy.buildFuzzyIndexGen(all.filter(col("doc_id") % 3 =!= 0),
+        "graft_fuzzy_idx_q")
+      Fuzzy.appendFuzzyBatch(all.filter(col("doc_id") % 3 === 0), dir, 1L)
+      Fuzzy.fuzzyAgainstIndexWith(s, Fuzzy.typoQueries(all),
+        "graft_fuzzy_idx_q", Some(dir))
+        .orderBy("doc_id", "dict_term")
+    }),
     // SCD2 dimension history: order-status validity intervals per customer
     "ext_scd2" -> ((s, d) =>
       Relational.scd2OrderStatus(Tables.orders(s, d)).orderBy("o_custkey", "scd_ver")),
@@ -786,6 +803,34 @@ object SparkEntry {
       |FROM events WHERE event_type = 'click'""".stripMargin
 
   private def moneySumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Brute-force fuzzy-match twin, shared by `ext_fuzzy_match` and
+    * `ext_fuzzy_incremental` (the incremental path's contract is exact
+    * equality with the one-shot whole-corpus result).
+    */
+  private lazy val fuzzyOracleSql: String = {
+    val p = s"CAST((doc_id // 3) % length(term) AS INT)"
+    s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
+       |fsh AS (SELECT doc_id, unnest(sh) AS shingle FROM scte),
+       |fdict AS (SELECT shingle AS term FROM fsh
+       |  WHERE length(shingle) >= ${graft.ext.Fuzzy.MinTermLen}
+       |  GROUP BY 1 HAVING count(*) >= ${graft.ext.Fuzzy.DictMinCount}),
+       |fq0 AS (SELECT doc_id, min(shingle) AS term FROM fsh
+       |  WHERE doc_id % 5 = 0 GROUP BY 1),
+       |fq1 AS (SELECT doc_id, term FROM fq0
+       |  WHERE length(term) >= ${graft.ext.Fuzzy.MinTermLen}),
+       |fq AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN substr(term, 1, $p) || substr(term, $p + 2, length(term))
+       |    WHEN 1 THEN substr(term, 1, $p) || 'q' || substr(term, $p + 2, length(term))
+       |    ELSE substr(term, 1, $p + 1) || 'q' || substr(term, $p + 2, length(term))
+       |  END AS q_term FROM fq1)
+       |SELECT q.doc_id, q.q_term, d.term AS dict_term,
+       |  CAST(levenshtein(q.q_term, d.term) AS BIGINT) AS dist
+       |FROM fq q JOIN fdict d ON abs(length(q.q_term) - length(d.term)) <= 1
+       |WHERE levenshtein(q.q_term, d.term) <= 1
+       |ORDER BY doc_id, dict_term""".stripMargin
+  }
 
   /** Shared boilerplate-removal oracle over a `bp(doc_id, text)` CTE body.
     * A doc that normalizes to ZERO sentences keeps its accounting row: the
@@ -2266,29 +2311,11 @@ object SparkEntry {
     // oracle uses the brute-force all-pairs form (length-banded): the
     // delete-neighborhood blocking is lossless at distance <= 1, so the
     // qualifying-pair SET is identical by construction
-    "ext_fuzzy_match" -> {
-      val p = s"CAST((doc_id // 3) % length(term) AS INT)"
-      s"""WITH ${shingleCtes("SELECT doc_id, text FROM documents")},
-         |fsh AS (SELECT doc_id, unnest(sh) AS shingle FROM scte),
-         |fdict AS (SELECT shingle AS term FROM fsh
-         |  WHERE length(shingle) >= ${graft.ext.Fuzzy.MinTermLen}
-         |  GROUP BY 1 HAVING count(*) >= ${graft.ext.Fuzzy.DictMinCount}),
-         |fq0 AS (SELECT doc_id, min(shingle) AS term FROM fsh
-         |  WHERE doc_id % 5 = 0 GROUP BY 1),
-         |fq1 AS (SELECT doc_id, term FROM fq0
-         |  WHERE length(term) >= ${graft.ext.Fuzzy.MinTermLen}),
-         |fq AS (SELECT doc_id,
-         |  CASE CAST(doc_id % 3 AS INT)
-         |    WHEN 0 THEN substr(term, 1, $p) || substr(term, $p + 2, length(term))
-         |    WHEN 1 THEN substr(term, 1, $p) || 'q' || substr(term, $p + 2, length(term))
-         |    ELSE substr(term, 1, $p + 1) || 'q' || substr(term, $p + 2, length(term))
-         |  END AS q_term FROM fq1)
-         |SELECT q.doc_id, q.q_term, d.term AS dict_term,
-         |  CAST(levenshtein(q.q_term, d.term) AS BIGINT) AS dist
-         |FROM fq q JOIN fdict d ON abs(length(q.q_term) - length(d.term)) <= 1
-         |WHERE levenshtein(q.q_term, d.term) <= 1
-         |ORDER BY doc_id, dict_term""".stripMargin
-    },
+    "ext_fuzzy_match" -> fuzzyOracleSql,
+    // IDENTICAL oracle: the persisted base ∪ delta path must equal the
+    // one-shot whole-corpus match exactly (the strongest incremental
+    // contract — cross-layer admission included)
+    "ext_fuzzy_incremental" -> fuzzyOracleSql,
     "ext_scd2" ->
       s"""WITH sseq AS (
          |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -118,4 +118,144 @@ object Fuzzy {
     */
   def spellMatch(documents: DataFrame): DataFrame =
     fuzzyMatch(typoQueries(documents), dictionary(documents))
+
+  // ---- persisted fuzzy dictionary: the FIFTH generation-swap index ----
+  //
+  // Two bucketed layers under the shared LSM lifecycle
+  // (sources.Bucketing):
+  //  - `{name}`      (k, term)  bucketed by neighborhood key k — the
+  //    candidate-generation side; holds keys for EVERY term regardless of
+  //    count (see admission note below).
+  //  - `{name}_cnt`  (term, cnt) bucketed by term — per-layer occurrence
+  //    counts (a delta batch's rows carry that batch's counts only).
+  //
+  // ADMISSION IS GLOBAL AND DECIDED AT PROBE TIME — the df-rederive
+  // posture of the BM25 family: a term with count 1 in the base and 1 in
+  // a live delta batch crosses DictMinCount and MUST match, so the index
+  // stores unthresholded counts and the probe sums base + delta counts
+  // for CANDIDATE terms only (candidate-sized work, never a
+  // dictionary-sized re-aggregation) before applying the threshold.
+  // Appends are STATELESS (a batch's keys and counts depend on nothing
+  // but the batch), so replay-idempotence is the partition overwrite
+  // alone. Keys may repeat across batches for a recurring term —
+  // harmless under the candidate distinct, folded away at compaction
+  // (distinct fold); the count layer folds by per-term sum. Layers swap
+  // independently: each probe resolves each layer's generation once, and
+  // a probe between the two swaps still sums every batch exactly once
+  // because each layer pairs its OWN base with its OWN watermark.
+
+  /** Build the persisted fuzzy dictionary as generation 1 behind views. */
+  def buildFuzzyIndexGen(documents: DataFrame, name: String,
+                         buckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    val b = graft.sources.Bucketing
+    b.requireSwapAdoptable(spark, name)
+    b.requireSwapAdoptable(spark, s"${name}_cnt")
+    val liveGen = b.liveGeneration(spark, name)
+    val liveGenC = b.liveGeneration(spark, s"${name}_cnt")
+    val g = math.max(b.currentGeneration(spark, name),
+      b.currentGeneration(spark, s"${name}_cnt")) + 1
+    val cnt = layerCounts(documents)
+    val physK = b.generationName(name, g)
+    val physC = b.generationName(s"${name}_cnt", g)
+    b.writeBucketed(layerKeys(cnt), physK, "k", buckets)
+    b.writeBucketed(cnt, physC, "term", buckets)
+    b.swapView(spark, name, physK)
+    b.swapView(spark, s"${name}_cnt", physC)
+    b.retireBelow(spark, name, liveGen)
+    b.retireBelow(spark, s"${name}_cnt", liveGenC)
+  }
+
+  /** One batch's (term, cnt) rows — shared by build and append so the
+    * two sides cannot diverge on tokenization or the length floor.
+    */
+  private def layerCounts(documents: DataFrame): DataFrame =
+    TextAnalysis.shingleStream(documents)
+      .filter(col("shingle") =!= "")
+      .select(col("shingle").as("term"))
+      .filter(length(col("term")) >= MinTermLen)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  private def layerKeys(cnt: DataFrame): DataFrame =
+    cnt.select(col("term"), explode(deleteNeighborhood("term")).as("k"))
+      .select("k", "term")
+
+  /** Append one micro-batch to the delta layers (`{deltaDir}/keys`,
+    * `{deltaDir}/cnt`) under its own batch_id partition. Stateless —
+    * see the lifecycle note — so redelivery is idempotent by the
+    * dynamic-partition overwrite alone.
+    */
+  def appendFuzzyBatch(batchDocs: DataFrame, deltaDir: String,
+                       batchId: Long): Unit = {
+    val b = graft.sources.Bucketing
+    val cnt = layerCounts(batchDocs)
+    b.writeDeltaPartition(cnt, s"$deltaDir/cnt", batchId)
+    b.writeDeltaPartition(layerKeys(cnt), s"$deltaDir/keys", batchId)
+  }
+
+  /** Fuzzy match of `queries(doc_id, q_term)` against the persisted
+    * dictionary, base ∪ live delta. Split per part: the bucketed keys
+    * base satisfies the candidate join from its layout and the bucketed
+    * count base satisfies the admission join — only query-/delta-/
+    * candidate-sized frames shuffle while a delta is live.
+    */
+  def fuzzyAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, name: String,
+                            deltaDir: Option[String] = None): DataFrame = {
+    val b = graft.sources.Bucketing
+    val (baseK, deltaK) = b.layerParts(
+      spark, name, deltaDir.map(d => s"$d/keys"), Seq("k", "term"))
+    val (baseC, deltaC) = b.layerParts(
+      spark, s"${name}_cnt", deltaDir.map(d => s"$d/cnt"), Seq("term", "cnt"))
+    val qk = queries.select(col("doc_id"), col("q_term"),
+      explode(deleteNeighborhood("q_term")).as("k"))
+    val cand = (qk.join(baseK, "k") +: deltaK.map(qk.join(_, "k")).toSeq)
+      .reduce(_ unionByName _)
+      .select("doc_id", "q_term", "term").distinct()
+    val candTerms = cand.select("term").distinct()
+    val totals = (candTerms.join(baseC, "term") +:
+        deltaC.map(candTerms.join(_, "term")).toSeq)
+      .reduce(_ unionByName _)
+      .groupBy("term").agg(sum("cnt").as("total_cnt"))
+      .filter(col("total_cnt") >= DictMinCount)
+    cand.join(totals.select("term"), "term")
+      .select(col("doc_id"), col("q_term"), col("term").as("dict_term"))
+      .filter(levenshtein(col("q_term"), col("dict_term")) <= 1)
+      .withColumn("dist", levenshtein(col("q_term"), col("dict_term")).cast("long"))
+  }
+
+  /** Generation-swap compaction of both layers (see
+    * [[sources.Bucketing.compactLayerGen]]): keys fold to distinct,
+    * counts fold to per-term sums — representation only; probes already
+    * aggregate base ∪ delta, so answers are identical across the fold.
+    */
+  def compactFuzzyIndexGen(spark: org.apache.spark.sql.SparkSession,
+                           name: String, deltaDir: String,
+                           buckets: Int = 8): Unit = {
+    val b = graft.sources.Bucketing
+    b.compactLayerGen(spark, name, s"$deltaDir/keys",
+      "k", Seq("k", "term"), buckets, compact = true,
+      fold = _.distinct())
+    b.compactLayerGen(spark, s"${name}_cnt", s"$deltaDir/cnt",
+      "term", Seq("term", "cnt"), buckets, compact = true,
+      fold = _.groupBy("term").agg(sum("cnt").as("cnt")))
+  }
+
+  /** Threshold-gated [[compactFuzzyIndexGen]] — the family's
+    * compaction-cadence knob; pressure reads from the cnt layer (every
+    * batch writes it). True only when the watermark advanced.
+    */
+  def compactFuzzyIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                           name: String, deltaDir: String,
+                           maxUnfolded: Int, buckets: Int = -1): Boolean = {
+    val b = graft.sources.Bucketing
+    if (b.unfoldedBatchCount(spark, s"${name}_cnt", s"$deltaDir/cnt")
+        > maxUnfolded) {
+      val before = b.foldedBatchMax(spark, s"${name}_cnt")
+      val useBuckets = if (buckets > 0) buckets
+        else b.inheritedBucketCount(spark, s"${name}_cnt")
+      compactFuzzyIndexGen(spark, name, deltaDir, useBuckets)
+      b.foldedBatchMax(spark, s"${name}_cnt") > before
+    } else false
+  }
 }

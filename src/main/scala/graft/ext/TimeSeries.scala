@@ -126,6 +126,31 @@ object TimeSeries {
         max(when(col("rn_d") === 1, col("value"))).as("close_value"))
   }
 
+  /** Streaming form of [[resampleOhlc]]: watermarked tumbling-hour
+    * aggregation. A streaming agg cannot rank within the hour, so
+    * open/close come from `min_by`/`max_by` over the (ts, event_id)
+    * struct — a TOTAL order (event ids are unique), so the pick is
+    * deterministic and equal to the batch row_number formulation
+    * regardless of arrival order across micro-batches (StreamingSpec
+    * asserts the differential with out-of-order feeds). State is one row
+    * per (event_type, hour) window, expired by the watermark — bounded
+    * regardless of stream length.
+    */
+  def resampleOhlcStreaming(events: DataFrame,
+                            watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("sum_value"),
+        min("value").as("low_value"),
+        max("value").as("high_value"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_value"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_value"))
+      .select(col("event_type"), col("window.start").as("h"),
+        col("n_events"), col("sum_value"), col("low_value"),
+        col("high_value"), col("open_value"), col("close_value"))
+
   /** Series-key cohort width for [[gapfillHourly]] — interpolated into the
     * DuckDB oracle so grid shapes cannot diverge.
     */

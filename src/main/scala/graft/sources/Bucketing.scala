@@ -488,7 +488,8 @@ object Bucketing {
     */
   def compactLayerGen(spark: SparkSession, table: String, deltaPath: String,
                       key: String, cols: Seq[String], buckets: Int,
-                      compact: Boolean = false): Unit = {
+                      compact: Boolean = false,
+                      fold: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
     requireSwapAdoptable(spark, table)
     val srcPhys = resolvePhysical(spark, table)
@@ -515,11 +516,16 @@ object Bucketing {
       return
     }
     val base = spark.table(srcPhys).select(cols.map(col): _*)
-    val rows = delta
+    // `fold` post-processes the unioned rows for layers whose append
+    // semantics are not disjoint-union: a count layer sums per key, a
+    // keys layer that may repeat rows across batches folds to distinct.
+    // Probes must apply the SAME aggregation over base ∪ live delta, so
+    // folding is purely a compaction of representation, never of meaning.
+    val rows = fold(delta
       .map(_.filter(col("batch_id").cast("long") > prevFolded &&
           col("batch_id").cast("long") <= newFolded)
         .drop("batch_id"))
-      .map(base.unionByName(_)).getOrElse(base)
+      .map(base.unionByName(_)).getOrElse(base))
     // manifest BEFORE the physical table: readers that DERIVE a sibling
     // generation (the Jaccard probe derives toks/prefix from the vocab
     // generation) pick the table up the moment it exists in the catalog —

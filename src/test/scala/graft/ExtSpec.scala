@@ -1747,6 +1747,72 @@ class ExtSpec extends SparkSpec {
     dp(a.length)(b.length)
   }
 
+  test("fuzzy index: admission sums ACROSS layers (df-rederive posture)") {
+    // the shingle "rare term here" appears ONCE in the base and ONCE in
+    // the delta batch: below DictMinCount=2 in each layer alone, admitted
+    // on the summed total — the probe must match it. "only base once"
+    // stays at total 1 and must NOT match.
+    val base = Seq((1L, "rare term here plus base pad")).toDF("doc_id", "text")
+    val delta = Seq((2L, "rare term here plus delta pad")).toDF("doc_id", "text")
+    val name = "graft_fuzzy_cross_t"
+    val dir = TestSpark.managedTempDir("fuzzycross")
+    Fuzzy.buildFuzzyIndexGen(base, name)
+    Fuzzy.appendFuzzyBatch(delta, s"$dir/d", 0L)
+    val queries = Seq(
+      (900L, "rare term herq"),   // 1 edit from the cross-layer shingle
+      (901L, "plus base pxd"))    // 1 edit from a base-only (count 1) shingle
+      .toDF("doc_id", "q_term")
+    // base-only probe: total counts are 1 everywhere -> nothing admitted
+    assert(Fuzzy.fuzzyAgainstIndexWith(spark, queries, name).collect().isEmpty)
+    // base ∪ delta: the shared shingle crosses the threshold
+    val got = Fuzzy.fuzzyAgainstIndexWith(spark, queries, name, Some(s"$dir/d"))
+      .select("doc_id", "dict_term").as[(Long, String)].collect().toSeq
+    assert(got == Seq((900L, "rare term here")))
+  }
+
+  test("fuzzy index: base+delta probe equals the one-shot spellMatch") {
+    val docs = Tables.documents(spark, sfDir)
+    val name = "graft_fuzzy_diff_t"
+    val dir = TestSpark.managedTempDir("fuzzydiff")
+    Fuzzy.buildFuzzyIndexGen(docs.filter(col("doc_id") % 4 =!= 0), name)
+    Fuzzy.appendFuzzyBatch(docs.filter(col("doc_id") % 4 === 0), s"$dir/d", 0L)
+    val q = Fuzzy.typoQueries(docs)
+    val inc = Fuzzy.fuzzyAgainstIndexWith(spark, q, name, Some(s"$dir/d"))
+      .select("doc_id", "dict_term").as[(Long, String)].collect().toSet
+    val oneShot = Fuzzy.fuzzyMatch(q, Fuzzy.dictionary(docs))
+      .select("doc_id", "dict_term").as[(Long, String)].collect().toSet
+    assert(inc == oneShot && inc.nonEmpty)
+  }
+
+  test("fuzzy cadence knob: gate shut below threshold, fold above, answers fixed") {
+    val base = Seq((1L, "alpha beta gamma pad a"),
+      (2L, "alpha beta gamma pad b")).toDF("doc_id", "text")
+    val name = "graft_fuzzy_cadence_t"
+    val dir = TestSpark.managedTempDir("fuzzycadence")
+    val deltaDir = s"$dir/d"
+    Fuzzy.buildFuzzyIndexGen(base, name, buckets = 2)
+    Fuzzy.appendFuzzyBatch(
+      Seq((10L, "gamma pad extra one x"),
+        (11L, "gamma pad extra one y")).toDF("doc_id", "text"), deltaDir, 0L)
+    val queries = Seq((900L, "alpha beta gamqa"),
+      (901L, "gamma pad extrq")).toDF("doc_id", "q_term")
+    def probe(): Set[(Long, String)] = Fuzzy
+      .fuzzyAgainstIndexWith(spark, queries, name, Some(deltaDir))
+      .select("doc_id", "dict_term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = probe()
+    assert(before.exists(_._1 == 901L))
+    // one unfolded batch, threshold 1: gate stays shut, nothing folds
+    assert(!Fuzzy.compactFuzzyIfNeeded(spark, name, deltaDir, maxUnfolded = 1))
+    assert(graft.sources.Bucketing.foldedBatchMax(spark, s"${name}_cnt") == -1L)
+    // threshold 0: folds (buckets inherited from the build), true because
+    // the watermark advanced; answers unchanged; second call gate-shut
+    assert(Fuzzy.compactFuzzyIfNeeded(spark, name, deltaDir, maxUnfolded = 0))
+    assert(graft.sources.Bucketing.foldedBatchMax(spark, s"${name}_cnt") == 0L)
+    assert(probe() == before)
+    assert(!Fuzzy.compactFuzzyIfNeeded(spark, name, deltaDir, maxUnfolded = 0))
+  }
+
   test("fuzzy spellMatch: every injected typo finds its source shingle") {
     val out = Fuzzy.spellMatch(Tables.documents(spark, sfDir))
     // the typo'd first shingle of every doc_id%5 doc is one edit from a

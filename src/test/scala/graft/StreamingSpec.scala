@@ -471,4 +471,45 @@ class StreamingSpec extends SparkSpec {
     Achievements.sinkToParquet(spark, batch0.drop("batch_id"), s"$dir/out", 0L)
     assert(spark.read.parquet(s"$dir/out").count() == cnt)
   }
+
+  test("streaming OHLC resample equals batch under out-of-order arrival") {
+    import graft.ext.TimeSeries
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Topology.startMemorySink(
+      TimeSeries.resampleOhlcStreaming(mem.toDF()), "ohlc_test", tick)
+    // hour 10: the true open (10:01) arrives LAST, in a later micro-batch;
+    // a same-timestamp tie (ids 12/13) must break by event_id both ways
+    def e(id: Long, t: String, v: Double) =
+      TestEv(id, Timestamp.valueOf(t), 1L, "click", v, "{}")
+    mem.addData(
+      e(12, "2024-01-01 10:30:00", 7.0),
+      e(13, "2024-01-01 10:30:00", 9.0),
+      e(20, "2024-01-01 11:15:00", 2.0))
+    q.processAllAvailable()
+    mem.addData(e(10, "2024-01-01 10:01:00", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink: latest emission per key wins
+    val got = spark.table("ohlc_test")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "h").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .select("event_type", "h", "n_events", "sum_value", "low_value",
+        "high_value", "open_value", "close_value")
+    val batch = TimeSeries.resampleOhlc(Seq(
+      e(12, "2024-01-01 10:30:00", 7.0),
+      e(13, "2024-01-01 10:30:00", 9.0),
+      e(20, "2024-01-01 11:15:00", 2.0),
+      e(10, "2024-01-01 10:01:00", 4.0)).toDF())
+      .select("event_type", "h", "n_events", "sum_value", "low_value",
+        "high_value", "open_value", "close_value")
+    val g = got.orderBy("h").collect().toSeq
+    val b = batch.orderBy("h").collect().toSeq
+    assert(g == b, s"streaming $g vs batch $b")
+    // and the hour-10 open is the late-arriving event, close is id 13
+    val h10 = g.head
+    assert(h10.getDouble(6) == 4.0 && h10.getDouble(7) == 9.0)
+  }
 }
