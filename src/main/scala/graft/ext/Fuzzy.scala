@@ -241,6 +241,30 @@ object Fuzzy {
       fold = _.groupBy("term").agg(sum("cnt").as("cnt")))
   }
 
+  /** Streaming maintenance loop: each micro-batch of documents appends
+    * its (keys, counts) delta partitions — stateless, so replay
+    * idempotence is the dynamic-partition overwrite alone (no visible-
+    * state recomputation like the LSH/Jaccard loops need) — and, with
+    * `autoCompactAt > 0`, the loop self-compacts at the cadence
+    * threshold, inheriting the build's bucket count strictly.
+    */
+  def maintainFuzzyDictionary(stream: DataFrame, name: String,
+                              deltaDir: String, checkpointDir: String,
+                              autoCompactAt: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendFuzzyBatch(batch, deltaDir, batchId)
+        if (autoCompactAt > 0) {
+          compactFuzzyIfNeeded(batch.sparkSession, name, deltaDir,
+            maxUnfolded = autoCompactAt - 1)
+          ()
+        }
+      }
+      .start()
+
   /** Threshold-gated [[compactFuzzyIndexGen]] — the family's
     * compaction-cadence knob; pressure reads from the cnt layer (every
     * batch writes it). True only when the watermark advanced.

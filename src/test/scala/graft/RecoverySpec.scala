@@ -1219,6 +1219,62 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${name}_prefix__g1"))
   }
 
+  test("streaming fuzzy dictionary: appends accumulate across restarts, self-compacts") {
+    import graft.ext.Fuzzy
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("fuzzymaint")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val deltaDir = s"$root/delta"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val name = "graft_fuzzy_maint"
+    Fuzzy.buildFuzzyIndexGen(
+      Seq((1L, "alpha beta gamma tail pad")).toDF("doc_id", "text"),
+      name, buckets = 2)
+    val queries = Seq(
+      (900L, "alpha beta gamqa"),     // needs base 1 + a streamed 1
+      (901L, "stream only shinqle"))  // needs two streamed batches
+      .toDF("doc_id", "q_term")
+    def probe(): Set[(Long, String)] = Fuzzy
+      .fuzzyAgainstIndexWith(spark, queries, name, Some(deltaDir))
+      .select("doc_id", "dict_term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def start() = Fuzzy.maintainFuzzyDictionary(
+      spark.readStream.schema(schema).parquet(srcDir),
+      name, deltaDir, ckpt, autoCompactAt = 2)
+    try {
+      // batch 1: completes the base single "alpha beta gamma" (1+1)
+      // and seeds "stream only shingle" at 1
+      Seq((10L, "alpha beta gamma other pad"),
+        (11L, "stream only shingle first pad")).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      assert(probe() == Set((900L, "alpha beta gamma")))
+      // batch 2 lands while the maintainer is DOWN; restart folds it in
+      // (autoCompactAt=2 fires on the second unfolded batch)
+      Seq((12L, "stream only shingle second pad")).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      assert(probe() == Set((900L, "alpha beta gamma"),
+        (901L, "stream only shingle")))
+      // the self-compaction actually fired: watermark advanced past both
+      // batches and the folded base alone gives the same answers
+      assert(graft.sources.Bucketing.foldedBatchMax(spark, s"${name}_cnt") >= 1L)
+      val baseOnly = Fuzzy.fuzzyAgainstIndexWith(spark, queries, name)
+        .select("doc_id", "dict_term")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(baseOnly == probe())
+    } finally {
+      Seq(name, s"${name}_cnt").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        (1 to 3).foreach(g =>
+          graft.sources.Bucketing.dropGeneration(spark, t, g))
+      }
+    }
+  }
+
   test("generation-swap fuzzy compaction: probing continues across the swap") {
     import graft.ext.Fuzzy
     // base: "alpha beta gamma" twice (admitted); delta: "delta pad tok"
