@@ -7,7 +7,7 @@ import graft.ext.Fuzzy
 
 /** Scale-evidence probe for the SymSpell fuzzy join (SCALE.md): grows BOTH
   * universes together — |Q| = 100×s queries, |D| = 10,000×s dictionary
-  * terms at s ∈ {1, 2, 4} — and times the delete-neighborhood blocked join
+  * terms at s ∈ {1, 2, 4, 8} — and times the delete-neighborhood blocked join
   * against the brute-force length-banded `levenshtein` verify the DuckDB
   * oracle twin uses. Growing both sides is the regime that separates the
   * two: brute verify work is |Q|·|D| (quadratic in s, exponent ≈ 2), the

@@ -416,26 +416,8 @@ object Curation {
     * column's native type and cast after, so numeric columns profile
     * numerically.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__null"),
-        countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val perCol = array(cols.map(c => struct(
-      lit(c).as("column_name"),
-      col(s"${c}__null").as("n_null"),
-      col(s"${c}__distinct").as("n_distinct"),
-      col(s"${c}__min").as("min_val"),
-      col(s"${c}__max").as("max_val"))): _*)
-    df.agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
-      .select(col("n_rows"), explode(perCol).as("p"))
-      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
-        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
-  }
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)), "n_distinct")
 
   /** Sketch variant of [[profile]] for WIDE tables at full corpus scale:
     * same shape, but `n_distinct` is an HLL++ estimate
@@ -447,25 +429,35 @@ object Curation {
     * (sketch layouts are engine-specific), so ExtSpec pins it against
     * [[profile]]'s exact counts within the configured rsd instead.
     */
-  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "profileApprox needs at least one column")
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd), "n_distinct_est")
+
+  /** Shared body of [[profile]] / [[profileApprox]] — one definition of
+    * the null/min/max aggregates and the agg+explode unpivot, so the
+    * exact and sketch variants cannot drift; only the distinct aggregate
+    * (and its output field name) differs.
+    */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column,
+                          distinctField: String): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__null"),
-        approx_count_distinct(col(c), rsd).cast("long").as(s"${c}__distinct"),
+        distinctAgg(c).cast("long").as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val perCol = array(cols.map(c => struct(
       lit(c).as("column_name"),
       col(s"${c}__null").as("n_null"),
-      col(s"${c}__distinct").as("n_distinct_est"),
+      col(s"${c}__distinct").as(distinctField),
       col(s"${c}__min").as("min_val"),
       col(s"${c}__max").as("max_val"))): _*)
     df.agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
       .select(col("n_rows"), explode(perCol).as("p"))
       .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
-        col("p.n_distinct_est"), col("p.min_val"), col("p.max_val"))
+        col(s"p.$distinctField"), col("p.min_val"), col("p.max_val"))
   }
 
   /** Deterministic train/validation/test split: a salted content-free hash

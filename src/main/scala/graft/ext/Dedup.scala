@@ -301,8 +301,14 @@ object Dedup {
                       tauPpm: Long = 600000L): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.SortedIntersectCount.register(spark)
-    val csh = TextAnalysis.shingleStream(corpus)
-      .filter(col("shingle") =!= "").distinct()
+    // the corpus shingle stream feeds THREE differently-partitioned
+    // consumers (vocab df agg, candidate-join postings, ctoks gather) —
+    // checkpointed once so tokenize+shingle (the family's dominant cost)
+    // runs one corpus pass, the jaccardJoin discipline; kept for the life
+    // of the returned plan (all three consumers sit under it)
+    val (csh, _) = Checkpoints.checkpointTracked(
+      TextAnalysis.shingleStream(corpus)
+        .filter(col("shingle") =!= "").distinct())
     val qsh = TextAnalysis.shingleStream(queries)
       .filter(col("shingle") =!= "").distinct()
       .withColumnRenamed("doc_id", "q_id")

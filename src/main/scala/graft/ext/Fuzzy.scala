@@ -144,9 +144,17 @@ object Fuzzy {
   // a probe between the two swaps still sums every batch exactly once
   // because each layer pairs its OWN base with its OWN watermark.
 
-  /** Build the persisted fuzzy dictionary as generation 1 behind views. */
+  /** Build the persisted fuzzy dictionary as a numbered generation behind
+    * views. REBUILD over a live delta layer: quiesce the maintenance loop
+    * and pass `deltaDir` — the rebuilt base already counts those batches'
+    * documents, so the retained delta partitions must be stamped folded
+    * or a probe would sum them on top of the base (a corpus-count-1 term
+    * reading as 2 and crossing admission — the double-count every sibling
+    * builder guards with the same stamp).
+    */
   def buildFuzzyIndexGen(documents: DataFrame, name: String,
-                         buckets: Int = 8): Unit = {
+                         buckets: Int = 8,
+                         deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, name)
@@ -155,11 +163,18 @@ object Fuzzy {
     val liveGenC = b.liveGeneration(spark, s"${name}_cnt")
     val g = math.max(b.currentGeneration(spark, name),
       b.currentGeneration(spark, s"${name}_cnt")) + 1
-    val cnt = layerCounts(documents)
+    // one shingle aggregation feeds BOTH layer writes (tokenize+shingle
+    // is the dominant build cost; an uncached plan would run it twice)
+    val (cnt, cntIds) = Checkpoints.checkpointTracked(layerCounts(documents))
     val physK = b.generationName(name, g)
     val physC = b.generationName(s"${name}_cnt", g)
-    b.writeBucketed(layerKeys(cnt), physK, "k", buckets)
-    b.writeBucketed(cnt, physC, "term", buckets)
+    try {
+      b.writeBucketed(layerKeys(cnt), physK, "k", buckets)
+      b.writeBucketed(cnt, physC, "term", buckets)
+    } finally Checkpoints.releaseTracked(cnt, cntIds)
+    // each layer reads its OWN watermark: stamp both
+    deltaDir.foreach(d => b.stampRebuildWatermark(spark,
+      Seq(physK, physC), Seq(s"$d/keys", s"$d/cnt")))
     b.swapView(spark, name, physK)
     b.swapView(spark, s"${name}_cnt", physC)
     b.retireBelow(spark, name, liveGen)
@@ -188,9 +203,12 @@ object Fuzzy {
   def appendFuzzyBatch(batchDocs: DataFrame, deltaDir: String,
                        batchId: Long): Unit = {
     val b = graft.sources.Bucketing
-    val cnt = layerCounts(batchDocs)
-    b.writeDeltaPartition(cnt, s"$deltaDir/cnt", batchId)
-    b.writeDeltaPartition(layerKeys(cnt), s"$deltaDir/keys", batchId)
+    // one shingle aggregation per batch, shared by both partition writes
+    val cnt = layerCounts(batchDocs).persist()
+    try {
+      b.writeDeltaPartition(cnt, s"$deltaDir/cnt", batchId)
+      b.writeDeltaPartition(layerKeys(cnt), s"$deltaDir/keys", batchId)
+    } finally { cnt.unpersist(blocking = false); () }
   }
 
   /** Fuzzy match of `queries(doc_id, q_term)` against the persisted

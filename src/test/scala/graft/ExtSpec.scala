@@ -1784,6 +1784,34 @@ class ExtSpec extends SparkSpec {
     assert(inc == oneShot && inc.nonEmpty)
   }
 
+  test("fuzzy rebuild over a live delta stamps the watermark — no double count") {
+    // delta doc 10 carries "delta only shingle" ONCE in the whole corpus:
+    // a rebuild over base+delta that left the retained delta partition
+    // live would read total 1+1=2 and spuriously admit it
+    val base = Seq((1L, "alpha beta gamma pad a"),
+      (2L, "alpha beta gamma pad b")).toDF("doc_id", "text")
+    val deltaDocs = Seq((10L, "delta only shingle pad c")).toDF("doc_id", "text")
+    val name = "graft_fuzzy_rebuild_t"
+    val dir = TestSpark.managedTempDir("fuzzyrebuild")
+    val deltaDir = s"$dir/d"
+    Fuzzy.buildFuzzyIndexGen(base, name, buckets = 2)
+    Fuzzy.appendFuzzyBatch(deltaDocs, deltaDir, 0L)
+    val queries = Seq((900L, "delta only shingqe"),
+      (901L, "alpha beta gamqa")).toDF("doc_id", "q_term")
+    def probe(): Set[(Long, String)] = Fuzzy
+      .fuzzyAgainstIndexWith(spark, queries, name, Some(deltaDir))
+      .select("doc_id", "dict_term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Set((901L, "alpha beta gamma"))
+    assert(probe() == want)
+    // quiesced rebuild over the FULL corpus, delta layer still on disk
+    Fuzzy.buildFuzzyIndexGen(base.unionByName(deltaDocs), name,
+      buckets = 2, deltaDir = Some(deltaDir))
+    // the retained partition is stamped folded: counts not double-summed
+    // ("delta only shingle" stays at total 1 — below admission)
+    assert(probe() == want)
+  }
+
   test("fuzzy cadence knob: gate shut below threshold, fold above, answers fixed") {
     val base = Seq((1L, "alpha beta gamma pad a"),
       (2L, "alpha beta gamma pad b")).toDF("doc_id", "text")
