@@ -55,6 +55,61 @@ object FuzzyScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_MODE=lsm — the split base+delta probe ladder (the
+    // LsmProbe discipline, fifth family): dictionary base grown
+    // 1×/4×/16× as TWIN-PAIRED docs (each shingle lands count 2 —
+    // admitted; singleton shingles would leave the index unmatchable),
+    // delta CONSTANT (50 twin-paired docs of fresh vocabulary — base
+    // twins would change nothing and fake a zero overhead), query load
+    // CONSTANT (perturbed x1-range shingles + perturbed delta shingles;
+    // the probe asserts the delta-admitted terms actually answer). Claim:
+    // with_delta − base_only is delta-sized, flat across base growth —
+    // the bucketed keys/cnt bases satisfy their joins from layout.
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("lsm")) {
+      import graft.ext.Fuzzy
+      val tmp = java.nio.file.Files.createTempDirectory("fuzzylsm").toString
+      def pairedDocs(n: Long, off: Long, tag: String): DataFrame =
+        spark.range(n).select(
+          (col("id") + off).as("doc_id"),
+          concat_ws(" ", (0 until 12).map(t =>
+            concat(lit(s"$tag${t}x"), col("id") % (n / 2))): _*).as("text"))
+      val deltaDocs = pairedDocs(50, 900000000L, "dz")
+      // constant probe: one-char-extended shingles of the x1 base range
+      // plus of the delta range (the latter answer ONLY via the delta)
+      def typo(docs: DataFrame): DataFrame =
+        graft.ext.TextAnalysis.shingleStream(docs)
+          .groupBy("doc_id").agg(min("shingle").as("term"))
+          .select(col("doc_id"), concat(col("term"), lit("q")).as("q_term"))
+      val probeQ = typo(pairedDocs(100, 950000000L, "b").drop("text")
+          .join(pairedDocs(100, 950000000L, "b"), "doc_id"))
+      for (s <- Seq(1, 4, 16)) {
+        val name = s"lsm_fuzzy_x$s"
+        val dd = s"$tmp/fuzzy_x$s"
+        val base = pairedDocs(2000L * s, 0L, "b")
+        Fuzzy.buildFuzzyIndexGen(base, name)
+        Fuzzy.appendFuzzyBatch(deltaDocs, dd, 0L)
+        val q = probeQ.unionByName(typo(deltaDocs)).localCheckpoint(true)
+        // the delta must actually answer — an empty delta fakes flatness
+        val deltaHits = Fuzzy
+          .fuzzyAgainstIndexWith(spark, q, name, Some(dd))
+          .filter(col("doc_id") >= 900000000L && col("doc_id") < 950000000L)
+          .count()
+        require(deltaHits > 0, s"delta answered nothing at s=$s")
+        ProbeUtil.median3(Fuzzy.fuzzyAgainstIndexWith(spark, q, name)) // warm
+        ProbeUtil.median3(Fuzzy.fuzzyAgainstIndexWith(spark, q, name, Some(dd)))
+        val tb = ProbeUtil.median3(
+          Fuzzy.fuzzyAgainstIndexWith(spark, q, name))
+        val tw = ProbeUtil.median3(
+          Fuzzy.fuzzyAgainstIndexWith(spark, q, name, Some(dd)))
+        println(s"""{"probe":"lsm_fuzzy","scale":$s,"dict_docs":${2000 * s},""" +
+          s""""delta_hits":$deltaHits,"base_s":${ProbeUtil.r2(tb)},""" +
+          s""""with_delta_s":${ProbeUtil.r2(tw)},""" +
+          s""""delta_overhead_s":${ProbeUtil.r2(tw - tb)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     for (s <- Seq(1, 2, 4, 8)) {
       val d = dict(spark, 10000L * s)
       val q = queries(spark, 100L * s)
