@@ -289,6 +289,9 @@ object SparkEntry {
     // SAX-bucketed behavioral neighbor per user (exact integer distances)
     "ext_ts_neighbors" -> ((s, d) =>
       TimeSeries.tsTopNeighbor(ev(s, d)).orderBy("user_id")),
+    // ordered funnel signup->view->click->purchase: sequential strict-after
+    // min recurrence, one user-keyed agg+join per step
+    "ext_funnel" -> ((s, d) => Stats.funnel(ev(s, d)).orderBy("user_id")),
     // fixed-interval OHLC downsample: one exchange, total-order open/close
     "ext_ts_resample" -> ((s, d) =>
       TimeSeries.resampleOhlc(ev(s, d)).orderBy("event_type", "h")),
@@ -2272,6 +2275,26 @@ object SparkEntry {
          |  FROM tpairs)
          |WHERE rnk = 1 ORDER BY user_id""".stripMargin
     },
+    "ext_funnel" ->
+      s"""WITH fs1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |fs2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |  JOIN fs1 ON e.user_id = fs1.user_id AND e.ts > fs1.t1
+         |  WHERE e.event_type = 'view' GROUP BY 1),
+         |fs3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |  JOIN fs2 ON e.user_id = fs2.user_id AND e.ts > fs2.t2
+         |  WHERE e.event_type = 'click' GROUP BY 1),
+         |fs4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+         |  JOIN fs3 ON e.user_id = fs3.user_id AND e.ts > fs3.t3
+         |  WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT f1.user_id, f1.t1, f2.t2, f3.t3, f4.t4,
+         |  CAST(1 + (f2.t2 IS NOT NULL)::INT + (f3.t3 IS NOT NULL)::INT
+         |    + (f4.t4 IS NOT NULL)::INT AS BIGINT) AS depth
+         |FROM fs1 f1
+         |LEFT JOIN fs2 f2 ON f1.user_id = f2.user_id
+         |LEFT JOIN fs3 f3 ON f1.user_id = f3.user_id
+         |LEFT JOIN fs4 f4 ON f1.user_id = f4.user_id
+         |ORDER BY f1.user_id""".stripMargin,
     "ext_ts_resample" ->
       s"""WITH tr AS (
          |  SELECT event_type, date_trunc('hour', ts) AS h, value, ts, event_id,

@@ -220,4 +220,41 @@ object Stats {
       .withColumn("cume_pct", floor(cume_dist().over(w) * 100).cast("long"))
       .select("user_role", "user_id", "total_spend", "n_purchases", "quartile", "cume_pct")
   }
+
+  /** Ordered-funnel analysis: per user, the earliest time each step in
+    * `steps` completes STRICTLY AFTER the previous step's completion (the
+    * product-analytics "did signup → view → click → purchase, in order"
+    * question; an out-of-order occurrence doesn't count — a purchase
+    * before the first view completes no funnel). Emits one row per user
+    * who entered step 1: the step timestamps (null once the funnel
+    * stalls) and the reached depth.
+    *
+    * Shape: one filtered min-aggregation per step joined back on
+    * `user_id` — every exchange is user-keyed and post-aggregation
+    * (funnel-entrant-sized after step 1, shrinking with each step), never
+    * a per-user event-array gather, so a 100 TB event log funnels at the
+    * cost of k filtered scans (or one scan + k aggs when the source is
+    * columnar-pruned on event_type). The per-step strict-inequality join
+    * is the sequential-min recurrence; ties in event time break toward
+    * NOT completing (strict `>`), identically in the oracle.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val full = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val nxt = events.filter(col("event_type") === st)
+        .join(acc.select(col("user_id").as("u"), col(prev)),
+          col("user_id") === col("u") && col("ts") > col(prev))
+        .groupBy("user_id").agg(min("ts").as(cur))
+      acc.join(nxt, Seq("user_id"), "left")
+    }
+    full.withColumn("depth",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
 }

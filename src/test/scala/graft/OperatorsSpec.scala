@@ -147,6 +147,34 @@ class OperatorsSpec extends SparkSpec {
     assert(enriched.count() == e.count())
   }
 
+  test("funnel: strict order enforced, stalls emit nulls, pre-step events ignored") {
+    def e(id: Long, t: String, u: Long, et: String) =
+      (id, Timestamp.valueOf(t), u, et, 1.0, "{}")
+    val evs = Seq(
+      // user 1: full funnel in order — but ALSO a purchase BEFORE the
+      // click (10:02), which must not count (strict after t3=10:03)
+      e(1, "2024-01-01 10:00:00", 1, "signup"),
+      e(2, "2024-01-01 10:01:00", 1, "view"),
+      e(3, "2024-01-01 10:02:00", 1, "purchase"),
+      e(4, "2024-01-01 10:03:00", 1, "click"),
+      e(5, "2024-01-01 10:04:00", 1, "purchase"),
+      // user 2: stalls after view (clicks BEFORE the view only)
+      e(6, "2024-01-01 09:00:00", 2, "click"),
+      e(7, "2024-01-01 09:30:00", 2, "signup"),
+      e(8, "2024-01-01 09:45:00", 2, "view"),
+      // user 3: never signs up — not a funnel entrant at all
+      e(9, "2024-01-01 08:00:00", 3, "view"),
+      e(10, "2024-01-01 08:05:00", 3, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Stats.funnel(evs).orderBy("user_id")
+      .select("user_id", "depth").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L), (2L, 2L)))
+    val u1 = Stats.funnel(evs).filter(col("user_id") === 1L)
+      .select("t4").as[Timestamp].head()
+    assert(u1 == Timestamp.valueOf("2024-01-01 10:04:00"),
+      "the pre-click purchase must not complete the funnel")
+  }
+
   test("SCD2: consecutive runs merge, recurring status reopens a version") {
     def d(s: String) = Timestamp.valueOf(s"$s 00:00:00")
     val orders = Seq(
