@@ -292,6 +292,9 @@ object SparkEntry {
     // ordered funnel signup->view->click->purchase: sequential strict-after
     // min recurrence, one user-keyed agg+join per step
     "ext_funnel" -> ((s, d) => Stats.funnel(ev(s, d)).orderBy("user_id")),
+    // weekly signup-cohort retention, exact integer ppm
+    "ext_retention" -> ((s, d) =>
+      Stats.cohortRetention(ev(s, d)).orderBy("cohort_week", "week_offset")),
     // fixed-interval OHLC downsample: one exchange, total-order open/close
     "ext_ts_resample" -> ((s, d) =>
       TimeSeries.resampleOhlc(ev(s, d)).orderBy("event_type", "h")),
@@ -2295,6 +2298,20 @@ object SparkEntry {
          |LEFT JOIN fs3 f3 ON f1.user_id = f3.user_id
          |LEFT JOIN fs4 f4 ON f1.user_id = f4.user_id
          |ORDER BY f1.user_id""".stripMargin,
+    "ext_retention" ->
+      s"""WITH rc AS (SELECT user_id, date_trunc('week', min(ts)) AS w0
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |rs AS (SELECT w0, count(*) AS n_cohort FROM rc GROUP BY 1),
+         |ra AS (SELECT DISTINCT e.user_id, rc.w0,
+         |    date_diff('day', rc.w0, date_trunc('week', e.ts)) // 7 AS wk
+         |  FROM events e JOIN rc ON e.user_id = rc.user_id
+         |  WHERE date_diff('day', rc.w0, date_trunc('week', e.ts)) // 7 >= 0),
+         |rg AS (SELECT w0, wk, count(*) AS n_active FROM ra GROUP BY 1, 2)
+         |SELECT rg.w0 AS cohort_week, CAST(rg.wk AS BIGINT) AS week_offset,
+         |  rg.n_active, rs.n_cohort,
+         |  (rg.n_active * 1000000) // rs.n_cohort AS retained_ppm
+         |FROM rg JOIN rs ON rg.w0 = rs.w0
+         |ORDER BY cohort_week, week_offset""".stripMargin,
     "ext_ts_resample" ->
       s"""WITH tr AS (
          |  SELECT event_type, date_trunc('hour', ts) AS h, value, ts, event_id,

@@ -257,4 +257,37 @@ object Stats {
       steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
         .reduce(_ + _))
   }
+
+  /** Weekly cohort retention: users cohorted by signup week, one row per
+    * (cohort_week, week_offset) with the distinct-active count, the
+    * cohort size and the exact integer retention ppm — the companion
+    * readout to [[funnel]]. Week offsets are day-difference div 7 over
+    * week-TRUNCATED stamps (identical integer arithmetic in the oracle;
+    * `date_diff('week', …)` counts boundary crossings differently per
+    * engine and is avoided). Activity BEFORE the cohort week is dropped.
+    *
+    * Shape: the cohort map is a user-keyed min-agg; activity joins it on
+    * user (broadcast at dimension scale, hash otherwise), then one
+    * distinct + one count-agg per (cohort, offset) — cohort-sized
+    * output, event-scan input, nothing per-user materializes.
+    */
+  def cohortRetention(events: DataFrame,
+                      entryType: String = "signup"): DataFrame = {
+    val cohort = events.filter(col("event_type") === entryType)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("w0"))
+    val sizes = cohort.groupBy("w0").agg(count(lit(1)).as("n_cohort"))
+    val active = events
+      .join(cohort, "user_id")
+      .withColumn("wk",
+        expr("datediff(date_trunc('week', ts), w0) div 7"))
+      .filter(col("wk") >= 0)
+      .select("user_id", "w0", "wk").distinct()
+      .groupBy("w0", "wk").agg(count(lit(1)).as("n_active"))
+    active.join(sizes, "w0")
+      .select(col("w0").as("cohort_week"),
+        col("wk").cast("long").as("week_offset"),
+        col("n_active"), col("n_cohort"),
+        expr("(n_active * 1000000L) div n_cohort").as("retained_ppm"))
+  }
 }

@@ -175,6 +175,31 @@ class OperatorsSpec extends SparkSpec {
       "the pre-click purchase must not complete the funnel")
   }
 
+  test("retention: cohorted by signup week, drop-off counted, pre-week activity ignored") {
+    def e(id: Long, t: String, u: Long, et: String) =
+      (id, Timestamp.valueOf(t), u, et, 1.0, "{}")
+    // 2024-01-01 is a Monday. users 1,2 cohort that week; user 2 is
+    // active in week 1 too, user 1 is not. user 3 signs up week 1 and
+    // has activity BEFORE its cohort week (must not count anywhere).
+    val evs = Seq(
+      e(1, "2024-01-02 10:00:00", 1, "signup"),
+      e(2, "2024-01-03 10:00:00", 2, "signup"),
+      e(3, "2024-01-09 10:00:00", 2, "click"),
+      e(4, "2024-01-04 10:00:00", 3, "click"),
+      e(5, "2024-01-10 10:00:00", 3, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Stats.cohortRetention(evs)
+      .orderBy("cohort_week", "week_offset")
+      .select("cohort_week", "week_offset", "n_active", "n_cohort", "retained_ppm")
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSeq
+    val w1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w2 = Timestamp.valueOf("2024-01-08 00:00:00")
+    assert(out == Seq(
+      (w1, 0L, 2L, 2L, 1000000L),   // both cohort users active week 0
+      (w1, 1L, 1L, 2L, 500000L),    // only user 2 retained
+      (w2, 0L, 1L, 1L, 1000000L)))  // user 3: pre-cohort click ignored
+  }
+
   test("SCD2: consecutive runs merge, recurring status reopens a version") {
     def d(s: String) = Timestamp.valueOf(s"$s 00:00:00")
     val orders = Seq(
