@@ -301,6 +301,15 @@ object SparkEntry {
     // dense hourly grid + LOCF forward-fill per (cohort, event_type) series
     "ext_ts_gapfill" -> ((s, d) =>
       TimeSeries.gapfillHourly(ev(s, d)).orderBy("cohort", "event_type", "h")),
+    // trailing-24h RANGE-frame features + exact integer trailing mean
+    "ext_ts_rolling" -> ((s, d) =>
+      TimeSeries.rollingFeatures(ev(s, d)).orderBy("event_type", "h")),
+    // MAD hourly-count outliers, exact integer 2x/4x median arithmetic
+    "ext_ts_anomaly" -> ((s, d) =>
+      TimeSeries.hourlyAnomalies(ev(s, d)).orderBy("event_type", "h")),
+    // (user, day)-basket event-type affinity with the hub-cap guard
+    "ext_cooccur" -> ((s, d) =>
+      Stats.cooccurrence(ev(s, d)).orderBy("type_a", "type_b")),
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
@@ -2347,6 +2356,55 @@ object SparkEntry {
          |FROM ggrid g LEFT JOIN ghourly hh
          |  ON g.cohort = hh.cohort AND g.event_type = hh.event_type AND g.h = hh.h
          |ORDER BY g.cohort, g.event_type, g.h""".stripMargin
+    },
+    "ext_ts_rolling" ->
+      """WITH rhourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n_events, SUM(CAST(value AS DECIMAL(18,4))) AS sum_dec,
+        |    min(value) AS min_v, max(value) AS max_v
+        |  FROM events GROUP BY 1, 2),
+        |ridx AS (SELECT *, epoch_us(h) // 3600000000 AS hr FROM rhourly),
+        |rroll AS (SELECT event_type, h, n_events,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS roll_n,
+        |    CAST(SUM(sum_dec) OVER w * 10000 AS BIGINT) AS roll_cents,
+        |    min(min_v) OVER w AS roll_min, max(max_v) OVER w AS roll_max,
+        |    n_events - lag(n_events, 1) OVER (PARTITION BY event_type
+        |      ORDER BY hr) AS delta_n
+        |  FROM ridx WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, h, n_events, roll_n,
+        |  CAST(roll_cents AS DOUBLE) / 10000.0 AS roll_sum,
+        |  roll_min, roll_max,
+        |  CAST((roll_cents * 100) // roll_n AS BIGINT) AS roll_mean_micros,
+        |  delta_n
+        |FROM rroll ORDER BY event_type, h""".stripMargin,
+    "ext_ts_anomaly" ->
+      """WITH ahourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2),
+        |amed AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2
+        |  FROM ahourly GROUP BY 1),
+        |adev AS (SELECT hh.event_type, hh.h, hh.n_events, m.med2,
+        |    abs(2 * hh.n_events - m.med2) AS d
+        |  FROM ahourly hh JOIN amed m USING (event_type)),
+        |amad AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(d, 0.5) AS BIGINT) AS mad4
+        |  FROM adev GROUP BY 1)
+        |SELECT v.event_type, v.h, v.n_events, v.med2, a.mad4
+        |FROM adev v JOIN amad a USING (event_type)
+        |WHERE 2 * v.d > 3 * a.mad4
+        |ORDER BY v.event_type, v.h""".stripMargin,
+    "ext_cooccur" -> {
+      val cap = Stats.CooccurCap
+      s"""WITH cd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS dy,
+         |    event_type FROM events),
+         |cs AS (SELECT *, count(*) OVER (PARTITION BY user_id, dy) AS bn
+         |  FROM cd),
+         |ck AS (SELECT user_id, dy, event_type FROM cs WHERE bn <= $cap)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  count(*) AS pair_count, count(DISTINCT a.user_id) AS user_count
+         |FROM ck a JOIN ck b ON a.user_id = b.user_id AND a.dy = b.dy
+         |  AND a.event_type < b.event_type
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // oracle uses the brute-force all-pairs form (length-banded): the
     // delete-neighborhood blocking is lossless at distance <= 1, so the

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Exact
 
@@ -194,5 +195,78 @@ object TimeSeries {
       .select(col("cohort"), col("event_type"), col("h"),
         coalesce(col("n_obs"), lit(0L)).as("n_events"),
         last(col("sum_value"), ignoreNulls = true).over(fill).as("filled_sum"))
+  }
+
+  /** Rolling 24-hour window features over the hourly series — the
+    * feature-engineering verb a training pipeline runs after
+    * [[resampleOhlc]]-style downsampling: trailing count/sum/min/max and
+    * an exact integer trailing mean, plus the hour-over-observed-hour
+    * count delta. The frame is a RANGE frame over the integer hour index
+    * (`epoch_us div 3.6e9`), so silent hours genuinely age out of the
+    * window — a ROWS frame would silently stretch the trailing day over
+    * gaps. The trailing mean is integer micros (`cents*100 div n`) and
+    * the trailing sum accumulates as DECIMAL end-to-end, cast to double
+    * once — both bit-identical in the oracle; `delta_n` is a row LAG
+    * (previous OBSERVED hour, null at each series head) by contract.
+    *
+    * Shape: one hourly reduction (the only corpus-sized exchange), then
+    * one series-keyed window partitioning shared by the range frame and
+    * the lag — hourly cardinality is |series| x horizon regardless of
+    * corpus size, so at 100 TB everything after the first agg is
+    * metadata-scale.
+    */
+  def rollingFeatures(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .withColumn("hr", expr("unix_micros(h) div 3600000000"))
+    val part = Window.partitionBy(col("event_type"))
+    val frame = part.orderBy(col("hr")).rangeBetween(-23, 0)
+    val seq = part.orderBy(col("hr"))
+    hourly
+      .withColumn("roll_n", sum(col("n_events")).over(frame))
+      .withColumn("roll_cents",
+        (sum(col("sum_dec")).over(frame) * lit(10000)).cast("long"))
+      .select(col("event_type"), col("h"), col("n_events"),
+        col("roll_n"),
+        (col("roll_cents").cast("double") / 10000.0).as("roll_sum"),
+        min(col("min_v")).over(frame).as("roll_min"),
+        max(col("max_v")).over(frame).as("roll_max"),
+        expr("(roll_cents * 100) div roll_n").as("roll_mean_micros"),
+        (col("n_events") - lag(col("n_events"), 1).over(seq)).as("delta_n"))
+  }
+
+  /** MAD outlier detection on the hourly count series: an hour is
+    * anomalous when its count deviates from the per-series median by
+    * more than 3 median-absolute-deviations. All arithmetic is exact
+    * integer — medians of integer counts land on halves, so the median
+    * is carried x2 (`med2`) and the MAD x4 (`mad4 = 2*median(|2n-med2|)`)
+    * and the 3-sigma-equivalent test `|n-med| > 3*MAD` becomes
+    * `2*|2n-med2| > 3*mad4`, identical in the oracle's `quantile_cont`.
+    * A constant series has `mad4 = 0` and flags every deviating hour —
+    * the conventional MAD degeneracy, deterministic on both engines.
+    *
+    * Shape: one corpus-sized hourly reduction; both median passes
+    * aggregate the |series|-sized hourly frame to one row per series and
+    * join back broadcast — the raw corpus is scanned once, and nothing
+    * after the first agg scales with data volume.
+    */
+  def hourlyAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
+    val med = hourly.groupBy("event_type")
+      .agg(expr("cast(2 * percentile(n_events, 0.5D) as bigint)").as("med2"))
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("d", abs(lit(2) * col("n_events") - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("cast(2 * percentile(d, 0.5D) as bigint)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(lit(2) * col("d") > lit(3) * col("mad4"))
+      .select(col("event_type"), col("h"), col("n_events"),
+        col("med2"), col("mad4"))
   }
 }

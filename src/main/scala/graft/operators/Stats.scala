@@ -290,4 +290,42 @@ object Stats {
         col("n_active"), col("n_cohort"),
         expr("(n_active * 1000000L) div n_cohort").as("retained_ppm"))
   }
+
+  /** Basket width cap for [[cooccurrence]] — interpolated into the DuckDB
+    * oracle so both engines drop the same baskets.
+    */
+  val CooccurCap = 4
+
+  /** Event-type co-occurrence over (user, day) baskets: how often two
+    * event types appear in the same user-day, with the distinct-user
+    * reach per pair — the market-basket / affinity readout next to
+    * [[funnel]]. Baskets wider than `cap` distinct types are DROPPED
+    * before pairing (the hub-cap guard): pair fan-out is quadratic in
+    * basket width, and at 100 TB a bot account touching every item class
+    * every day is exactly the row that would explode the join — capping
+    * is the standard a-priori hygiene step and the cap is part of the
+    * operator's contract (same filter in the oracle).
+    *
+    * Shape: one distinct over (user, day, type) — the only corpus-sized
+    * exchange — then a basket-keyed window count and a self-join that
+    * REUSES the same hash partitioning (no new shuffle on the big side;
+    * fan-out bounded at cap(cap-1)/2 per basket), closing with a
+    * pair-keyed agg whose output is |types|² at most.
+    */
+  def cooccurrence(events: DataFrame, cap: Int = CooccurCap): DataFrame = {
+    val d = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dy"),
+        col("event_type")).distinct()
+    val w = Window.partitionBy(col("user_id"), col("dy"))
+    val kept = d.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= cap)
+      .select("user_id", "dy", "event_type")
+    kept.select(col("user_id"), col("dy"), col("event_type").as("type_a"))
+      .join(kept.select(col("user_id"), col("dy"),
+        col("event_type").as("type_b")), Seq("user_id", "dy"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("pair_count"),
+        countDistinct(col("user_id")).as("user_count"))
+  }
 }

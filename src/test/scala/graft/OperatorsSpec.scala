@@ -231,4 +231,66 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("rolling features: RANGE frame ages out across a gap, lag crosses it") {
+    def e(id: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf(t), 1L, "x", v, "{}")
+    val evs = Seq(
+      e(1, "2024-01-01 10:00:00", 1.0),
+      e(2, "2024-01-01 10:30:00", 2.0),
+      e(3, "2024-01-01 11:00:00", 4.0),
+      // 30 h later: outside the trailing-24h RANGE frame of both hours
+      e(4, "2024-01-02 17:00:00", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.TimeSeries.rollingFeatures(evs).orderBy("h")
+      .select("n_events", "roll_n", "roll_sum", "roll_min", "roll_max",
+        "roll_mean_micros")
+      .as[(Long, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 2L, 3.0, 1.0, 2.0, 1500000L),
+      (1L, 3L, 7.0, 1.0, 4.0, 2333333L),
+      // the gap hour sees ONLY itself — a ROWS frame would still carry 7.0
+      (1L, 1L, 8.0, 8.0, 8.0, 8000000L)))
+    val deltas = graft.ext.TimeSeries.rollingFeatures(evs).orderBy("h")
+      .select("delta_n").as[Option[Long]].collect().toSeq
+    // row-lag contract: the gap hour's delta is vs the previous OBSERVED hour
+    assert(deltas == Seq(None, Some(-1L), Some(0L)))
+  }
+
+  test("MAD anomalies: only the spike crosses 3 MADs, integer med2/mad4") {
+    // hourly counts 1,2,3,4,100 -> med2=6, d=[4,2,0,2,194], mad4=4:
+    // flag iff 2d > 12, i.e. only the 100-count hour
+    val rows = Seq(1, 2, 3, 4, 100).zipWithIndex.flatMap { case (n, hr) =>
+      (0 until n).map(i => (hr * 1000L + i,
+        Timestamp.valueOf(f"2024-01-01 1$hr%d:${i % 60}%02d:00"), 1L, "y",
+        1.0, "{}"))
+    }
+    val evs = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.TimeSeries.hourlyAnomalies(evs)
+      .select("h", "n_events", "med2", "mad4")
+      .as[(Timestamp, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (Timestamp.valueOf("2024-01-01 14:00:00"), 100L, 6L, 4L)))
+  }
+
+  test("co-occurrence: pairs within (user, day) baskets, hub cap drops wide baskets") {
+    // same day for everyone — distinct-set semantics carry the structure
+    def r(id: Long, u: Long, et: String) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), u, et, 1.0, "{}")
+    val evs = (Seq(
+      r(1, 1, "a"), r(2, 1, "b"), r(3, 1, "c"), r(4, 1, "a"), // dup distinct-ed
+      r(5, 2, "a"), r(6, 2, "b")) ++
+      // user 3: 5 distinct types — wider than CooccurCap=4, dropped whole
+      Seq("a", "b", "c", "d", "e").zipWithIndex.map { case (t, i) =>
+        r(10 + i, 3, t)
+      })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Stats.cooccurrence(evs).orderBy("type_a", "type_b")
+      .select("type_a", "type_b", "pair_count", "user_count")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 2L),
+      ("a", "c", 1L, 1L),
+      ("b", "c", 1L, 1L)))
+  }
 }
