@@ -306,24 +306,31 @@ object Stats {
     * is the standard a-priori hygiene step and the cap is part of the
     * operator's contract (same filter in the oracle).
     *
-    * Shape: one distinct over (user, day, type) — the only corpus-sized
-    * exchange — then a basket-keyed window count and a self-join that
-    * REUSES the same hash partitioning (no new shuffle on the big side;
-    * fan-out bounded at cap(cap-1)/2 per basket), closing with a
-    * pair-keyed agg whose output is |types|² at most.
+    * Shape: ONE corpus-sized exchange — `collect_set` per (user, day)
+    * basket, deduping map-side in the partial aggregate — then the pair
+    * list is generated INSIDE each basket row with an array transform
+    * (sorted set → ordered pairs, fan-out bounded at cap(cap-1)/2), so
+    * there is no self-join, no window, and no second pass over the
+    * corpus; the closing pair-keyed agg is |types|² at most. (The
+    * obvious distinct + window + self-join formulation costs two
+    * corpus-sized exchanges plus a join for the same answer.) The
+    * per-basket set is bounded by the event-type vocabulary, so the
+    * aggregation state cannot skew with a hot user's event volume.
     */
   def cooccurrence(events: DataFrame, cap: Int = CooccurCap): DataFrame = {
-    val d = events
+    val baskets = events
       .select(col("user_id"), date_trunc("day", col("ts")).as("dy"),
-        col("event_type")).distinct()
-    val w = Window.partitionBy(col("user_id"), col("dy"))
-    val kept = d.withColumn("bn", count(lit(1)).over(w))
-      .filter(col("bn") <= cap)
-      .select("user_id", "dy", "event_type")
-    kept.select(col("user_id"), col("dy"), col("event_type").as("type_a"))
-      .join(kept.select(col("user_id"), col("dy"),
-        col("event_type").as("type_b")), Seq("user_id", "dy"))
-      .filter(col("type_a") < col("type_b"))
+        col("event_type"))
+      .groupBy("user_id", "dy")
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .filter(size(col("types")) <= cap)
+    baskets
+      .select(col("user_id"), explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types)), b ->
+          |    struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("user_id"), col("p.type_a").as("type_a"),
+        col("p.type_b").as("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("pair_count"),
         countDistinct(col("user_id")).as("user_count"))

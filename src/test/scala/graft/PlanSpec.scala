@@ -323,4 +323,45 @@ class PlanSpec extends SparkSpec {
     // grid-sized data within series partitions only
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("rolling features: one corpus agg exchange + one series window exchange") {
+    val p = plan(graft.ext.TimeSeries.rollingFeatures(Tables.events(spark, sfDir)))
+    // (event_type, h) pre-aggregation before its exchange, then a single
+    // event_type repartition shared by the RANGE frame and the lag — the
+    // two window specs share (partition, orderBy) so a refactor that
+    // splits them would show as a third exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("MAD anomalies: both median frames join back broadcast, one corpus scan") {
+    val df = graft.ext.TimeSeries.hourlyAnomalies(Tables.events(spark, sfDir))
+    df.collect() // AQE: judge the final adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // three broadcast joins: dev⋈med and dev⋈mad at the top level, plus
+    // the dev recurrence inside mad's broadcast build (fed by the reused
+    // hourly exchange, not a rescan)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the corpus-sized hourly reduction is computed once and its exchange
+    // REUSED by every median branch — a second events scan would double
+    // the 100 TB read
+    assert(p.contains("ReusedExchange"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("co-occurrence: one corpus exchange, pairs generated in-basket, no join") {
+    val p = plan(graft.operators.Stats.cooccurrence(Tables.events(spark, sfDir)))
+    // exchanges: (1) the (user, day) basket collect_set — the ONLY
+    // corpus-sized one, deduped map-side by the partial aggregate —
+    // then (2+3) the two-phase count-distinct pair agg over the bounded
+    // pair stream. The distinct + window + self-join formulation this
+    // replaced cost 6 (two full corpus shuffles per join side, no AQE
+    // reuse at plan time).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
