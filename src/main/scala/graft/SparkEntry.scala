@@ -310,6 +310,15 @@ object SparkEntry {
     // (user, day)-basket event-type affinity with the hub-cap guard
     "ext_cooccur" -> ((s, d) =>
       Stats.cooccurrence(ev(s, d)).orderBy("type_a", "type_b")),
+    // 30-min-gap sessionization: per-user session/bounce/duration profile
+    "ext_sessions" -> ((s, d) =>
+      Stats.sessionStats(ev(s, d)).orderBy("user_id")),
+    // first-order event-type Markov matrix, exact integer ppm
+    "ext_transitions" -> ((s, d) =>
+      Stats.transitions(ev(s, d)).orderBy("src", "dst")),
+    // mergeable equi-width histogram sketch -> p50/p90/p99 bin quantiles
+    "ext_quantile_hist" -> ((s, d) =>
+      Sketches.histQuantiles(ev(s, d)).orderBy("event_type")),
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
@@ -2405,6 +2414,65 @@ object SparkEntry {
          |FROM ck a JOIN ck b ON a.user_id = b.user_id AND a.dy = b.dy
          |  AND a.event_type < b.event_type
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // all session arithmetic on epoch_us longs — the strict 30-min gap and
+    // the summed durations are integer-exact in both engines
+    "ext_sessions" -> {
+      val gap = Stats.SessionGapUs
+      s"""WITH se AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |sm AS (SELECT user_id, event_id, us,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |           OR us - lag(us) OVER w > $gap THEN 1 ELSE 0 END AS new_s
+         |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |si AS (SELECT user_id, us, CAST(sum(new_s) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sid
+         |  FROM sm),
+         |sg AS (SELECT user_id, sid, count(*) AS ne,
+         |    max(us) - min(us) AS dur_us FROM si GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS bounce_sessions,
+         |  CAST(sum(ne) AS BIGINT) AS n_events, max(ne) AS max_session_events,
+         |  CAST(sum(dur_us) AS BIGINT) AS total_session_us
+         |FROM sg GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    "ext_transitions" ->
+      s"""WITH tp AS (SELECT user_id, event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS dst
+         |  FROM events),
+         |tc AS (SELECT src, dst, count(*) AS n_trans FROM tp
+         |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+         |SELECT src, dst, n_trans,
+         |  CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+         |  (n_trans * 1000000)
+         |    // CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
+         |FROM tc ORDER BY src, dst""".stripMargin,
+    // the oracle recomputes the histogram relationally (group + cumulative
+    // window); the Spark side folds it in the mergeable aggregator — a
+    // cross-formulation proof that the sketch is a pure function of the
+    // multiset. Binning divides by a power of two, so the one float step
+    // is IEEE-exact in both engines.
+    "ext_quantile_hist" -> {
+      val top = Sketches.HistBins - 1
+      val wd = Sketches.HistBinWidth
+      s"""WITH qb AS (SELECT event_type,
+         |    LEAST($top, GREATEST(0, CAST(FLOOR(value / $wd) AS INTEGER)))
+         |      AS bin
+         |  FROM events),
+         |qc AS (SELECT event_type, bin, count(*) AS cnt FROM qb GROUP BY 1, 2),
+         |qt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM qc GROUP BY 1),
+         |qcum AS (SELECT qc.event_type, CAST(qc.bin AS BIGINT) AS bin,
+         |    CAST(sum(qc.cnt) OVER (
+         |      PARTITION BY qc.event_type ORDER BY qc.bin) AS BIGINT) AS cs,
+         |    qt.n
+         |  FROM qc JOIN qt ON qc.event_type = qt.event_type)
+         |SELECT event_type, n,
+         |  min(CASE WHEN cs >= (n * 50 + 99) // 100 THEN bin END) AS p50_bin,
+         |  min(CASE WHEN cs >= (n * 90 + 99) // 100 THEN bin END) AS p90_bin,
+         |  min(CASE WHEN cs >= (n * 99 + 99) // 100 THEN bin END) AS p99_bin
+         |FROM qcum GROUP BY 1, 2 ORDER BY event_type""".stripMargin
     },
     // oracle uses the brute-force all-pairs form (length-banded): the
     // delete-neighborhood blocking is lossless at distance <= 1, so the

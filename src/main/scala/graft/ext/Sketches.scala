@@ -276,6 +276,66 @@ object Sketches {
     }
   }
 
+  /** Histogram bin width for [[histQuantiles]]. A power of two, so
+    * `value / width` is exact in IEEE doubles (division by 2^k only
+    * decrements the exponent) and both engines floor the SAME quotient —
+    * the whole float surface of the operator is this one exact division.
+    */
+  val HistBinWidth = 8.0
+
+  /** Bin count for [[histQuantiles]]: 64 bins × width 8 cover [0, 512);
+    * values outside clamp to the edge bins.
+    */
+  val HistBins = 64
+
+  /** The clamped equi-width bin index of `v` — shared by the Spark side and
+    * (as interpolated SQL) the oracle, so both engines bin identically.
+    */
+  def histBin(v: Column, bins: Int = HistBins, width: Double = HistBinWidth): Column =
+    least(lit(bins - 1), greatest(lit(0), floor(v / width).cast("int")))
+
+  /** Per-event-type value-distribution quantiles from ONE mergeable
+    * histogram pass ([[graft.functions.HistSketch]]): for each group, the
+    * row count and the bin index holding the p50/p90/p99 rank — upper-edge
+    * quantile estimates at bin-width resolution, exact integers end to end.
+    * Rank q is `ceil(n·q/100)` in cross-multiplied integers and the
+    * reported bin is the first whose cumulative count reaches it, so the
+    * answer is a pure function of the histogram (no interpolation, no
+    * floats past the one exact binning division).
+    *
+    * Scale shape: binning is a narrow codegen'd expression; the aggregation
+    * folds the value stream into one 64-long array per map task per group
+    * (map-side combine), so the only exchange moves O(bins × tasks) longs —
+    * exact `quantile_cont` instead re-keys the full 100 TB value stream to
+    * sort within groups. Quantile extraction is an `aggregate` HOF walk
+    * over the 64-cell array — group-cardinality work, free at any corpus
+    * size. Output is summarized to scalar quantile columns for the oracle
+    * gate; callers composing shards keep the aggregator's array form
+    * (shard histograms sum to the union's).
+    */
+  def histQuantiles(events: DataFrame, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantile percents must be in [1,100]; got $qs")
+    val sk = events
+      .select(col("event_type"), histBin(col("value")).as("bin"))
+      .groupBy("event_type")
+      .agg(graft.functions.HistSketch.hist(col("bin"), HistBins).as("h"))
+      .withColumn("n", aggregate(col("h"), lit(0L), (a, x) => a + x))
+    qs.foldLeft(sk) { (df, q) =>
+      // first bin whose cumulative count reaches rank: fold carries
+      // (cumsum, found-index, position); -1 never survives (rank ≤ n)
+      df.withColumn(s"p${q}_bin", expr(
+        s"""aggregate(h,
+           |  struct(0L AS c, -1L AS idx, 0L AS i),
+           |  (acc, x) -> struct(acc.c + x,
+           |    IF(acc.idx >= 0, acc.idx,
+           |       IF(acc.c + x >= (n * $q + 99) div 100, acc.i, -1L)),
+           |    acc.i + 1),
+           |  acc -> acc.idx)""".stripMargin))
+    }.select(col("event_type") +: col("n") +:
+      qs.map(q => col(s"p${q}_bin")): _*)
+  }
+
   /** Exact per-language distinct-token counts — the ground truth the sketch
     * approximates. Not a `queries` entry (it IS the expensive full-dedup the
     * sketch avoids); used by SketchesSpec to pin the estimator's error.

@@ -335,4 +335,83 @@ object Stats {
       .agg(count(lit(1)).as("pair_count"),
         countDistinct(col("user_id")).as("user_count"))
   }
+
+  /** Session gap for [[sessionStats]] in microseconds (30 minutes) —
+    * interpolated into the DuckDB oracle so both engines cut identically.
+    */
+  val SessionGapUs = 1800L * 1000000L
+
+  /** Gap-based sessionization with per-user session statistics: events
+    * more than [[SessionGapUs]] apart start a new session (strict `>` — a
+    * gap of exactly 30 min stays in-session, identically in the oracle);
+    * per user, the session count, bounce count (single-event sessions),
+    * total events, widest session, and summed session duration. The
+    * engagement readout next to [[funnel]]/[[cohortRetention]] — and the
+    * BATCH twin of the reference's 8 s streak fold
+    * ([[Streaks]]; reference AchievementsProcessor session gap), widened
+    * from "longest streak" to the full session profile.
+    *
+    * All time arithmetic runs on `unix_micros` longs (`epoch_us` in the
+    * oracle) — no truncation to seconds, no interval types, so the
+    * strict-gap comparison and the summed durations are integer-exact in
+    * both engines. Order within a user is the (ts, event_id) TOTAL order:
+    * same-timestamp ties cannot flip the lag.
+    *
+    * Shape: ONE corpus-sized exchange — the user-keyed window partition —
+    * shared by the lag and the running session-id sum (same partition and
+    * order, one Window chain). Both downstream aggregations are
+    * post-window: the (user, session) partial agg collapses map-side
+    * INSIDE the window's partitioning (every session is wholly within one
+    * user partition), so only session-sized rows reach the second
+    * exchange and user-sized rows the third. Nothing per-event shuffles
+    * twice.
+    */
+  def sessionStats(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+          .otherwise(when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("sid", sum("new_s").over(w))
+    marked
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("ne"),
+        (max("us") - min("us")).as("dur_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("ne") === 1, 1L).otherwise(0L)).as("bounce_sessions"),
+        sum("ne").as("n_events"),
+        max("ne").as("max_session_events"),
+        sum("dur_us").as("total_session_us"))
+  }
+
+  /** First-order Markov transition matrix over the event-type alphabet:
+    * for each consecutive event pair within a user's (ts, event_id)-ordered
+    * stream, the (src → dst) count, the source's outgoing total, and the
+    * exact integer transition probability in ppm — the "what happens next"
+    * readout next to [[funnel]] (which asks about one fixed order). Pairs
+    * never cross users; a user's last event emits nothing.
+    *
+    * Shape: one corpus-sized user-keyed window exchange for the lead, then
+    * a (src, dst) count-agg with map-side combine whose output is at most
+    * |alphabet|² rows; the per-source total is a window over that
+    * alphabet-sized frame, not a second corpus pass. At 100 TB the single
+    * wide exchange carries (user, ts, event_id, type) only — the matrix
+    * itself is bytes.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("src_total",
+        sum("n_trans").over(Window.partitionBy("src")))
+      .withColumn("prob_ppm", expr("(n_trans * 1000000L) div src_total"))
+  }
 }

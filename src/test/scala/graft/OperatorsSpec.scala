@@ -293,4 +293,38 @@ class OperatorsSpec extends SparkSpec {
       ("a", "c", 1L, 1L),
       ("b", "c", 1L, 1L)))
   }
+
+  test("sessions: strict 30-min gap, exact-gap stays, bounces and durations exact") {
+    def r(id: Long, u: Long, t: String) = (id, t, u, "view", 1.0, "{}")
+    val evs = mkEvents(
+      // user 1: [00:00, 00:10] one session, then 00:40:01 starts a new
+      // single-event (bounce) session — gap 30m1s > 30m
+      r(1, 1, "2024-01-01 00:00:00"), r(2, 1, "2024-01-01 00:10:00"),
+      r(3, 1, "2024-01-01 00:40:01"),
+      // user 2: gap of EXACTLY 30 min stays in-session (strict >)
+      r(4, 2, "2024-01-01 00:00:00"), r(5, 2, "2024-01-01 00:30:00"))
+    val out = Stats.sessionStats(evs).orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 3L, 2L, 600L * 1000000L),
+      (2L, 1L, 0L, 2L, 2L, 1800L * 1000000L)))
+  }
+
+  test("transitions: per-user consecutive pairs only, exact ppm, ts ties by event_id") {
+    def r(id: Long, u: Long, t: String, tp: String) = (id, t, u, tp, 1.0, "{}")
+    val evs = mkEvents(
+      // user 1: a -> b -> c (b and c share a timestamp; event_id orders them)
+      r(1, 1, "2024-01-01 00:00:00", "a"),
+      r(2, 1, "2024-01-01 00:00:01", "b"),
+      r(3, 1, "2024-01-01 00:00:01", "c"),
+      // user 2: a -> c; the c is terminal — no pair crosses into user 1
+      r(4, 2, "2024-01-01 00:00:00", "a"),
+      r(5, 2, "2024-01-01 00:00:05", "c"))
+    val out = Stats.transitions(evs).orderBy("src", "dst")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 1L, 2L, 500000L),
+      ("a", "c", 1L, 2L, 500000L),
+      ("b", "c", 1L, 1L, 1000000L)))
+  }
 }

@@ -364,4 +364,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("sessions: ONE corpus exchange serves the window chain and both aggs") {
+    val p = plan(graft.operators.Stats.sessionStats(Tables.events(spark, sfDir)))
+    // the user-keyed window partitioning SATISFIES the (user, sid) and
+    // (user) clustered distributions downstream (every session is wholly
+    // within one user partition), so both aggregation pairs stack with no
+    // exchange of their own — a regression that re-keys either agg shows
+    // as a second hashpartitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("transitions: corpus shuffles once; matrix-sized rows shuffle after") {
+    val p = plan(graft.operators.Stats.transitions(Tables.events(spark, sfDir)))
+    // exchanges: (1) the user-keyed lead window — the only corpus-sized
+    // one; (2) the (src, dst) agg, fed by map-side partials of at most
+    // |alphabet|^2 rows per task; (3) the src re-key for the total window
+    // over the matrix itself
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("Join"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -231,4 +231,27 @@ class SketchesSpec extends SparkSpec {
       assert(rows.contains(("de", Seq(7L))))
     } finally q.stop()
   }
+
+  test("histogram quantiles: rank/bin arithmetic exact, edges clamp, merge-invariant") {
+    // bin width 8: values below 0 clamp to bin 0, above 512 to bin 63.
+    // n=10 -> rank(p50)=5, rank(p90)=9, rank(p99)=10
+    val vals = Seq(1.0, 1.0, 1.0, 1.0, -3.0, // 5 rows in bin 0
+      100.0, 100.0, 101.0, 103.9,            // 4 rows in bin 12
+      600.0)                                  // 1 row clamped to bin 63
+    val evs = vals.map(("x", _)).toDF("event_type", "value")
+      .repartition(8) // force cross-partition sketch merges
+    val out = Sketches.histQuantiles(evs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("x", 10L, 0L, 12L, 63L)))
+  }
+
+  test("histogram sketch shuffles arrays, never the value stream") {
+    val df = Sketches.histQuantiles(Tables.events(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    // one partial-combined aggregation: per-group exchange carries the
+    // bins-long buffers built map-side; no dedup/window/sort over values
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HistAgg"), p)
+  }
 }
