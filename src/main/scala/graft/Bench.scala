@@ -35,9 +35,12 @@ object Bench {
       // (observed 77 ds vs 38-43 steady in the r12 sessions)
       // ext_retrieval_eval warms the whole BM25 + phrase + metric codegen
       // surface; ext_ts_neighbors the SAX/vector kernels
+      // ext_fuzzy_incremental warms the generation-swap lifecycle surface
+      // (bucketed writes, view swaps, delta reads) plus levenshtein codegen
       Seq("a3_event_counts", "q1_pricing", "ext_fingerprint", "ann_brute_topk",
         "ext_frame_sample", "ext_dedup_minhash", "ann_recall",
-        "ext_retrieval_eval", "ext_ts_neighbors").foreach { n =>
+        "ext_retrieval_eval", "ext_ts_neighbors",
+        "ext_fuzzy_incremental").foreach { n =>
         SparkEntry.queries.get(n).foreach { f =>
           try f(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }

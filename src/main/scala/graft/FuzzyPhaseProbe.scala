@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostics: wall per phase of the ext_fuzzy_incremental
+  * lifecycle (build / append / probe), to attribute its bench cost before
+  * optimizing. Mirrors the SparkEntry wiring exactly.
+  */
+object FuzzyPhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$tag%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to 3).foreach { rep =>
+      println(s"--- rep $rep ---")
+      val all = Tables.documents(spark, sfDir)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fuzzy_phase").toString
+      val buildDocs = all.filter(col("doc_id") % 3 =!= 0)
+      t("build") { graft.ext.Fuzzy.buildFuzzyIndexGen(
+        buildDocs, "graft_fuzzy_idx_p") }
+      t("append") { graft.ext.Fuzzy.appendFuzzyBatch(
+        all.filter(col("doc_id") % 3 === 0), dir, 1L) }
+      t("probe") { graft.ext.Fuzzy.fuzzyAgainstIndexWith(
+        spark, graft.ext.Fuzzy.typoQueries(all), "graft_fuzzy_idx_p",
+        Some(dir)).orderBy("doc_id", "dict_term").count() }
+    }
+    spark.stop()
+  }
+}
