@@ -57,44 +57,46 @@ object BehaviorScaleProbe {
     def median3(mk: => DataFrame): Double = ProbeUtil.median3(mk)
     def r2(x: Double): Double = ProbeUtil.r2(x)
 
-    def suite(ev: DataFrame): Map[String, Double] = Map(
-      "funnel" -> median3(Stats.funnel(ev)),
-      "retention" -> median3(Stats.cohortRetention(ev)),
-      "sessions" -> median3(Stats.sessionStats(ev)),
-      "transitions" -> median3(Stats.transitions(ev)),
-      "cooccur" -> median3(Stats.cooccurrence(ev)),
-      "rolling" -> median3(TimeSeries.rollingFeatures(ev)),
-      "anomaly" -> median3(TimeSeries.hourlyAnomalies(ev)),
-      "hist" -> median3(Sketches.histQuantiles(ev)))
+    // one wiring per operator, shared by both modes — the skew subset
+    // must measure exactly the code the growth suite measures
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "funnel" -> (Stats.funnel(_)),
+      "retention" -> (Stats.cohortRetention(_)),
+      "sessions" -> (Stats.sessionStats(_)),
+      "transitions" -> (Stats.transitions(_)),
+      "cooccur" -> (Stats.cooccurrence(_)),
+      "rolling" -> (TimeSeries.rollingFeatures(_)),
+      "anomaly" -> (TimeSeries.hourlyAnomalies(_)),
+      "hist" -> (ev => Sketches.histQuantiles(ev)))
+
+    def row(ev: DataFrame, names: Seq[String]): String =
+      ops.filter(o => names.contains(o._1))
+        .map { case (n, f) => s""""${n}_s":${r2(median3(f(ev)))}""" }
+        .mkString(",")
 
     if (sys.env.get("SPARK_GRAFT_MODE").contains("skew")) {
       val hots = sys.env.getOrElse("SPARK_GRAFT_SKEW", "100000,1000000")
         .split(",").map(_.trim.toInt).toSeq
+      val day0 = events.agg(min(col("ts"))).collect().head.getTimestamp(0)
       hots.foreach { hot =>
-        val day0 = events.agg(min(col("ts"))).collect().head.getTimestamp(0)
-        // one bot, `hot` events spread over one day, cycling the alphabet
+        // one bot, `hot` events spread over one day. It cycles FOUR event
+        // types — exactly CooccurCap — so its basket stays ADMITTED and
+        // the co-occurrence measurement exercises the bounded in-basket
+        // pair generation (a 5-type bot is dropped whole by the hub cap,
+        // which only measures the collect_set + filter path)
         val botEv = spark.range(hot).select(
           (col("id") + 2000000000L).as("event_id"),
           timestamp_micros(unix_micros(lit(day0)) +
             (col("id") % 86400) * 1000000L).as("ts"),
           lit(99999999L).as("user_id"),
           element_at(
-            array(lit("signup"), lit("view"), lit("click"), lit("purchase"),
-              lit("error")), (col("id") % 5 + 1).cast("int")).as("event_type"),
+            array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+            (col("id") % Stats.CooccurCap + 1).cast("int")).as("event_type"),
           (col("id") % 491).cast("double").as("value"))
         val ev = events.unionByName(botEv).localCheckpoint(true)
-        try {
-          val t = Seq("sessions", "transitions", "cooccur", "hist").map { n =>
-            val w = n match {
-              case "sessions" => median3(Stats.sessionStats(ev))
-              case "transitions" => median3(Stats.transitions(ev))
-              case "cooccur" => median3(Stats.cooccurrence(ev))
-              case _ => median3(Sketches.histQuantiles(ev))
-            }
-            s""""${n}_s":${r2(w)}"""
-          }.mkString(",")
-          println(s"""{"probe":"behavior_skew","hot":$hot,$t}""")
-        } finally { ev.unpersist(); () }
+        try println(s"""{"probe":"behavior_skew","hot":$hot,""" +
+          row(ev, Seq("sessions", "transitions", "cooccur", "hist")) + "}")
+        finally { ev.unpersist(); () }
       }
       return
     }
@@ -106,9 +108,8 @@ object BehaviorScaleProbe {
       try {
         val users = ev.select("user_id").distinct().count()
         val n = ev.count()
-        val t = suite(ev).toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""${k}_s":${r2(v)}""" }.mkString(",")
-        println(s"""{"probe":"behavior","scale":$times,"users":$users,"n":$n,$t}""")
+        println(s"""{"probe":"behavior","scale":$times,"users":$users,""" +
+          s""""n":$n,""" + row(ev, ops.map(_._1)) + "}")
       } finally { ev.unpersist(); () }
     }
   }

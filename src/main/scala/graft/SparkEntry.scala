@@ -2457,7 +2457,7 @@ object SparkEntry {
       val top = Sketches.HistBins - 1
       val wd = Sketches.HistBinWidth
       s"""WITH qb AS (SELECT event_type,
-         |    LEAST($top, GREATEST(0, CAST(FLOOR(value / $wd) AS INTEGER)))
+         |    CAST(FLOOR(LEAST($top, GREATEST(0, value / $wd))) AS INTEGER)
          |      AS bin
          |  FROM events),
          |qc AS (SELECT event_type, bin, count(*) AS cnt FROM qb GROUP BY 1, 2),

@@ -250,8 +250,12 @@ object Fuzzy {
       // and the survivors (the true distance-<=1 pairs) are the smallest
       // frame in the probe — admission then counts only for them
       .filter(levenshtein(col("q_term"), col("term")) <= 1)
-    val counts = (baseC +: deltaC.toSeq).reduce(_ unionByName _)
-    cand.join(counts, "term")
+    // join each count layer SEPARATELY (base first): unioning base with
+    // the delta before the join would erase the base's bucket layout and
+    // re-shuffle the dictionary-sized count base on every probe while a
+    // delta is live — the split-parts discipline all five families share
+    (cand.join(baseC, "term") +: deltaC.map(cand.join(_, "term")).toSeq)
+      .reduce(_ unionByName _)
       .groupBy("doc_id", "q_term", "term")
       .agg(sum("cnt").as("total_cnt"))
       .filter(col("total_cnt") >= DictMinCount)

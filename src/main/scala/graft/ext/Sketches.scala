@@ -290,9 +290,15 @@ object Sketches {
 
   /** The clamped equi-width bin index of `v` — shared by the Spark side and
     * (as interpolated SQL) the oracle, so both engines bin identically.
+    * Clamps in DOUBLE space BEFORE floor/cast (floor is monotone and the
+    * bounds are integers, so clamp-then-floor equals floor-then-clamp):
+    * casting the unclamped quotient first would overflow int for values
+    * ≥ 2³¹·width — an ANSI cast error instead of the documented
+    * edge-bin clamp.
     */
   def histBin(v: Column, bins: Int = HistBins, width: Double = HistBinWidth): Column =
-    least(lit(bins - 1), greatest(lit(0), floor(v / width).cast("int")))
+    floor(least(lit((bins - 1).toDouble), greatest(lit(0.0), v / width)))
+      .cast("int")
 
   /** Per-event-type value-distribution quantiles from ONE mergeable
     * histogram pass ([[graft.functions.HistSketch]]): for each group, the
