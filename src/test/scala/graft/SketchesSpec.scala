@@ -232,6 +232,32 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogram sketch aggregates in streaming update mode; quantiles track the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val sketch = in.toDF().toDF("event_type", "value")
+      .select(col("event_type"), Sketches.histBin(col("value")).as("bin"))
+      .groupBy("event_type")
+      .agg(graft.functions.HistSketch.hist(col("bin"), Sketches.HistBins).as("h"))
+    val q = sketch.writeStream.format("memory").queryName("hist_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("x", 1.0), ("x", 9.0))
+      q.processAllAvailable()
+      in.addData(("x", 100.0), ("x", 9.5))
+      q.processAllAvailable()
+      // update mode re-emits the group's FULL merged histogram per batch;
+      // the last row is the whole-stream multiset's histogram — the same
+      // purity contract the batch merge-invariance test pins
+      val h = spark.table("hist_stream").select("h")
+        .as[Seq[Long]].collect().last
+      assert(h(0) == 1L && h(1) == 2L && h(12) == 1L && h.sum == 4L,
+        s"streamed bins ${h.zipWithIndex.filter(_._1 != 0)}")
+    } finally q.stop()
+  }
+
   test("histogram quantiles: rank/bin arithmetic exact, edges clamp, merge-invariant") {
     // bin width 8: values below 0 clamp to bin 0, above 512 to bin 63.
     // n=10 -> rank(p50)=5, rank(p90)=9, rank(p99)=10
