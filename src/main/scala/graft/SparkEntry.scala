@@ -319,6 +319,8 @@ object SparkEntry {
     // mergeable equi-width histogram sketch -> p50/p90/p99 bin quantiles
     "ext_quantile_hist" -> ((s, d) =>
       Sketches.histQuantiles(ev(s, d)).orderBy("event_type")),
+    // RFM user segmentation: exact type-1 quartile codes, distributed rank
+    "ext_rfm" -> ((s, d) => Stats.rfm(ev(s, d)).orderBy("user_id")),
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
@@ -2448,6 +2450,34 @@ object SparkEntry {
          |  (n_trans * 1000000)
          |    // CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
          |FROM tc ORDER BY src, dst""".stripMargin,
+    // exact type-1 quartiles: row_number in a TOTAL order + the same
+    // ((rank-1)*4) // N + 1 integer arithmetic as the Spark side — no
+    // engine ntile, whose remainder placement differs
+    "ext_rfm" ->
+      s"""WITH rp AS (SELECT user_id, max(ts) AS last_ts,
+         |    count(*) AS n_purchases, ${moneySumSql("value")} AS monetary
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |ra AS (SELECT max(last_ts) AS t_max, count(*) AS n_users FROM rp),
+         |rr AS (SELECT rp.user_id,
+         |    date_diff('day', CAST(rp.last_ts AS DATE), CAST(ra.t_max AS DATE))
+         |      AS recency_days,
+         |    rp.n_purchases, rp.monetary, ra.n_users,
+         |    row_number() OVER (ORDER BY
+         |      date_diff('day', CAST(rp.last_ts AS DATE), CAST(ra.t_max AS DATE))
+         |        ASC, rp.user_id ASC) AS r_rank,
+         |    row_number() OVER (ORDER BY rp.n_purchases DESC, rp.user_id ASC)
+         |      AS f_rank,
+         |    row_number() OVER (ORDER BY rp.monetary DESC, rp.user_id ASC)
+         |      AS m_rank
+         |  FROM rp, ra)
+         |SELECT user_id, recency_days, n_purchases, monetary,
+         |  (r_rank - 1) * 4 // n_users + 1 AS r_q,
+         |  (f_rank - 1) * 4 // n_users + 1 AS f_q,
+         |  (m_rank - 1) * 4 // n_users + 1 AS m_q,
+         |  ((r_rank - 1) * 4 // n_users + 1) * 100
+         |    + ((f_rank - 1) * 4 // n_users + 1) * 10
+         |    + ((m_rank - 1) * 4 // n_users + 1) AS rfm_code
+         |FROM rr ORDER BY user_id""".stripMargin,
     // the oracle recomputes the histogram relationally (group + cumulative
     // window); the Spark side folds it in the mergeable aggregator — a
     // cross-formulation proof that the sketch is a pure function of the

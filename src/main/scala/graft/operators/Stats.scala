@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,6 +384,61 @@ object Stats {
         sum("ne").as("n_events"),
         max("ne").as("max_session_events"),
         sum("dur_us").as("total_session_us"))
+  }
+
+  /** RFM segmentation — the classic recency/frequency/monetary user
+    * scoring over purchase events: per user, days since last purchase
+    * (against the corpus's latest purchase as the anchor, so the operator
+    * is a pure function of the data), purchase count, exact money sum,
+    * the three quartile codes, and the composite `rfm_code`
+    * (r·100 + f·10 + m; quartile 1 = best on every axis — most recent,
+    * most frequent, highest spend). Quartiles are the exact type-1 kind:
+    * rank rows 1..N in a TOTAL order (metric, then user_id — ties cannot
+    * flip across engines) and take `((rank−1)·4) div N + 1` — identical
+    * integer arithmetic in the oracle, sidestepping engine-specific
+    * `ntile` remainder placement.
+    *
+    * Shape: one corpus-filtered user aggregation (the only corpus-sized
+    * exchange — pushed `event_type = 'purchase'` filter feeds a user-keyed
+    * agg with map-side combine), checkpointed once at USER size, then
+    * three independent [[graft.ext.Ranks.globalRank]] passes joined back
+    * on user_id — distributed range exchanges, never a SinglePartition
+    * window, which is what a global `ntile` would plan and the reason
+    * this avoids it: at 10⁹ users a single-partition sort is one task.
+    * The checkpoint matters structurally: globalRank's offsets branch
+    * recomputes its input subtree, so CHAINING the three ranks doubles
+    * the upstream plan per level (2³ corpus scans by the third); off the
+    * checkpoint each recompute re-reads a user-sized in-memory leaf
+    * instead. The anchor (max purchase ts, user count) is a 1-row
+    * broadcast.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+    val per = p.groupBy("user_id").agg(
+      max("ts").as("last_ts"),
+      count(lit(1)).as("n_purchases"),
+      Exact.moneySum(col("value")).as("monetary"))
+    val anchor = per.agg(max("last_ts").as("t_max"),
+      count(lit(1)).as("n_users"))
+    val base = per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("t_max"), col("last_ts")).cast("long"))
+      .localCheckpoint(true)
+    val R = graft.ext.Ranks
+    def axis(rank: String, out: String, sort: Column*): DataFrame =
+      R.globalRank(base, rank, sort: _*)
+        .select(col("user_id"),
+          expr(s"($rank - 1L) * 4L div n_users + 1L").as(out))
+    base
+      .join(axis("_r", "r_q", col("recency_days").asc, col("user_id").asc),
+        "user_id")
+      .join(axis("_f", "f_q", col("n_purchases").desc, col("user_id").asc),
+        "user_id")
+      .join(axis("_m", "m_q", col("monetary").desc, col("user_id").asc),
+        "user_id")
+      .select(col("user_id"), col("recency_days"), col("n_purchases"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_code"))
   }
 
   /** First-order Markov transition matrix over the event-type alphabet:

@@ -327,4 +327,29 @@ class OperatorsSpec extends SparkSpec {
       ("a", "c", 1L, 2L, 500000L),
       ("b", "c", 1L, 1L, 1000000L)))
   }
+
+  test("rfm: quartile codes exact per axis, anchor from the data, non-purchases ignored") {
+    def r(id: Long, u: Long, t: String, tp: String, v: Double) =
+      (id, t, u, tp, v, "{}")
+    val evs = mkEvents(
+      r(1, 1, "2024-01-01 00:00:00", "purchase", 10.0),
+      r(2, 1, "2024-01-04 00:00:00", "purchase", 20.0), // u1: 2 buys, 30 total, last day 4
+      r(3, 2, "2024-01-04 00:00:00", "purchase", 5.0),  // u2: recency 0
+      r(4, 3, "2024-01-02 00:00:00", "purchase", 100.0),// u3: recency 2, top spend
+      r(5, 4, "2024-01-03 00:00:00", "purchase", 1.0),  // u4: recency 1
+      r(6, 3, "2024-01-04 12:00:00", "view", 999.0))    // ignored: not a purchase
+    // n=4 -> quartile == rank on each axis.
+    // recency asc, user asc: u1(0), u2(0), u4(1), u3(2)
+    // frequency desc:        u1(2), u2(1), u3(1), u4(1)
+    // monetary desc:         u3(100), u1(30), u2(5), u4(1)
+    val out = Stats.rfm(evs).orderBy("user_id")
+      .select("user_id", "recency_days", "n_purchases", "monetary",
+        "r_q", "f_q", "m_q", "rfm_code")
+      .as[(Long, Long, Long, Double, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 30.0, 1L, 1L, 2L, 112L),
+      (2L, 0L, 1L, 5.0, 2L, 2L, 3L, 223L),
+      (3L, 2L, 1L, 100.0, 4L, 3L, 1L, 431L),
+      (4L, 1L, 1L, 1.0, 3L, 4L, 4L, 344L)))
+  }
 }

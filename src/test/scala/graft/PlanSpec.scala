@@ -377,6 +377,24 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("rfm: three range-partitioned rank passes off one checkpointed base") {
+    val df = graft.operators.Stats.rfm(Tables.events(spark, sfDir))
+    val p = plan(df)
+    // the corpus was consumed ONCE at construction (purchase-filtered agg
+    // into the eager checkpoint); the returned plan ranks the user-sized
+    // in-memory leaf — no parquet rescans anywhere downstream
+    assert(!p.contains("FileScan parquet"), p)
+    // each quartile axis is a distributed globalRank: TWO plan-level
+    // range exchanges over the user-sized checkpoint leaf (the numbered
+    // sort + the offsets branch's recompute of it — AQE reuses the stage
+    // at runtime) — a global ntile window would instead drag the user
+    // frame through Exchange SinglePartition, the 10⁹-user straggler;
+    // the only SinglePartition exchanges are the three offsets windows
+    // over PARTITION-COUNT-sized frames (32 rows at driver shape)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 6, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 3, p)
+  }
+
   test("transitions: corpus shuffles once; matrix-sized rows shuffle after") {
     val p = plan(graft.operators.Stats.transitions(Tables.events(spark, sfDir)))
     // exchanges: (1) the user-keyed lead window — the only corpus-sized
