@@ -67,7 +67,8 @@ object BehaviorScaleProbe {
       "cooccur" -> (Stats.cooccurrence(_)),
       "rolling" -> (TimeSeries.rollingFeatures(_)),
       "anomaly" -> (TimeSeries.hourlyAnomalies(_)),
-      "hist" -> (ev => Sketches.histQuantiles(ev)))
+      "hist" -> (ev => Sketches.histQuantiles(ev)),
+      "rfm" -> (Stats.rfm(_)))
 
     def row(ev: DataFrame, names: Seq[String]): String =
       ops.filter(o => names.contains(o._1))
