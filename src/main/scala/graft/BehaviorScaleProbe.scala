@@ -8,8 +8,9 @@ import graft.operators.Stats
 
 /** Scale-evidence probe for the behavior-analytics family (SCALE.md
   * "Measured evidence"): funnel, retention, sessions, transitions,
-  * co-occurrence, rolling features, MAD anomalies, histogram quantiles —
-  * wall at 1×/4×/16× population growth, plus a hot-user skew mode.
+  * co-occurrence, rolling features, MAD anomalies, histogram quantiles,
+  * and RFM — wall at 1×/4×/16× population growth, plus a hot-user skew
+  * mode.
   *
   * Growth is by population — more users over the SAME day span (the
   * TsMediaScaleProbe construction: user_id/event_id-shifted copies) —
@@ -111,7 +112,14 @@ object BehaviorScaleProbe {
         val n = ev.count()
         println(s"""{"probe":"behavior","scale":$times,"users":$users,""" +
           s""""n":$n,""" + row(ev, ops.map(_._1)) + "}")
-      } finally { ev.unpersist(); () }
+      } finally {
+        ev.unpersist()
+        // rfm eagerly localCheckpoints its user frame per construction
+        // (3 reps per scale) — sweep like Verify/Bench do, so blocks from
+        // earlier scales can't pressure the 16× timings
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
   }
 }

@@ -2474,9 +2474,7 @@ object SparkEntry {
          |  (r_rank - 1) * 4 // n_users + 1 AS r_q,
          |  (f_rank - 1) * 4 // n_users + 1 AS f_q,
          |  (m_rank - 1) * 4 // n_users + 1 AS m_q,
-         |  ((r_rank - 1) * 4 // n_users + 1) * 100
-         |    + ((f_rank - 1) * 4 // n_users + 1) * 10
-         |    + ((m_rank - 1) * 4 // n_users + 1) AS rfm_code
+         |  r_q * 100 + f_q * 10 + m_q AS rfm_code
          |FROM rr ORDER BY user_id""".stripMargin,
     // the oracle recomputes the histogram relationally (group + cumulative
     // window); the Spark side folds it in the mergeable aggregator — a
