@@ -605,4 +605,91 @@ class PropertySpec extends SparkSpec {
       .filter($"fast" =!= $"ref").count()
     assert(diffInt == 0L)
   }
+
+  // unique event ids (zipWithIndex) so the (ts, event_id) total order is
+  // collision-free — the determinism contract sessions/transitions rely on
+  private def uniqueIdFrames(n: Int): Seq[List[Ev]] =
+    sampleFrames(n).map(_.zipWithIndex.map { case (e, i) =>
+      e.copy(event_id = i.toLong)
+    })
+
+  test("sessions equal a plain fold reference on random frames") {
+    uniqueIdFrames(5).foreach { evs =>
+      val got = Stats.sessionStats(evs.toDF())
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val want = evs.groupBy(_.user_id).map { case (u, es) =>
+        val us = es.map(e => (e.ts.getTime * 1000L, e.event_id)).sorted
+        val sessions = us.tail.foldLeft(List(List(us.head))) { (acc, e) =>
+          if (e._1 - acc.head.head._1 > Stats.SessionGapUs)
+            List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+        }.map(_.reverse).reverse
+        (u, sessions.size.toLong,
+          sessions.count(_.size == 1).toLong,
+          es.size.toLong,
+          sessions.map(_.size).max.toLong,
+          sessions.map(s => s.map(_._1).max - s.map(_._1).min).sum)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("transitions equal a plain bigram reference on random frames") {
+    uniqueIdFrames(5).foreach { evs =>
+      val got = Stats.transitions(evs.toDF())
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val pairs = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e.ts.getTime, e.event_id))
+        ordered.zip(ordered.tail).map { case (a, b) => (a.event_type, b.event_type) }
+      }
+      val cnt = pairs.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      val srcTotal = cnt.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+      val want = cnt.map { case ((s, d), n) =>
+        (s, d, n, srcTotal(s), n * 1000000L / srcTotal(s))
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("co-occurrence equals a plain basket reference on random frames") {
+    uniqueIdFrames(5).foreach { evs =>
+      val got = Stats.cooccurrence(evs.toDF())
+        .as[(String, String, Long, Long)].collect().toSet
+      val dayMs = 86400000L
+      // .toSeq BEFORE the map: mapping the Map directly would re-key on
+      // user_id alone and collapse a user's baskets from different days
+      val baskets = evs.groupBy(e => (e.user_id, e.ts.getTime / dayMs))
+        .toSeq.map { case ((u, _), es) => (u, es.map(_.event_type).toSet) }
+        .filter(_._2.size <= Stats.CooccurCap)
+      val pairRows = baskets.flatMap { case (u, types) =>
+        types.toSeq.sorted.combinations(2).map(p => (p(0), p(1), u))
+      }
+      val want = pairRows.groupBy(r => (r._1, r._2)).map { case ((a, b), xs) =>
+        (a, b, xs.size.toLong, xs.map(_._3).distinct.size.toLong)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("histogram quantile bins are monotone and consistent with a reference histogram") {
+    sampleFrames(5).foreach { evs =>
+      val got = graft.ext.Sketches.histQuantiles(evs.toDF())
+        .as[(String, Long, Long, Long, Long)].collect()
+      val byType = evs.groupBy(_.event_type)
+      got.foreach { case (et, n, p50, p90, p99) =>
+        val vals = byType(et).map(_.value)
+        assert(n == vals.size)
+        assert(p50 <= p90 && p90 <= p99)
+        val bins = vals.map(v =>
+          math.min(63, math.max(0, math.floor(v / 8.0).toInt)))
+          .groupBy(identity).map { case (b, xs) => (b, xs.size.toLong) }
+        def q(pct: Int): Long = {
+          val rank = (n * pct + 99) / 100
+          (0 to 63).find(b =>
+            (0 to b).map(i => bins.getOrElse(i, 0L)).sum >= rank).get.toLong
+        }
+        assert((p50, p90, p99) == (q(50), q(90), q(99)))
+      }
+    }
+  }
 }
