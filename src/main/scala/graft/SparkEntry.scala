@@ -321,6 +321,8 @@ object SparkEntry {
       Sketches.histQuantiles(ev(s, d)).orderBy("event_type")),
     // RFM user segmentation: exact type-1 quartile codes, distributed rank
     "ext_rfm" -> ((s, d) => Stats.rfm(ev(s, d)).orderBy("user_id")),
+    // A/B conversion lift over the deterministic user_id % 2 hash split
+    "ext_ab_lift" -> ((s, d) => Stats.abLift(ev(s, d)).orderBy("variant")),
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
@@ -2450,6 +2452,20 @@ object SparkEntry {
          |  (n_trans * 1000000)
          |    // CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
          |FROM tc ORDER BY src, dst""".stripMargin,
+    "ext_ab_lift" ->
+      s"""WITH abu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1),
+         |abv AS (SELECT user_id % 2 AS variant, count(*) AS n_users,
+         |    CAST(sum(converted) AS BIGINT) AS n_converters
+         |  FROM abu GROUP BY 1),
+         |abp AS (SELECT variant, n_users, n_converters,
+         |    n_converters * 1000000 // n_users AS conv_ppm FROM abv)
+         |SELECT a.variant, a.n_users, a.n_converters, a.conv_ppm,
+         |  a.conv_ppm - b.conv_ppm AS lift_ppm
+         |FROM abp a JOIN abp b ON a.variant <> b.variant
+         |ORDER BY a.variant""".stripMargin,
     // exact type-1 quartiles: row_number in a TOTAL order + the same
     // ((rank-1)*4) // N + 1 integer arithmetic as the Spark side — no
     // engine ntile, whose remainder placement differs

@@ -441,6 +441,35 @@ object Stats {
         (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_code"))
   }
 
+  /** A/B conversion lift over a deterministic user hash split: variant =
+    * `user_id % 2` (the same id-arithmetic split convention the stratified
+    * sampler and the oracle corpora use — reproducible across engines and
+    * runs, no RNG), exposure = any event, conversion = at least one
+    * `purchase`. Per variant: exposed users, converters, the exact integer
+    * conversion rate in ppm, and the signed lift vs the OTHER variant —
+    * the experiment readout next to [[funnel]]/[[cohortRetention]].
+    *
+    * Shape: one corpus-sized exchange — the user-keyed converted-or-not
+    * aggregation (map-side combine; the purchase test folds into the
+    * partial agg) — then a 2-row variant agg and a 2×1 self-join for the
+    * lift column. Nothing after the first agg scales with anything.
+    */
+  def abLift(events: DataFrame): DataFrame = {
+    val byVariant = events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converters"))
+      .withColumn("conv_ppm",
+        expr("n_converters * 1000000L div n_users"))
+    byVariant.join(
+        byVariant.select(col("variant").as("v2"), col("conv_ppm").as("p2")),
+        col("variant") =!= col("v2"))
+      .select(col("variant"), col("n_users"), col("n_converters"),
+        col("conv_ppm"), (col("conv_ppm") - col("p2")).as("lift_ppm"))
+  }
+
   /** First-order Markov transition matrix over the event-type alphabet:
     * for each consecutive event pair within a user's (ts, event_id)-ordered
     * stream, the (src → dst) count, the source's outgoing total, and the

@@ -328,6 +328,22 @@ class OperatorsSpec extends SparkSpec {
       ("b", "c", 1L, 1L, 1000000L)))
   }
 
+  test("ab lift: hash split deterministic, ppm exact, lift antisymmetric") {
+    def r(id: Long, u: Long, tp: String) =
+      (id, "2024-01-01 00:00:00", u, tp, 1.0, "{}")
+    val evs = mkEvents(
+      r(1, 1, "purchase"), r(2, 2, "view"), r(3, 3, "view"),
+      r(4, 4, "purchase"), r(5, 5, "view"), r(6, 6, "purchase"),
+      r(7, 6, "purchase")) // second conversion of one user counts once
+    // variant 0: users 2,4,6 -> converters 4,6 (2/3); variant 1: users
+    // 1,3,5 -> converter 1 (1/3)
+    val out = Stats.abLift(evs).orderBy("variant")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, 666666L, 333333L),
+      (1L, 3L, 1L, 333333L, -333333L)))
+  }
+
   test("rfm: quartile codes exact per axis, anchor from the data, non-purchases ignored") {
     def r(id: Long, u: Long, t: String, tp: String, v: Double) =
       (id, t, u, tp, v, "{}")
