@@ -2462,10 +2462,11 @@ object SparkEntry {
          |  FROM abu GROUP BY 1),
          |abp AS (SELECT variant, n_users, n_converters,
          |    n_converters * 1000000 // n_users AS conv_ppm FROM abv)
-         |SELECT a.variant, a.n_users, a.n_converters, a.conv_ppm,
-         |  a.conv_ppm - b.conv_ppm AS lift_ppm
-         |FROM abp a JOIN abp b ON a.variant <> b.variant
-         |ORDER BY a.variant""".stripMargin,
+         |SELECT variant, n_users, n_converters, conv_ppm,
+         |  CASE WHEN count(*) OVER () = 2
+         |    THEN conv_ppm * 2 - CAST(sum(conv_ppm) OVER () AS BIGINT)
+         |  END AS lift_ppm
+         |FROM abp ORDER BY variant""".stripMargin,
     // exact type-1 quartiles: row_number in a TOTAL order + the same
     // ((rank-1)*4) // N + 1 integer arithmetic as the Spark side — no
     // engine ntile, whose remainder placement differs

@@ -451,11 +451,19 @@ object Stats {
     *
     * Shape: one corpus-sized exchange — the user-keyed converted-or-not
     * aggregation (map-side combine; the purchase test folds into the
-    * partial agg) — then a 2-row variant agg and a 2×1 self-join for the
-    * lift column. Nothing after the first agg scales with anything.
+    * partial agg) — then a 2-row variant agg; the lift derives from a
+    * window over THAT 2-row frame (mine − other = 2·mine − total), so the
+    * whole readout is one corpus scan. A first cut self-joined byVariant
+    * to its own projection — the two branches canonicalize differently
+    * (aggregate order flips), exchange reuse does NOT kick in, and the
+    * corpus was scanned twice; the window form makes the single scan
+    * structural rather than an optimizer courtesy (PlanSpec-pinned). The
+    * window's SinglePartition exchange moves two rows. A single-parity
+    * corpus keeps its lone variant row with a null lift (no counterpart).
     */
   def abLift(events: DataFrame): DataFrame = {
-    val byVariant = events
+    val w = Window.partitionBy()
+    events
       .groupBy("user_id")
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("converted"))
@@ -463,11 +471,10 @@ object Stats {
       .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converters"))
       .withColumn("conv_ppm",
         expr("n_converters * 1000000L div n_users"))
-    byVariant.join(
-        byVariant.select(col("variant").as("v2"), col("conv_ppm").as("p2")),
-        col("variant") =!= col("v2"))
-      .select(col("variant"), col("n_users"), col("n_converters"),
-        col("conv_ppm"), (col("conv_ppm") - col("p2")).as("lift_ppm"))
+      .withColumn("lift_ppm",
+        when(count(lit(1)).over(w) === 2,
+          col("conv_ppm") * 2 - sum("conv_ppm").over(w)))
+      .select("variant", "n_users", "n_converters", "conv_ppm", "lift_ppm")
   }
 
   /** First-order Markov transition matrix over the event-type alphabet:

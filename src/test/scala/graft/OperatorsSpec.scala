@@ -342,6 +342,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(
       (0L, 3L, 2L, 666666L, 333333L),
       (1L, 3L, 1L, 333333L, -333333L)))
+    // single-parity corpus: the lone variant's row survives, lift null
+    val solo = Stats.abLift(mkEvents(r(1, 2, "purchase"), r(2, 4, "view")))
+      .collect()
+    assert(solo.length == 1 && solo.head.getLong(0) == 0L
+      && solo.head.isNullAt(4), solo.mkString(","))
   }
 
   test("rfm: quartile codes exact per axis, anchor from the data, non-purchases ignored") {

@@ -395,6 +395,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 3, p)
   }
 
+  test("ab lift: one corpus scan, lift from the 2-row window, no self-join") {
+    val p = plan(graft.operators.Stats.abLift(Tables.events(spark, sfDir)))
+    // the lift column derives from a window over the 2-row variant frame
+    // — the self-join formulation this replaced planned the corpus agg on
+    // both branches WITHOUT exchange reuse (aggregate order flips
+    // canonicalization) and scanned the corpus twice
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    // the only SinglePartition exchange moves the two variant rows
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+  }
+
   test("transitions: corpus shuffles once; matrix-sized rows shuffle after") {
     val p = plan(graft.operators.Stats.transitions(Tables.events(spark, sfDir)))
     // exchanges: (1) the user-keyed lead window — the only corpus-sized

@@ -615,8 +615,10 @@ class PropertySpec extends SparkSpec {
 
   test("sessions equal a plain fold reference on random frames") {
     uniqueIdFrames(5).foreach { evs =>
-      val got = Stats.sessionStats(evs.toDF())
-        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val rows = Stats.sessionStats(evs.toDF())
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val got = rows.toSet
+      assert(rows.length == got.size, "duplicate group rows emitted")
       val want = evs.groupBy(_.user_id).map { case (u, es) =>
         val us = es.map(e => (e.ts.getTime * 1000L, e.event_id)).sorted
         val sessions = us.tail.foldLeft(List(List(us.head))) { (acc, e) =>
@@ -636,8 +638,10 @@ class PropertySpec extends SparkSpec {
 
   test("transitions equal a plain bigram reference on random frames") {
     uniqueIdFrames(5).foreach { evs =>
-      val got = Stats.transitions(evs.toDF())
-        .as[(String, String, Long, Long, Long)].collect().toSet
+      val rows = Stats.transitions(evs.toDF())
+        .as[(String, String, Long, Long, Long)].collect()
+      val got = rows.toSet
+      assert(rows.length == got.size, "duplicate group rows emitted")
       val pairs = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
         val ordered = es.sortBy(e => (e.ts.getTime, e.event_id))
         ordered.zip(ordered.tail).map { case (a, b) => (a.event_type, b.event_type) }
@@ -653,8 +657,10 @@ class PropertySpec extends SparkSpec {
 
   test("co-occurrence equals a plain basket reference on random frames") {
     uniqueIdFrames(5).foreach { evs =>
-      val got = Stats.cooccurrence(evs.toDF())
-        .as[(String, String, Long, Long)].collect().toSet
+      val rows = Stats.cooccurrence(evs.toDF())
+        .as[(String, String, Long, Long)].collect()
+      val got = rows.toSet
+      assert(rows.length == got.size, "duplicate group rows emitted")
       val dayMs = 86400000L
       // .toSeq BEFORE the map: mapping the Map directly would re-key on
       // user_id alone and collapse a user's baskets from different days
@@ -676,6 +682,9 @@ class PropertySpec extends SparkSpec {
       val got = graft.ext.Sketches.histQuantiles(evs.toDF())
         .as[(String, Long, Long, Long, Long)].collect()
       val byType = evs.groupBy(_.event_type)
+      // every event type present in the input must come back as a group —
+      // a filter regression dropping a group would otherwise pass silently
+      assert(got.map(_._1).toSet == byType.keySet)
       got.foreach { case (et, n, p50, p90, p99) =>
         val vals = byType(et).map(_.value)
         assert(n == vals.size)
