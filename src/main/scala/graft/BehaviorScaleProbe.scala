@@ -92,7 +92,13 @@ object BehaviorScaleProbe {
             (col("id") % 86400) * 1000000L).as("ts"),
           lit(99999999L).as("user_id"),
           element_at(
-            array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+            // sized FROM CooccurCap (synthesizing extra names past the four
+            // real types) so a raised cap can never index past the array —
+            // the invariant is "exactly CooccurCap distinct types",
+            // whatever the cap is
+            array((0 until Stats.CooccurCap).map(i =>
+              lit(Seq("signup", "view", "click", "purchase")
+                .lift(i).getOrElse(s"type$i"))): _*),
             (col("id") % Stats.CooccurCap + 1).cast("int")).as("event_type"),
           (col("id") % 491).cast("double").as("value"))
         val ev = events.unionByName(botEv).localCheckpoint(true)

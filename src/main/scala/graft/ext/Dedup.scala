@@ -204,7 +204,23 @@ object Dedup {
     * the naive all-pairs form — the result SET is identical because the
     * filters are lossless) hash-matches.
     */
-  def jaccardJoin(documents: DataFrame, tauPpm: Long = 850000L): DataFrame = {
+  /** Broadcast budget (rows) for corpus-DERIVED vocabularies. A forced
+    * `broadcast()` hint is un-overridable — AQE cannot demote it — so a
+    * web-scale vocabulary (10⁸–10⁹ distinct tokens, gigabytes) would be
+    * collected to the driver and OOM it. Below the budget the hint is the
+    * right plan (one-sided join, no corpus re-shuffle); above it the join
+    * falls back to a plain shuffle on the token key — the same posture the
+    * incremental probe path uses against its bucketed vocab table. 4M rows
+    * of short tokens ≈ low-hundreds of MB broadcast, inside executor
+    * budgets with margin.
+    */
+  val VocabBroadcastMaxRows: Long = 4L << 20
+
+  private def gateBroadcast(dim: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(dim) else dim
+
+  def jaccardJoin(documents: DataFrame, tauPpm: Long = 850000L,
+                  broadcastVocabMaxRows: Long = VocabBroadcastMaxRows): DataFrame = {
     // tracked, not a bare localCheckpoint: tk is the CORPUS-SIZED exploded
     // token stream, and it is dead the moment `toks` (doc-sized int arrays)
     // materializes below — holding its blocks for the life of the returned
@@ -224,21 +240,26 @@ object Dedup {
     // Ranks.globalRank — a web-scale vocabulary (10⁸–10⁹ distinct tokens)
     // never funnels through one task; int tids bound the vocab at 2³¹,
     // comfortably above any real token inventory.
-    val dfreq = Ranks.globalRank(
-        tk.groupBy("token").agg(count(lit(1)).as("df")),
-        "tid", col("df").asc, col("token").asc)
+    // the df aggregation is checkpointed (vocab-sized) so the broadcast
+    // size-gate can COUNT it without recomputing the corpus agg, and
+    // globalRank's two consumers read the materialized rows
+    val (dfAgg, dfIds) = Checkpoints.checkpointTracked(
+      tk.groupBy("token").agg(count(lit(1)).as("df")))
+    val vocabRows = dfAgg.count()
+    val dfreq = Ranks.globalRank(dfAgg, "tid", col("df").asc, col("token").asc)
       .withColumn("tid", col("tid").cast("int"))
     // ONE groupBy replaces the two per-doc windows: the sorted tid array is
     // at once the per-doc rank order (prefix = a slice of it), the size n,
     // and the verification operand — materialized once, |docs| rows
-    val toks = tk.join(broadcast(dfreq), "token")
+    val toks = tk.join(
+        gateBroadcast(dfreq, vocabRows, broadcastVocabMaxRows), "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .localCheckpoint(true)
-    // toks is eager, so tk (and dfreq, which only fed toks) are now
-    // unreachable from any live plan — free the token-stream blocks
-    Checkpoints.releaseTracked(toks, tkIds)
+    // toks is eager, so tk (and dfAgg, which only fed toks through dfreq)
+    // are now unreachable from any live plan — free both checkpoints
+    Checkpoints.releaseTracked(toks, tkIds ++ dfIds)
     val prefix = toks
       .select(col("doc_id"), col("n"), posexplode(prefixSlice(tauPpm)))
       .select(col("doc_id"), col("col").as("tid"), col("n"),
@@ -298,30 +319,90 @@ object Dedup {
     * the result SET matches because the filter is lossless.
     */
   def containmentJoin(queries: DataFrame, corpus: DataFrame,
-                      tauPpm: Long = 600000L): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.SortedIntersectCount.register(spark)
-    // the corpus shingle stream feeds THREE differently-partitioned
-    // consumers (vocab df agg, candidate-join postings, ctoks gather) —
-    // checkpointed once so tokenize+shingle (the family's dominant cost)
-    // runs one corpus pass, the jaccardJoin discipline; kept for the life
-    // of the returned plan (all three consumers sit under it)
-    val (csh, _) = Checkpoints.checkpointTracked(
+                      tauPpm: Long = 600000L,
+                      broadcastVocabMaxRows: Long = VocabBroadcastMaxRows)
+      : DataFrame = {
+    // the inline (one-shot) form IS build + probe with local-checkpoint
+    // persistence: each artifact materializes eagerly in executor storage
+    // instead of parquet, and the probe plans against those blocks — one
+    // code path with the TrainedStore-backed production form, so the two
+    // cannot diverge semantically
+    val parts = scala.collection.mutable.Map.empty[String, DataFrame]
+    buildContainmentIndex(corpus,
+      (name, df) => { val c = df.localCheckpoint(true); parts(name) = c; c },
+      broadcastVocabMaxRows)
+    containmentProbe(queries, parts("vocab"), parts("postings"),
+      parts("ctoks"), tauPpm, broadcastVocabMaxRows)
+  }
+
+  /** Corpus-side containment index build — the three artifacts
+    * [[containmentProbe]] consumes, from ONE corpus shingle pass:
+    * `vocab(shingle, tid)` (the frozen df-asc prefix order),
+    * `postings(doc_id, tid)` (the candidate-join side), and
+    * `ctoks(doc_id, tb)` (sorted tid arrays, the verification operand).
+    * `write` persists each part and returns the read-back frame
+    * ([[TrainedStore.cachedMulti]]'s writer, or a localCheckpoint for the
+    * inline form), so each later part derives from the PERSISTED
+    * predecessor rather than recomputing the pass. In production the
+    * corpus index builds once per decontamination campaign and every
+    * benchmark batch probes it — the build-per-probe form re-prices a
+    * corpus-sized job on every batch.
+    */
+  def buildContainmentIndex(corpus: DataFrame,
+                            write: (String, DataFrame) => DataFrame,
+                            broadcastVocabMaxRows: Long = VocabBroadcastMaxRows)
+      : Unit = {
+    // the corpus shingle stream feeds three differently-partitioned
+    // consumers (vocab df agg, postings join, ctoks gather) — checkpointed
+    // once so tokenize+shingle (the family's dominant cost) runs one
+    // corpus pass; released once the persisted parts cover it
+    val (csh, cshIds) = Checkpoints.checkpointTracked(
       TextAnalysis.shingleStream(corpus)
         .filter(col("shingle") =!= "").distinct())
+    try {
+      // vocab-sized checkpoint lets the broadcast size-gate COUNT the
+      // vocabulary without recomputing the corpus aggregation
+      val (dfAgg, dfIds) = Checkpoints.checkpointTracked(
+        csh.groupBy("shingle").agg(count(lit(1)).as("df")))
+      val vocabRows = dfAgg.count()
+      val vocab = write("vocab",
+        Ranks.globalRank(dfAgg, "tid", col("df").asc, col("shingle").asc)
+          .withColumn("tid", col("tid").cast("int"))
+          .select("shingle", "tid"))
+      Checkpoints.releaseTracked(vocab, dfIds)
+      // size-gated, never a forced hint: a web-scale shingle vocabulary
+      // (10⁸–10⁹ rows) must shuffle-join, not collect to the driver
+      val postings = write("postings",
+        csh.join(gateBroadcast(vocab, vocabRows, broadcastVocabMaxRows),
+            "shingle")
+          .select(col("doc_id"), col("tid")))
+      write("ctoks", postings.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tid"))).as("tb")))
+      ()
+    } finally Checkpoints.releaseTracked(csh, cshIds)
+  }
+
+  /** Probe the containment index with a benchmark batch: query-sized work
+    * only — one query shingle pass, a (gated) vocab join, the lossless
+    * prefix explode against the postings, and the merge-walk verify
+    * against ctoks. Unseen query shingles count into n_q but not into ta
+    * (collect_list drops the left join's nulls), exactly the losslessness
+    * argument in the class doc.
+    */
+  def containmentProbe(queries: DataFrame, vocab: DataFrame,
+                       postings: DataFrame, ctoks: DataFrame,
+                       tauPpm: Long = 600000L,
+                       broadcastVocabMaxRows: Long = VocabBroadcastMaxRows)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.SortedIntersectCount.register(spark)
+    // parquet row-count is footer metadata; on the inline form this counts
+    // already-materialized checkpoint blocks — cheap either way
+    val gated = gateBroadcast(vocab, vocab.count(), broadcastVocabMaxRows)
     val qsh = TextAnalysis.shingleStream(queries)
       .filter(col("shingle") =!= "").distinct()
       .withColumnRenamed("doc_id", "q_id")
-    val vocab = Ranks.globalRank(
-        csh.groupBy("shingle").agg(count(lit(1)).as("df")),
-        "tid", col("df").asc, col("shingle").asc)
-      .withColumn("tid", col("tid").cast("int"))
-      .select("shingle", "tid")
-    val cstream = csh.join(broadcast(vocab), "shingle")
-      .select(col("doc_id"), col("tid"))
-    val ctoks = cstream.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tid"))).as("tb"))
-    val qtoks = qsh.join(broadcast(vocab), Seq("shingle"), "left")
+    val qtoks = qsh.join(gated, Seq("shingle"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_q"),
         sort_array(collect_list(col("tid"))).as("ta"))
@@ -330,7 +411,7 @@ object Dedup {
     val prefix = qtoks
       .select(col("q_id"),
         explode(expr("slice(ta, 1, int(size(ta) - o + 1L))")).as("tid"))
-    val cand = prefix.join(cstream, "tid")
+    val cand = prefix.join(postings, "tid")
       .select("q_id", "doc_id").distinct()
     cand
       .join(qtoks.select("q_id", "n_q", "o", "ta"), "q_id")
@@ -350,15 +431,20 @@ object Dedup {
     * real shingle overlap.
     */
   def decontaminationContainment(documents: DataFrame,
-                                 tauPpm: Long = 600000L): DataFrame = {
-    val corpus = documents.filter(col("doc_id") % 3 === 0)
-    val halves = documents.filter(col("doc_id") % 9 === 0)
+                                 tauPpm: Long = 600000L): DataFrame =
+    containmentJoin(benchmarkHalves(documents),
+      documents.filter(col("doc_id") % 3 === 0), tauPpm)
+
+  /** The synthetic benchmark batch for the decontamination oracle: the
+    * second token-halves of every doc_id % 9 doc, id-shifted by 2,000,000.
+    * Factored so the cached-index form probes the same universe.
+    */
+  def benchmarkHalves(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 9 === 0)
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select((col("doc_id") + 2000000L).as("doc_id"),
         array_join(expr("slice(__toks, size(__toks) div 2 + 1, size(__toks))"),
           " ").as("text"))
-    containmentJoin(halves, corpus, tauPpm)
-  }
 
   /** Build the persisted prefix index for INCREMENTAL exact τ-Jaccard dedup
     * — [[jaccardJoin]]'s build-once/probe-many form, completing the exact

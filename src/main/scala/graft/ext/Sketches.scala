@@ -324,6 +324,11 @@ object Sketches {
       s"quantile percents must be in [1,100]; got $qs")
     val sk = events
       .select(col("event_type"), histBin(col("value")).as("bin"))
+      // NULL values bin to NULL, and the primitive-Int udaf would decode a
+      // NULL input as 0 — silently counted in bin 0 AND in n. Excluded
+      // here with the matching predicate in the oracle: a null measurement
+      // is absent from the distribution, not a zero.
+      .filter(col("bin").isNotNull)
       .groupBy("event_type")
       .agg(graft.functions.HistSketch.hist(col("bin"), HistBins).as("h"))
       .withColumn("n", aggregate(col("h"), lit(0L), (a, x) => a + x))

@@ -235,7 +235,14 @@ object TimeSeries {
         (col("roll_cents").cast("double") / 10000.0).as("roll_sum"),
         min(col("min_v")).over(frame).as("roll_min"),
         max(col("max_v")).over(frame).as("roll_max"),
-        expr("(roll_cents * 100) div roll_n").as("roll_mean_micros"),
+        // FLOOR division, not Spark's truncate-toward-zero `div`: the
+        // DuckDB twin's `//` floors, and a negative trailing sum (values
+        // are unconstrained — the histogram family clamps, this one does
+        // not) would otherwise differ by 1 exactly on the negative rows.
+        // pmod is non-negative for the positive divisor roll_n, so
+        // subtracting it makes the quotient exact and `div` = floor.
+        expr("(roll_cents * 100 - pmod(roll_cents * 100, roll_n)) div roll_n")
+          .as("roll_mean_micros"),
         (col("n_events") - lag(col("n_events"), 1).over(seq)).as("delta_n"))
   }
 

@@ -44,8 +44,7 @@ object TrainedStore {
     * onto one artifact.
     */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
+    val safe = safeName(key)
     val path = root.resolve(safe).toString
     // putIfAbsent (not getOrElseUpdate) so every racer observes ONE winner
     locks.putIfAbsent(safe, new Object)
@@ -57,4 +56,36 @@ object TrainedStore {
     }
     spark.read.parquet(path)
   }
+
+  /** Multi-part artifact under one key and one build: `build` receives a
+    * writer that persists a named part and hands back the READ-BACK frame,
+    * so later parts derive from persisted predecessors instead of
+    * recomputing the shared upstream pass (the containment index's three
+    * parts all hang off one corpus shingle scan). Same per-key lock and
+    * build-at-most-once-per-JVM semantics as [[cached]].
+    */
+  def cachedMulti(spark: SparkSession, key: String)(
+      build: ((String, DataFrame) => DataFrame) => Unit): Map[String, DataFrame] = {
+    val safe = safeName(key)
+    val dir = root.resolve(safe)
+    locks.putIfAbsent(safe, new Object)
+    locks(safe).synchronized {
+      if (!built.contains(safe)) {
+        build { (part, df) =>
+          require(part.matches("[A-Za-z0-9._-]+"), s"part name: $part")
+          val p = dir.resolve(part).toString
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        }
+        built.put(safe, ())
+      }
+    }
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(f => f.getName -> spark.read.parquet(f.toString)).toMap
+  }
+
+  private def safeName(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
 }

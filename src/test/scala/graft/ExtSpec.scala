@@ -1687,6 +1687,42 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((900L, 1L, 1L, 4L)))
   }
 
+  test("containment: cached-index probe equals the self-contained form") {
+    // the TrainedStore-backed path (build once, probe many) must be
+    // indistinguishable from decontaminationContainment — the build is
+    // deterministic (total-order vocab rank), so a persisted artifact
+    // answers bit-identically
+    val documents = Tables.documents(spark, sfDir)
+    val idx = TrainedStore.cachedMulti(spark, s"$sfDir-containment-idx-spec")(
+      w => Dedup.buildContainmentIndex(
+        documents.filter(col("doc_id") % 3 === 0), w))
+    assert(idx.keySet == Set("vocab", "postings", "ctoks"))
+    val cached = Dedup.containmentProbe(Dedup.benchmarkHalves(documents),
+        idx("vocab"), idx("postings"), idx("ctoks"))
+      .orderBy("q_id", "doc_id").collect().toSeq
+    val inline = Dedup.decontaminationContainment(documents)
+      .orderBy("q_id", "doc_id").collect().toSeq
+    assert(cached.nonEmpty && cached == inline)
+  }
+
+  test("jaccard/containment: above-budget vocab shuffles, answers identical") {
+    // broadcastVocabMaxRows = 0 forces every vocab join onto the shuffle
+    // path (what a 10⁸-row web-scale vocabulary takes); the result SET
+    // must not move — the gate is a physical-plan decision only
+    val documents = Tables.documents(spark, sfDir)
+    val docsJ = documents.filter(col("doc_id") % 7 === 0)
+    val hinted = Dedup.jaccardJoin(docsJ).orderBy("doc_a", "doc_b").collect().toSeq
+    val gated = Dedup.jaccardJoin(docsJ, broadcastVocabMaxRows = 0)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(hinted.nonEmpty && gated == hinted)
+    val corpus = documents.filter(col("doc_id") % 3 === 0)
+    val q = Dedup.benchmarkHalves(documents)
+    val ch = Dedup.containmentJoin(q, corpus).orderBy("q_id", "doc_id").collect().toSeq
+    val cg = Dedup.containmentJoin(q, corpus, broadcastVocabMaxRows = 0)
+      .orderBy("q_id", "doc_id").collect().toSeq
+    assert(ch.nonEmpty && cg == ch)
+  }
+
   test("fuzzy: delete neighborhood is the term plus every single deletion") {
     val out = Seq(Tuple1("abc")).toDF("q_term")
       .select(Fuzzy.deleteNeighborhood("q_term"))

@@ -76,6 +76,28 @@ class PlanSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false)))
   }
 
+  test("containment: above-budget vocab plans NO broadcast exchange") {
+    // the vocab broadcast is a size-gated hint, never forced: a 10⁸–10⁹
+    // row web-scale vocabulary must take the shuffle join (an explicit
+    // broadcast() hint is un-overridable and would collect gigabytes to
+    // the driver). With autoBroadcastJoinThreshold disabled, the only way
+    // a BroadcastExchange can appear is through the hint — so the gated
+    // form's plan must have none, and the under-budget form must still
+    // carry it (the hint, not the threshold, drives the small case).
+    val documents = Tables.documents(spark, sfDir)
+    val corpus = documents.filter(col("doc_id") % 3 === 0)
+    val q = Dedup.benchmarkHalves(documents)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val gated = plan(Dedup.containmentJoin(q, corpus, broadcastVocabMaxRows = 0))
+      assert(!gated.contains("BroadcastExchange"), gated)
+      val hinted = plan(Dedup.containmentJoin(q, corpus))
+      assert(hinted.contains("BroadcastExchange"), hinted)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("vocabulary rank is range-partitioned, never a single-partition window") {
     // the dictionary-encode step of jaccardJoin/buildJaccardIndex ranks the
     // DISTINCT-TOKEN table; at web scale that is 10⁸–10⁹ rows, so an
@@ -339,10 +361,12 @@ class PlanSpec extends SparkSpec {
     val df = graft.ext.TimeSeries.hourlyAnomalies(Tables.events(spark, sfDir))
     df.collect() // AQE: judge the final adaptive plan
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // three broadcast joins: dev⋈med and dev⋈mad at the top level, plus
-    // the dev recurrence inside mad's broadcast build (fed by the reused
-    // hourly exchange, not a rescan)
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    // the median frames join back broadcast (they are series-sized):
+    // BOUNDS, not an exact node count — the exact broadcast-join count
+    // encodes AQE/threshold behavior, not the operator contract, which is
+    // "no corpus-sized SortMergeJoin anywhere, at least the two top-level
+    // median joins broadcast"
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
     // the corpus-sized hourly reduction is computed once and its exchange
     // REUSED by every median branch — a second events scan would double
@@ -384,15 +408,15 @@ class PlanSpec extends SparkSpec {
     // into the eager checkpoint); the returned plan ranks the user-sized
     // in-memory leaf — no parquet rescans anywhere downstream
     assert(!p.contains("FileScan parquet"), p)
-    // each quartile axis is a distributed globalRank: TWO plan-level
-    // range exchanges over the user-sized checkpoint leaf (the numbered
-    // sort + the offsets branch's recompute of it — AQE reuses the stage
-    // at runtime) — a global ntile window would instead drag the user
-    // frame through Exchange SinglePartition, the 10⁹-user straggler;
-    // the only SinglePartition exchanges are the three offsets windows
-    // over PARTITION-COUNT-sized frames (32 rows at driver shape)
-    assert("Exchange rangepartitioning".r.findAllIn(p).size == 6, p)
-    assert("Exchange SinglePartition".r.findAllIn(p).size == 3, p)
+    // each quartile axis is a distributed globalRank — BOUNDS, not exact
+    // node counts (the exact 6/3 encoded plan-shape details AQE or a Spark
+    // bump can legally change): every axis must show at least one range
+    // exchange (a global ntile window would instead drag the user frame
+    // through Exchange SinglePartition, the 10⁹-user straggler), and the
+    // only SinglePartition exchanges allowed are the per-axis offsets
+    // windows over PARTITION-COUNT-sized frames (32 rows at driver shape)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 3, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 3, p)
   }
 
   test("ab lift: one corpus scan, lift from the 2-row window, no self-join") {
