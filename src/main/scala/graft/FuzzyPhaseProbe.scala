@@ -25,6 +25,27 @@ object FuzzyPhaseProbe {
       println(f"$tag%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    if (args.contains("match2")) {
+      // phase attribution for the one-shot distance-2 match
+      val all = Tables.documents(spark, sfDir)
+      (1 to 3).foreach { rep =>
+        println(s"--- match2 rep $rep ---")
+        val q = t("typoq2") {
+          graft.ext.Fuzzy.typoQueries2(all).localCheckpoint(true) }
+        val dict = t("dict") {
+          graft.ext.Fuzzy.dictionary(all.filter(col("doc_id") % 3 === 0))
+            .localCheckpoint(true) }
+        val dk = t("keys2") {
+          graft.ext.Fuzzy.dictionaryKeys2(dict).localCheckpoint(true) }
+        println(s"  dk rows: ${dk.count()}")
+        t("joinverify") {
+          graft.ext.Fuzzy.fuzzyMatch2Against(q, dk).count() }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep ---")
       val all = Tables.documents(spark, sfDir)

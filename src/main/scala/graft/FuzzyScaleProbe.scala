@@ -110,6 +110,49 @@ object FuzzyScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_MODE=d2 — the distance-2 ladder: same grow-both-sides
+    // regime with TWO-char-deleted queries, del<=2 (FastSS) keys, and a
+    // levenshtein<=2 brute twin. Also reports the measured neighborhood
+    // inflation (keys per dictionary term, d1 vs d2): the d2 index costs
+    // ~len²/2 keys per term — a CONSTANT factor (~6x at len 12), linear in
+    // dictionary size, which is the whole scale argument — candidates stay
+    // planted-match-sized while brute verify work grows |Q|·|D|.
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("d2")) {
+      graft.functions.DeleteNeighborhoodKeys.register(spark)
+      def queries2(n: Long): DataFrame =
+        queries(spark, n).select(col("doc_id"), expr(
+          """concat(substring(q_term, 1, CAST((doc_id div 12) % 11 AS INT)),
+            |       substring(q_term, CAST((doc_id div 12) % 11 AS INT) + 2, 11))"""
+            .stripMargin).as("q_term"))
+      def brute2(q: DataFrame, d: DataFrame): DataFrame =
+        q.crossJoin(d.select(col("term").as("dict_term")))
+          .filter(abs(length(col("q_term")) - length(col("dict_term"))) <= 2)
+          .filter(levenshtein(col("q_term"), col("dict_term")) <= 2)
+          .select("doc_id", "q_term", "dict_term")
+      for (s <- Seq(1, 2, 4, 8)) {
+        val d = dict(spark, 10000L * s)
+        val q = queries2(100L * s)
+        val keysRow = d.select(
+            sum(size(expr("del_keys(term, 1)"))).as("k1"),
+            sum(size(expr("del_keys(term, 2)"))).as("k2"))
+          .head()
+        val keys = (keysRow.getLong(0), keysRow.getLong(1))
+        val got = Fuzzy.fuzzyMatch2(q, d)
+          .select("doc_id", "dict_term").distinct().count()
+        val want = brute2(q, d)
+          .select("doc_id", "dict_term").distinct().count()
+        require(got == want, s"blocked=$got brute=$want at s=$s")
+        val tBlocked = ProbeUtil.median3(Fuzzy.fuzzyMatch2(q, d))
+        val tBrute = ProbeUtil.median3(brute2(q, d))
+        println(s"""{"probe":"fuzzy_d2","scale":$s,"dict":${10000 * s},""" +
+          s""""queries":${100 * s},"matches":$got,""" +
+          s""""keys_d1":${keys._1},"keys_d2":${keys._2},""" +
+          s""""blocked_s":${ProbeUtil.r2(tBlocked)},"brute_s":${ProbeUtil.r2(tBrute)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     for (s <- Seq(1, 2, 4, 8)) {
       val d = dict(spark, 10000L * s)
       val q = queries(spark, 100L * s)

@@ -91,6 +91,42 @@ object Fuzzy {
           |    substring(term, CAST((doc_id div 3) % length(term) AS INT) + 2, length(term)))
           |END""".stripMargin).as("q_term"))
 
+  /** Length floor for the DISTANCE-2 family. del≤2 keys lose up to two
+    * characters, so a floor of [[MinTermLen]] would put 2-char keys in the
+    * join — hot-key fan-in quadratic in the dictionary's short tail. Six
+    * keeps every join key at ≥ 4 chars (same effective floor the
+    * distance-1 family's keys have) while the `abs(len(q)-len(d)) <= 2`
+    * band the verify implies still holds for every kept pair.
+    */
+  val MinTermLen2 = 6
+
+  /** `{t} ∪ del1(t) ∪ del2(t)`: the FastSS key set for edit distance ≤ 2
+    * (Bocek et al. 2007 — deleting up to k characters from both sides
+    * covers every alignment of k edits, so two terms within Levenshtein
+    * distance 2 ALWAYS share a key). Size is 1 + len + len·(len−1)/2 —
+    * O(len²) but len is a shingle, not a document: the inflation is a
+    * constant factor per dictionary row (~130 keys at len 15), linear in
+    * corpus size, never pairwise. del2 is generated as del1 of each del1
+    * variant (every 2-deletion is reachable that way; array_distinct
+    * collapses the duplicate orderings).
+    */
+  def deleteNeighborhood2(termCol: String): Column =
+    when(length(col(termCol)) < 2, deleteNeighborhood(termCol))
+      .otherwise(expr(
+        s"""array_distinct(concat(
+           |  array($termCol),
+           |  transform(sequence(1, length($termCol)),
+           |    i -> concat(substring($termCol, 1, i - 1),
+           |                substring($termCol, i + 1, length($termCol)))),
+           |  flatten(transform(
+           |    transform(sequence(1, length($termCol)),
+           |      i -> concat(substring($termCol, 1, i - 1),
+           |                  substring($termCol, i + 1, length($termCol)))),
+           |    v -> transform(sequence(1, length(v)),
+           |      j -> concat(substring(v, 1, j - 1),
+           |                  substring(v, j + 1, length(v))))))))"""
+          .stripMargin))
+
   /** Distance-≤1 fuzzy join: `queries(doc_id, q_term)` against
     * `dict(term, …)`. Delete-neighborhood equi-join generates candidates
     * (no false negatives — see object doc), one distinct collapses pairs
@@ -118,6 +154,96 @@ object Fuzzy {
     */
   def spellMatch(documents: DataFrame): DataFrame =
     fuzzyMatch(typoQueries(documents), dictionary(documents))
+
+  /** Distance-≤2 fuzzy join — where OCR/transcription noise actually
+    * lives (two-character slips are the norm in scanned text, not the
+    * exception). Same lossless-candidates + exact-verify shape as
+    * [[fuzzyMatch]], with [[deleteNeighborhood2]] keys and a
+    * `levenshtein ≤ 2` verify; both sides floored at [[MinTermLen2]]
+    * (the floor is part of the declared universe — the oracle twin
+    * applies it identically).
+    */
+  def fuzzyMatch2(queries: DataFrame, dict: DataFrame): DataFrame =
+    fuzzyMatch2Against(queries, dictionaryKeys2(dict))
+
+  /** The distance-2 dictionary index: `(k, dict_term)` for every del≤2
+    * key — the artifact a production deployment builds ONCE (bucketed by
+    * k, the persisted-family layout) because it is the expensive side:
+    * ~len²/2 keys per term is a ~130× row inflation at shingle lengths.
+    * Probes are per-batch and only explode the query side.
+    */
+  def dictionaryKeys2(dict: DataFrame): DataFrame = {
+    graft.functions.DeleteNeighborhoodKeys.register(dict.sparkSession)
+    dict
+      .filter(length(col("term")) >= MinTermLen2)
+      // spread BEFORE the ~len²/2 explode: AQE coalesces the small
+      // dictionary agg to few partitions and explode inherits its child's
+      // partitioning (the buildFuzzyIndexGen lesson) — and the kernel
+      // (del_keys, one tight-loop call per term; see DeleteNeighborhoodKeys
+      // for the measured 35× over the interpreted-HOF SQL form) does the
+      // per-term work
+      .repartition(dict.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("term").as("dict_term"),
+        explode(expr("del_keys(term, 2)")).as("k"))
+  }
+
+  /** Probe half of [[fuzzyMatch2]]: query-side del≤2 explode, candidate
+    * equi-join on the key, one distinct, exact `levenshtein ≤ 2` verify.
+    */
+  def fuzzyMatch2Against(queries: DataFrame, dictKeys: DataFrame): DataFrame = {
+    graft.functions.DeleteNeighborhoodKeys.register(queries.sparkSession)
+    val qk = queries
+      .filter(length(col("q_term")) >= MinTermLen2)
+      .select(col("doc_id"), col("q_term"),
+        explode(expr("del_keys(q_term, 2)")).as("k"))
+    qk.join(dictKeys, "k")
+      .select("doc_id", "q_term", "dict_term")
+      .distinct()
+      .filter(levenshtein(col("q_term"), col("dict_term")) <= 2)
+      .withColumn("dist", levenshtein(col("q_term"), col("dict_term")).cast("long"))
+  }
+
+  /** Two deterministic edits for the distance-2 oracle corpus: the
+    * [[typoQueries]] single edit, then a SECOND edit on the result —
+    * delete / substitute-'x' / insert-'x' chosen by `doc_id div 3 % 3` at
+    * position `(doc_id div 5) % len` of the once-edited term. Composed
+    * edits land at Levenshtein ≤ 2 (an insert can cancel a delete, so
+    * some pairs sit at 1 or 0 — deliberate coverage of the boundary).
+    * Pure integer column arithmetic, reproduced verbatim by the DuckDB
+    * twin. `mod` defaults higher than the distance-1 family's: the twin
+    * is all-pairs over the query universe, and distance 2 is the
+    * expensive verify.
+    */
+  def typoQueries2(documents: DataFrame, mod: Int = 10): DataFrame =
+    typoQueries(documents, mod)
+      // collapse barrier: without it CollapseProject inlines edit 1's CASE
+      // into every one of edit 2's ~13 q_term references, and the probe's
+      // del≤2 explode then inlines THAT ~12 more times — a ~150× expression
+      // blowup evaluated per key row. The repartition materializes each
+      // edit once per row; the frame is query-sized, so the exchange moves
+      // |docs|/mod short strings.
+      .repartition()
+      .select(col("doc_id"), expr(
+        """CASE CAST((doc_id div 3) % 3 AS INT)
+          |  WHEN 0 THEN concat(
+          |    substring(q_term, 1, CAST((doc_id div 5) % length(q_term) AS INT)),
+          |    substring(q_term, CAST((doc_id div 5) % length(q_term) AS INT) + 2, length(q_term)))
+          |  WHEN 1 THEN concat(
+          |    substring(q_term, 1, CAST((doc_id div 5) % length(q_term) AS INT)), 'x',
+          |    substring(q_term, CAST((doc_id div 5) % length(q_term) AS INT) + 2, length(q_term)))
+          |  ELSE concat(
+          |    substring(q_term, 1, CAST((doc_id div 5) % length(q_term) AS INT) + 1), 'x',
+          |    substring(q_term, CAST((doc_id div 5) % length(q_term) AS INT) + 2, length(q_term)))
+          |END""".stripMargin).as("q_term"))
+
+  /** The distance-2 oracle composition: twice-edited queries from the
+    * mod-10 doc universe vs the mod-3 corpus dictionary (both reductions
+    * keep the DuckDB all-pairs twin tractable; the SET semantics are
+    * unchanged — losslessness is per-pair).
+    */
+  def spellMatch2(documents: DataFrame): DataFrame =
+    fuzzyMatch2(typoQueries2(documents),
+      dictionary(documents.filter(col("doc_id") % 3 === 0)))
 
   // ---- persisted fuzzy dictionary: the FIFTH generation-swap index ----
   //

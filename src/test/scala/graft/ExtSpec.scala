@@ -1783,6 +1783,72 @@ class ExtSpec extends SparkSpec {
     dp(a.length)(b.length)
   }
 
+  test("fuzzy d2: del_keys kernel equals the SQL neighborhood form (sets)") {
+    // the native kernel (code-point deletions, hash-set dedup) must be
+    // element-set equal to the nested-transform SQL form it replaced —
+    // doubled characters, repeats, short strings, and non-ASCII BMP all
+    // covered; order is irrelevant to the equi-join consumers
+    graft.functions.DeleteNeighborhoodKeys.register(spark)
+    val terms = Seq("abc", "aab", "abab", "a", "ab", "héllo wörld",
+      "table scan fast", "xxxxxx", "merge join")
+    terms.foreach { t =>
+      val df = Seq(Tuple1(t)).toDF("term")
+      val sql2 = df.select(Fuzzy.deleteNeighborhood2("term"))
+        .as[Seq[String]].head().toSet
+      val k2 = df.select(expr("del_keys(term, 2)"))
+        .as[Seq[String]].head().toSet
+      assert(k2 == sql2, s"d2 mismatch on '$t'")
+      val sql1 = df.select(Fuzzy.deleteNeighborhood("term"))
+        .as[Seq[String]].head().toSet
+      val k1 = df.select(expr("del_keys(term, 1)"))
+        .as[Seq[String]].head().toSet
+      assert(k1 == sql1, s"d1 mismatch on '$t'")
+    }
+  }
+
+  test("fuzzy d2: two-edit slips hit, distance-3 verified OUT") {
+    val dict = Seq("table scan fast", "merge join slow").toDF("term")
+    val queries = Seq(
+      (1L, "tabel scan fast"),   // transposition = dist 2: the d1 family
+                                 // drops it, d2 must FIND it
+      (2L, "tble scan fas"),     // two deletions
+      (3L, "tablee sscan fast"), // two insertions
+      (4L, "tible scen fast"),   // two substitutions
+      (5L, "tble scn fas"),      // three deletions: candidate keys may
+                                 // collide, the verify must drop it
+      (6L, "window sort limit")) // unrelated
+      .toDF("doc_id", "q_term")
+    val out = Fuzzy.fuzzyMatch2(queries, dict)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "tabel scan fast", "table scan fast", 2L),
+      (2L, "tble scan fas", "table scan fast", 2L),
+      (3L, "tablee sscan fast", "table scan fast", 2L),
+      (4L, "tible scen fast", "table scan fast", 2L)))
+  }
+
+  test("fuzzy d2: blocked join equals brute-force levenshtein<=2 (differential)") {
+    // ≥ MinTermLen2-char universe: chains of 1- and 2-edit neighbors,
+    // repeats, shared 2-deletions — every pair within distance 2 must
+    // surface, nothing past it
+    val universe = Seq("abcdef", "abcde", "abcd".padTo(6, 'f'), "abcdeg",
+      "abcdfg", "abdcef", "bacdef", "abcdefgh", "abcdxy", "xycdef",
+      "wxyzuv", "ababab", "bababa", "aabcdef", "abcddef")
+    val dict = universe.toDF("term")
+    val queries = universe.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "q_term")
+    val got = Fuzzy.fuzzyMatch2(queries, dict)
+      .select("doc_id", "dict_term").as[(Long, String)].collect().toSet
+    val want = (for {
+      (q, i) <- universe.zipWithIndex; d <- universe
+      // the MinTermLen2 floor is part of the operator's declared universe
+      if q.length >= Fuzzy.MinTermLen2 && d.length >= Fuzzy.MinTermLen2 &&
+        levenshteinDist(q, d) <= 2
+    } yield (i.toLong, d)).toSet
+    assert(got == want)
+  }
+
   test("fuzzy index: admission sums ACROSS layers (df-rederive posture)") {
     // the shingle "rare term here" appears ONCE in the base and ONCE in
     // the delta batch: below DictMinCount=2 in each layer alone, admitted
