@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,24 +366,117 @@ object Stats {
     * exchange and user-sized rows the third. Nothing per-event shuffles
     * twice.
     */
-  def sessionStats(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val marked = events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("new_s",
-        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
-          .otherwise(when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L)))
-      .withColumn("sid", sum("new_s").over(w))
-    marked
-      .groupBy("user_id", "sid")
-      .agg(count(lit(1)).as("ne"),
-        (max("us") - min("us")).as("dur_us"))
+  def sessionStats(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame =
+    sessionProfile(events, gapUs)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("ne") === 1, 1L).otherwise(0L)).as("bounce_sessions"),
         sum("ne").as("n_events"),
         max("ne").as("max_session_events"),
         sum("dur_us").as("total_session_us"))
+
+  /** The per-SESSION rows under [[sessionStats]] — (user, session start/end
+    * micros, event count, duration): the granularity the streaming twin
+    * emits, factored so batch and stream compare row-for-row. Same single
+    * user-keyed window chain; the (user, sid) partial agg still collapses
+    * map-side inside the window's partitioning.
+    */
+  def sessionProfile(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+          .otherwise(when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("ne"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        (max("us") - min("us")).as("dur_us"))
+      .drop("sid")
+  }
+
+  /** STREAMING twin of [[sessionProfile]]: `session_window` + watermark in
+    * Append mode — each session row emits exactly once, when the watermark
+    * passes its close (the reference is a streaming engine; the behavior
+    * family's sessionization carries the same dual surface as the streak
+    * family, [[Streaks.sessions]]). The strict-gap boundary agrees with
+    * the batch form: a gap of exactly `gapUs` stays in-session in both
+    * (session_window merges touching ranges; the batch lag breaks only on
+    * `> gapUs`). State is watermark-bounded — one open session per active
+    * user, closed and evicted as event time advances, so state size tracks
+    * ACTIVE users, never history. Downstream, the per-user rollup of
+    * [[sessionStats]] is a fold over these emitted rows.
+    */
+  def sessionProfileStreaming(events: DataFrame,
+                              gapUs: Long = SessionGapUs,
+                              watermark: String = "1 hour"): DataFrame = {
+    require(gapUs % 1000000L == 0, s"gapUs must be whole seconds: $gapUs")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs / 1000000L} seconds").as("sw"))
+      .agg(count(lit(1)).as("ne"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+      .select("user_id", "ne", "start_us", "end_us", "dur_us")
+  }
+
+  /** State for [[funnelStreaming]]: the earliest event-time (micros) at
+    * which each funnel step was reached IN ORDER — `reached(i)` is the
+    * batch [[funnel]]'s `t(i+1)`.
+    */
+  case class FunnelState(reachedUs: Seq[Long])
+  case class FunnelOut(user_id: Long, depth: Long, t_depth_us: Long)
+
+  /** Per-batch funnel fold for `flatMapGroupsWithState` (the
+    * [[Achievements.detectCrossings]] state template): sorts the batch's
+    * rows into event-time order and advances the per-user step vector —
+    * a step counts only when its event is STRICTLY after the previous
+    * step's time, the batch operator's `ts > t_prev` contract. Under
+    * per-user event-time-ordered delivery (the reference's fold-order
+    * guarantee, §2.8) the greedy fold equals the batch `min`-based
+    * definition: the first qualifying event in time order IS the min.
+    * Emits the user's current depth each batch — the Update-mode
+    * changelog, exactly-once per depth change is the consumer's dedup.
+    */
+  def updateFunnel(steps: Array[String])(
+      uid: Long, rows: Iterator[(Long, String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelState])
+      : Iterator[FunnelOut] = {
+    val sorted = rows.toArray.sortBy(r => (r._3, r._1))
+    var reached = state.getOption.map(_.reachedUs.toArray)
+      .getOrElse(Array.empty[Long])
+    sorted.foreach { case (_, et, us) =>
+      val d = reached.length
+      if (d < steps.length && et == steps(d) &&
+          (d == 0 || us > reached(d - 1)))
+        reached = reached :+ us
+    }
+    state.update(FunnelState(reached.toSeq))
+    Iterator.single(FunnelOut(uid, reached.length.toLong,
+      if (reached.nonEmpty) reached.last else Long.MinValue))
+  }
+
+  /** STREAMING funnel depth — works in batch too (state starts empty,
+    * yielding exactly [[funnel]]'s depths under ordered input).
+    */
+  def funnelStreaming(spark: SparkSession, events: DataFrame,
+                      steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val keyed = events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateFunnel(steps.toArray))
+      .toDF()
   }
 
   /** RFM segmentation — the classic recency/frequency/monetary user

@@ -56,6 +56,61 @@ class RecoverySpec extends SparkSpec {
     assert(counts == 25L)
   }
 
+  test("streaming funnel depth: state survives restart, equals batch") {
+    val root = managedTempDir("funnelrec")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+
+    // user 1 walks the whole funnel; the restart lands BETWEEN its view
+    // and its click, so depth 4 is only reachable if FunnelState resumed
+    // (a restarted-empty state would re-require signup first and stall at
+    // 0). user 2's click precedes its view: depth must stop at 2.
+    def mkEv(id: Long, t: String, u: Long, et: String) =
+      TestEv(id, java.sql.Timestamp.valueOf(t), u, et, 1.0, "{}")
+    val tranche1 = Seq(
+      mkEv(1, "2024-01-01 00:00:00", 1, "signup"),
+      mkEv(2, "2024-01-01 00:01:00", 1, "view"),
+      mkEv(3, "2024-01-01 00:00:30", 2, "click"),
+      mkEv(4, "2024-01-01 00:01:30", 2, "signup"))
+    val tranche2 = Seq(
+      mkEv(5, "2024-01-01 00:02:00", 1, "click"),
+      mkEv(6, "2024-01-01 00:03:00", 1, "purchase"),
+      mkEv(7, "2024-01-01 00:02:30", 2, "view"))
+
+    def startQuery() =
+      Stats.funnelStreaming(spark, Topology.fileSource(spark, srcDir))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+
+    tranche1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    tranche2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .groupBy("user_id").agg(max("depth").as("depth"))
+      .filter(col("depth") > 0)
+      .as[(Long, Long)].collect().toMap
+    val want = Stats.funnel((tranche1 ++ tranche2).toDF())
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    assert(got == want && want == Map(1L -> 4L, 2L -> 2L),
+      s"restarted funnel diverged: $got vs $want")
+  }
+
   test("streaming IVF index maintenance: appends survive restart, search stays exchange-free") {
     import graft.ext.Similarity
     import org.apache.spark.sql.types._

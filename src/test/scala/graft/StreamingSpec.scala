@@ -152,6 +152,88 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("streaming session profile (Append) equals batch sessionProfile on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.sessionProfileStreaming(mem.toDF(), watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessprof_test")
+      .trigger(tick).start()
+    // user 1: two sessions split by a >30min gap, with an EXACT-30min gap
+    // inside session 1 (stays in-session in both engines — the strict-gap
+    // boundary contract); user 2: a bounce
+    val batchEvents = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:30:00", 1, "view"),   // gap == 30min: in-session
+      ev(3, "2024-01-01 02:00:00", 1, "click"),  // > 30min: new session
+      ev(4, "2024-01-01 02:10:00", 1, "click"),
+      ev(5, "2024-01-01 00:05:00", 2, "view"))
+    mem.addData(batchEvents.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(batchEvents.drop(2): _*)
+    q.processAllAvailable()
+    // watermark-advancing sentinel (excluded from the compare)
+    mem.addData(ev(99, "2024-02-01 00:00:00", 999, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessprof_test")
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "ne", "start_us", "end_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Stats.sessionProfile(batchEvents.toDF())
+      .select("user_id", "ne", "start_us", "end_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.size == 3)
+    // and the per-user rollup of the emitted rows equals batch sessionStats
+    val rolled = spark.table("sessprof_test")
+      .filter(col("user_id") =!= 999L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("ne") === 1, 1L).otherwise(0L)).as("bounce_sessions"),
+        sum("ne").as("n_events"),
+        max("ne").as("max_session_events"),
+        sum("dur_us").as("total_session_us"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val wantStats = Stats.sessionStats(batchEvents.toDF())
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rolled == wantStats)
+  }
+
+  test("streaming funnel depth equals batch funnel on ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.funnelStreaming(spark, mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_test")
+      .trigger(tick).start()
+    // user 1 completes all four steps across batches; user 2 stalls at
+    // view (its click PRECEDES its view, so depth must stop at 2 — the
+    // strict in-order contract); user 3 has only a click (depth 0)
+    val batchEvents = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:01:00", 1, "view"),
+      ev(3, "2024-01-01 00:00:30", 2, "click"),
+      ev(4, "2024-01-01 00:01:30", 2, "signup"),
+      ev(5, "2024-01-01 00:02:00", 1, "click"),
+      ev(6, "2024-01-01 00:03:00", 1, "purchase"),
+      ev(7, "2024-01-01 00:02:30", 2, "view"),
+      ev(8, "2024-01-01 00:04:00", 3, "click"))
+    // per-user event-time order is preserved across these batch splits
+    mem.addData(batchEvents.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(batchEvents.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    // depth is monotone per user: the max update is the final state
+    val got = spark.table("funnel_stream_test")
+      .groupBy("user_id").agg(max("depth").as("depth"))
+      .filter(col("depth") > 0)
+      .as[(Long, Long)].collect().toMap
+    val want = Stats.funnel(batchEvents.toDF())
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    assert(got == want && want == Map(1L -> 4L, 2L -> 2L))
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
