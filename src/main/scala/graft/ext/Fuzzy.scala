@@ -135,12 +135,16 @@ object Fuzzy {
     * all-pairs `levenshtein <= 1` twin produces over the same universes.
     */
   def fuzzyMatch(queries: DataFrame, dict: DataFrame): DataFrame = {
+    graft.functions.DeleteNeighborhoodKeys.register(queries.sparkSession)
+    // del_keys kernel, not the SQL transform: the HOF form evaluates its
+    // lambda interpreted per element (see DeleteNeighborhoodKeys) — at
+    // dictionary scale that interpretation overhead IS the explode cost
     val qk = queries
       .select(col("doc_id"), col("q_term"),
-        explode(deleteNeighborhood("q_term")).as("k"))
+        explode(expr("del_keys(q_term, 1)")).as("k"))
     val dk = dict
       .select(col("term").as("dict_term"),
-        explode(deleteNeighborhood("term")).as("k"))
+        explode(expr("del_keys(term, 1)")).as("k"))
     qk.join(dk, "k")
       .select("doc_id", "q_term", "dict_term")
       .distinct()
@@ -323,9 +327,11 @@ object Fuzzy {
       .filter(length(col("term")) >= MinTermLen)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
-  private def layerKeys(cnt: DataFrame): DataFrame =
-    cnt.select(col("term"), explode(deleteNeighborhood("term")).as("k"))
+  private def layerKeys(cnt: DataFrame): DataFrame = {
+    graft.functions.DeleteNeighborhoodKeys.register(cnt.sparkSession)
+    cnt.select(col("term"), explode(expr("del_keys(term, 1)")).as("k"))
       .select("k", "term")
+  }
 
   /** Append one micro-batch to the delta layers (`{deltaDir}/keys`,
     * `{deltaDir}/cnt`) under its own batch_id partition. Stateless —
@@ -367,8 +373,9 @@ object Fuzzy {
       spark, name, deltaDir.map(d => s"$d/keys"), Seq("k", "term"))
     val (baseC, deltaC) = b.layerParts(
       spark, s"${name}_cnt", deltaDir.map(d => s"$d/cnt"), Seq("term", "cnt"))
+    graft.functions.DeleteNeighborhoodKeys.register(spark)
     val qk = queries.select(col("doc_id"), col("q_term"),
-      explode(deleteNeighborhood("q_term")).as("k"))
+      explode(expr("del_keys(q_term, 1)")).as("k"))
     val cand = (qk.join(baseK, "k") +: deltaK.map(qk.join(_, "k")).toSeq)
       .reduce(_ unionByName _)
       .select("doc_id", "q_term", "term").distinct()

@@ -175,6 +175,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy probe: key- and term-bucketed layers read exchange-free") {
+    // the persisted fuzzy dictionary stores exploded (k, term) postings
+    // bucketed by k and (term, cnt) bucketed by term at BUILD time —
+    // probes must satisfy both joins from the layout (the BM25/Jaccard
+    // posture): with broadcast disabled, any index-side Exchange is a
+    // regression that would re-shuffle the dictionary on every probe
+    val docs = Tables.documents(spark, sfDir)
+    graft.ext.Fuzzy.buildFuzzyIndexGen(docs.filter(col("doc_id") % 2 === 0),
+      "fz_genplan_test", buckets = 4)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.ext.Fuzzy.fuzzyAgainstIndexWith(spark,
+        graft.ext.Fuzzy.typoQueries(docs.filter(col("doc_id") % 2 =!= 0)),
+        "fz_genplan_test")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("fz_genplan_test__g1") &&
+        p.contains("fz_genplan_test_cnt__g1"), p)
+      // probe-side shuffles only: (1) the query delete-key explode to the
+      // candidate join, (2) the candidate distinct, (3) the re-key to the
+      // admission join on term, (4) the final (doc, q_term, term) count
+      // agg. Both index layers satisfy their joins from the bucketed
+      // layout — an index-side Exchange would appear as a 5th
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 4, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      Seq("fz_genplan_test", "fz_genplan_test_cnt").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        graft.sources.Bucketing.dropGeneration(spark, t, 1)
+      }
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (QxN, never NxN shuffle)") {
     graft.functions.CosineSimilarity.register(spark)
     val p = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 20, 5))
