@@ -100,12 +100,13 @@ object IntervalStateProbe {
       s""""ingested":${16L * usersPerBatch * (clicksPerUser + 1)},""" +
       s""""state_rows":$stateNoWm,"pairs":$outNoWm}""")
     // skew: a hot user at 100x the click rate — state grows by the hot
-    // rows IN WINDOW (they are genuinely joinable), not with history
-    for (hot <- Seq(0, 500)) {
-      val (state, out) = run(8, Some("10 minutes"), hotClicks = hot)
-      println(s"""{"probe":"interval_state_skew","hot_clicks_per_batch":$hot,""" +
-        s""""batches":8,"state_rows":$state,"pairs":$out}""")
-    }
+    // rows IN WINDOW (they are genuinely joinable), not with history.
+    // The hot=0 baseline for this row is ladder 1's batches=8 line
+    // (identical configuration — re-running it here would only duplicate
+    // a full streaming run to reprint a known number).
+    val (state, out) = run(8, Some("10 minutes"), hotClicks = 500)
+    println(s"""{"probe":"interval_state_skew","hot_clicks_per_batch":500,""" +
+      s""""batches":8,"state_rows":$state,"pairs":$out}""")
     spark.stop()
   }
 }

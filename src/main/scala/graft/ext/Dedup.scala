@@ -328,11 +328,11 @@ object Dedup {
     // code path with the TrainedStore-backed production form, so the two
     // cannot diverge semantically
     val parts = scala.collection.mutable.Map.empty[String, DataFrame]
-    buildContainmentIndex(corpus,
+    val vocabRows = buildContainmentIndex(corpus,
       (name, df) => { val c = df.localCheckpoint(true); parts(name) = c; c },
       broadcastVocabMaxRows)
     containmentProbe(queries, parts("vocab"), parts("postings"),
-      parts("ctoks"), tauPpm, broadcastVocabMaxRows)
+      parts("ctoks"), tauPpm, broadcastVocabMaxRows, Some(vocabRows))
   }
 
   /** Corpus-side containment index build — the three artifacts
@@ -346,12 +346,13 @@ object Dedup {
     * predecessor rather than recomputing the pass. In production the
     * corpus index builds once per decontamination campaign and every
     * benchmark batch probes it — the build-per-probe form re-prices a
-    * corpus-sized job on every batch.
+    * corpus-sized job on every batch. Returns the vocabulary row count so
+    * a composed probe can skip its size-gate count job.
     */
   def buildContainmentIndex(corpus: DataFrame,
                             write: (String, DataFrame) => DataFrame,
                             broadcastVocabMaxRows: Long = VocabBroadcastMaxRows)
-      : Unit = {
+      : Long = {
     // the corpus shingle stream feeds three differently-partitioned
     // consumers (vocab df agg, postings join, ctoks gather) — checkpointed
     // once so tokenize+shingle (the family's dominant cost) runs one
@@ -378,7 +379,8 @@ object Dedup {
           .select(col("doc_id"), col("tid")))
       write("ctoks", postings.groupBy("doc_id")
         .agg(sort_array(collect_list(col("tid"))).as("tb")))
-      ()
+      // returned so probes composed with the build skip their count job
+      vocabRows
     } finally Checkpoints.releaseTracked(csh, cshIds)
   }
 
@@ -392,13 +394,16 @@ object Dedup {
   def containmentProbe(queries: DataFrame, vocab: DataFrame,
                        postings: DataFrame, ctoks: DataFrame,
                        tauPpm: Long = 600000L,
-                       broadcastVocabMaxRows: Long = VocabBroadcastMaxRows)
+                       broadcastVocabMaxRows: Long = VocabBroadcastMaxRows,
+                       vocabRows: Option[Long] = None)
       : DataFrame = {
     val spark = queries.sparkSession
     graft.functions.SortedIntersectCount.register(spark)
-    // parquet row-count is footer metadata; on the inline form this counts
-    // already-materialized checkpoint blocks — cheap either way
-    val gated = gateBroadcast(vocab, vocab.count(), broadcastVocabMaxRows)
+    // callers that already know the vocabulary size (the build just
+    // counted it) pass vocabRows and skip the per-probe count job; the
+    // fallback count is parquet footer metadata / checkpoint-block counts
+    val gated = gateBroadcast(vocab, vocabRows.getOrElse(vocab.count()),
+      broadcastVocabMaxRows)
     val qsh = TextAnalysis.shingleStream(queries)
       .filter(col("shingle") =!= "").distinct()
       .withColumnRenamed("doc_id", "q_id")

@@ -184,7 +184,7 @@ object Fuzzy {
       // dictionary agg to few partitions and explode inherits its child's
       // partitioning (the buildFuzzyIndexGen lesson) — and the kernel
       // (del_keys, one tight-loop call per term; see DeleteNeighborhoodKeys
-      // for the measured 35× over the interpreted-HOF SQL form) does the
+      // for the measured 5.5 → 0.45 s over the interpreted-HOF SQL form) does the
       // per-term work
       .repartition(dict.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("term").as("dict_term"),
@@ -223,10 +223,11 @@ object Fuzzy {
       // collapse barrier: without it CollapseProject inlines edit 1's CASE
       // into every one of edit 2's ~13 q_term references, and the probe's
       // del≤2 explode then inlines THAT ~12 more times — a ~150× expression
-      // blowup evaluated per key row. The repartition materializes each
-      // edit once per row; the frame is query-sized, so the exchange moves
+      // blowup evaluated per key row. The repartition is LOAD-BEARING as a
+      // barrier (RepartitionByExpression stops project collapse), not a
+      // tuning knob; the frame is query-sized, so the exchange moves
       // |docs|/mod short strings.
-      .repartition()
+      .repartition(documents.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), expr(
         """CASE CAST((doc_id div 3) % 3 AS INT)
           |  WHEN 0 THEN concat(

@@ -88,4 +88,30 @@ object TrainedStore {
   private def safeName(key: String): String =
     key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
+
+  private val onceBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Once-per-JVM side-effecting builds guarded by a SCOPE value (the
+    * corpus dir for the `*_incremental` oracle queries' generation-swap
+    * index builds): the first call for `key` runs `build` and records
+    * (scope, value); later calls with the SAME scope return the recorded
+    * value without building, and a DIFFERENT scope re-runs the build (the
+    * warmup-at-sf0.001-then-bench-at-sf0.1 sequence — the live generation
+    * must always match the corpus being probed). Same per-key locking as
+    * [[cached]]; builds for different keys never serialize each other.
+    */
+  def builtOnce(key: String, scope: String)(build: => String): String = {
+    val lockKey = "once:" + key
+    locks.putIfAbsent(lockKey, new Object)
+    locks(lockKey).synchronized {
+      onceBuilt.get(key) match {
+        case Some((`scope`, v)) => v
+        case _ =>
+          val v = build
+          onceBuilt.put(key, (scope, v))
+          v
+      }
+    }
+  }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda bodies) followed by `array_distinct` (pairwise O(n²) string
   * comparisons at array sizes ~len²/2 ≈ 120–250). Measured on the sf0.1
   * dictionary (22k terms, len ≈ 15): 5.1–5.5 s for the del≤2 explode vs
-  * ~0.15 s through this kernel — the [[SortedIntersectCount]] /
+  * ~0.45 s through this kernel (~12×) — the [[SortedIntersectCount]] /
   * hashed_weight_sum posture of fusing a per-row loop into one call.
   *
   * Semantics: code-point-level deletions (matches SQL `substring`
