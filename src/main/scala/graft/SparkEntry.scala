@@ -354,6 +354,27 @@ object SparkEntry {
         "graft_fuzzy_idx_q", Some(dir))
         .orderBy("doc_id", "dict_term")
     }),
+    // the distance-2 persisted-dictionary lifecycle END-TO-END: the d2
+    // index (del<=2 keys, MinTermLen2 floor — a BUILD property) built on
+    // half the dictionary universe (doc_id%6==0), the other half
+    // (doc_id%6==3) appended as one LIVE delta batch, probed with the
+    // twice-edited queries — answers must equal one-shot spellMatch2,
+    // which only holds if admission counts sum across layers at radius 2
+    "ext_fuzzy_incremental2" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = TrainedStore.builtOnce("graft_fuzzy2_idx_q", d) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_fuzzy2_delta").toString
+        Fuzzy.buildFuzzyIndexGen(all.filter(col("doc_id") % 6 === 0),
+          "graft_fuzzy2_idx_q", maxEdits = 2)
+        Fuzzy.appendFuzzyBatch(all.filter(col("doc_id") % 6 === 3), dir, 1L,
+          maxEdits = 2)
+        dir
+      }
+      Fuzzy.fuzzyAgainstIndexWith(s, Fuzzy.typoQueries2(all),
+        "graft_fuzzy2_idx_q", Some(dir), maxEdits = 2)
+        .orderBy("doc_id", "dict_term")
+    }),
     // SCD2 dimension history: order-status validity intervals per customer
     "ext_scd2" -> ((s, d) =>
       Relational.scd2OrderStatus(Tables.orders(s, d)).orderBy("o_custkey", "scd_ver")),
@@ -2598,6 +2619,9 @@ object SparkEntry {
     // qualifying-pair SET is identical by construction
     "ext_fuzzy_match" -> fuzzyOracleSql,
     "ext_fuzzy_match2" -> fuzzy2OracleSql,
+    // IDENTICAL oracle: the persisted d2 base ∪ delta path must equal the
+    // one-shot whole-corpus spellMatch2 (admission across layers, radius 2)
+    "ext_fuzzy_incremental2" -> fuzzy2OracleSql,
     // IDENTICAL oracle: the persisted base ∪ delta path must equal the
     // one-shot whole-corpus match exactly (the strongest incremental
     // contract — cross-layer admission included)

@@ -285,7 +285,8 @@ object Fuzzy {
     */
   def buildFuzzyIndexGen(documents: DataFrame, name: String,
                          buckets: Int = 8,
-                         deltaDir: Option[String] = None): Unit = {
+                         deltaDir: Option[String] = None,
+                         maxEdits: Int = 1): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
     b.requireSwapAdoptable(spark, name)
@@ -305,8 +306,8 @@ object Fuzzy {
       // its child's partitioning — without the spread the ~(len+1)×
       // key fan-out runs near-serially (measured 1.0 → 0.45 s at sf0.1);
       // `compact` then folds the fan-out to one file per bucket
-      b.writeBucketed(layerKeys(cnt.repartition(buckets)), physK, "k",
-        buckets, compact = true)
+      b.writeBucketed(layerKeys(cnt.repartition(buckets), maxEdits), physK,
+        "k", buckets, compact = true)
       b.writeBucketed(cnt, physC, "term", buckets)
     } finally Checkpoints.releaseTracked(cnt, cntIds)
     // each layer reads its OWN watermark: stamp both
@@ -328,9 +329,17 @@ object Fuzzy {
       .filter(length(col("term")) >= MinTermLen)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
-  private def layerKeys(cnt: DataFrame): DataFrame = {
+  /** The key layer at edit radius `maxEdits` (1 or 2). The radius is a
+    * BUILD property of the index: a distance-2 dictionary floors its terms
+    * at [[MinTermLen2]] (del≤2 keys lose two chars — the hot-key guard)
+    * and stores the del≤2 key set; probes must use the same radius.
+    */
+  private def layerKeys(cnt: DataFrame, maxEdits: Int = 1): DataFrame = {
     graft.functions.DeleteNeighborhoodKeys.register(cnt.sparkSession)
-    cnt.select(col("term"), explode(expr("del_keys(term, 1)")).as("k"))
+    val base = if (maxEdits >= 2)
+      cnt.filter(length(col("term")) >= MinTermLen2) else cnt
+    base.select(col("term"),
+        explode(expr(s"del_keys(term, $maxEdits)")).as("k"))
       .select("k", "term")
   }
 
@@ -340,13 +349,13 @@ object Fuzzy {
     * dynamic-partition overwrite alone.
     */
   def appendFuzzyBatch(batchDocs: DataFrame, deltaDir: String,
-                       batchId: Long): Unit = {
+                       batchId: Long, maxEdits: Int = 1): Unit = {
     val b = graft.sources.Bucketing
     // one shingle aggregation per batch, shared by both partition writes
     val cnt = layerCounts(batchDocs).persist()
     try {
       b.writeDeltaPartition(cnt, s"$deltaDir/cnt", batchId)
-      b.writeDeltaPartition(layerKeys(cnt), s"$deltaDir/keys", batchId)
+      b.writeDeltaPartition(layerKeys(cnt, maxEdits), s"$deltaDir/keys", batchId)
     } finally { cnt.unpersist(blocking = false); () }
   }
 
@@ -368,22 +377,27 @@ object Fuzzy {
     */
   def fuzzyAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
                             queries: DataFrame, name: String,
-                            deltaDir: Option[String] = None): DataFrame = {
+                            deltaDir: Option[String] = None,
+                            maxEdits: Int = 1): DataFrame = {
     val b = graft.sources.Bucketing
     val (baseK, deltaK) = b.layerParts(
       spark, name, deltaDir.map(d => s"$d/keys"), Seq("k", "term"))
     val (baseC, deltaC) = b.layerParts(
       spark, s"${name}_cnt", deltaDir.map(d => s"$d/cnt"), Seq("term", "cnt"))
     graft.functions.DeleteNeighborhoodKeys.register(spark)
-    val qk = queries.select(col("doc_id"), col("q_term"),
-      explode(expr("del_keys(q_term, 1)")).as("k"))
+    // maxEdits must match the index's BUILD radius (see layerKeys); the
+    // d2 form floors the query side at MinTermLen2 like fuzzyMatch2Against
+    val q0 = if (maxEdits >= 2)
+      queries.filter(length(col("q_term")) >= MinTermLen2) else queries
+    val qk = q0.select(col("doc_id"), col("q_term"),
+      explode(expr(s"del_keys(q_term, $maxEdits)")).as("k"))
     val cand = (qk.join(baseK, "k") +: deltaK.map(qk.join(_, "k")).toSeq)
       .reduce(_ unionByName _)
       .select("doc_id", "q_term", "term").distinct()
       // verify BEFORE admission: levenshtein runs once per candidate pair
-      // and the survivors (the true distance-<=1 pairs) are the smallest
-      // frame in the probe — admission then counts only for them
-      .filter(levenshtein(col("q_term"), col("term")) <= 1)
+      // and the survivors (the true distance-<=maxEdits pairs) are the
+      // smallest frame in the probe — admission then counts only for them
+      .filter(levenshtein(col("q_term"), col("term")) <= maxEdits)
     // join each count layer SEPARATELY (base first): unioning base with
     // the delta before the join would erase the base's bucket layout and
     // re-shuffle the dictionary-sized count base on every probe while a

@@ -1872,6 +1872,29 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq((900L, "rare term here")))
   }
 
+  test("fuzzy d2 index: cross-layer admission and radius-2 probe") {
+    // same df-rederive posture at edit radius 2: a shingle split across
+    // base and delta (count 1 each) is admitted on the summed total and
+    // must match a TWO-edit query; a three-edit query must not match
+    val base = Seq((1L, "rare term here plus base pad")).toDF("doc_id", "text")
+    val delta = Seq((2L, "rare term here plus delta pad")).toDF("doc_id", "text")
+    val name = "graft_fuzzy2_cross_t"
+    val dir = TestSpark.managedTempDir("fuzzy2cross")
+    Fuzzy.buildFuzzyIndexGen(base, name, maxEdits = 2)
+    Fuzzy.appendFuzzyBatch(delta, s"$dir/d", 0L, maxEdits = 2)
+    val queries = Seq(
+      (900L, "rare term hxrq"),   // 2 edits from the cross-layer shingle
+      (901L, "rare texm hxrq"))   // 3 edits: keys may collide, verify drops
+      .toDF("doc_id", "q_term")
+    assert(Fuzzy.fuzzyAgainstIndexWith(spark, queries, name,
+      maxEdits = 2).collect().isEmpty)
+    val got = Fuzzy.fuzzyAgainstIndexWith(spark, queries, name,
+        Some(s"$dir/d"), maxEdits = 2)
+      .select("doc_id", "dict_term", "dist").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(got == Seq((900L, "rare term here", 2L)))
+  }
+
   test("fuzzy index: base+delta probe equals the one-shot spellMatch") {
     val docs = Tables.documents(spark, sfDir)
     val name = "graft_fuzzy_diff_t"
