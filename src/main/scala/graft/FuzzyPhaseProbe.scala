@@ -25,6 +25,30 @@ object FuzzyPhaseProbe {
       println(f"$tag%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    if (args.contains("inc2")) {
+      // phase attribution for the persisted d2 probe: build once, then
+      // time the probe and its pieces
+      import graft.ext.Fuzzy
+      val all = Tables.documents(spark, sfDir)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fuzzy2_phase").toString
+      t("build") { Fuzzy.buildFuzzyIndexGen(all.filter(col("doc_id") % 6 === 0),
+        "graft_fuzzy2_phase", buckets = 32, maxEdits = 2) }
+      t("append") { Fuzzy.appendFuzzyBatch(all.filter(col("doc_id") % 6 === 3),
+        dir, 1L, maxEdits = 2) }
+      (1 to 3).foreach { rep =>
+        println(s"--- inc2 rep $rep ---")
+        val q = t("typoq2") { Fuzzy.typoQueries2(all).localCheckpoint(true) }
+        t("probe") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", Some(dir), maxEdits = 2).count() }
+        t("probe_nodelta") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", None, maxEdits = 2).count() }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("match2")) {
       // phase attribution for the one-shot distance-2 match
       val all = Tables.documents(spark, sfDir)
