@@ -342,8 +342,7 @@ object SparkEntry {
     // answers bit-identically — the oracle gates the whole probe path)
     "ext_fuzzy_match2" -> ((s, d) => {
       val dk = TrainedStore.cached(s, s"$d-fuzzy2-keys")(
-        Fuzzy.dictionaryKeys2(
-          Fuzzy.dictionary(docs(s, d).filter(col("doc_id") % 3 === 0))))
+        Fuzzy.dictionaryKeys2(Fuzzy.dict2(docs(s, d))))
       Fuzzy.fuzzyMatch2Against(Fuzzy.typoQueries2(docs(s, d)), dk)
         .orderBy("doc_id", "dict_term")
     }),

@@ -247,8 +247,14 @@ object Fuzzy {
     * unchanged — losslessness is per-pair).
     */
   def spellMatch2(documents: DataFrame): DataFrame =
-    fuzzyMatch2(typoQueries2(documents),
-      dictionary(documents.filter(col("doc_id") % 3 === 0)))
+    fuzzyMatch2(typoQueries2(documents), dict2(documents))
+
+  /** The d2 oracle's dictionary: the mod-3 corpus universe (one
+    * definition — spellMatch2, the cached bench wiring, and the oracle
+    * SQL's `doc_id % 3 = 0` must never diverge).
+    */
+  def dict2(documents: DataFrame): DataFrame =
+    dictionary(documents.filter(col("doc_id") % 3 === 0))
 
   // ---- persisted fuzzy dictionary: the FIFTH generation-swap index ----
   //
@@ -317,6 +323,33 @@ object Fuzzy {
     b.swapView(spark, s"${name}_cnt", physC)
     b.retireBelow(spark, name, liveGen)
     b.retireBelow(spark, s"${name}_cnt", liveGenC)
+    stampRadius(spark, name, maxEdits)
+  }
+
+  /** The persisted BUILD radius of index `name` (1 when absent — every
+    * pre-radius index was distance-1). The radius is part of the index's
+    * identity: probes and appends at a DIFFERENT radius are silently
+    * lossy (a d1 probe on a d2 index misses the length-4/5 dictionary
+    * tail the d2 floor excludes; a d2 probe on a d1 index has no del≤2
+    * keys to meet), so [[fuzzyAgainstIndexWith]] asserts equality and
+    * [[maintainFuzzyDictionary]] reads the radius per batch instead of
+    * trusting a caller-threaded parameter.
+    */
+  def indexRadius(spark: org.apache.spark.sql.SparkSession,
+                  name: String): Int = {
+    val t = s"${name}_radius"
+    if (!spark.catalog.tableExists(t)) 1
+    else spark.table(t).collect().headOption
+      .map(_.getAs[Int]("max_edits")).getOrElse(1)
+  }
+
+  private def stampRadius(spark: org.apache.spark.sql.SparkSession,
+                          name: String, maxEdits: Int): Unit = {
+    graft.sources.Bucketing.dropWithLocation(spark, s"${name}_radius")
+    spark.range(1)
+      .select(lit(maxEdits).cast("int").as("max_edits"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_radius")
   }
 
   /** One batch's (term, cnt) rows — shared by build and append so the
@@ -385,8 +418,11 @@ object Fuzzy {
     val (baseC, deltaC) = b.layerParts(
       spark, s"${name}_cnt", deltaDir.map(d => s"$d/cnt"), Seq("term", "cnt"))
     graft.functions.DeleteNeighborhoodKeys.register(spark)
-    // maxEdits must match the index's BUILD radius (see layerKeys); the
-    // d2 form floors the query side at MinTermLen2 like fuzzyMatch2Against
+    val built = indexRadius(spark, name)
+    require(built == maxEdits,
+      s"index '$name' was built at edit radius $built; probing at " +
+        s"$maxEdits is silently lossy — probe at the build radius or rebuild")
+    // the d2 form floors the query side at MinTermLen2 like fuzzyMatch2Against
     val q0 = if (maxEdits >= 2)
       queries.filter(length(col("q_term")) >= MinTermLen2) else queries
     val qk = q0.select(col("doc_id"), col("q_term"),
@@ -443,7 +479,11 @@ object Fuzzy {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendFuzzyBatch(batch, deltaDir, batchId)
+        // the radius is INDEX state, not loop configuration: a loop
+        // pointed at a d2 index must append del<=2 keys or every delta
+        // term becomes unreachable at the probe radius
+        appendFuzzyBatch(batch, deltaDir, batchId,
+          maxEdits = indexRadius(batch.sparkSession, name))
         if (autoCompactAt > 0) {
           compactFuzzyIfNeeded(batch.sparkSession, name, deltaDir,
             maxUnfolded = autoCompactAt - 1)

@@ -1895,6 +1895,75 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq((900L, "rare term here", 2L)))
   }
 
+  test("fuzzy index radius is persisted state: mismatched probe fails fast") {
+    // the radius is part of the index's identity — a d1 probe on a d2
+    // index misses the length-4/5 dictionary tail, a d2 probe on a d1
+    // index has no del<=2 keys to meet: both are silently-lossy wrong
+    // answers, so the probe must fail fast instead
+    val docsDf = Seq(
+      (1L, "alpha beta gamma tail one"),
+      (2L, "alpha beta gamma tail two")).toDF("doc_id", "text")
+    val name = "graft_fuzzy_radius_t"
+    Fuzzy.buildFuzzyIndexGen(docsDf, name, buckets = 2, maxEdits = 2)
+    try {
+      assert(Fuzzy.indexRadius(spark, name) == 2)
+      val queries = Seq((900L, "alpha beta gamqa")).toDF("doc_id", "q_term")
+      val err = intercept[IllegalArgumentException](
+        Fuzzy.fuzzyAgainstIndexWith(spark, queries, name)) // default radius 1
+      assert(err.getMessage.contains("edit radius"))
+      // the matched-radius probe answers: two edits from the base shingle
+      val got = Fuzzy.fuzzyAgainstIndexWith(spark, queries, name, maxEdits = 2)
+        .select("dict_term").as[String].collect().toSeq
+      assert(got == Seq("alpha beta gamma"))
+    } finally {
+      Seq(name, s"${name}_cnt").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        graft.sources.Bucketing.dropGeneration(spark, t, 1)
+      }
+      graft.sources.Bucketing.dropWithLocation(spark, s"${name}_radius")
+    }
+  }
+
+  test("d2 maintenance loop appends del<=2 keys (radius read from the index)") {
+    // the loop takes NO radius parameter — it reads the index's persisted
+    // radius per batch; a hard-coded d1 append would make every streamed
+    // term unreachable at the probe radius (no del<=2 keys) and this
+    // two-edit query would silently return empty
+    import org.apache.spark.sql.types._
+    val root = TestSpark.managedTempDir("fuzzy2maint")
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    val name = "graft_fuzzy2_maint_t"
+    Fuzzy.buildFuzzyIndexGen(
+      Seq((1L, "alpha beta gamma tail one"),
+        (2L, "alpha beta gamma tail two")).toDF("doc_id", "text"),
+      name, buckets = 2, maxEdits = 2)
+    try {
+      Seq((10L, "stream only shingle first pad"),
+        (11L, "stream only shingle second pad")).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      val q = Fuzzy.maintainFuzzyDictionary(
+        spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .parquet(srcDir),
+        name, s"$root/delta", s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+      // "shinqe" is TWO edits from the streamed "shingle" (sub g->q,
+      // drop l) — only matchable if the delta stored del<=2 keys
+      val queries = Seq((900L, "stream only shinqe")).toDF("doc_id", "q_term")
+      val got = Fuzzy.fuzzyAgainstIndexWith(spark, queries, name,
+          Some(s"$root/delta"), maxEdits = 2)
+        .select("dict_term", "dist").as[(String, Long)].collect().toSeq
+      assert(got == Seq(("stream only shingle", 2L)))
+    } finally {
+      Seq(name, s"${name}_cnt").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        graft.sources.Bucketing.dropGeneration(spark, t, 1)
+      }
+      graft.sources.Bucketing.dropWithLocation(spark, s"${name}_radius")
+    }
+  }
+
   test("fuzzy index: base+delta probe equals the one-shot spellMatch") {
     val docs = Tables.documents(spark, sfDir)
     val name = "graft_fuzzy_diff_t"
