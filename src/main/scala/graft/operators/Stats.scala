@@ -598,4 +598,51 @@ object Stats {
         sum("n_trans").over(Window.partitionBy("src")))
       .withColumn("prob_ppm", expr("(n_trans * 1000000L) div src_total"))
   }
+
+  /** State for [[transitionsStreaming]]: the user's LAST event in the
+    * (ts, event_id) total order — one small row per active user, the
+    * minimum state a first-order transition chain needs.
+    */
+  case class TransState(lastType: String, lastUs: Long, lastId: Long)
+  case class TransOut(user_id: Long, src: String, dst: String)
+
+  /** Per-batch transition fold for `flatMapGroupsWithState` (the
+    * [[updateFunnel]] pattern): sorts the batch's rows into the same
+    * (ts, event_id) total order the batch window uses and emits one
+    * (src, dst) INCREMENT row per consecutive pair, bridging across
+    * batches through the saved last event. Under per-user event-time
+    * ordered delivery the emitted multiset equals the batch lead-window
+    * pairs exactly; downstream, a fold (foreachBatch sink or batch agg
+    * over the emissions) rebuilds [[transitions]]' matrix.
+    */
+  def updateTransitions(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[TransState])
+      : Iterator[TransOut] = {
+    val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+    var last = state.getOption
+    sorted.foreach { case (_, et, us, id) =>
+      last.foreach(p => out += TransOut(uid, p.lastType, et))
+      last = Some(TransState(et, us, id))
+    }
+    last.foreach(state.update)
+    out.iterator
+  }
+
+  /** STREAMING twin of [[transitions]]' pair stream — works in batch too
+    * (state starts empty, yielding exactly the lead-window pairs).
+    */
+  def transitionsStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTransitions)
+      .toDF()
+  }
 }

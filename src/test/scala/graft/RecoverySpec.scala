@@ -111,6 +111,49 @@ class RecoverySpec extends SparkSpec {
       s"restarted funnel diverged: $got vs $want")
   }
 
+  test("streaming transitions: last-event state bridges a restart") {
+    val root = managedTempDir("transrec")
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def mkEv(id: Long, t: String, u: Long, et: String) =
+      TestEv(id, java.sql.Timestamp.valueOf(t), u, et, 1.0, "{}")
+    // the view -> click pair SPANS the restart: it only exists if the
+    // saved last-event state resumed (a restarted-empty state would emit
+    // click -> view from tranche 2 alone and miss the bridge)
+    val tranche1 = Seq(
+      mkEv(1, "2024-01-01 00:00:00", 1, "signup"),
+      mkEv(2, "2024-01-01 00:01:00", 1, "view"))
+    val tranche2 = Seq(
+      mkEv(3, "2024-01-01 00:02:00", 1, "click"),
+      mkEv(4, "2024-01-01 00:03:00", 1, "view"))
+
+    def startQuery() =
+      Stats.transitionsStreaming(spark, Topology.fileSource(spark, srcDir))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+
+    tranche1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    tranche2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$root/out")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val want = Stats.transitions((tranche1 ++ tranche2).toDF())
+      .select("src", "dst", "n_trans")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want && want == Set(("signup", "view", 1L),
+      ("view", "click", 1L), ("click", "view", 1L)),
+      s"restarted transitions diverged: $got")
+  }
+
   test("streaming IVF index maintenance: appends survive restart, search stays exchange-free") {
     import graft.ext.Similarity
     import org.apache.spark.sql.types._

@@ -234,6 +234,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("streaming transitions equal the batch lead-window pairs on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.transitionsStreaming(spark, mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trans_stream_test")
+      .trigger(tick).start()
+    // user 1's chain SPANS the batch split (view -> click bridges through
+    // the saved last-event state); user 2 has a single event (no pair)
+    val batchEvents = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:01:00", 1, "view"),
+      ev(3, "2024-01-01 00:00:30", 2, "view"),
+      ev(4, "2024-01-01 00:02:00", 1, "click"),
+      ev(5, "2024-01-01 00:03:00", 1, "view"),
+      ev(6, "2024-01-01 00:04:00", 1, "click"))
+    mem.addData(batchEvents.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(batchEvents.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    // fold the emitted increments into the matrix and compare to batch
+    val got = spark.table("trans_stream_test")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_trans"))
+      .as[(String, String, Long)].collect().toSet
+    val want = Stats.transitions(batchEvents.toDF())
+      .select("src", "dst", "n_trans")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want &&
+      want == Set(("signup", "view", 1L), ("view", "click", 2L),
+        ("click", "view", 1L)))
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
