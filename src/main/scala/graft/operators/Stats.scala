@@ -336,6 +336,30 @@ object Stats {
         countDistinct(col("user_id")).as("user_count"))
   }
 
+  /** STREAMING twin of [[cooccurrence]]'s basket-pair stream: the (user,
+    * day-window) basket aggregates under a watermark and emits ONCE when
+    * the day closes (Append), the hub cap drops wide baskets exactly as
+    * the batch form does, and the in-basket pair generation is the same
+    * bounded array transform — a downstream fold (count per pair +
+    * distinct users) rebuilds the batch matrix for closed days. State is
+    * one ≤`cap`-element set per ACTIVE (user, day): watermark-evicted,
+    * never history-sized — the same bounded-state posture as the session/
+    * funnel/transitions twins.
+    */
+  def cooccurrenceStreaming(events: DataFrame, cap: Int = CooccurCap,
+                            watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("dy"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .filter(size(col("types")) <= cap)
+      .select(col("user_id"), col("dy"), explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types)), b ->
+          |    struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("user_id"), col("dy.start").as("day"),
+        col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+
   /** Session gap for [[sessionStats]] in microseconds (30 minutes) —
     * interpolated into the DuckDB oracle so both engines cut identically.
     */

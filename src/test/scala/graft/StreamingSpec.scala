@@ -234,6 +234,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("streaming co-occurrence: closed-day baskets equal the batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.cooccurrenceStreaming(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cooccur_stream_test")
+      .trigger(tick).start()
+    // user 1's day-1 basket accumulates ACROSS batches {signup,view,click};
+    // user 2 cycles FIVE types — over the cap, dropped whole, exactly the
+    // batch hub-cap contract
+    val day1 = Seq(
+      ev(1, "2024-01-01 01:00:00", 1, "signup"),
+      ev(2, "2024-01-01 02:00:00", 1, "view"),
+      ev(3, "2024-01-01 03:00:00", 2, "signup"),
+      ev(4, "2024-01-01 04:00:00", 2, "view"),
+      ev(5, "2024-01-01 05:00:00", 2, "click"),
+      ev(6, "2024-01-01 06:00:00", 2, "purchase"),
+      ev(7, "2024-01-01 07:00:00", 2, "login"),
+      ev(8, "2024-01-01 08:00:00", 1, "click"))
+    mem.addData(day1.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(day1.drop(5): _*)
+    q.processAllAvailable()
+    // watermark-advancing sentinel closes day 1 (excluded from compare)
+    mem.addData(ev(99, "2024-02-01 00:00:00", 999, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cooccur_stream_test")
+      .filter(col("user_id") =!= 999L)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("pair_count"),
+        countDistinct(col("user_id")).as("user_count"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = Stats.cooccurrence(day1.toDF())
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == want && want == Set(
+      ("click", "signup", 1L, 1L), ("click", "view", 1L, 1L),
+      ("signup", "view", 1L, 1L)))
+  }
+
   test("streaming transitions equal the batch lead-window pairs on replay") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
