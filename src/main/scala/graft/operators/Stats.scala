@@ -655,7 +655,10 @@ object Stats {
   }
 
   /** STREAMING twin of [[transitions]]' pair stream — works in batch too
-    * (state starts empty, yielding exactly the lead-window pairs).
+    * (state starts empty, yielding exactly the lead-window pairs). State
+    * is one last-event row per EVER-SEEN user: bounded by the user
+    * population, not by event volume — at 10⁹ users that is real state,
+    * which is what [[transitionsStreamingTtl]] bounds.
     */
   def transitionsStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -667,6 +670,40 @@ object Stats {
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTransitions)
+      .toDF()
+  }
+
+  /** [[transitionsStreaming]] with EVENT-TIME state eviction (the
+    * [[lastSeenPerTypeTtl]] posture): a user idle past `ttl` of event time
+    * is dropped from state, so state tracks ACTIVE users — the bounded
+    * form a 10⁹-user deployment runs. The documented semantic tradeoff: a
+    * chain resuming after eviction starts FRESH (no pair bridges the idle
+    * gap) — for a transition matrix that is usually the WANTED behavior
+    * (a months-later return is a new session, not a transition), and it
+    * is the same contract the reference's TTL'd state stores carry.
+    */
+  def transitionsStreamingTtl(spark: SparkSession, events: DataFrame,
+                              ttl: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = events
+      .withWatermark("ts", ttl)
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Long)],
+         state: GroupState[TransState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = updateTransitions(uid,
+              rows.map(r => (r._1, r._2, r._4, r._5)), state)
+            state.getOption.foreach(s =>
+              state.setTimeoutTimestamp(s.lastUs / 1000L, ttl))
+            out
+          }
+      }
       .toDF()
   }
 }

@@ -307,6 +307,43 @@ class StreamingSpec extends SparkSpec {
         ("click", "view", 1L)))
   }
 
+  test("transitions TTL form evicts idle users: no pair bridges the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.transitionsStreamingTtl(spark, mem.toDF(), "10 minutes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trans_ttl_test")
+      .trigger(tick).start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:01:00", 1, "view"))
+    q.processAllAvailable()
+    // a DIFFERENT user's much-later event advances the watermark past
+    // user 1's ttl — its last-event state must evict
+    mem.addData(ev(3, "2024-01-01 02:00:00", 2, "click"))
+    q.processAllAvailable()
+    // user 1 returns after the idle gap: a fresh chain, NOT view -> click
+    mem.addData(ev(4, "2024-01-01 02:30:00", 1, "click"),
+      ev(5, "2024-01-01 02:31:00", 1, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_ttl_test")
+      .select("src", "dst").as[(String, String)].collect()
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    // signup->view before the gap, click->purchase after; the bridge
+    // view->click must NOT exist (state evicted) — the unbounded form
+    // would emit it
+    assert(got == Map(("signup", "view") -> 1L, ("click", "purchase") -> 1L),
+      got.toString)
+    val unbounded = Stats.transitions(Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:01:00", 1, "view"),
+      ev(4, "2024-01-01 02:30:00", 1, "click"),
+      ev(5, "2024-01-01 02:31:00", 1, "purchase")).toDF())
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(unbounded.contains(("view", "click"))) // the pair TTL drops
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
