@@ -296,6 +296,16 @@ object Stats {
     */
   val CooccurCap = 4
 
+  /** In-basket ordered-pair generation over a sorted `types` array — ONE
+    * definition shared by [[cooccurrence]] and [[cooccurrenceStreaming]]
+    * so the twins cannot drift (the batch/stream equality the spec pins
+    * is structural, not coincidental).
+    */
+  private val BasketPairsExpr =
+    """flatten(transform(types, (a, i) ->
+      |  transform(slice(types, i + 2, size(types)), b ->
+      |    struct(a AS type_a, b AS type_b))))""".stripMargin
+
   /** Event-type co-occurrence over (user, day) baskets: how often two
     * event types appear in the same user-day, with the distinct-user
     * reach per pair — the market-basket / affinity readout next to
@@ -325,10 +335,7 @@ object Stats {
       .agg(array_sort(collect_set(col("event_type"))).as("types"))
       .filter(size(col("types")) <= cap)
     baskets
-      .select(col("user_id"), explode(expr(
-        """flatten(transform(types, (a, i) ->
-          |  transform(slice(types, i + 2, size(types)), b ->
-          |    struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("user_id"), explode(expr(BasketPairsExpr)).as("p"))
       .select(col("user_id"), col("p.type_a").as("type_a"),
         col("p.type_b").as("type_b"))
       .groupBy("type_a", "type_b")
@@ -344,7 +351,9 @@ object Stats {
     * distinct users) rebuilds the batch matrix for closed days. State is
     * one ≤`cap`-element set per ACTIVE (user, day): watermark-evicted,
     * never history-sized — the same bounded-state posture as the session/
-    * funnel/transitions twins.
+    * session twin (and the TTL transitions form); the NoTimeout
+    * transitions and funnel folds instead grow with the ever-seen user
+    * population — see their docs and the BehaviorStateProbe row.
     */
   def cooccurrenceStreaming(events: DataFrame, cap: Int = CooccurCap,
                             watermark: String = "1 hour"): DataFrame =
@@ -353,10 +362,8 @@ object Stats {
       .groupBy(col("user_id"), window(col("ts"), "1 day").as("dy"))
       .agg(array_sort(collect_set(col("event_type"))).as("types"))
       .filter(size(col("types")) <= cap)
-      .select(col("user_id"), col("dy"), explode(expr(
-        """flatten(transform(types, (a, i) ->
-          |  transform(slice(types, i + 2, size(types)), b ->
-          |    struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("user_id"), col("dy"),
+        explode(expr(BasketPairsExpr)).as("p"))
       .select(col("user_id"), col("dy.start").as("day"),
         col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
 
@@ -625,9 +632,11 @@ object Stats {
 
   /** State for [[transitionsStreaming]]: the user's LAST event in the
     * (ts, event_id) total order — one small row per active user, the
-    * minimum state a first-order transition chain needs.
+    * minimum state a first-order transition chain needs. (The tie-breaking
+    * event_id orders rows WITHIN a batch; it is not stored — an
+    * already-emitted pair cannot be reordered across batches.)
     */
-  case class TransState(lastType: String, lastUs: Long, lastId: Long)
+  case class TransState(lastType: String, lastUs: Long)
   case class TransOut(user_id: Long, src: String, dst: String)
 
   /** Per-batch transition fold for `flatMapGroupsWithState` (the
@@ -638,17 +647,27 @@ object Stats {
     * ordered delivery the emitted multiset equals the batch lead-window
     * pairs exactly; downstream, a fold (foreachBatch sink or batch agg
     * over the emissions) rebuilds [[transitions]]' matrix.
+    *
+    * `gapUs` bounds the pair IN THE FOLD: a consecutive pair further than
+    * `gapUs` apart in event time is not a transition (the TTL form's
+    * semantics). Enforcing it here — not via the state timeout — makes
+    * the contract event-time-DETERMINISTIC: whether a no-data batch
+    * happened to fire the timeout before a user's return cannot change
+    * the answer (flatMapGroupsWithState only reports hasTimedOut for
+    * keys with no data in the batch, so a resuming user's own rows would
+    * otherwise preempt the eviction and leak the bridging pair).
     */
-  def updateTransitions(
+  def updateTransitions(gapUs: Long = Long.MaxValue)(
       uid: Long, rows: Iterator[(Long, String, Long, Long)],
       state: org.apache.spark.sql.streaming.GroupState[TransState])
       : Iterator[TransOut] = {
     val sorted = rows.toArray.sortBy(r => (r._3, r._4))
     val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
     var last = state.getOption
-    sorted.foreach { case (_, et, us, id) =>
-      last.foreach(p => out += TransOut(uid, p.lastType, et))
-      last = Some(TransState(et, us, id))
+    sorted.foreach { case (_, et, us, _) =>
+      last.foreach(p =>
+        if (us - p.lastUs <= gapUs) out += TransOut(uid, p.lastType, et))
+      last = Some(TransState(et, us))
     }
     last.foreach(state.update)
     out.iterator
@@ -669,23 +688,32 @@ object Stats {
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTransitions)
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateTransitions())
       .toDF()
   }
 
-  /** [[transitionsStreaming]] with EVENT-TIME state eviction (the
-    * [[lastSeenPerTypeTtl]] posture): a user idle past `ttl` of event time
-    * is dropped from state, so state tracks ACTIVE users — the bounded
-    * form a 10⁹-user deployment runs. The documented semantic tradeoff: a
-    * chain resuming after eviction starts FRESH (no pair bridges the idle
-    * gap) — for a transition matrix that is usually the WANTED behavior
-    * (a months-later return is a new session, not a transition), and it
-    * is the same contract the reference's TTL'd state stores carry.
+  /** [[transitionsStreaming]] with a TTL: consecutive events further
+    * than `ttl` apart in event time are NOT a transition (a months-later
+    * return is a new session — the wanted matrix semantics, and the same
+    * contract the reference's TTL'd state stores carry), enforced in the
+    * FOLD so the answer is event-time-deterministic regardless of
+    * micro-batch timing. The event-time TIMEOUT is state hygiene on top:
+    * an idle user's row evicts once the watermark passes
+    * `lastEvent + ttl` — with the watermark delay also set to `ttl`,
+    * that is up to ~2×ttl of event-time idleness (watermark =
+    * maxEventTime − ttl), so the STATE bound is rate × ~2·ttl of active
+    * users, measured in SCALE.md's BehaviorStateProbe row. Eviction can
+    * never change an answer (the fold already refuses gap-spanning
+    * pairs); it only caps the store.
     */
   def transitionsStreamingTtl(spark: SparkSession, events: DataFrame,
                               ttl: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(iv.months == 0, s"ttl must be day-or-finer: $ttl")
+    val ttlUs = iv.days * 86400000000L + iv.microseconds
     val ds = events
       .withWatermark("ts", ttl)
       .select(col("user_id").cast("long"), col("event_type"), col("ts"),
@@ -697,7 +725,7 @@ object Stats {
          state: GroupState[TransState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val out = updateTransitions(uid,
+            val out = updateTransitions(ttlUs)(uid,
               rows.map(r => (r._1, r._2, r._4, r._5)), state)
             state.getOption.foreach(s =>
               state.setTimeoutTimestamp(s.lastUs / 1000L, ttl))
