@@ -22,7 +22,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    ACTIVE cohort, flat;
   *  - `funnelStreaming`: per-user step vectors, grows with the population
   *    by DESIGN (a funnel must remember every entrant until conversion —
-  *    bounding it is a product decision, stated in the operator doc).
+  *    bounding it is a product decision, stated in the operator doc);
+  *  - `funnelStreamingTtl`: the shipped product option — a conversion
+  *    window anchored at funnel entry, state = OPEN attempts only,
+  *    watermark-evicted at the attempt horizon: flat under cohort churn.
   */
 object BehaviorStateProbe {
   def main(args: Array[String]): Unit = {
@@ -86,6 +89,8 @@ object BehaviorStateProbe {
     run("transitions_ttl", df => graft.operators.Stats
       .transitionsStreamingTtl(spark, df, "1 day"))
     run("funnel", df => graft.operators.Stats.funnelStreaming(spark, df))
+    run("funnel_ttl", df => graft.operators.Stats
+      .funnelStreamingTtl(spark, df, "1 day"))
     spark.stop()
   }
 }

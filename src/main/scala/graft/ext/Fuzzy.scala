@@ -319,11 +319,18 @@ object Fuzzy {
     // each layer reads its OWN watermark: stamp both
     deltaDir.foreach(d => b.stampRebuildWatermark(spark,
       Seq(physK, physC), Seq(s"$d/keys", s"$d/cnt")))
+    // radius is stamped as a sibling of the NOT-YET-LIVE keys generation,
+    // BEFORE the swap: the view repoint is then the single atomic step
+    // that changes both the postings a probe reads and the radius it
+    // reads them at. A crash anywhere before the swap leaves an orphan
+    // generation (plus its radius sibling) that is never observable; the
+    // former post-swap drop/recreate of a shared `{name}_radius` table
+    // had a window in which a live d2 index read back the default 1.
+    stampRadius(spark, physK, maxEdits)
     b.swapView(spark, name, physK)
     b.swapView(spark, s"${name}_cnt", physC)
     b.retireBelow(spark, name, liveGen)
     b.retireBelow(spark, s"${name}_cnt", liveGenC)
-    stampRadius(spark, name, maxEdits)
   }
 
   /** The persisted BUILD radius of index `name` (1 when absent — every
@@ -334,22 +341,35 @@ object Fuzzy {
     * keys to meet), so [[fuzzyAgainstIndexWith]] asserts equality and
     * [[maintainFuzzyDictionary]] reads the radius per batch instead of
     * trusting a caller-threaded parameter.
+    *
+    * The reading resolves the SERVING keys generation and takes ITS
+    * `_radius` sibling ([[sources.Bucketing.resolvePhysical]] — the same
+    * same-generation discipline the `_meta`/`_stats` siblings use), so
+    * the radius can never be observed from a different generation than
+    * the keys a probe is about to join: it changes exactly at the view
+    * swap, atomically with the postings. A pre-sibling index (stamped
+    * under the legacy shared `{name}_radius` table) still reads through
+    * the fallback.
     */
   def indexRadius(spark: org.apache.spark.sql.SparkSession,
                   name: String): Int = {
-    val t = s"${name}_radius"
-    if (!spark.catalog.tableExists(t)) 1
-    else spark.table(t).collect().headOption
-      .map(_.getAs[Int]("max_edits")).getOrElse(1)
+    def read(t: String): Option[Int] =
+      if (!spark.catalog.tableExists(t)) None
+      else spark.table(t).collect().headOption
+        .map(_.getAs[Int]("max_edits"))
+    val perGen =
+      if (!spark.catalog.tableExists(name)) None
+      else read(s"${graft.sources.Bucketing.resolvePhysical(spark, name)}_radius")
+    perGen.orElse(read(s"${name}_radius")).getOrElse(1)
   }
 
   private def stampRadius(spark: org.apache.spark.sql.SparkSession,
-                          name: String, maxEdits: Int): Unit = {
-    graft.sources.Bucketing.dropWithLocation(spark, s"${name}_radius")
+                          phys: String, maxEdits: Int): Unit = {
+    graft.sources.Bucketing.dropWithLocation(spark, s"${phys}_radius")
     spark.range(1)
       .select(lit(maxEdits).cast("int").as("max_edits"))
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${name}_radius")
+      .saveAsTable(s"${phys}_radius")
   }
 
   /** One batch's (term, cnt) rows — shared by build and append so the

@@ -328,8 +328,17 @@ object Stats {
     * aggregation state cannot skew with a hot user's event volume.
     */
   def cooccurrence(events: DataFrame, cap: Int = CooccurCap): DataFrame = {
+    // epoch-aligned day bucket (floor of unix micros to 86,400 s), NOT
+    // date_trunc: date_trunc truncates in the session timezone while the
+    // streaming twin's `window(ts, '1 day')` is epoch/UTC-aligned — under
+    // any non-UTC session timezone the two would assign events near local
+    // midnight to different baskets. The epoch form makes the twins'
+    // basket equality a property of the code, not of a config pin (all
+    // repo entry points do pin UTC, under which the two are identical).
     val baskets = events
-      .select(col("user_id"), date_trunc("day", col("ts")).as("dy"),
+      .select(col("user_id"),
+        timestamp_micros(unix_micros(col("ts"))
+          - pmod(unix_micros(col("ts")), lit(86400000000L))).as("dy"),
         col("event_type"))
       .groupBy("user_id", "dy")
       .agg(array_sort(collect_set(col("event_type"))).as("types"))
@@ -472,6 +481,14 @@ object Stats {
     * definition: the first qualifying event in time order IS the min.
     * Emits the user's current depth each batch — the Update-mode
     * changelog, exactly-once per depth change is the consumer's dedup.
+    *
+    * Cross-batch disorder: a row OLDER than the last reached step is
+    * structurally inert — the `us > reached(d−1)` check refuses it — so
+    * a late row can never falsely advance or reverse the vector; what an
+    * unbuffered fold cannot recover is a late row that SHOULD have
+    * counted (its depth stays unreached until a later in-order event
+    * qualifies). [[funnelStreamingTtl]] is the watermark-bearing form
+    * that bounds how much disorder a batch can carry.
     */
   def updateFunnel(steps: Array[String])(
       uid: Long, rows: Iterator[(Long, String, Long)],
@@ -507,6 +524,121 @@ object Stats {
     keyed.flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(
         updateFunnel(steps.toArray))
+      .toDF()
+  }
+
+  /** State for [[funnelStreamingTtl]]: one OPEN attempt — the step-times
+    * vector of the conversion window anchored at `reachedUs(0)`.
+    */
+  case class FunnelTtlState(reachedUs: Seq[Long])
+
+  /** [[funnelStreamingTtl]]'s changelog row: one per funnel ATTEMPT —
+    * `t0_us` identifies the attempt (the step-0 event time that opened
+    * it), `depth`/`t_depth_us` its current progress, `closed` whether the
+    * conversion window has expired (a closed attempt's row is final).
+    * The per-(user, t0) last row is the attempt's answer; `closed=false`
+    * rows are the Update-mode running changelog on the way there.
+    */
+  case class FunnelAttemptOut(user_id: Long, t0_us: Long, depth: Long,
+                              t_depth_us: Long, closed: Boolean)
+
+  /** [[funnelStreaming]] with a CONVERSION WINDOW (the funnel-analytics
+    * TTL): an attempt opens at a step-0 event and only steps within
+    * `ttl` of that anchor count — a later event first CLOSES the expired
+    * attempt (its depths are final) and, if it is itself a step-0 event,
+    * opens the user's next attempt. This is the product decision the
+    * unbounded [[funnelStreaming]] doc defers: a funnel that must convert
+    * within the window needs only the OPEN attempts as state.
+    *
+    * Determinism: a closed attempt's content (t0, depth, step times) is a
+    * pure event-time function of the stream — whether the closure is
+    * OBSERVED via the user's next event, via the event-time timeout, or
+    * via the watermark-passed check only affects when the final row
+    * emits, never what it says (the [[transitionsStreamingTtl]]
+    * contract: enforce the window in the FOLD, use the timeout only as
+    * state hygiene). Late rows older than the open attempt's last reached
+    * step are structurally inert (the `us > reached(d−1)` check); rows
+    * beyond the window close the attempt exactly as the fold defines.
+    *
+    * State bound: one row per OPEN attempt. An attempt opens at t0 and
+    * its state evicts when the watermark (event-time max − `ttl`) passes
+    * t0 + `ttl` — at most ~2×`ttl` of event time per attempt, so total
+    * state is (attempt-opening rate) × ~2·ttl of ACTIVE users, never the
+    * ever-seen population: FLAT under cohort churn (BehaviorStateProbe's
+    * `funnel_ttl` row measures it next to the NoTimeout form's linear
+    * growth). Works in batch too (single fold, no timeouts: open
+    * attempts emit their running `closed=false` row).
+    */
+  def funnelStreamingTtl(spark: SparkSession, events: DataFrame,
+                         ttl: String,
+                         steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(iv.months == 0, s"ttl must be day-or-finer: $ttl")
+    val ttlUs = iv.days * 86400000000L + iv.microseconds
+    val stepArr = steps.toArray
+    val ds = events
+      .withWatermark("ts", ttl)
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Long)],
+         state: GroupState[FunnelTtlState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAttemptOut]
+          def closedRow(r: Array[Long]) =
+            FunnelAttemptOut(uid, r(0), r.length.toLong, r.last, closed = true)
+          if (state.hasTimedOut) {
+            // watermark passed t0 + ttl with no further data: the open
+            // attempt is final — emit its closed row and evict.
+            state.getOption.foreach(s => out += closedRow(s.reachedUs.toArray))
+            state.remove()
+          } else {
+            var reached = state.getOption.map(_.reachedUs.toArray).orNull
+            val sorted = rows.toArray.sortBy(r => (r._4, r._5))
+            sorted.foreach { case (_, et, _, us, _) =>
+              if (reached != null && us > reached(0) + ttlUs) {
+                // first event beyond the window: the attempt's depths are
+                // final — close it before considering this event afresh
+                out += closedRow(reached)
+                reached = null
+              }
+              if (reached == null) {
+                if (et == stepArr(0)) reached = Array(us)
+              } else {
+                val d = reached.length
+                if (d < stepArr.length && et == stepArr(d) && us > reached(d - 1))
+                  reached = reached :+ us
+              }
+            }
+            // the same watermark reasoning as the arrival-closure above:
+            // once the watermark passed the horizon no in-window event
+            // can still arrive, so the attempt is final NOW — emitting
+            // here (instead of registering a timeout the watermark has
+            // already passed, which Spark rejects) keeps closure content
+            // identical, only earlier.
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            if (reached != null && wm != Long.MinValue &&
+                wm > (reached(0) + ttlUs) / 1000L) {
+              out += closedRow(reached)
+              reached = null
+            }
+            if (reached == null) state.remove()
+            else {
+              state.update(FunnelTtlState(reached.toSeq))
+              out += FunnelAttemptOut(uid, reached(0), reached.length.toLong,
+                reached.last, closed = false)
+              if (wm != Long.MinValue)
+                state.setTimeoutTimestamp((reached(0) + ttlUs) / 1000L + 1)
+            }
+          }
+          out.iterator
+      }
       .toDF()
   }
 
@@ -665,9 +797,20 @@ object Stats {
     val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
     var last = state.getOption
     sorted.foreach { case (_, et, us, _) =>
-      last.foreach(p =>
-        if (us - p.lastUs <= gapUs) out += TransOut(uid, p.lastType, et))
-      last = Some(TransState(et, us))
+      // late-row guard: a row OLDER than the saved frontier arrived in a
+      // later micro-batch than its event time warrants (cross-batch
+      // disorder — within a batch the sort above fixes order). Folding it
+      // would emit a time-REVERSED pair (us − lastUs < 0, which any gap
+      // bound accepts) and regress the frontier; the chain contract is
+      // "transitions over the in-order stream", so late rows are dropped
+      // rather than silently folded. The TTL form bounds how late a row
+      // can be before this triggers (watermark); the NoTimeout form drops
+      // unboundedly-late rows the same way.
+      if (!last.exists(p => us < p.lastUs)) {
+        last.foreach(p =>
+          if (us - p.lastUs <= gapUs) out += TransOut(uid, p.lastType, et))
+        last = Some(TransState(et, us))
+      }
     }
     last.foreach(state.update)
     out.iterator

@@ -179,6 +179,7 @@ object Bucketing {
       dropWithLocation(spark, generationName(table, g))
       dropWithLocation(spark, s"${generationName(table, g)}_stats")
       dropWithLocation(spark, s"${generationName(table, g)}_meta")
+      dropWithLocation(spark, s"${generationName(table, g)}_radius")
     }
 
   /** Generation number encoded in a physical generation table name
@@ -536,10 +537,32 @@ object Bucketing {
     // [[dropGeneration]] eventually retires.
     writeMeta(spark, phys, newFolded)
     writeBucketed(rows, phys, key, buckets, compact = compact)
+    // generation-scoped index-identity metadata (today: the fuzzy
+    // family's `_radius` sibling) travels WITH the generation: carry the
+    // source generation's sibling onto the new one before the swap, or
+    // the first compaction would silently reset a d2 index to the
+    // default-1 reading the sibling exists to prevent.
+    copySibling(spark, srcPhys, phys, "_radius")
     swapView(spark, table, phys)
     gcDeltaPartitions(spark, deltaPath, prevFolded)
     retireBelow(spark, table, srcGen)
   }
+
+  /** Copy a one-row generation-scoped sibling table (`{src}{suffix}` →
+    * `{dst}{suffix}`) when the source has one — the carry-forward for
+    * index-identity metadata that must swap atomically with the
+    * generation it describes (read via [[resolvePhysical]] + suffix, so
+    * it can never be observed from a different generation than the
+    * postings). No-op when the source sibling is absent.
+    */
+  def copySibling(spark: SparkSession, src: String, dst: String,
+                  suffix: String): Unit =
+    if (spark.catalog.tableExists(s"$src$suffix")) {
+      dropWithLocation(spark, s"$dst$suffix")
+      spark.table(s"$src$suffix")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$dst$suffix")
+    }
 
   /** Compaction-pressure reading: how many delta `batch_id=` partitions
     * sit ABOVE the resolved generation's folded watermark. One directory

@@ -111,6 +111,60 @@ class RecoverySpec extends SparkSpec {
       s"restarted funnel diverged: $got vs $want")
   }
 
+  test("funnel TTL: open attempt survives restart, expired attempt still closes") {
+    val root = managedTempDir("funnelttlrec")
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def mkEv(id: Long, t: String, u: Long, et: String) =
+      TestEv(id, java.sql.Timestamp.valueOf(t), u, et, 1.0, "{}")
+    // user 1's conversion SPANS the restart inside the 10-minute window —
+    // depth 4 is only reachable if the open-attempt state resumed; user
+    // 2's attempt expires across the restart (its post-restart view lands
+    // past the horizon), so its closed row must say depth 1
+    val tranche1 = Seq(
+      mkEv(1, "2024-01-01 00:00:00", 1, "signup"),
+      mkEv(2, "2024-01-01 00:01:00", 1, "view"),
+      mkEv(3, "2024-01-01 00:00:00", 2, "signup"))
+    val tranche2 = Seq(
+      mkEv(4, "2024-01-01 00:02:00", 1, "click"),
+      mkEv(5, "2024-01-01 00:03:00", 1, "purchase"),
+      mkEv(6, "2024-01-01 00:20:00", 2, "view"),
+      // watermark driver: carries the watermark past every horizon so the
+      // surviving attempts' timeouts fire before the final stop
+      mkEv(99, "2024-01-01 01:00:00", 999, "click"))
+    val tranche3 = Seq(mkEv(100, "2024-01-01 01:30:00", 999, "click"))
+
+    def startQuery() =
+      Stats.funnelStreamingTtl(spark, Topology.fileSource(spark, srcDir),
+          "10 minutes")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+
+    tranche1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    tranche2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    tranche3.toDF().write.mode("append").parquet(srcDir)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+
+    def us(t: String): Long =
+      java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val closed = spark.read.parquet(s"$root/out")
+      .filter(col("closed") && col("user_id") =!= 999L)
+      .select("user_id", "t0_us", "depth", "t_depth_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(closed == Set(
+      (1L, us("2024-01-01 00:00:00"), 4L, us("2024-01-01 00:03:00")),
+      (2L, us("2024-01-01 00:00:00"), 1L, us("2024-01-01 00:00:00"))),
+      s"restarted TTL funnel diverged: $closed")
+  }
+
   test("streaming transitions: last-event state bridges a restart") {
     val root = managedTempDir("transrec")
     val srcDir = s"$root/src"

@@ -344,6 +344,68 @@ class StreamingSpec extends SparkSpec {
     assert(unbounded.contains(("view", "click"))) // the pair TTL drops
   }
 
+  test("funnel TTL: in-window conversions match, expired attempts close and reopen") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.funnelStreamingTtl(spark, mem.toDF(), "10 minutes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_ttl_test")
+      .trigger(tick).start()
+    // user 1 converts fully INSIDE the window; user 2's first attempt dies
+    // at depth 1 (its view lands past the horizon — the arrival closes the
+    // attempt and, not being a step-0 event, opens nothing), then a later
+    // signup opens a SECOND attempt that reaches depth 2
+    val u1 = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:01:00", 1, "view"),
+      ev(3, "2024-01-01 00:02:00", 1, "click"),
+      ev(4, "2024-01-01 00:03:00", 1, "purchase"))
+    val u2 = Seq(
+      ev(5, "2024-01-01 00:00:00", 2, "signup"),
+      ev(6, "2024-01-01 00:20:00", 2, "view"),
+      ev(7, "2024-01-01 00:21:00", 2, "signup"),
+      ev(8, "2024-01-01 00:22:00", 2, "view"))
+    mem.addData(u1 ++ u2.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(u2.drop(1): _*)
+    q.processAllAvailable()
+    // two watermark-advancing sentinels: the first carries the watermark
+    // past user 1's horizon (timeouts fire one batch later), the second
+    // past user 2's second-attempt horizon
+    mem.addData(ev(99, "2024-01-01 01:00:00", 999, "click"))
+    q.processAllAvailable()
+    mem.addData(ev(100, "2024-01-01 01:30:00", 999, "click"))
+    q.processAllAvailable()
+    q.stop()
+    def us(t: String): Long = Timestamp.valueOf(t).getTime * 1000L
+    // every attempt eventually CLOSES (timeout or arrival); the closed
+    // rows are the final per-attempt answer
+    val closed = spark.table("funnel_ttl_test")
+      .filter(col("closed") && col("user_id") =!= 999L)
+      .select("user_id", "t0_us", "depth", "t_depth_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(closed == Set(
+      (1L, us("2024-01-01 00:00:00"), 4L, us("2024-01-01 00:03:00")),
+      (2L, us("2024-01-01 00:00:00"), 1L, us("2024-01-01 00:00:00")),
+      (2L, us("2024-01-01 00:21:00"), 2L, us("2024-01-01 00:22:00"))),
+      closed.toString)
+    // in-window conversions equal the unbounded batch funnel (user 1's
+    // whole journey fits the window)
+    val batchDepth = Stats.funnel((u1 ++ u2).toDF())
+      .filter(col("user_id") === 1L)
+      .select("depth").as[Long].collect().head
+    assert(batchDepth == 4L)
+    // batch execution of the SAME operator (single fold, no timeouts)
+    // yields the same per-attempt values — closed flags differ only for
+    // attempts still open at end-of-data
+    val batchRun = Stats.funnelStreamingTtl(spark, (u1 ++ u2).toDF(),
+        "10 minutes")
+      .groupBy("user_id", "t0_us")
+      .agg(max("depth").as("depth"), max("t_depth_us").as("t_depth_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batchRun == closed, batchRun.toString)
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
