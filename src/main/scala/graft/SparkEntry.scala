@@ -506,6 +506,12 @@ object SparkEntry {
     // detector must find
     "ext_span_dups" -> ((s, d) =>
       Dedup.spanDups(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
+    // cross-doc exact common-substring pairs: which document PAIRS share
+    // which maximal ≥8-token runs (the suppression-side view of the same
+    // span table ext_span_dups reads per-doc) — each (d, d+1M) perturbed
+    // pair shares one long run; boilerplate anchors are capped
+    "ext_substr_dups" -> ((s, d) =>
+      Dedup.substrDups(Dedup.withPerturbedCopies(docs(s, d)))),
     // incremental dedup: index the corpus once, probe the "new crawl"
     // (the perturbed half) against the persisted band table
     "ext_dedup_incremental" -> ((s, d) => {
@@ -2751,6 +2757,33 @@ object SparkEntry {
          |  CAST(coalesce(sdds.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
          |FROM sdcorpus c LEFT JOIN sdns USING (doc_id) LEFT JOIN sdds USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    "ext_substr_dups" -> {
+      val n = Dedup.SpanN
+      val cap = Dedup.SubstrAnchorCap
+      s"""WITH ssc AS ($PERTURBED_CORPUS),
+         |sstk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM ssc),
+         |sssp AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+         |      i -> struct_pack(pos := i - 1,
+         |        h := ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
+         |    FROM sstk WHERE len(t) >= $n)),
+         |ssok AS (SELECT * FROM sssp WHERE h NOT IN (
+         |    SELECT h FROM sssp GROUP BY h
+         |    HAVING count(DISTINCT doc_id) > $cap)),
+         |sspr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, a.pos - b.pos AS diag
+         |  FROM ssok a JOIN ssok b USING (h) WHERE a.doc_id < b.doc_id),
+         |ssrn AS (SELECT *, row_number()
+         |    OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rn
+         |  FROM sspr),
+         |ssruns AS (SELECT doc_a, doc_b, count(*) + $n - 1 AS run_len
+         |  FROM ssrn GROUP BY doc_a, doc_b, diag, pa - rn)
+         |SELECT doc_a, doc_b,
+         |  CAST(max(run_len) AS BIGINT) AS longest_run,
+         |  CAST(count(*) AS BIGINT) AS n_runs,
+         |  CAST(sum(run_len) AS BIGINT) AS sum_run_tokens
+         |FROM ssruns GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),

@@ -66,6 +66,33 @@ object TextScaleProbe {
         f""""classifier_s":$cls%.2f,"winnow_s":$win%.2f,"quota_s":$quota%.2f}""")
       docs.unpersist(blocking = true)
     }
+
+    // round-18: cross-doc substring pairs (Dedup.substrDups). A linear
+    // ladder needs copies whose runs stay WITHIN a copy — the plain
+    // prefix-scaled corpus above would share almost every 8-gram across
+    // copies of the same doc and grow the pair output quadratically in
+    // copies, measuring the corpus construction rather than the operator.
+    // Interleaving a copy-marker token between every token keeps every
+    // 8-gram copy-local while the (d, d+1M) perturbed-pair structure
+    // replicates per copy: output rows and work both scale linearly.
+    def substrScaled(times: Int): DataFrame =
+      (0 until times).map { c =>
+        graft.ext.Dedup.withPerturbedCopies(base.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" m$c ").as("text")))
+      }.reduce(_ unionByName _)
+    Seq(1, 4, 16).foreach { times =>
+      val docs = substrScaled(times).localCheckpoint(true)
+      val rows = graft.ext.Dedup.substrDups(docs).count()
+      val t = median3(graft.ext.Dedup.substrDups(docs))
+      println(f"""{"probe":"substr_dups","scale":$times,""" +
+        f""""pair_rows":$rows,"substr_s":$t%.2f}""")
+      docs.unpersist(blocking = true)
+      // substrDups checkpoints its span table per invocation — release
+      // between legs so a later leg never pays earlier legs' blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

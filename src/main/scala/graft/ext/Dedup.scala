@@ -508,26 +508,21 @@ object Dedup {
                            deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
-    val names = JacLayers.map(s => s"${name}_$s")
-    names.foreach(b.requireSwapAdoptable(spark, _))
-    // retire relative to each layer's SERVING generation, not the shared
-    // g − 2: an orphan generation table inflates g past the live one
-    // (see Bucketing.generationNumberOf)
-    val liveGens = names.map(n => n -> b.liveGeneration(spark, n)).toMap
-    // ONE shared generation number for all three layers (max over their
-    // currents + 1, off one catalog listing): the probe's vocab-derived
-    // sibling lookup requires that vocab__gN existing implies toks/prefix
-    // __gN exist — per-layer numbering could skew after a crashed
-    // compaction, silently disabling the rebuild-atomicity path; a shared
-    // number re-aligns the layers on every rebuild
-    val g = b.currentGenerations(spark, names).values.max + 1
-    val phys = names.map(b.generationName(_, g))
-    buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm, buckets)
-    deltaDir.foreach { d =>
-      b.stampRebuildWatermark(spark, phys, JacLayers.map(s => s"$d/$s"))
-    }
-    phys.zip(names).foreach { case (p, n) => b.swapView(spark, n, p) }
-    names.foreach(n => b.retireBelow(spark, n, liveGens(n)))
+    // the shared skeleton (sources.IndexLifecycle) owns the invariants
+    // this family leans on hardest: ONE shared generation number across
+    // the three layers (the probe's vocab-derived sibling lookup requires
+    // that vocab__gN existing implies toks/prefix__gN exist), vocab FIRST
+    // in swap order (its swap is the probe's single consistency point —
+    // all three physical tables exist before it), per-layer retirement
+    // relative to each layer's serving generation
+    graft.sources.IndexLifecycle.buildGeneration(spark,
+      JacLayers.map(s => s"${name}_$s"),
+      write = phys =>
+        buildJaccardTables(documents, phys(0), phys(1), phys(2), tauPpm,
+          buckets),
+      stampWatermark = phys => deltaDir.foreach { d =>
+        b.stampRebuildWatermark(spark, phys, JacLayers.map(s => s"$d/$s"))
+      })
   }
 
   private def buildJaccardTables(documents: DataFrame, vocabT: String,
@@ -587,21 +582,12 @@ object Dedup {
     */
   def compactJaccardIfNeeded(spark: org.apache.spark.sql.SparkSession,
                              name: String, deltaDir: String,
-                             maxUnfolded: Int, buckets: Int = -1): Boolean = {
-    val b = graft.sources.Bucketing
-    if (b.unfoldedBatchCount(spark, s"${name}_toks", s"$deltaDir/toks")
-        > maxUnfolded) {
-      // true only when the watermark ADVANCED (see compactBm25IfNeeded)
-      val before = b.foldedBatchMax(spark, s"${name}_toks")
-      // default −1 = inherit the build's bucket count strictly from the
-      // toks layer (the same table the pressure read resolves), lazily —
-      // the below-threshold fast path pays no catalog metadata read
-      val useBuckets = if (buckets > 0) buckets
-        else b.inheritedBucketCount(spark, s"${name}_toks")
-      compactJaccardIndexGen(spark, name, deltaDir, useBuckets)
-      b.foldedBatchMax(spark, s"${name}_toks") > before
-    } else false
-  }
+                             maxUnfolded: Int, buckets: Int = -1): Boolean =
+    // pressure reads from the toks layer: every batch with surviving
+    // docs writes it, and bucket inheritance resolves off the same table
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, s"${name}_toks",
+      s"$deltaDir/toks", maxUnfolded, buckets,
+      compactJaccardIndexGen(spark, name, deltaDir, _))
 
   /** `slice(toks, 1, prefixLen)` for the τ-Jaccard prefix — shared by the
     * batch join, the index build and the probe side so the cut can never
@@ -1007,24 +993,21 @@ object Dedup {
                        deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
-    b.requireSwapAdoptable(spark, table)
-    // retire relative to the SERVING generation, not g − 2 (see
-    // Bucketing.generationNumberOf)
-    val liveGen = b.liveGeneration(spark, table)
-    val g = b.currentGeneration(spark, table) + 1
-    val phys = b.generationName(table, g)
-    b.writeBucketed(
-      lshBands(documents).select(
-        concat_ws(":", col("band_idx"), col("band_key")).as("bkey"), col("doc_id")),
-      phys, "bkey", buckets)
-    // fresh build: no manifest (absent ≡ watermark −1). REBUILD over a
-    // live delta layer: quiesce the loop and pass deltaDir — the rebuilt
-    // base already holds those survivors' bands, so the retained delta
-    // partitions must be stamped folded, not double-counted
-    deltaDir.foreach(d =>
-      b.stampRebuildWatermark(spark, phys, Seq(s"$d/bands")))
-    b.swapView(spark, table, phys)
-    b.retireBelow(spark, table, liveGen)
+    // the shared skeleton owns adoptable-check / serving-generation
+    // capture / numbering / swap / retire (sources.IndexLifecycle);
+    // family-specific: the bands write and — on a REBUILD over a live
+    // delta layer (quiesce the loop, pass deltaDir) — the watermark
+    // stamp: the rebuilt base already holds those survivors' bands, so
+    // the retained delta partitions must read folded, not double-counted
+    // (fresh build: no manifest, absent ≡ watermark −1)
+    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
+      write = phys => b.writeBucketed(
+        lshBands(documents).select(
+          concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
+          col("doc_id")),
+        phys.head, "bkey", buckets),
+      stampWatermark = phys => deltaDir.foreach(d =>
+        b.stampRebuildWatermark(spark, phys.head, Seq(s"$d/bands"))))
   }
 
   /** Near-dup candidates of NEW documents against a persisted LSH index:
@@ -1112,19 +1095,10 @@ object Dedup {
     */
   def compactLshIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
-                         buckets: Int = -1): Boolean = {
-    val b = graft.sources.Bucketing
-    if (b.unfoldedBatchCount(spark, table, s"$deltaDir/bands") > maxUnfolded) {
-      // true only when the watermark ADVANCED (see compactBm25IfNeeded)
-      val before = b.foldedBatchMax(spark, table)
-      // default −1 = inherit the build's bucket count strictly and
-      // lazily (see compactJaccardIfNeeded)
-      val useBuckets =
-        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
-      compactLshIndexGen(spark, table, deltaDir, useBuckets)
-      b.foldedBatchMax(spark, table) > before
-    } else false
-  }
+                         buckets: Int = -1): Boolean =
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, table,
+      s"$deltaDir/bands", maxUnfolded, buckets,
+      compactLshIndexGen(spark, table, deltaDir, _))
 
   /** Streaming incremental-dedup loop over a persisted LSH index
     * ([[buildLshIndex]] or [[buildLshIndexGen]]): each micro-batch bands
@@ -1517,6 +1491,20 @@ object Dedup {
     */
   val SpanN = 8
 
+  /** The narrow (doc_id, pos, h) span table — every n-token window's
+    * position and 60-bit engine-portable hash — shared by [[spanDups]]
+    * (per-doc duplication stats) and [[substrDups]] (cross-doc run
+    * pairs) so the two can never drift on tokenization or span hashing.
+    */
+  private def spanTable(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), j -> concat_ws(' ', slice(toks, j + 1, $n)))")))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h"))
+
   def spanDups(documents: DataFrame, n: Int = SpanN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // materialized once: three consumers below (the dup-hash aggregate, the
@@ -1524,13 +1512,7 @@ object Dedup {
     // tokenize+posexplode scan — this narrow (doc, pos, hash) table is the
     // span table the substring-dedup literature materializes anyway (its
     // blocks back the returned frame; Bench sweeps between queries)
-    val (spans, _) = checkpointTracked(documents
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $n), j -> concat_ws(' ', slice(toks, j + 1, $n)))")))
-      .toDF("doc_id", "pos", "span")
-      .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h")))
+    val (spans, _) = checkpointTracked(spanTable(documents, n))
     val dup = spans.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .where(col("d0") =!= col("d1"))
@@ -1559,6 +1541,74 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** Hot-anchor cap for [[substrDups]]: an n-gram present in MORE than
+    * this many documents is boilerplate (licenses, navigation chrome,
+    * disclaimers) and is excluded from pair generation — the analogue of
+    * the behavior family's `CooccurCap` hub guard. Without it one
+    * boilerplate n-gram shared by D documents generates D²/2 pair rows:
+    * the cap bounds every anchor bucket's pair fan-out at
+    * maxAnchorDocs²/2 regardless of corpus size (and the runs a capped
+    * anchor would have anchored are still found through their other,
+    * non-boilerplate n-grams unless the ENTIRE run is boilerplate — the
+    * intended suppression).
+    */
+  val SubstrAnchorCap = 16
+
+  /** Cross-document exact common-substring runs — the LLM-pipeline
+    * workhorse next to the per-doc [[spanDups]] readout: for each
+    * document pair sharing at least one exact run of ≥ n consecutive
+    * tokens, the longest shared run (in tokens), the number of maximal
+    * shared runs, and their summed token length (per-diagonal maximal
+    * runs; overlaps between DIFFERENT runs are not unioned — coverage
+    * union per doc is [[spanDups]]' n_dup_tokens). Downstream suppression
+    * (cut the run from one side, drop the younger doc, …) consumes these
+    * pairs.
+    *
+    * Matching is exact-by-construction at the n-gram level: two docs
+    * share a run of L ≥ n tokens iff they share L − n + 1 CONSECUTIVE
+    * n-gram anchors on one (pos_a − pos_b) diagonal, so maximal runs are
+    * gaps-and-islands over pa within each (pair, diagonal) — run length
+    * = island size + n − 1. The suffix-array sweep of the substring-dedup
+    * literature becomes: one narrow span scan (no text leaves the scan —
+    * 60-bit hashes), one anchor-keyed equi-join (NEVER all-pairs: only
+    * docs sharing an anchor meet), windows/aggs over candidate-sized
+    * frames. At 100 TB the join shuffles (doc, pos) pairs keyed on the
+    * anchor hash; the [[SubstrAnchorCap]] guard bounds every bucket.
+    */
+  def substrDups(documents: DataFrame, n: Int = SpanN,
+                 maxAnchorDocs: Int = SubstrAnchorCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: the hot-anchor aggregate and both join sides
+    // would otherwise re-run the tokenize+posexplode scan
+    val (spans, _) = checkpointTracked(spanTable(documents, n))
+    val hot = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > maxAnchorDocs)
+      .select("h")
+    val ok = spans.join(hot, Seq("h"), "left_anti")
+    val pairs = ok
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(ok.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    // within one (pair, diagonal), pa is unique (pb = pa − diag), so
+    // row_number's islands key (pa − rn) is exact: consecutive anchors
+    // share it, any gap breaks it
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"),
+        (col("pa") - col("rn")).as("isl"))
+      .agg((count(lit(1)) + (n - 1).toLong).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run_len").as("longest_run"),
+        count(lit(1)).as("n_runs"),
+        sum("run_len").as("sum_run_tokens"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

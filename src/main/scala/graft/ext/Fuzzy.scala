@@ -295,42 +295,38 @@ object Fuzzy {
                          maxEdits: Int = 1): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
-    b.requireSwapAdoptable(spark, name)
-    b.requireSwapAdoptable(spark, s"${name}_cnt")
-    val liveGen = b.liveGeneration(spark, name)
-    val liveGenC = b.liveGeneration(spark, s"${name}_cnt")
-    val g = math.max(b.currentGeneration(spark, name),
-      b.currentGeneration(spark, s"${name}_cnt")) + 1
-    // one shingle aggregation feeds BOTH layer writes (tokenize+shingle
-    // is the dominant build cost; an uncached plan would run it twice)
-    val (cnt, cntIds) = Checkpoints.checkpointTracked(layerCounts(documents))
-    val physK = b.generationName(name, g)
-    val physC = b.generationName(s"${name}_cnt", g)
-    try {
-      // repartition BEFORE the neighborhood explode: AQE coalesces the
-      // small dictionary agg to few partitions, and an explode inherits
-      // its child's partitioning — without the spread the ~(len+1)×
-      // key fan-out runs near-serially (measured 1.0 → 0.45 s at sf0.1);
-      // `compact` then folds the fan-out to one file per bucket
-      b.writeBucketed(layerKeys(cnt.repartition(buckets), maxEdits), physK,
-        "k", buckets, compact = true)
-      b.writeBucketed(cnt, physC, "term", buckets)
-    } finally Checkpoints.releaseTracked(cnt, cntIds)
-    // each layer reads its OWN watermark: stamp both
-    deltaDir.foreach(d => b.stampRebuildWatermark(spark,
-      Seq(physK, physC), Seq(s"$d/keys", s"$d/cnt")))
-    // radius is stamped as a sibling of the NOT-YET-LIVE keys generation,
-    // BEFORE the swap: the view repoint is then the single atomic step
-    // that changes both the postings a probe reads and the radius it
-    // reads them at. A crash anywhere before the swap leaves an orphan
-    // generation (plus its radius sibling) that is never observable; the
-    // former post-swap drop/recreate of a shared `{name}_radius` table
-    // had a window in which a live d2 index read back the default 1.
-    stampRadius(spark, physK, maxEdits)
-    b.swapView(spark, name, physK)
-    b.swapView(spark, s"${name}_cnt", physC)
-    b.retireBelow(spark, name, liveGen)
-    b.retireBelow(spark, s"${name}_cnt", liveGenC)
+    // the shared skeleton (sources.IndexLifecycle) owns adoptable-check /
+    // serving-generation capture / shared numbering / swap order / retire;
+    // family-specific here: ONE shingle aggregation feeds BOTH layer
+    // writes (tokenize+shingle is the dominant build cost; an uncached
+    // plan would run it twice), and the RADIUS is stamped as a sibling of
+    // the not-yet-live keys generation via preSwap — the view repoint is
+    // then the single atomic step that changes both the postings a probe
+    // reads and the radius it reads them at (a crash before the swaps
+    // leaves an orphan generation plus its radius sibling, never
+    // observable; the former post-swap drop/recreate of a shared
+    // `{name}_radius` table had a window in which a live d2 index read
+    // back the default 1).
+    graft.sources.IndexLifecycle.buildGeneration(spark,
+      Seq(name, s"${name}_cnt"),
+      write = phys => {
+        val (cnt, cntIds) = Checkpoints.checkpointTracked(layerCounts(documents))
+        try {
+          // repartition BEFORE the neighborhood explode: AQE coalesces
+          // the small dictionary agg to few partitions, and an explode
+          // inherits its child's partitioning — without the spread the
+          // ~(len+1)× key fan-out runs near-serially (measured
+          // 1.0 → 0.45 s at sf0.1); `compact` then folds the fan-out to
+          // one file per bucket
+          b.writeBucketed(layerKeys(cnt.repartition(buckets), maxEdits),
+            phys.head, "k", buckets, compact = true)
+          b.writeBucketed(cnt, phys(1), "term", buckets)
+        } finally Checkpoints.releaseTracked(cnt, cntIds)
+      },
+      // each layer reads its OWN watermark: stamp both
+      stampWatermark = phys => deltaDir.foreach(d =>
+        b.stampRebuildWatermark(spark, phys, Seq(s"$d/keys", s"$d/cnt"))),
+      preSwap = phys => stampRadius(spark, phys.head, maxEdits))
   }
 
   /** The persisted BUILD radius of index `name` (1 when absent — every
@@ -518,15 +514,8 @@ object Fuzzy {
     */
   def compactFuzzyIfNeeded(spark: org.apache.spark.sql.SparkSession,
                            name: String, deltaDir: String,
-                           maxUnfolded: Int, buckets: Int = -1): Boolean = {
-    val b = graft.sources.Bucketing
-    if (b.unfoldedBatchCount(spark, s"${name}_cnt", s"$deltaDir/cnt")
-        > maxUnfolded) {
-      val before = b.foldedBatchMax(spark, s"${name}_cnt")
-      val useBuckets = if (buckets > 0) buckets
-        else b.inheritedBucketCount(spark, s"${name}_cnt")
-      compactFuzzyIndexGen(spark, name, deltaDir, useBuckets)
-      b.foldedBatchMax(spark, s"${name}_cnt") > before
-    } else false
-  }
+                           maxUnfolded: Int, buckets: Int = -1): Boolean =
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, s"${name}_cnt",
+      s"$deltaDir/cnt", maxUnfolded, buckets,
+      compactFuzzyIndexGen(spark, name, deltaDir, _))
 }

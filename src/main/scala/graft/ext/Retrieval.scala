@@ -796,23 +796,27 @@ object Retrieval {
                         deltaDir: Option[String] = None): Unit = {
     val spark = documents.sparkSession
     val b = graft.sources.Bucketing
-    b.requireSwapAdoptable(spark, table)
-    // retire relative to the generation SERVING before this swap, not
-    // g - 2: an orphan generation table inflates g past the live one
-    // (see Bucketing.generationNumberOf)
-    val liveGen = b.liveGeneration(spark, table)
-    val g = b.currentGeneration(spark, table) + 1
-    val phys = b.generationName(table, g)
-    b.writeBucketed(bm25Postings(documents), phys, "token", buckets,
-      sortCols = Seq("token"))
-    b.dropWithLocation(spark, s"${phys}_stats")
-    bm25StatsDelta(documents).write.mode("overwrite")
-      .format("parquet").saveAsTable(s"${phys}_stats")
-    deltaDir.foreach(d => b.stampRebuildWatermark(spark, phys,
-      Seq(s"$d/postings", s"$d/stats")))
-    b.swapView(spark, table, phys)
-    b.swapView(spark, s"${table}_stats", s"${phys}_stats")
-    b.retireBelow(spark, table, liveGen)
+    // the shared skeleton (sources.IndexLifecycle) owns adoptable-check /
+    // serving-generation capture / numbering / swap / retire. The stats
+    // table is a SIBLING of the postings generation (`{phys}_stats`, not
+    // a numbered generation of its own): its view repoints via extraSwaps
+    // after the postings swap, and readers resolve it through the
+    // postings generation anyway ([[statsSiblingOf]]) so the single
+    // postings swap stays the consistency point; retirement drops the
+    // sibling with its generation ([[sources.Bucketing.dropGeneration]]).
+    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
+      write = phys => {
+        b.writeBucketed(bm25Postings(documents), phys.head, "token",
+          buckets, sortCols = Seq("token"))
+        b.dropWithLocation(spark, s"${phys.head}_stats")
+        bm25StatsDelta(documents).write.mode("overwrite")
+          .format("parquet").saveAsTable(s"${phys.head}_stats")
+      },
+      stampWatermark = phys => deltaDir.foreach(d =>
+        b.stampRebuildWatermark(spark, phys.head,
+          Seq(s"$d/postings", s"$d/stats"))),
+      extraSwaps = phys =>
+        Seq((s"${table}_stats", s"${phys.head}_stats")))
   }
 
   /** Generation-swap compaction: fold base ∪ (unfolded) delta into
@@ -919,23 +923,8 @@ object Retrieval {
     */
   def compactBm25IfNeeded(spark: SparkSession, table: String,
                           deltaDir: String, maxUnfolded: Int,
-                          buckets: Int = -1): Boolean = {
-    val b = graft.sources.Bucketing
-    val pressure = b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
-    if (pressure > maxUnfolded) {
-      // report whether the watermark actually ADVANCED — the compactor's
-      // half-batch hold-back can legitimately fold nothing (e.g. an
-      // orphan postings partition whose stats half never landed), and a
-      // caller treating the return as "pressure relieved" must not
-      // believe a no-op fold cleared it
-      val before = b.foldedBatchMax(spark, table)
-      // default −1 = inherit the BUILD'S bucket count, strictly: resolved
-      // lazily here (not on the below-threshold fast path), and refusing
-      // to guess rather than silently re-bucketing the index
-      val useBuckets =
-        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
-      compactBm25IndexGen(spark, table, deltaDir, useBuckets)
-      b.foldedBatchMax(spark, table) > before
-    } else false
-  }
+                          buckets: Int = -1): Boolean =
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, table,
+      s"$deltaDir/postings", maxUnfolded, buckets,
+      compactBm25IndexGen(spark, table, deltaDir, _))
 }

@@ -812,36 +812,36 @@ object Similarity {
                        deltaDir: Option[String] = None): Unit = {
     val spark = embeddings.sparkSession
     val b = graft.sources.Bucketing
-    b.requireSwapAdoptable(spark, table)
-    val liveGen = b.liveGeneration(spark, table)
     // cap normalization: [[InheritMaxBucket]] on a REBUILD keeps the live
     // generation's persisted cap (symmetric with the fold's inherit; a
     // fresh build has nothing to inherit → uncapped); any other
     // non-positive value is uncapped — a raw negative must never reach
-    // the manifest as a nonsense "cap"
+    // the manifest as a nonsense "cap". Read off the serving generation
+    // BEFORE the lifecycle step (the skeleton captures its own serving
+    // snapshot for retirement).
+    val liveGen = b.liveGeneration(spark, table)
     val cap =
       if (maxBucket == InheritMaxBucket && liveGen > 0)
         b.maxBucketOf(spark, b.generationName(table, liveGen), NoMaxBucket)
       else math.max(maxBucket, NoMaxBucket)
-    val g = b.currentGeneration(spark, table) + 1
-    val phys = b.generationName(table, g)
-    val assigned = assignToCentroids(embeddings, k, 1)
-      .select("cluster_id", "vec_id", "embedding")
-    b.writeBucketed(withShardFactors(assigned, cap), phys,
-      "cluster_id", buckets)
-    // a CAPPED build persists its cap in the manifest so later folds can
-    // inherit the shard guard ([[InheritMaxBucket]]); uncapped builds keep
-    // the manifest-less fresh-build shape (absent ≡ uncapped, −1 folded)
-    if (cap > NoMaxBucket)
-      b.writeMeta(spark, phys, -1L, cap)
-    deltaDir.foreach(d =>
-      b.stampRebuildWatermark(spark, phys, Seq(s"$d/postings"), cap))
-    b.swapView(spark, table, phys)
-    // retire relative to the generation SERVING before this swap — an
-    // orphan generation table inflates g past the live one, and g − 2
-    // would retire the serving generation with zero grace
-    // (see Bucketing.generationNumberOf)
-    b.retireBelow(spark, table, liveGen)
+    // the shared skeleton (sources.IndexLifecycle) owns adoptable-check /
+    // serving-generation capture / numbering / swap / retire; family-
+    // specific: the shard-factor-stamped postings write, the capped
+    // build's cap manifest (persisted so later folds can inherit the
+    // shard guard — uncapped builds keep the manifest-less fresh-build
+    // shape, absent ≡ uncapped, −1 folded), and the cap-carrying
+    // rebuild watermark stamp.
+    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
+      write = phys => {
+        val assigned = assignToCentroids(embeddings, k, 1)
+          .select("cluster_id", "vec_id", "embedding")
+        b.writeBucketed(withShardFactors(assigned, cap), phys.head,
+          "cluster_id", buckets)
+        if (cap > NoMaxBucket)
+          b.writeMeta(spark, phys.head, -1L, cap)
+      },
+      stampWatermark = phys => deltaDir.foreach(d =>
+        b.stampRebuildWatermark(spark, phys.head, Seq(s"$d/postings"), cap)))
   }
 
   /** Generation-swap compaction for the IVF index: generation N+1 is
@@ -929,19 +929,10 @@ object Similarity {
   def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
                          table: String, deltaDir: String, maxUnfolded: Int,
                          buckets: Int = -1,
-                         maxBucket: Int = InheritMaxBucket): Boolean = {
-    val b = graft.sources.Bucketing
-    if (b.unfoldedBatchCount(spark, table, s"$deltaDir/postings")
-        > maxUnfolded) {
-      // true only when the watermark ADVANCED (see
-      // Retrieval.compactBm25IfNeeded)
-      val before = b.foldedBatchMax(spark, table)
-      val useBuckets =
-        if (buckets > 0) buckets else b.inheritedBucketCount(spark, table)
-      compactIvfIndexGen(spark, table, deltaDir, useBuckets, maxBucket)
-      b.foldedBatchMax(spark, table) > before
-    } else false
-  }
+                         maxBucket: Int = InheritMaxBucket): Boolean =
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, table,
+      s"$deltaDir/postings", maxUnfolded, buckets,
+      compactIvfIndexGen(spark, table, deltaDir, _, maxBucket))
 
   /** Apply one maintenance batch to the delta layer, EXACTLY-ONCE under
     * checkpoint replay: the batch is assigned against the index's OWN

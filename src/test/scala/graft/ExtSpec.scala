@@ -54,6 +54,36 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr dups: cross-doc pairs carry maximal runs; hot anchors capped") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      // shares the 9-token run "a b c d e f g h i" with doc 1 (two
+      // consecutive 8-gram anchors on one diagonal -> run_len 9)
+      (2L, "a b c d e f g h i x"),
+      // docs 3/4 share TWO separate 8-token runs (distinct diagonals /
+      // islands): n_runs 2, longest 8, summed 16
+      (3L, "p q r s t u v w MID1 one two three four five six seven eight"),
+      (4L, "p q r s t u v w MID2 one two three four five six seven eight"),
+      (5L, "completely unrelated words that never match anything else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDups(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1L, 2L, 9L, 1L, 9L), (3L, 4L, 8L, 2L, 16L)),
+      out.toString)
+    // hot-anchor cap: one boilerplate 8-gram across 20 docs generates NO
+    // pairs at the default cap (< 20 sharing docs required)...
+    val boiler = (1 to 20).map(i =>
+      (i.toLong, s"licensed under the same terms as before always tail$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substrDups(boiler).count() == 0L)
+    // ...and 190 = C(20,2) pairs once the cap admits 20-doc anchors —
+    // the guard, not the matcher, suppressed them
+    assert(Dedup.substrDups(boiler, maxAnchorDocs = 20).count() == 190L)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")

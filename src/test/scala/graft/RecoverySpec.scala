@@ -1499,4 +1499,194 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${name}__g1"))
     assert(!spark.catalog.tableExists(s"${name}_cnt__g1"))
   }
+
+  test("lifecycle matrix: serve/delta/fold-under-serve/GC/orphan across all five families") {
+    // ONE parametrized run of the generation-swap lifecycle legs over
+    // every family that builds on sources.IndexLifecycle — LSH bands,
+    // exact-Jaccard prefix, fuzzy dictionary, BM25 postings, IVF
+    // postings. The per-family tests above pin each family's SHARP
+    // semantics (watermark holdback, tid renumbering, cap inheritance,
+    // radius identity); this matrix pins the shared skeleton's contract
+    // uniformly, including the leg none of them covered: CRASH-ORPHAN
+    // recovery — a generation table written but never swapped (the crash
+    // window between write and swap) must leave serving untouched, be
+    // numbered PAST by the next fold, and be retired by the cycle after.
+    import graft.ext.{Dedup, Fuzzy, Retrieval, Similarity}
+    import graft.sources.Bucketing
+
+    case class Fam(
+        tag: String,
+        anchor: String,               // layer for generation assertions
+        gcFile: String,               // delta partition checked for GC
+        build: () => Unit,
+        append: Long => Unit,         // batch 0 then batch 1
+        probe: () => Set[String],
+        compact: () => Unit)
+
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y; a
+    }
+    val root = managedTempDir("lcmatrix")
+
+    val lshDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val lshB = Seq(Seq((100L, "qq ww ee rr tt yy uu ii")),
+      Seq((110L, "zz xx cc vv bb nn mm kk")))
+    val lshProbes = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (901L, "qq ww ee rr tt yy uu ii"),
+      (902L, "zz xx cc vv bb nn mm kk")).toDF("doc_id", "text")
+
+    val jacDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five")).toDF("doc_id", "text")
+    val jacB = Seq(Seq((100L, "qq ww ee rr tt")),
+      Seq((110L, "zz xx cc vv bb")))
+    val jacProbes = Seq(
+      (900L, "alpha beta gamma delta epsilon"),
+      (901L, "qq ww ee rr tt"),
+      (902L, "zz xx cc vv bb")).toDF("doc_id", "text")
+
+    val fuzDocs = Seq(
+      (1L, "alpha beta gamma tail one"),
+      (2L, "alpha beta gamma tail two")).toDF("doc_id", "text")
+    val fuzB = Seq(
+      Seq((10L, "delta pad tok end a"), (11L, "delta pad tok end b")),
+      Seq((20L, "omega keys word end a"), (21L, "omega keys word end b")))
+    val fuzQueries = Seq(
+      (900L, "alpha beta gamqa"), (901L, "delta pad tqk"),
+      (903L, "omega keys wqrd")).toDF("doc_id", "q_term")
+
+    val bmDocs = Seq(
+      (1L, "alpha beta gamma delta pad pad"),
+      (2L, "beta beta gamma pad pad pad")).toDF("doc_id", "text")
+    val bmB = Seq(Seq((50L, "newterm alpha pad pad pad pad")),
+      Seq((60L, "otherterm beta pad pad pad pad")))
+    val bmQueries = Seq((900L, "beta"), (901L, "newterm"),
+      (902L, "otherterm")).toDF("query_id", "token")
+
+    val ivfBase = Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)),
+      (2L, vec(0.9f, 0.1f)), (3L, vec(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val ivfB = Seq(Seq((10L, vec(0.95f, 0.05f))),
+      Seq((11L, vec(0.05f, 0.95f))))
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => s"${r.get(0)}:${r.get(1)}").toSet
+
+    val fams = Seq(
+      {
+        val t = "graft_mx_lsh"; val d = s"$root/lsh"
+        Fam("lsh", t, s"$d/bands",
+          () => Dedup.buildLshIndexGen(lshDocs, t, buckets = 4),
+          i => Dedup.processLshBatch(lshB(i.toInt).toDF("doc_id", "text"),
+            i, t, d, s"$root/lsh_sv"),
+          () => pairs(Dedup.dedupAgainstIndexWith(spark, lshProbes, t, d)
+            .select("doc_id_new", "doc_id_corpus")),
+          () => Dedup.compactLshIndexGen(spark, t, d, buckets = 4))
+      }, {
+        val t = "graft_mx_jac"; val d = s"$root/jac"
+        Fam("jaccard", s"${t}_vocab", s"$d/toks",
+          () => Dedup.buildJaccardIndexGen(jacDocs, t, 900000L, buckets = 2),
+          i => Dedup.processJaccardBatch(jacB(i.toInt).toDF("doc_id", "text"),
+            i, t, d, s"$root/jac_sv", 900000L),
+          () => pairs(Dedup.jaccardAgainstIndexWith(spark, jacProbes, t, d,
+            900000L).select("doc_new", "doc_corpus")),
+          () => Dedup.compactJaccardIndexGen(spark, t, d, buckets = 2))
+      }, {
+        val t = "graft_mx_fuzzy"; val d = s"$root/fuzzy"
+        Fam("fuzzy", t, s"$d/cnt",
+          () => Fuzzy.buildFuzzyIndexGen(fuzDocs, t, buckets = 2),
+          i => Fuzzy.appendFuzzyBatch(fuzB(i.toInt).toDF("doc_id", "text"),
+            d, i),
+          () => pairs(Fuzzy.fuzzyAgainstIndexWith(spark, fuzQueries, t,
+            Some(d)).select("doc_id", "dict_term")),
+          () => Fuzzy.compactFuzzyIndexGen(spark, t, d, buckets = 2))
+      }, {
+        val t = "graft_mx_bm25"; val d = s"$root/bm25"
+        Fam("bm25", t, s"$d/postings",
+          () => Retrieval.buildBm25IndexGen(bmDocs, t),
+          i => Retrieval.applyBm25Delta(bmB(i.toInt).toDF("doc_id", "text"),
+            d, i),
+          () => pairs(Retrieval.searchBm25IndexWith(spark, t, d, bmQueries)
+            .select("query_id", "doc_id")),
+          () => Retrieval.compactBm25IndexGen(spark, t, d))
+      }, {
+        val t = "graft_mx_ivf"; val d = s"$root/ivf"
+        Fam("ivf", t, s"$d/postings",
+          () => Similarity.buildIvfIndexGen(ivfBase, t, k = 2),
+          i => Similarity.applyIvfDelta(
+            ivfB(i.toInt).toDF("vec_id", "embedding"), t, d, i, k = 2),
+          () => pairs(Similarity.searchIvfIndexWith(spark, t, d)
+            .filter(col("rank") === 1)
+            .select(col("vec_id"), col("neighbor_id"))),
+          () => Similarity.compactIvfIndexGen(spark, t, d, 8,
+            Similarity.InheritMaxBucket))
+      })
+
+    fams.foreach { f =>
+      withClue(s"[family ${f.tag}] ") {
+        // leg 1: build + serve baseline (delta dir absent — the read path
+        // must tolerate it)
+        f.build()
+        val s0 = f.probe()
+        // leg 2: delta visibility — an appended batch changes answers
+        // through base ∪ delta without touching the base
+        f.append(0L)
+        val s1 = f.probe()
+        assert(s1 != s0, s"delta batch not visible: $s1")
+        // leg 3: fold UNDER SERVE — a prober hammers base ∪ delta while
+        // the fold writes the next generation and swaps; every observed
+        // answer set must equal s1 (folding is representation only) and
+        // no probe may error
+        val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val prober = new Thread(() => {
+          while (!stop.get()) {
+            try seen.add(f.probe())
+            catch { case e: Throwable => errors.add(e); () }
+          }
+        })
+        prober.start()
+        try f.compact()
+        finally { stop.set(true); prober.join(30000) }
+        assert(errors.isEmpty, s"probe failed during swap: ${errors.peek()}")
+        import scala.jdk.CollectionConverters._
+        assert(seen.asScala.forall(_ == s1),
+          s"answer changed under fold: ${seen.asScala.find(_ != s1)}")
+        assert(f.probe() == s1)
+        // folded partition survives ONE cycle for in-flight readers
+        assert(new java.io.File(s"${f.gcFile}/batch_id=0").exists())
+        // leg 4: CRASH-ORPHAN — a generation table written but never
+        // swapped (current + 1). Serving must not change.
+        val og = Bucketing.currentGeneration(spark, f.anchor) + 1
+        val orphan = Bucketing.generationName(f.anchor, og)
+        spark.table(f.anchor).limit(1).write.format("parquet")
+          .saveAsTable(orphan)
+        assert(f.probe() == s1, "orphan generation observed by a probe")
+        // leg 5: GC-only cycle — folded partition GC'd, answers keep
+        f.compact()
+        assert(f.probe() == s1)
+        assert(!new java.io.File(s"${f.gcFile}/batch_id=0").exists(),
+          "folded delta partition not GC'd on the second cycle")
+        // leg 6-7: the next fold numbers PAST the orphan and serves the
+        // new batch; the orphan is still on disk (its retirement grace)
+        f.append(1L)
+        val s2 = f.probe()
+        assert(s2 != s1, s"second delta batch not visible: $s2")
+        f.compact()
+        assert(f.probe() == s2)
+        assert(Bucketing.liveGeneration(spark, f.anchor) > og,
+          "fold did not number past the orphan generation")
+        // leg 8: the following cycle retires the orphan; serving keeps
+        f.compact()
+        assert(!spark.catalog.tableExists(orphan),
+          "orphan generation never retired")
+        assert(f.probe() == s2)
+      }
+    }
+  }
 }
