@@ -67,35 +67,106 @@ object Topology {
         main, watermark.getOrElse("10 minutes")))
   }
 
+  /** The behavior-analytics fan-out — the round-17/18 streaming twins
+    * (sessions, co-occurrence baskets, transition pairs, funnel attempts)
+    * as ROUTED stores next to [[stores]]' reference mirrors, each with
+    * its structurally-chosen output mode ([[outputModeFor]]):
+    *
+    *  - `store_session_profiles` — session_window + watermark → Append
+    *    (one final row per closed session);
+    *  - `store_cooccur_baskets` — day-window basket pairs + watermark →
+    *    Append (the emit-once-on-day-close contract its downstream
+    *    count-fold requires; Update would leak partial baskets);
+    *  - `store_transition_pairs` — TTL'd flatMapGroupsWithState → Update
+    *    (increment changelog, gap bound enforced in the fold);
+    *  - `store_funnel_attempts` — conversion-window funnel → Update
+    *    (per-attempt changelog; closed rows are final).
+    *
+    * All four are watermark-bounded by construction (the behavior family
+    * ships no unbounded store: the NoTimeout transition/funnel folds stay
+    * operator-level opt-ins with their state law documented in SCALE.md).
+    *
+    * Unlike [[stores]]' reference mirrors, these read the FULL event
+    * stream, not the main branch: their batch twins (`ext_funnel`,
+    * `ext_cooccur`, `ext_sessions`, `ext_transitions`) aggregate the
+    * whole events table, and the anonymous branch IS behavior — a funnel
+    * whose `view` step was routed away would stall at depth 1 by
+    * construction.
+    */
+  def behaviorStores(events: DataFrame,
+                     watermark: String = "1 hour",
+                     ttl: String = "1 day"): Map[String, DataFrame] = {
+    val spark = events.sparkSession
+    Map(
+      "store_session_profiles" ->
+        Stats.sessionProfileStreaming(events, watermark = watermark),
+      "store_cooccur_baskets" ->
+        Stats.cooccurrenceStreaming(events, watermark = watermark),
+      "store_transition_pairs" ->
+        Stats.transitionsStreamingTtl(spark, events, ttl),
+      "store_funnel_attempts" ->
+        Stats.funnelStreamingTtl(spark, events, ttl))
+  }
+
   /** Start one store as an in-memory Update-mode sink (smoke/test harness);
     * production would swap format("memory") for the real sink per store.
     */
   /** Output mode for a store: session-window aggregations only support
-    * Append (sessions emit once, when the watermark closes them); other
-    * aggregations run Update (the reference's changelog semantics);
-    * stateless plans run Append. Session windows are detected structurally —
-    * either the SessionWindow expression itself (pre-rewrite) or an attribute
-    * carrying the analyzer's session-window marker metadata (post-
-    * SessionWindowing rewrite) — never by plan-string matching, so a column
-    * merely *named* "session_window" cannot misroute the sink.
+    * Append (sessions emit once, when the watermark closes them). A
+    * WATERMARKED time-window aggregation FOLLOWED BY A ROW GENERATOR
+    * (the co-occurrence day baskets, whose pair explode runs after the
+    * basket agg) routes to Append too: once an explode fans the
+    * aggregation's row out, its emissions are no longer reconcilable
+    * per key — a partial-basket Update would leak pair rows no later
+    * emission supersedes — so the only sound contract is
+    * emit-once-on-window-close. A KEY-PRESERVING windowed aggregation
+    * (the OHLC resample) stays Update: its changelog is
+    * latest-row-per-key reconcilable, which is exactly the reference's
+    * KTable semantics. Other aggregations run Update; stateless plans
+    * run Append.
+    *
+    * All detection is structural — the window expressions / the
+    * analyzer's marker metadata / a Generate node above the Aggregate —
+    * never plan-string matching, so a column merely *named*
+    * "session_window" cannot misroute the sink. The generator route
+    * additionally requires an EventTimeWatermark node: an unwatermarked
+    * window agg cannot run Append (Spark rejects it).
     */
   def outputModeFor(df: DataFrame): OutputMode = {
     val analyzed = df.queryExecution.analyzed
     val hasAgg = analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isDefined
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow, TimeWindow}
     val isSessionWindow = analyzed.exists(_.expressions.exists(_.exists {
       case _: SessionWindow => true
       case a: Attribute => a.metadata.contains(SessionWindow.marker)
       case _ => false
     }))
+    val isTimeWindow = analyzed.exists(_.expressions.exists(_.exists {
+      case _: TimeWindow => true
+      case a: Attribute => a.metadata.contains(TimeWindow.marker)
+      case _ => false
+    }))
+    val hasWatermark = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    // a Generate (explode) whose subtree holds the Aggregate: the agg's
+    // changelog does not survive to the sink keyed
+    val aggUnderGenerate = analyzed.collectFirst {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Aggregate]) => g
+    }.isDefined
     // a flatMapGroupsWithState declared in Update mode requires an Update sink
     val fmgwsUpdate = analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
           if f.outputMode == OutputMode.Update() => f
     }.isDefined
-    if (df.isStreaming && (fmgwsUpdate || (hasAgg && !isSessionWindow))) OutputMode.Update()
+    val appendAgg = isSessionWindow ||
+      (isTimeWindow && hasWatermark && aggUnderGenerate)
+    if (df.isStreaming && (fmgwsUpdate || (hasAgg && !appendAgg))) OutputMode.Update()
     else OutputMode.Append()
   }
 

@@ -111,6 +111,51 @@ class RecoverySpec extends SparkSpec {
       s"restarted funnel diverged: $got vs $want")
   }
 
+  test("topology behavior store: a session spanning the restart emerges whole") {
+    val root = managedTempDir("toposessrec")
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    def mkEv(id: Long, t: String, u: Long, et: String) =
+      TestEv(id, java.sql.Timestamp.valueOf(t), u, et, 1.0, "{}")
+    // user 1's session SPANS the restart (gaps under 30 min): the closed
+    // session row (ne=3 covering all three events) only exists if the
+    // session_window state resumed from the checkpoint — a restarted-empty
+    // store would emit two fragments
+    val tranche1 = Seq(
+      mkEv(1, "2024-01-01 10:00:00", 1, "click"),
+      mkEv(2, "2024-01-01 10:05:00", 1, "purchase"))
+    val tranche2 = Seq(
+      mkEv(3, "2024-01-01 10:10:00", 1, "click"),
+      mkEv(99, "2024-01-02 00:00:00", 999, "click"))
+    val tranche3 = Seq(mkEv(100, "2024-01-03 00:00:00", 999, "click"))
+
+    def startQuery() = {
+      val store = Topology.behaviorStores(
+        Topology.fileSource(spark, srcDir))("store_session_profiles")
+      store.writeStream
+        .outputMode(Topology.outputModeFor(store))
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    }
+    tranche1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    tranche2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    tranche3.toDF().write.mode("append").parquet(srcDir)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+
+    val got = spark.read.parquet(s"$root/out")
+      .filter(col("user_id") === 1L)
+      .select("user_id", "ne", "dur_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 600000000L)),
+      s"session fragmented across restart: $got")
+  }
+
   test("funnel TTL: open attempt survives restart, expired attempt still closes") {
     val root = managedTempDir("funnelttlrec")
     val srcDir = s"$root/src"

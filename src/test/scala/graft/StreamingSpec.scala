@@ -344,6 +344,82 @@ class StreamingSpec extends SparkSpec {
     assert(unbounded.contains(("view", "click"))) // the pair TTL drops
   }
 
+  test("behavior stores route through the topology: structural modes, replay equals batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stores = Topology.behaviorStores(mem.toDF(),
+      watermark = "1 hour", ttl = "10 minutes")
+    // output modes chosen structurally per store: session windows and
+    // watermarked day-window baskets -> Append (emit once on close),
+    // the two TTL folds -> Update (changelog)
+    assert(Topology.outputModeFor(stores("store_session_profiles")) == OutputMode.Append())
+    assert(Topology.outputModeFor(stores("store_cooccur_baskets")) == OutputMode.Append())
+    assert(Topology.outputModeFor(stores("store_transition_pairs")) == OutputMode.Update())
+    assert(Topology.outputModeFor(stores("store_funnel_attempts")) == OutputMode.Update())
+    val qs = stores.toSeq.sortBy(_._1).map { case (n, df) =>
+      Topology.startMemorySink(df, s"topo_$n", tick)
+    }
+    // user 1: one tight session walking the funnel inside the conversion
+    // window; user 2: two events 5 min apart (one transition pair)
+    val batchEvents = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "signup"),
+      ev(2, "2024-01-01 10:01:00", 1, "view"),
+      ev(3, "2024-01-01 10:02:00", 1, "click"),
+      ev(4, "2024-01-01 10:03:00", 1, "purchase"),
+      ev(5, "2024-01-01 11:00:00", 2, "click"),
+      ev(6, "2024-01-01 11:05:00", 2, "purchase"))
+    mem.addData(batchEvents.take(3): _*)
+    qs.foreach(_.processAllAvailable())
+    mem.addData(batchEvents.drop(3): _*)
+    qs.foreach(_.processAllAvailable())
+    // two watermark sentinels: close the sessions/day windows, then give
+    // the TTL folds' timeouts a later batch to fire in
+    mem.addData(ev(99, "2024-02-01 00:00:00", 999, "click"))
+    qs.foreach(_.processAllAvailable())
+    mem.addData(ev(100, "2024-02-02 00:00:00", 999, "click"))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+
+    val batch = batchEvents.toDF()
+    // sessions: emitted closed sessions equal the batch profile
+    val gotSess = spark.table("topo_store_session_profiles")
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "ne", "start_us", "end_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantSess = Stats.sessionProfile(batch)
+      .select("user_id", "ne", "start_us", "end_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotSess == wantSess && wantSess.size == 2)
+    // co-occurrence: folded closed-day pairs equal the batch matrix
+    val gotCo = spark.table("topo_store_cooccur_baskets")
+      .filter(col("user_id") =!= 999L)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("pair_count"),
+        countDistinct(col("user_id")).as("user_count"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val wantCo = Stats.cooccurrence(batch)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(gotCo == wantCo && wantCo.nonEmpty)
+    // transitions: emitted increments fold to the batch matrix (every
+    // consecutive pair here is inside the 10-minute gap bound)
+    val gotTr = spark.table("topo_store_transition_pairs")
+      .filter(col("user_id") =!= 999L)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val wantTr = Stats.transitions(batch)
+      .select("src", "dst", "n_trans")
+      .as[(String, String, Long)].collect().toSet
+    assert(gotTr == wantTr && wantTr.nonEmpty)
+    // funnel: user 1's closed attempt converted at depth 4 inside the
+    // window; user 2 never entered (no signup)
+    val gotFu = spark.table("topo_store_funnel_attempts")
+      .filter(col("closed") && col("user_id") =!= 999L)
+      .select("user_id", "depth")
+      .as[(Long, Long)].collect().toSet
+    assert(gotFu == Set((1L, 4L)), gotFu.toString)
+  }
+
   test("funnel TTL: in-window conversions match, expired attempts close and reopen") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
