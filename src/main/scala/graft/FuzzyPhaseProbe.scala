@@ -36,11 +36,49 @@ object FuzzyPhaseProbe {
         "graft_fuzzy2_phase", buckets = 32, maxEdits = 2) }
       t("append") { Fuzzy.appendFuzzyBatch(all.filter(col("doc_id") % 6 === 3),
         dir, 1L, maxEdits = 2) }
+      var live = -1L
       (1 to 3).foreach { rep =>
         println(s"--- inc2 rep $rep ---")
         val q = t("typoq2") { Fuzzy.typoQueries2(all).localCheckpoint(true) }
-        t("probe") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+        live = t("probe") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
           "graft_fuzzy2_phase", Some(dir), maxEdits = 2).count() }
+        t("probe_nodelta") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", None, maxEdits = 2).count() }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      // compaction cadence: fold the (deliberately half-corpus-sized)
+      // delta, then re-measure — the with-delta probe must RETURN TO
+      // BASE-ONLY COST (every delta partition now sits at or below the
+      // folded watermark and reads empty) with the answer set unchanged,
+      // and the radius sibling must survive the fold (the probe's
+      // maxEdits=2 require reads the NEW generation's stamp)
+      t("compact") { Fuzzy.compactFuzzyIfNeeded(spark,
+        "graft_fuzzy2_phase", dir, maxUnfolded = 0) }
+      (1 to 3).foreach { rep =>
+        println(s"--- inc2 post-compact rep $rep ---")
+        val q = t("typoq2") { Fuzzy.typoQueries2(all).localCheckpoint(true) }
+        val folded = t("probe") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", Some(dir), maxEdits = 2).count() }
+        assert(folded == live,
+          s"fold changed the d2 answer set: $folded vs $live")
+        t("probe_nodelta") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", None, maxEdits = 2).count() }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      // the cycle after: the folded partitions GC (they were retained one
+      // cycle for in-flight readers) — the delta listing is now empty, the
+      // probe plans NO delta branches, and with-delta cost = base-only
+      t("compact_gc") { graft.ext.Fuzzy.compactFuzzyIndexGen(spark,
+        "graft_fuzzy2_phase", dir) }
+      (1 to 3).foreach { rep =>
+        println(s"--- inc2 post-gc rep $rep ---")
+        val q = t("typoq2") { Fuzzy.typoQueries2(all).localCheckpoint(true) }
+        val gone = t("probe") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
+          "graft_fuzzy2_phase", Some(dir), maxEdits = 2).count() }
+        assert(gone == live,
+          s"GC cycle changed the d2 answer set: $gone vs $live")
         t("probe_nodelta") { Fuzzy.fuzzyAgainstIndexWith(spark, q,
           "graft_fuzzy2_phase", None, maxEdits = 2).count() }
         spark.sparkContext.getPersistentRDDs.values
