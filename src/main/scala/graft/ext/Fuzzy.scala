@@ -327,6 +327,12 @@ object Fuzzy {
       stampWatermark = phys => deltaDir.foreach(d =>
         b.stampRebuildWatermark(spark, phys, Seq(s"$d/keys", s"$d/cnt"))),
       preSwap = phys => stampRadius(spark, phys.head, maxEdits))
+    // the per-generation sibling is live behind the swap now — retire the
+    // legacy shared `{name}_radius` stamp (pre-sibling builds wrote it):
+    // left in the catalog it would be silently read, at a stale radius,
+    // if a future generation ever lacked its sibling ([[indexRadius]]'s
+    // fallback order)
+    b.dropWithLocation(spark, s"${name}_radius")
   }
 
   /** The persisted BUILD radius of index `name` (1 when absent — every

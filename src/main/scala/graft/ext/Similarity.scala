@@ -816,13 +816,13 @@ object Similarity {
     // generation's persisted cap (symmetric with the fold's inherit; a
     // fresh build has nothing to inherit → uncapped); any other
     // non-positive value is uncapped — a raw negative must never reach
-    // the manifest as a nonsense "cap". Read off the serving generation
-    // BEFORE the lifecycle step (the skeleton captures its own serving
-    // snapshot for retirement).
-    val liveGen = b.liveGeneration(spark, table)
-    val cap =
-      if (maxBucket == InheritMaxBucket && liveGen > 0)
-        b.maxBucketOf(spark, b.generationName(table, liveGen), NoMaxBucket)
+    // the manifest as a nonsense "cap". The serving generation comes from
+    // the SKELETON'S capture (buildGenerationWithServing) — a separate
+    // liveGeneration read here could diverge from the snapshot retirement
+    // runs against if a fold swapped between the two reads.
+    def capFrom(serving: Map[String, Int]): Int =
+      if (maxBucket == InheritMaxBucket && serving(table) > 0)
+        b.maxBucketOf(spark, b.generationName(table, serving(table)), NoMaxBucket)
       else math.max(maxBucket, NoMaxBucket)
     // the shared skeleton (sources.IndexLifecycle) owns adoptable-check /
     // serving-generation capture / numbering / swap / retire; family-
@@ -831,8 +831,9 @@ object Similarity {
     // shard guard — uncapped builds keep the manifest-less fresh-build
     // shape, absent ≡ uncapped, −1 folded), and the cap-carrying
     // rebuild watermark stamp.
-    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
-      write = phys => {
+    graft.sources.IndexLifecycle.buildGenerationWithServing(spark, Seq(table),
+      write = (phys, serving) => {
+        val cap = capFrom(serving)
         val assigned = assignToCentroids(embeddings, k, 1)
           .select("cluster_id", "vec_id", "embedding")
         b.writeBucketed(withShardFactors(assigned, cap), phys.head,
@@ -840,8 +841,9 @@ object Similarity {
         if (cap > NoMaxBucket)
           b.writeMeta(spark, phys.head, -1L, cap)
       },
-      stampWatermark = phys => deltaDir.foreach(d =>
-        b.stampRebuildWatermark(spark, phys.head, Seq(s"$d/postings"), cap)))
+      stampWatermark = (phys, serving) => deltaDir.foreach(d =>
+        b.stampRebuildWatermark(spark, phys.head, Seq(s"$d/postings"),
+          capFrom(serving))))
   }
 
   /** Generation-swap compaction for the IVF index: generation N+1 is

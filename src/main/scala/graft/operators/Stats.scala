@@ -598,6 +598,7 @@ object Stats {
             state.getOption.foreach(s => out += closedRow(s.reachedUs.toArray))
             state.remove()
           } else {
+            val prev = state.getOption.map(_.reachedUs).orNull
             var reached = state.getOption.map(_.reachedUs.toArray).orNull
             val sorted = rows.toArray.sortBy(r => (r._4, r._5))
             sorted.foreach { case (_, et, _, us, _) =>
@@ -630,9 +631,21 @@ object Stats {
             }
             if (reached == null) state.remove()
             else {
-              state.update(FunnelTtlState(reached.toSeq))
-              out += FunnelAttemptOut(uid, reached(0), reached.length.toLong,
-                reached.last, closed = false)
+              // emit the running `closed=false` row only when the fold
+              // actually CHANGED the reached vector: a batch whose rows
+              // were all structurally inert (late events below the depth
+              // frontier) must not re-emit the identical changelog row —
+              // harmless for last-row-per-key consumers, but it inflates
+              // Update output with rows no reader needed
+              val seq = reached.toSeq
+              if (prev == null || prev != seq) {
+                state.update(FunnelTtlState(seq))
+                out += FunnelAttemptOut(uid, reached(0), reached.length.toLong,
+                  reached.last, closed = false)
+              }
+              // the event-time timeout must be re-registered every
+              // invocation — Spark clears an unset timeout when the
+              // function runs for a key, changed state or not
               if (wm != Long.MinValue)
                 state.setTimeoutTimestamp((reached(0) + ttlUs) / 1000L + 1)
             }

@@ -81,15 +81,38 @@ object IndexLifecycle {
                       stampWatermark: Seq[String] => Unit = _ => (),
                       preSwap: Seq[String] => Unit = _ => (),
                       extraSwaps: Seq[String] => Seq[(String, String)] =
-                        _ => Nil): Unit = {
+                        _ => Nil): Unit =
+    buildGenerationWithServing(spark, layers,
+      write = (phys, _) => write(phys),
+      stampWatermark = (phys, _) => stampWatermark(phys),
+      preSwap = (phys, _) => preSwap(phys),
+      extraSwaps = extraSwaps)
+
+  /** [[buildGeneration]] whose callbacks ALSO receive the serving
+    * generations captured by invariant 2 (layer name → generation number
+    * live when this step resolved its source, 0 = none). Callers that
+    * INHERIT generation-scoped metadata from the replaced generation (the
+    * IVF cap) must read it off this map rather than re-reading the
+    * catalog themselves: a second `liveGeneration` read at the call site
+    * can diverge from the skeleton's capture if a concurrent fold swaps
+    * between the two — inherited metadata would then come from a
+    * different generation than the one this build retires against.
+    */
+  def buildGenerationWithServing(
+      spark: SparkSession,
+      layers: Seq[String],
+      write: (Seq[String], Map[String, Int]) => Unit,
+      stampWatermark: (Seq[String], Map[String, Int]) => Unit = (_, _) => (),
+      preSwap: (Seq[String], Map[String, Int]) => Unit = (_, _) => (),
+      extraSwaps: Seq[String] => Seq[(String, String)] = _ => Nil): Unit = {
     val b = Bucketing
     layers.foreach(b.requireSwapAdoptable(spark, _))
     val liveGens = layers.map(n => n -> b.liveGeneration(spark, n)).toMap
     val g = b.currentGenerations(spark, layers).values.max + 1
     val phys = layers.map(b.generationName(_, g))
-    write(phys)
-    stampWatermark(phys)
-    preSwap(phys)
+    write(phys, liveGens)
+    stampWatermark(phys, liveGens)
+    preSwap(phys, liveGens)
     phys.zip(layers).foreach { case (p, n) => b.swapView(spark, n, p) }
     extraSwaps(phys).foreach { case (v, p) => b.swapView(spark, v, p) }
     layers.foreach(n => b.retireBelow(spark, n, liveGens(n)))

@@ -143,21 +143,30 @@ object Topology {
       case a: Attribute => a.metadata.contains(SessionWindow.marker)
       case _ => false
     }))
-    val isTimeWindow = analyzed.exists(_.expressions.exists(_.exists {
-      case _: TimeWindow => true
-      case a: Attribute => a.metadata.contains(TimeWindow.marker)
-      case _ => false
-    }))
     val hasWatermark = analyzed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
       case _ => false
     }
-    // a Generate (explode) whose subtree holds the Aggregate: the agg's
-    // changelog does not survive to the sink keyed
-    val aggUnderGenerate = analyzed.collectFirst {
+    // a Generate (explode) whose subtree holds an Aggregate GROUPED BY a
+    // time window: the windowed agg's changelog does not survive the
+    // fan-out keyed, so emit-once-on-window-close is the only sound
+    // contract. The window requirement sits ON the Aggregate found under
+    // the Generate — three independent plan-wide predicates (any window
+    // expression + any watermark + any agg-under-explode) would route a
+    // plan with an unrelated window column plus a non-windowed agg under
+    // an explode to Append, which Spark then rejects at start.
+    val windowedAggUnderGenerate = analyzed.collectFirst {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate
-          if g.exists(_.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.logical.Aggregate]) => g
+          if g.child.exists {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              a.groupingExpressions.exists(_.exists {
+                case _: TimeWindow => true
+                case attr: Attribute =>
+                  attr.metadata.contains(TimeWindow.marker)
+                case _ => false
+              })
+            case _ => false
+          } => g
     }.isDefined
     // a flatMapGroupsWithState declared in Update mode requires an Update sink
     val fmgwsUpdate = analyzed.collectFirst {
@@ -165,7 +174,7 @@ object Topology {
           if f.outputMode == OutputMode.Update() => f
     }.isDefined
     val appendAgg = isSessionWindow ||
-      (isTimeWindow && hasWatermark && aggUnderGenerate)
+      (hasWatermark && windowedAggUnderGenerate)
     if (df.isStreaming && (fmgwsUpdate || (hasAgg && !appendAgg))) OutputMode.Update()
     else OutputMode.Append()
   }
