@@ -85,11 +85,48 @@ object TextScaleProbe {
       val docs = substrScaled(times).localCheckpoint(true)
       val rows = graft.ext.Dedup.substrDups(docs).count()
       val t = median3(graft.ext.Dedup.substrDups(docs))
+      // round-19: the suppression APPLY step over the same corpus — the
+      // run evidence above consumed as cuts; n_cut proves the cut volume
+      // replicates per copy (linear) while the time tracks the same
+      // anchor-join + one corpus-sized application join
+      val cut = graft.ext.Dedup.substrApply(docs)
+        .agg(sum("n_cut_tokens")).head.getLong(0)
+      val ta = median3(graft.ext.Dedup.substrApply(docs))
       println(f"""{"probe":"substr_dups","scale":$times,""" +
-        f""""pair_rows":$rows,"substr_s":$t%.2f}""")
+        f""""pair_rows":$rows,"substr_s":$t%.2f,""" +
+        f""""apply_cut_tokens":$cut,"apply_s":$ta%.2f}""")
       docs.unpersist(blocking = true)
       // substrDups checkpoints its span table per invocation — release
       // between legs so a later leg never pays earlier legs' blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // round-19: within-doc positional skew. 16 docs (exactly the
+    // hot-anchor admission limit, so the DOC cap cannot mask the effect)
+    // each repeat ONE 8-gram `reps` times behind doc-unique fillers:
+    // every pair of them shares that anchor at reps × reps position
+    // combinations, so the uncapped candidate set is C(16,2)·reps² rows
+    // while the keep-first-8 position cap bounds it at C(16,2)·64 —
+    // the fan-out the cap exists to cut, measured head to head.
+    val g8 = (1 to 8).map(i => s"g$i").mkString(" ")
+    def skewDocs(reps: Int): DataFrame =
+      spark.range(16).select(
+        (col("id") + 900000000L).as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(1, $reps), " +
+          s"j -> concat('$g8 u', id, '_', j)))").as("text"))
+    Seq(100, 300).foreach { reps =>
+      val docs = skewDocs(reps).localCheckpoint(true)
+      val capRows = graft.ext.Dedup.substrDups(docs).count()
+      val capT = median3(graft.ext.Dedup.substrDups(docs))
+      val unRows = graft.ext.Dedup
+        .substrDups(docs, maxDocPositions = Int.MaxValue).count()
+      val unT = median3(
+        graft.ext.Dedup.substrDups(docs, maxDocPositions = Int.MaxValue))
+      println(f"""{"probe":"substr_skew","reps":$reps,""" +
+        f""""capped_runs":$capRows,"capped_s":$capT%.2f,""" +
+        f""""uncapped_runs":$unRows,"uncapped_s":$unT%.2f}""")
+      docs.unpersist(blocking = true)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

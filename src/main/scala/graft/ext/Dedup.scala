@@ -1493,10 +1493,16 @@ object Dedup {
 
   /** The narrow (doc_id, pos, h) span table — every n-token window's
     * position and 60-bit engine-portable hash — shared by [[spanDups]]
-    * (per-doc duplication stats) and [[substrDups]] (cross-doc run
-    * pairs) so the two can never drift on tokenization or span hashing.
+    * (per-doc duplication stats), [[substrDups]] (cross-doc run pairs)
+    * and [[substrApply]] (run suppression) so the three can never drift
+    * on tokenization or span hashing. Public because it is the
+    * materialization unit: the three consumers each scan it several
+    * times, so a pipeline running more than one of them should persist
+    * it ONCE (parquet / [[TrainedStore.cached]]) and feed the `*From`
+    * variants — at 100 TB the tokenize+posexplode corpus scan is the
+    * dominant shared cost.
     */
-  private def spanTable(documents: DataFrame, n: Int): DataFrame =
+  def spanTable(documents: DataFrame, n: Int = SpanN): DataFrame =
     documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= n)
@@ -1506,13 +1512,22 @@ object Dedup {
       .select(col("doc_id"), col("pos"), Exact.md5Hash60(col("span")).as("h"))
 
   def spanDups(documents: DataFrame, n: Int = SpanN): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // materialized once: three consumers below (the dup-hash aggregate, the
     // mark-back join, the per-doc totals) would otherwise each re-run the
     // tokenize+posexplode scan — this narrow (doc, pos, hash) table is the
     // span table the substring-dedup literature materializes anyway (its
     // blocks back the returned frame; Bench sweeps between queries)
     val (spans, _) = checkpointTracked(spanTable(documents, n))
+    spanDupsFrom(documents, spans, n)
+  }
+
+  /** [[spanDups]] over an already-materialized [[spanTable]] — the form a
+    * pipeline running several span consumers uses (persist the span scan
+    * once, feed all of them).
+    */
+  def spanDupsFrom(documents: DataFrame, spans: DataFrame,
+                   n: Int = SpanN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dup = spans.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .where(col("d0") =!= col("d1"))
@@ -1577,17 +1592,52 @@ object Dedup {
     * frames. At 100 TB the join shuffles (doc, pos) pairs keyed on the
     * anchor hash; the [[SubstrAnchorCap]] guard bounds every bucket.
     */
-  def substrDups(documents: DataFrame, n: Int = SpanN,
-                 maxAnchorDocs: Int = SubstrAnchorCap): DataFrame = {
+  /** Within-doc positional cap for [[substrDups]]: at most this many
+    * POSITIONS of one n-gram per (anchor, doc) enter pair generation
+    * (keep-first-K by position). [[SubstrAnchorCap]] bounds distinct docs
+    * per anchor but not positions per doc — an internally-repetitive
+    * document (logs, tables, templated rows) repeating one n-gram P
+    * times would meet a similar partner P×P′ candidate rows PER SHARED
+    * ANCHOR before the islands pass. With both caps a single anchor
+    * bucket is bounded at (maxAnchorDocs · maxDocPositions)² rows
+    * regardless of corpus shape. Generous by default: the cap only binds
+    * on within-doc REPETITION (a long non-periodic shared run puts each
+    * position under a DIFFERENT anchor hash), and the first K occurrences
+    * still anchor every cross-doc run that starts in them — the runs a
+    * capped position would have anchored are found through the runs'
+    * other, non-repeated anchors unless the run is itself periodic
+    * boilerplate (the intended suppression, as with the hot-anchor cap).
+    */
+  val SubstrPosCap = 8
+
+  /** Maximal shared-run islands between doc pairs — the shared candidate
+    * core of [[substrDups]] (pair evidence) and [[substrApply]] (run
+    * suppression): one row per maximal run, with the run's start position
+    * in EACH doc. Within one (pair, diagonal), pa is unique (pb = pa −
+    * diag), so row_number's islands key (pa − rn) is exact: consecutive
+    * anchors share it, any gap breaks it.
+    */
+  private def substrRunIslands(spans: DataFrame, n: Int,
+                               maxAnchorDocs: Int,
+                               maxDocPositions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialized once: the hot-anchor aggregate and both join sides
-    // would otherwise re-run the tokenize+posexplode scan
-    val (spans, _) = checkpointTracked(spanTable(documents, n))
-    val hot = spans.groupBy("h")
+    // ONE corpus-sized exchange, hash on the anchor: the hot aggregate
+    // (groupBy h), the anti join, the per-(h, doc) position-cap window
+    // (ClusteredDistribution's subset rule — hash(h) co-locates every
+    // (h, doc) group) and BOTH sides of the pair self-join are all
+    // satisfied by this partitioning; left to EnsureRequirements each
+    // would plan its own shuffle of the span-sized frame (the window's
+    // (h, doc_id) exchange does not satisfy the join's h requirement)
+    val spansH = spans.repartition(col("h"))
+    val hot = spansH.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > maxAnchorDocs)
       .select("h")
-    val ok = spans.join(hot, Seq("h"), "left_anti")
+    val wpos = Window.partitionBy("h", "doc_id").orderBy("pos")
+    val ok = spansH.join(hot, Seq("h"), "left_anti")
+      .withColumn("pn", row_number().over(wpos))
+      .where(col("pn") <= maxDocPositions)
+      .drop("pn")
     val pairs = ok
       .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .join(ok.select(col("h"), col("doc_id").as("doc_b"),
@@ -1595,20 +1645,104 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
-    // within one (pair, diagonal), pa is unique (pb = pa − diag), so
-    // row_number's islands key (pa − rn) is exact: consecutive anchors
-    // share it, any gap breaks it
     val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     pairs
       .withColumn("rn", row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"),
         (col("pa") - col("rn")).as("isl"))
-      .agg((count(lit(1)) + (n - 1).toLong).as("run_len"))
+      .agg((count(lit(1)) + (n - 1).toLong).as("run_len"),
+        min("pa").as("pa_start"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("run_len"),
+        col("pa_start"), (col("pa_start") - col("diag")).as("pb_start"))
+  }
+
+  def substrDups(documents: DataFrame, n: Int = SpanN,
+                 maxAnchorDocs: Int = SubstrAnchorCap,
+                 maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    // materialized once: the hot-anchor aggregate and both join sides
+    // would otherwise re-run the tokenize+posexplode scan
+    val (spans, _) = checkpointTracked(spanTable(documents, n))
+    substrDupsFrom(spans, n, maxAnchorDocs, maxDocPositions)
+  }
+
+  /** [[substrDups]] over an already-materialized [[spanTable]] (see
+    * [[spanDupsFrom]] — one persisted span scan feeds every consumer).
+    */
+  def substrDupsFrom(spans: DataFrame, n: Int = SpanN,
+                     maxAnchorDocs: Int = SubstrAnchorCap,
+                     maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
       .groupBy("doc_a", "doc_b")
       .agg(max("run_len").as("longest_run"),
         count(lit(1)).as("n_runs"),
         sum("run_len").as("sum_run_tokens"))
       .orderBy("doc_a", "doc_b")
+
+  /** Substring-dedup SUPPRESSION — the apply step that consumes
+    * [[substrDups]]' pair evidence (the step the substring-dedup pipeline
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", actually runs on the corpus): every duplicated run of ≥ n
+    * consecutive tokens is CUT from the YOUNGER doc of each pair (the
+    * higher doc_id — the elder keeps its text), and the cleaned corpus is
+    * emitted as (doc_id, n_cut_tokens, clean_text) over the NORMALIZED
+    * token stream, one row per input document. A doc acting as the
+    * younger side of several pairs loses the UNION of its runs —
+    * overlapping/adjacent cut ranges merge before application, so no
+    * token is cut twice and `n_cut_tokens` is the exact removed-token
+    * count. A whole-doc duplicate cleans to the empty string.
+    *
+    * Scale shape: the candidate core is [[substrRunIslands]] (anchor-keyed
+    * equi-join, both caps — never all-pairs); cut ranges then merge
+    * per-doc with ONE window (the gaps-and-islands interval-union trick),
+    * and application is an equi-join of the corpus against a per-doc
+    * range ARRAY (runs per doc are pair-evidence-sized, so the array is
+    * small) followed by a map-side positional `filter` — no token
+    * explode, no range join, no regroup of corpus-sized frames.
+    */
+  def substrApply(documents: DataFrame, n: Int = SpanN,
+                  maxAnchorDocs: Int = SubstrAnchorCap,
+                  maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    val (spans, _) = checkpointTracked(spanTable(documents, n))
+    substrApplyFrom(documents, spans, n, maxAnchorDocs, maxDocPositions)
+  }
+
+  /** [[substrApply]] over an already-materialized [[spanTable]]. */
+  def substrApplyFrom(documents: DataFrame, spans: DataFrame,
+                      n: Int = SpanN,
+                      maxAnchorDocs: Int = SubstrAnchorCap,
+                      maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val islands = substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
+    // the younger doc of each pair loses the run: token range
+    // [pb_start, pb_start + run_len - 1] in doc_b
+    val ranges = islands.select(col("doc_b").as("doc_id"),
+      col("pb_start").as("s"),
+      (col("pb_start") + col("run_len") - 1).as("e"))
+    // interval union per doc: a range opens a new merged group iff it
+    // starts past the running max end + 1 of every range before it
+    // (adjacent ranges merge — the cut is contiguous either way)
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = ranges
+      .withColumn("pmax",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+          when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+            .otherwise(0L)).over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val cuts = merged.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        sum(col("e") - col("s") + 1).as("n_cut_tokens"))
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"),
+        when(col("cuts").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", expr(
+            "filter(toks, (t, i) -> NOT exists(cuts, c -> i >= c.s AND i <= c.e))")))
+          .as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

@@ -84,6 +84,57 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr dups: within-doc position cap bounds repetitive-doc fan-out") {
+    // one 8-gram repeated 12× per doc, each occurrence isolated by a
+    // doc-unique filler token (no cross-doc match through the fillers, no
+    // consecutive anchors): every (pa, pb) combination is its own
+    // run_len-8 island, so n_runs measures pair fan-out DIRECTLY
+    val g = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val rep = Seq(
+      (1L, (1 to 12).map(i => s"$g a$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"$g b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // uncapped: 12 × 12 candidate combinations survive to islands
+    val un = Dedup.substrDups(rep, maxDocPositions = 1000).collect()
+    assert(un.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1L, 2L, 8L, 144L)), un.mkString(","))
+    // default keep-first-8 positions per (anchor, doc): 8 × 8 — the
+    // P×P′ positional blow-up is bounded regardless of repetition count
+    val capped = Dedup.substrDups(rep).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1L, 2L, 8L, 64L)), capped.mkString(","))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("substr apply: runs cut from the younger doc; overlaps union; boundaries exact") {
+    val docs = Seq(
+      // pair (1, 2): shared 8-token run at the START of both — the
+      // younger (2) loses it, the elder (1) keeps its text
+      (1L, "p q r s t u v w tail1"),
+      (2L, "p q r s t u v w tail2"),
+      // (3, 4): whole-doc duplicate — the younger cleans to EMPTY
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),
+      // 5 is the elder of (5,6) and (5,7); 6 the elder of (6,7); 7 is
+      // cut by TWO pairs whose ranges overlap -> union, no double count
+      (5L, "a b c d e f g h i j zz1 zz2"),
+      (6L, "c d e f g h i j k l yy1"),
+      (7L, "a b c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, 0L, "p q r s t u v w tail1"),
+      (2L, 8L, "tail2"),                      // run at doc start
+      (3L, 0L, "one two three four five six seven eight"),
+      (4L, 8L, ""),                           // whole-doc duplicate
+      (5L, 0L, "a b c d e f g h i j zz1 zz2"),
+      (6L, 8L, "k l yy1"),                    // younger of (5,6): cut [0,7]
+      // younger of (5,7) cut [0,9] and of (6,7) cut [2,11]: union [0,11]
+      (7L, 12L, "")), out.toString)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")

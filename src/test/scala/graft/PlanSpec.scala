@@ -278,6 +278,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("min(doc_id") && p.contains("max(doc_id"), p)
   }
 
+  test("substr dups/apply: capped anchor join — no cartesian, no single partition") {
+    val perturbed = graft.ext.Dedup.withPerturbedCopies(Tables.documents(spark, sfDir))
+    val p = graft.ext.Dedup.substrDups(perturbed)
+      .queryExecution.executedPlan.toString
+    // the within-doc position cap must push down as a per-group top-K
+    // (WindowGroupLimit) — a plain rank-then-filter window would sort and
+    // number EVERY position of a repetitive doc before dropping them
+    assert(p.contains("WindowGroupLimit"), p)
+    // candidate generation is an anchor-keyed equi-join: any nested-loop
+    // strategy means the anchor key fell out of the join condition
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // one REPARTITION_BY_COL on the anchor hash serves the hot aggregate,
+    // the cap window (subset rule) and the pair join per branch; the only
+    // other hash exchanges are the candidate-sized islands window and the
+    // per-pair aggregate — a count above this means some stage planned its
+    // own shuffle of the span-sized frame again
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 6, p)
+    val ap = graft.ext.Dedup.substrApply(perturbed)
+      .queryExecution.executedPlan.toString
+    // application is an equi-join of the corpus against per-doc range
+    // arrays + a map-side positional filter: no token explode (Generate)
+    // may reappear after the span checkpoint, no nested-loop join, and
+    // nothing may collapse to a single partition
+    assert(ap.contains("WindowGroupLimit"), ap)
+    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
+    assert(!ap.contains("SinglePartition"), ap)
+    assert(!ap.contains("Generate"), ap)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("bpe merge step tops out as TakeOrderedAndProject, never a global sort") {
     val df = graft.ext.TextAnalysis.bpeMergeStep(Tables.documents(spark, sfDir))
     val p = df.queryExecution.executedPlan.toString
