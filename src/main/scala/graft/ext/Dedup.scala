@@ -919,18 +919,13 @@ object Dedup {
                            checkpointDir: String, survivorsPath: String,
                            tauPpm: Long = 850000L, autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processJaccardBatch(batch, batchId, name, deltaDir, survivorsPath, tauPpm)
-        if (autoCompactAt > 0) {
-          compactJaccardIfNeeded(batch.sparkSession, name, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
-          ()
-        }
-      }
-      .start()
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processJaccardBatch(_, _, name, deltaDir, survivorsPath,
+        tauPpm),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        compactJaccardIfNeeded(s, name, deltaDir, maxUnfolded); ()
+      })
 
   /** One micro-batch of [[maintainJaccardDedup]], factored out so replay
     * semantics are directly testable (call twice with the same batchId).
@@ -1150,21 +1145,15 @@ object Dedup {
                        checkpointDir: String, survivorsPath: String,
                        autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processLshBatch(batch, batchId, table, deltaDir, survivorsPath)
-        if (autoCompactAt > 0) {
-          // the fold inherits the BUILD'S bucket count (strictly, inside
-          // the IfNeeded fold branch) — a hardcoded default would
-          // silently re-bucket the index on the first auto-fold
-          compactLshIfNeeded(batch.sparkSession, table, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
-          ()
-        }
-      }
-      .start()
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processLshBatch(_, _, table, deltaDir, survivorsPath),
+      autoCompactAt = autoCompactAt,
+      // the fold inherits the BUILD'S bucket count (strictly, inside the
+      // IfNeeded fold branch) — a hardcoded default would silently
+      // re-bucket the index on the first auto-fold
+      compact = (s, maxUnfolded) => {
+        compactLshIfNeeded(s, table, deltaDir, maxUnfolded); ()
+      })
 
   /** One micro-batch of [[maintainLshDedup]], factored out so replay
     * semantics are directly testable — same discipline as

@@ -497,22 +497,16 @@ object Fuzzy {
                               deltaDir: String, checkpointDir: String,
                               autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the radius is INDEX state, not loop configuration: a loop
-        // pointed at a d2 index must append del<=2 keys or every delta
-        // term becomes unreachable at the probe radius
-        appendFuzzyBatch(batch, deltaDir, batchId,
-          maxEdits = indexRadius(batch.sparkSession, name))
-        if (autoCompactAt > 0) {
-          compactFuzzyIfNeeded(batch.sparkSession, name, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
-          ()
-        }
-      }
-      .start()
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      // the radius is INDEX state, not loop configuration: a loop
+      // pointed at a d2 index must append del<=2 keys or every delta
+      // term becomes unreachable at the probe radius
+      applyBatch = (batch, batchId) => appendFuzzyBatch(batch, deltaDir,
+        batchId, maxEdits = indexRadius(batch.sparkSession, name)),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        compactFuzzyIfNeeded(s, name, deltaDir, maxUnfolded); ()
+      })
 
   /** Threshold-gated [[compactFuzzyIndexGen]] — the family's
     * compaction-cadence knob; pressure reads from the cnt layer (every

@@ -252,18 +252,9 @@ object Retrieval {
     * why the maintenance loop never writes the base table directly.
     */
   def applyBm25Delta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    bm25Postings(batch)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$deltaDir/postings")
-    bm25StatsDelta(batch)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$deltaDir/stats")
+    val b = graft.sources.Bucketing
+    b.writeDeltaPartition(bm25Postings(batch), s"$deltaDir/postings", batchId)
+    b.writeDeltaPartition(bm25StatsDelta(batch), s"$deltaDir/stats", batchId)
   }
 
   /** Streaming maintenance of a persisted inverted index, LSM-style: each
@@ -293,18 +284,12 @@ object Retrieval {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(autoCompactAt <= 0 || table.nonEmpty,
       "autoCompactAt needs the index's generation-view name to fold into")
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBm25Delta(batch, deltaDir, batchId)
-        if (autoCompactAt > 0) {
-          compactBm25IfNeeded(batch.sparkSession, table, deltaDir,
-            maxUnfolded = autoCompactAt - 1)
-          ()
-        }
-      }
-      .start()
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = applyBm25Delta(_, deltaDir, _),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        compactBm25IfNeeded(s, table, deltaDir, maxUnfolded); ()
+      })
   }
 
   /** Ordered phrase queries: (query_id, idx, token) with idx the 0-based

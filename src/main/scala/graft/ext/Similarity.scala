@@ -955,14 +955,11 @@ object Similarity {
                     batchId: Long, k: Int = IvfClusters): Unit = {
     val cents = batch.sparkSession.table(table).filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
-    assignTo(batch.select("vec_id", "embedding"), cents, 1)
-      .select(col("cluster_id"), lit(0).as("shard"), lit(1).as("m"),
-        col("vec_id"), col("embedding"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$deltaDir/postings")
+    graft.sources.Bucketing.writeDeltaPartition(
+      assignTo(batch.select("vec_id", "embedding"), cents, 1)
+        .select(col("cluster_id"), lit(0).as("shard"), lit(1).as("m"),
+          col("vec_id"), col("embedding")),
+      s"$deltaDir/postings", batchId)
   }
 
   /** Streaming maintenance of a persisted IVF index, LSM-style like
@@ -992,18 +989,14 @@ object Similarity {
                        autoCompactAt: Int = 0,
                        maxBucket: Int = InheritMaxBucket)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfDelta(batch, table, deltaDir, batchId, k)
-        if (autoCompactAt > 0) {
-          compactIvfIfNeeded(batch.sparkSession, table, deltaDir,
-            autoCompactAt - 1, maxBucket = maxBucket)
-          ()
-        }
-      }
-      .start()
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = applyIvfDelta(_, table, deltaDir, _, k),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        compactIvfIfNeeded(s, table, deltaDir, maxUnfolded,
+          maxBucket = maxBucket)
+        ()
+      })
 
   /** Top-k search over a persisted IVF index (see [[buildIvfIndex]]):
     * exchange-free, INCLUDING when the index was built with a hot-bucket

@@ -150,4 +150,36 @@ object IndexLifecycle {
       b.foldedBatchMax(spark, pressureLayer) > before
     } else false
   }
+
+  /** The ONE streaming maintenance-loop shape behind every family's
+    * `maintain*` surface (BM25, IVF, LSH, Jaccard, fuzzy): an Append-mode
+    * foreachBatch stream that applies the family's delta step per
+    * micro-batch and, when `autoCompactAt > 0`, runs the family's
+    * threshold-gated fold with `maxUnfolded = autoCompactAt − 1` (so a
+    * threshold of 1 folds every batch — the documented cadence contract).
+    * Like [[buildGeneration]], this exists once so the loop wiring — the
+    * output mode, the checkpoint option, the off-by-one, the discarded
+    * did-the-watermark-advance Boolean — cannot drift per family; the
+    * delta-apply bodies and fold gates stay family-owned.
+    *
+    * @param applyBatch the family's replay-idempotent delta step
+    *                   ([[Bucketing.writeDeltaPartition]]-based)
+    * @param compact    the family's threshold-gated fold, given (session,
+    *                   maxUnfolded); only invoked when `autoCompactAt > 0`
+    */
+  def maintainLoop(stream: org.apache.spark.sql.DataFrame,
+                   checkpointDir: String,
+                   applyBatch: (org.apache.spark.sql.DataFrame, Long) => Unit,
+                   autoCompactAt: Int = 0,
+                   compact: (SparkSession, Int) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId)
+        if (autoCompactAt > 0)
+          compact(batch.sparkSession, autoCompactAt - 1)
+      }
+      .start()
 }
