@@ -11,13 +11,18 @@ import org.apache.spark.sql.SparkSession
   * seconds of one-time cost.
   *
   * SELF-ATTRIBUTING: every `slow` entry carries
-  * `[wall_ds, stage_exec_ds, gc_ds, n_jobs]` from the median-wall run (a
-  * SparkListener sums task executorRunTime / jvmGCTime over completed
-  * stages and counts job submissions between per-run snapshots). Three
-  * consecutive rounds burned their top adjudication item bisecting
-  * driver-window bursts because the artifact recorded wall only — a row
-  * whose wall is 10× its stage-exec is host/scheduler noise and now
-  * self-exonerates IN the artifact, no re-run needed.
+  * `[wall_ds, stage_exec_ds, gc_ds, n_jobs, job_wall_ds]` from the
+  * median-wall run (a SparkListener sums task executorRunTime / jvmGCTime
+  * over completed stages, counts job submissions, and accumulates
+  * inside-job wall time between per-run snapshots). Three consecutive
+  * rounds burned their top adjudication item bisecting driver-window
+  * bursts because the artifact recorded wall only. Reading the tuple:
+  * wall ≈ job_wall with exec comparable → genuinely priced distributed
+  * work; wall ≈ job_wall but exec ≪ wall → scheduler/host burst INSIDE
+  * the jobs (executors idle — the classic loud-window fingerprint);
+  * wall ≫ job_wall → driver-side cost (planning/launch-bound queries
+  * like the multi-method ANN harnesses — and the one regression class
+  * stage-exec alone would mis-exonerate as host noise).
   */
 object Bench {
 
@@ -27,6 +32,9 @@ object Bench {
     val execMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+    private val jobStart = new java.util.concurrent.ConcurrentHashMap[
+      Integer, java.lang.Long]
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
@@ -38,9 +46,20 @@ object Bench {
     }
     override def onJobStart(
         e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      jobs.incrementAndGet(); ()
+      jobs.incrementAndGet()
+      jobStart.put(e.jobId, e.time)
+      ()
     }
-    def snapshot: (Long, Long, Long) = (execMs.get, gcMs.get, jobs.get)
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val s = jobStart.remove(e.jobId)
+      // summed per job from the events' own timestamps; the bench runs
+      // queries serially so overlap (which would double-count) is rare
+      // and the value is an attribution signal, not an invariant
+      if (s != null) { jobWallMs.addAndGet(e.time - s); () }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (execMs.get, gcMs.get, jobs.get, jobWallMs.get)
   }
 
   /** Flush the async listener bus so a snapshot sees every event of the
@@ -111,17 +130,18 @@ object Bench {
     // retries — failures are deterministic and retrying them pays the cost
     // three times for the same -1.
     val Runs = 3
-    // per-run tuple: (wall_sec, stage_exec_ms, gc_ms, n_jobs); the run with
-    // the MEDIAN wall supplies the telemetry so the reported exec/gc/jobs
-    // are the ones that produced the reported wall, not a cross-run blend
-    case class Run(wall: Double, execMs: Long, gcMs: Long, jobs: Long)
+    // per-run tuple: the run with the MEDIAN wall supplies the telemetry
+    // so the reported exec/gc/jobs are the ones that produced the
+    // reported wall, not a cross-run blend
+    case class Run(wall: Double, execMs: Long, gcMs: Long, jobs: Long,
+                   jobWallMs: Long)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer[Run]()
       var ok = true
       var r = 0
       while (ok && r < Runs) {
         drainListenerBus(spark)
-        val (e0, g0, j0) = metrics.snapshot
+        val (e0, g0, j0, w0) = metrics.snapshot
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch {
@@ -140,12 +160,12 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark)
-        val (e1, g1, j1) = metrics.snapshot
-        runs += Run(wall, e1 - e0, g1 - g0, j1 - j0)
+        val (e1, g1, j1, w1) = metrics.snapshot
+        runs += Run(wall, e1 - e0, g1 - g0, j1 - j0, w1 - w0)
         r += 1
       }
       val median = if (ok) runs.sortBy(_.wall).apply(Runs / 2)
-        else Run(-1.0, 0, 0, 0)
+        else Run(-1.0, 0, 0, 0, 0)
       (name, median, ok)
     }
     // failed queries report -1 and are excluded from the total, so a broken
@@ -179,15 +199,14 @@ object Bench {
         results.sortBy(_._1).map { case (_, v, ok) =>
           if (ok) num(v.wall) else "-1"
         }.mkString("[", ",", "]")
-    // "slow" values are [wall_ds, stage_exec_ds, gc_ds, n_jobs] from the
-    // median-wall run: wall ≫ exec self-identifies a host/scheduler burst
-    // (the adjudication that used to cost a bisection round-trip), wall ≈
-    // exec a genuinely expensive plan, high gc a memory-pressure row.
+    // "slow" values are [wall_ds, stage_exec_ds, gc_ds, n_jobs,
+    // job_wall_ds] from the median-wall run — see the object scaladoc for
+    // the adjudication grid (host burst vs priced work vs driver-side)
     val slowEntries = results.filter { case (_, v, ok) => ok && v.wall >= 1.0 }
       .sortBy(-_._2.wall)
       .map { case (k, v, _) =>
         "\"" + k + "\":[" + num(v.wall) + "," + (v.execMs / 100) + "," +
-          (v.gcMs / 100) + "," + v.jobs + "]"
+          (v.gcMs / 100) + "," + v.jobs + "," + (v.jobWallMs / 100) + "]"
       }
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -202,7 +221,11 @@ object Bench {
     // many qualified.
     def assemble(kept: Seq[String]): String = {
       val slowJson =
-        if (kept.isEmpty) ""
+        if (kept.isEmpty)
+          // entries may have qualified and ALL been dropped for budget —
+          // "0/N" must survive, or the artifact reads as "no slow rows"
+          (if (slowEntries.isEmpty) ""
+           else s""","slow_n":"0/${slowEntries.size}"""")
         else {
           val n = if (kept.size < slowEntries.size)
             s""","slow_n":"${kept.size}/${slowEntries.size}"""" else ""

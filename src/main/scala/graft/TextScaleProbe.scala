@@ -47,10 +47,16 @@ object TextScaleProbe {
       ts.sorted.apply(1)
     }
 
-    // warmup
-    Curation.chunkDocuments(base).write.format("noop").mode("overwrite").save()
+    // optional section filter: `textops` / `substr` / `skew` as args run
+    // only those blocks (a re-measurement never re-pays the others)
+    val only = args.toSet
+    def want(s: String) = only.isEmpty || only.contains(s)
 
-    Seq(1, 10, 100).foreach { times =>
+    // warmup
+    if (want("textops"))
+      Curation.chunkDocuments(base).write.format("noop").mode("overwrite").save()
+
+    Seq(1, 10, 100).filter(_ => want("textops")).foreach { times =>
       val docs = scaled(times).localCheckpoint(true)
       val n = docs.count()
       val chunk = median3(Curation.chunkDocuments(docs))
@@ -81,23 +87,28 @@ object TextScaleProbe {
           (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
           regexp_replace(col("text"), " ", s" m$c ").as("text")))
       }.reduce(_ unionByName _)
-    Seq(1, 4, 16).foreach { times =>
+    // the span table is persisted ONCE per rung and both consumers read
+    // the *From variants — the production shape (SparkEntry shares one
+    // TrainedStore artifact across the three span queries); per-call
+    // spanTable checkpoints would re-run the identical tokenize scan 8×
+    // per rung and measure that instead of the operators
+    Seq(1, 4, 16).filter(_ => want("substr")).foreach { times =>
       val docs = substrScaled(times).localCheckpoint(true)
-      val rows = graft.ext.Dedup.substrDups(docs).count()
-      val t = median3(graft.ext.Dedup.substrDups(docs))
+      val spans = graft.ext.Dedup.spanTable(docs).localCheckpoint(true)
+      val rows = graft.ext.Dedup.substrDupsFrom(spans).count()
+      val t = median3(graft.ext.Dedup.substrDupsFrom(spans))
       // round-19: the suppression APPLY step over the same corpus — the
       // run evidence above consumed as cuts; n_cut proves the cut volume
       // replicates per copy (linear) while the time tracks the same
       // anchor-join + one corpus-sized application join
-      val cut = graft.ext.Dedup.substrApply(docs)
+      val cut = graft.ext.Dedup.substrApplyFrom(docs, spans)
         .agg(sum("n_cut_tokens")).head.getLong(0)
-      val ta = median3(graft.ext.Dedup.substrApply(docs))
+      val ta = median3(graft.ext.Dedup.substrApplyFrom(docs, spans))
       println(f"""{"probe":"substr_dups","scale":$times,""" +
         f""""pair_rows":$rows,"substr_s":$t%.2f,""" +
         f""""apply_cut_tokens":$cut,"apply_s":$ta%.2f}""")
       docs.unpersist(blocking = true)
-      // substrDups checkpoints its span table per invocation — release
-      // between legs so a later leg never pays earlier legs' blocks
+      spans.unpersist(blocking = true)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
@@ -108,24 +119,29 @@ object TextScaleProbe {
     // every pair of them shares that anchor at reps × reps position
     // combinations, so the uncapped candidate set is C(16,2)·reps² rows
     // while the keep-first-8 position cap bounds it at C(16,2)·64 —
-    // the fan-out the cap exists to cut, measured head to head.
+    // the fan-out the cap exists to cut, measured head to head. The
+    // metric is sum(n_runs) — the total maximal-run count, which IS the
+    // surviving candidate volume (pair-row counts are C(16,2) under both
+    // caps and cannot show the fan-out).
     val g8 = (1 to 8).map(i => s"g$i").mkString(" ")
     def skewDocs(reps: Int): DataFrame =
       spark.range(16).select(
         (col("id") + 900000000L).as("doc_id"),
         expr(s"concat_ws(' ', transform(sequence(1, $reps), " +
           s"j -> concat('$g8 u', id, '_', j)))").as("text"))
-    Seq(100, 300).foreach { reps =>
+    def totalRuns(df: DataFrame): Long =
+      df.agg(sum("n_runs")).head.getLong(0)
+    Seq(100, 300).filter(_ => want("skew")).foreach { reps =>
       val docs = skewDocs(reps).localCheckpoint(true)
-      val capRows = graft.ext.Dedup.substrDups(docs).count()
+      val capRuns = totalRuns(graft.ext.Dedup.substrDups(docs))
       val capT = median3(graft.ext.Dedup.substrDups(docs))
-      val unRows = graft.ext.Dedup
-        .substrDups(docs, maxDocPositions = Int.MaxValue).count()
+      val unRuns = totalRuns(
+        graft.ext.Dedup.substrDups(docs, maxDocPositions = Int.MaxValue))
       val unT = median3(
         graft.ext.Dedup.substrDups(docs, maxDocPositions = Int.MaxValue))
       println(f"""{"probe":"substr_skew","reps":$reps,""" +
-        f""""capped_runs":$capRows,"capped_s":$capT%.2f,""" +
-        f""""uncapped_runs":$unRows,"uncapped_s":$unT%.2f}""")
+        f""""capped_runs":$capRuns,"capped_s":$capT%.2f,""" +
+        f""""uncapped_runs":$unRuns,"uncapped_s":$unT%.2f}""")
       docs.unpersist(blocking = true)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -819,11 +819,22 @@ object Similarity {
     // the manifest as a nonsense "cap". The serving generation comes from
     // the SKELETON'S capture (buildGenerationWithServing) — a separate
     // liveGeneration read here could diverge from the snapshot retirement
-    // runs against if a fold swapped between the two reads.
-    def capFrom(serving: Map[String, Int]): Int =
-      if (maxBucket == InheritMaxBucket && serving(table) > 0)
-        b.maxBucketOf(spark, b.generationName(table, serving(table)), NoMaxBucket)
-      else math.max(maxBucket, NoMaxBucket)
+    // runs against if a fold swapped between the two reads. Resolved ONCE
+    // (memoized across the write/stampWatermark callbacks, which the
+    // skeleton invokes in that order): a second maxBucketOf read later in
+    // the build could find the captured generation's manifest already
+    // retired by concurrent folds and stamp the watermark with a
+    // DIFFERENT cap than the postings were just written with.
+    var capMemo = Int.MinValue
+    def capFrom(serving: Map[String, Int]): Int = {
+      if (capMemo == Int.MinValue)
+        capMemo =
+          if (maxBucket == InheritMaxBucket && serving(table) > 0)
+            b.maxBucketOf(spark, b.generationName(table, serving(table)),
+              NoMaxBucket)
+          else math.max(maxBucket, NoMaxBucket)
+      capMemo
+    }
     // the shared skeleton (sources.IndexLifecycle) owns adoptable-check /
     // serving-generation capture / numbering / swap / retire; family-
     // specific: the shard-factor-stamped postings write, the capped
