@@ -104,9 +104,20 @@ object TextScaleProbe {
       val cut = graft.ext.Dedup.substrApplyFrom(docs, spans)
         .agg(sum("n_cut_tokens")).head.getLong(0)
       val ta = median3(graft.ext.Dedup.substrApplyFrom(docs, spans))
+      // decontamination leg: benchmark = copy-0 originals on the % 97
+      // carve (CONSTANT as the train side grows — the production shape:
+      // a fixed eval suite vs a growing crawl); contaminated set is the
+      // constant copy-0 perturbed twins, so time isolates the train-side
+      // probe cost
+      val isBench = (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)
+      def decont() = graft.ext.Dedup.substrDecontaminateFrom(
+        spans.filter(!isBench), spans.filter(isBench))
+      val nFlag = decont().count()
+      val td = median3(decont())
       println(f"""{"probe":"substr_dups","scale":$times,""" +
         f""""pair_rows":$rows,"substr_s":$t%.2f,""" +
-        f""""apply_cut_tokens":$cut,"apply_s":$ta%.2f}""")
+        f""""apply_cut_tokens":$cut,"apply_s":$ta%.2f,""" +
+        f""""decont_flagged":$nFlag,"decont_s":$td%.2f}""")
       docs.unpersist(blocking = true)
       spans.unpersist(blocking = true)
       spark.sparkContext.getPersistentRDDs.values

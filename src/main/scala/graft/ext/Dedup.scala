@@ -1606,34 +1606,38 @@ object Dedup {
     * diag), so row_number's islands key (pa − rn) is exact: consecutive
     * anchors share it, any gap breaks it.
     */
-  private def substrRunIslands(spans: DataFrame, n: Int,
-                               maxAnchorDocs: Int,
-                               maxDocPositions: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE corpus-sized exchange, hash on the anchor: the hot aggregate
-    // (groupBy h), the anti join, the per-(h, doc) position-cap window
-    // (ClusteredDistribution's subset rule — hash(h) co-locates every
-    // (h, doc) group) and BOTH sides of the pair self-join are all
-    // satisfied by this partitioning; left to EnsureRequirements each
-    // would plan its own shuffle of the span-sized frame (the window's
-    // (h, doc_id) exchange does not satisfy the join's h requirement)
-    val spansH = spans.repartition(col("h"))
-    val hot = spansH.groupBy("h")
+  /** The anchors shared by more than `maxAnchorDocs` distinct docs in
+    * `spansH` — the boilerplate set both substring caps suppress.
+    */
+  private def hotAnchors(spansH: DataFrame, maxAnchorDocs: Int): DataFrame =
+    spansH.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > maxAnchorDocs)
       .select("h")
-    val wpos = Window.partitionBy("h", "doc_id").orderBy("pos")
-    val ok = spansH.join(hot, Seq("h"), "left_anti")
-      .withColumn("pn", row_number().over(wpos))
+
+  /** Hot-anchor anti-join + the keep-first-K per-(anchor, doc) position
+    * cap. Input must already be hash-partitioned on `h` (the subset rule
+    * satisfies the window from that partitioning — see the
+    * [[substrRunIslands]] exchange note).
+    */
+  private def cappedSpans(spansH: DataFrame, hot: DataFrame,
+                          maxDocPositions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spansH.join(hot, Seq("h"), "left_anti")
+      .withColumn("pn", row_number().over(
+        Window.partitionBy("h", "doc_id").orderBy("pos")))
       .where(col("pn") <= maxDocPositions)
       .drop("pn")
-    val pairs = ok
-      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(ok.select(col("h"), col("doc_id").as("doc_b"),
-        col("pos").as("pb")), "h")
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
-        (col("pa") - col("pb")).as("diag"))
+  }
+
+  /** Gaps-and-islands over an anchor-pair frame (doc_a, doc_b, pa, diag):
+    * one row per maximal run with the run's start in each doc. Within one
+    * (pair, diagonal), pa is unique (pb = pa − diag), so row_number's
+    * islands key (pa − rn) is exact: consecutive anchors share it, any
+    * gap breaks it.
+    */
+  private def runIslandsOf(pairs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     pairs
       .withColumn("rn", row_number().over(w))
@@ -1643,6 +1647,29 @@ object Dedup {
         min("pa").as("pa_start"))
       .select(col("doc_a"), col("doc_b"), col("diag"), col("run_len"),
         col("pa_start"), (col("pa_start") - col("diag")).as("pb_start"))
+  }
+
+  private def substrRunIslands(spans: DataFrame, n: Int,
+                               maxAnchorDocs: Int,
+                               maxDocPositions: Int): DataFrame = {
+    // ONE corpus-sized exchange, hash on the anchor: the hot aggregate
+    // (groupBy h), the anti join, the per-(h, doc) position-cap window
+    // (ClusteredDistribution's subset rule — hash(h) co-locates every
+    // (h, doc) group) and BOTH sides of the pair self-join are all
+    // satisfied by this partitioning; left to EnsureRequirements each
+    // would plan its own shuffle of the span-sized frame (the window's
+    // (h, doc_id) exchange does not satisfy the join's h requirement)
+    val spansH = spans.repartition(col("h"))
+    val ok = cappedSpans(spansH, hotAnchors(spansH, maxAnchorDocs),
+      maxDocPositions)
+    val pairs = ok
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(ok.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    runIslandsOf(pairs, n)
   }
 
   def substrDups(documents: DataFrame, n: Int = SpanN,
@@ -1695,23 +1722,15 @@ object Dedup {
     substrApplyFrom(documents, spans, n, maxAnchorDocs, maxDocPositions)
   }
 
-  /** [[substrApply]] over an already-materialized [[spanTable]]. */
-  def substrApplyFrom(documents: DataFrame, spans: DataFrame,
-                      n: Int = SpanN,
-                      maxAnchorDocs: Int = SubstrAnchorCap,
-                      maxDocPositions: Int = SubstrPosCap): DataFrame = {
+  /** Interval union per doc over a (doc_id, s, e) range frame: a range
+    * opens a new merged group iff it starts past the running max end + 1
+    * of every range before it (adjacent ranges merge — a cut/coverage is
+    * contiguous either way). One window + one aggregate, candidate-sized.
+    */
+  private def mergeRanges(ranges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val islands = substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
-    // the younger doc of each pair loses the run: token range
-    // [pb_start, pb_start + run_len - 1] in doc_b
-    val ranges = islands.select(col("doc_b").as("doc_id"),
-      col("pb_start").as("s"),
-      (col("pb_start") + col("run_len") - 1).as("e"))
-    // interval union per doc: a range opens a new merged group iff it
-    // starts past the running max end + 1 of every range before it
-    // (adjacent ranges merge — the cut is contiguous either way)
     val w = Window.partitionBy("doc_id").orderBy("s", "e")
-    val merged = ranges
+    ranges
       .withColumn("pmax",
         max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("grp", sum(
@@ -1719,6 +1738,19 @@ object Dedup {
             .otherwise(0L)).over(w))
       .groupBy("doc_id", "grp")
       .agg(min("s").as("s"), max("e").as("e"))
+  }
+
+  /** [[substrApply]] over an already-materialized [[spanTable]]. */
+  def substrApplyFrom(documents: DataFrame, spans: DataFrame,
+                      n: Int = SpanN,
+                      maxAnchorDocs: Int = SubstrAnchorCap,
+                      maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    val islands = substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
+    // the younger doc of each pair loses the run: token range
+    // [pb_start, pb_start + run_len - 1] in doc_b
+    val merged = mergeRanges(islands.select(col("doc_b").as("doc_id"),
+      col("pb_start").as("s"),
+      (col("pb_start") + col("run_len") - 1).as("e")))
     val cuts = merged.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s") + 1).as("n_cut_tokens"))
@@ -1731,6 +1763,68 @@ object Dedup {
           .otherwise(concat_ws(" ", expr(
             "filter(toks, (t, i) -> NOT exists(cuts, c -> i >= c.s AND i <= c.e))")))
           .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Substring-level decontamination — the eval-leakage form of the run
+    * detector: every TRAIN doc sharing an exact run of ≥ n consecutive
+    * tokens with ANY benchmark doc is flagged with its longest shared
+    * run, the union token coverage of all its contaminated ranges
+    * (overlaps between different benchmark hits merge — no token counts
+    * twice), and the number of distinct benchmark docs hit. The n-gram
+    * overlap forms ([[Curation.decontaminate]] and its bloom variant)
+    * count SET overlap per doc; this one proves CONTIGUOUS leakage — the
+    * criterion the substring-dedup pipeline (Lee et al.) applies between
+    * train and eval, and the adjudicator a flagged bloom hit escalates
+    * to. Only contaminated docs are emitted.
+    *
+    * Scale shape: two span scans, one anchor-keyed equi-join BETWEEN the
+    * corpora (the benchmark side is eval-suite-sized — orders of
+    * magnitude below the train corpus; only train spans whose anchor
+    * exists in the benchmark survive the join), islands + interval-union
+    * over candidate-sized frames. The hot-anchor cap is computed on the
+    * BENCHMARK side (an anchor across > cap benchmark docs is suite
+    * boilerplate — instructions, headers; a run is still caught through
+    * its rarer anchors) and the position cap applies per (anchor, doc)
+    * on both sides.
+    */
+  def substrDecontaminate(train: DataFrame, benchmark: DataFrame,
+                          n: Int = SpanN,
+                          maxAnchorDocs: Int = SubstrAnchorCap,
+                          maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    val (st, _) = checkpointTracked(spanTable(train, n))
+    val (sb, _) = checkpointTracked(spanTable(benchmark, n))
+    substrDecontaminateFrom(st, sb, n, maxAnchorDocs, maxDocPositions)
+  }
+
+  /** [[substrDecontaminate]] over already-materialized [[spanTable]]s. */
+  def substrDecontaminateFrom(trainSpans: DataFrame, benchSpans: DataFrame,
+                              n: Int = SpanN,
+                              maxAnchorDocs: Int = SubstrAnchorCap,
+                              maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    val sbH = benchSpans.repartition(col("h"))
+    val hot = hotAnchors(sbH, maxAnchorDocs)
+    val okB = cappedSpans(sbH, hot, maxDocPositions)
+    val stH = trainSpans.repartition(col("h"))
+    val okT = cappedSpans(stH, hot, maxDocPositions)
+    // train doc = doc_a (runs read in TRAIN coordinates), bench = doc_b
+    val pairs = okT
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(okB.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "h")
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val islands = runIslandsOf(pairs, n)
+    val perDoc = islands.groupBy(col("doc_a").as("doc_id"))
+      .agg(max("run_len").as("longest_run"),
+        countDistinct(col("doc_b")).as("n_bench_docs"))
+    val coverage = mergeRanges(islands.select(col("doc_a").as("doc_id"),
+        col("pa_start").as("s"),
+        (col("pa_start") + col("run_len") - 1).as("e")))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("contaminated_tokens"))
+    perDoc.join(coverage, Seq("doc_id"))
+      .select("doc_id", "longest_run", "contaminated_tokens", "n_bench_docs")
       .orderBy("doc_id")
   }
 

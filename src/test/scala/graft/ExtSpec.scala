@@ -135,6 +135,26 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr decontaminate: contiguous train-bench runs flag, coverage unions") {
+    val bench = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // shares [0,9] with bench 1 and [2,11] with bench 2: union 12
+      (10L, "a b c d e f g h i j k l zz"),
+      // verbatim copy of bench 1; also shares c..j (8 tokens) with bench 2
+      (11L, "a b c d e f g h i j"),
+      (12L, "nothing here overlaps any benchmark content at all friends")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDecontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (10L, 10L, 12L, 2L),
+      (11L, 10L, 10L, 2L)), out.toString)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")

@@ -306,6 +306,15 @@ class PlanSpec extends SparkSpec {
     assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
     assert(!ap.contains("SinglePartition"), ap)
     assert(!ap.contains("Generate"), ap)
+    // the decontamination variant shares the capped anchor-join core
+    // (cross-corpus instead of self) — same structural guarantees
+    val dc = graft.ext.Dedup.substrDecontaminate(
+        perturbed.filter(col("doc_id") >= 1000000L),
+        perturbed.filter(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
+      .queryExecution.executedPlan.toString
+    assert(dc.contains("WindowGroupLimit"), dc)
+    assert(!dc.contains("CartesianProduct") && !dc.contains("BroadcastNestedLoop"), dc)
+    assert(!dc.contains("SinglePartition"), dc)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 

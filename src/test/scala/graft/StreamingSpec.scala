@@ -482,6 +482,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchRun == closed, batchRun.toString)
   }
 
+  test("funnel TTL: inert late batches do not re-emit the running row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stats.funnelStreamingTtl(spark, mem.toDF(), "10 minutes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_ttl_inert")
+      .trigger(tick).start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 5, "signup"),
+      ev(2, "2024-01-01 00:01:00", 5, "view"))
+    q.processAllAvailable()
+    // an INERT batch: a repeated view (the frontier expects click) and a
+    // stale signup below the depth frontier — the fold cannot change the
+    // reached vector, so no new changelog row may appear (the update-mode
+    // memory sink appends every batch's emissions, making re-emits
+    // directly countable)
+    mem.addData(
+      ev(3, "2024-01-01 00:00:30", 5, "view"),
+      ev(4, "2024-01-01 00:00:10", 5, "signup"))
+    q.processAllAvailable()
+    val afterInert = spark.table("funnel_ttl_inert")
+      .filter(col("user_id") === 5L).count()
+    // a real advance still emits
+    mem.addData(ev(5, "2024-01-01 00:02:00", 5, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(afterInert == 1L, s"inert batch re-emitted: $afterInert rows")
+    val rows = spark.table("funnel_ttl_inert")
+      .filter(col("user_id") === 5L)
+      .select("depth", "closed").as[(Long, Boolean)].collect().toSeq
+    assert(rows.sortBy(_._1) == Seq((2L, false), (3L, false)), rows.toString)
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
