@@ -549,6 +549,23 @@ object SparkEntry {
       Dedup.substrDecontaminateFrom(spans.filter(!isBench),
         spans.filter(isBench))
     }),
+    // the persisted form of the same verdict (identical oracle SQL — the
+    // ann_lsh_capped precedent: the stored capped benchmark index is a
+    // physical layout choice, not a semantic one): the eval suite's span
+    // table builds ONCE bucketed by anchor, every crawl probes it with
+    // the index side unshuffled
+    "ext_decontaminate_substr_idx" -> ((s, d) => {
+      TrainedStore.builtOnce("graft_substr_bench_idx", d) {
+        Dedup.buildSubstrBenchIndex(
+          docs(s, d).filter(col("doc_id") % 97 === 0),
+          "graft_substr_bench_idx")
+        ""
+      }
+      val isBench = (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)
+      Dedup.substrDecontaminateAgainstIndex(s,
+        Dedup.withPerturbedCopies(docs(s, d)).filter(!isBench),
+        "graft_substr_bench_idx")
+    }),
     // incremental dedup: index the corpus once, probe the "new crawl"
     // (the perturbed half) against the persisted band table
     "ext_dedup_incremental" -> ((s, d) => {
@@ -1106,6 +1123,72 @@ object SparkEntry {
        |  FROM sspr),
        |ssruns AS (SELECT doc_a, doc_b, count(*) + $n - 1 AS run_len
        |  FROM ssrn GROUP BY doc_a, doc_b, diag, pa - rn)""".stripMargin
+
+  /** Oracle for BOTH substring-decontamination forms (`one-shot` and the
+    * persisted bucketed index — identical by design): benchmark = the
+    * `% 97` originals, train = everything else incl. the perturbed
+    * twins; islands per (train, bench, diagonal), interval-union
+    * coverage per train doc.
+    */
+  private def substrDecontSql: String = {
+    val n = Dedup.SpanN
+    val cap = Dedup.SubstrAnchorCap
+    val pcap = Dedup.SubstrPosCap
+    s"""WITH dsc AS ($PERTURBED_CORPUS),
+         |dstk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM dsc),
+         |dssp AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+         |      i -> struct_pack(pos := i - 1,
+         |        h := ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
+         |    FROM dstk WHERE len(t) >= $n)),
+         |dsb0 AS (SELECT * FROM dssp
+         |  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+         |dst0 AS (SELECT * FROM dssp
+         |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
+         |dshot AS (SELECT h FROM dsb0 GROUP BY h
+         |  HAVING count(DISTINCT doc_id) > $cap),
+         |dsb AS (SELECT doc_id, pos, h FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
+         |    FROM dsb0 WHERE h NOT IN (SELECT h FROM dshot))
+         |  WHERE pn <= $pcap),
+         |dst AS (SELECT doc_id, pos, h FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
+         |    FROM dst0 WHERE h NOT IN (SELECT h FROM dshot))
+         |  WHERE pn <= $pcap),
+         |dspr AS (SELECT t.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    t.pos AS pa, t.pos - b.pos AS diag
+         |  FROM dst t JOIN dsb b USING (h)),
+         |dsrn AS (SELECT *, row_number()
+         |    OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rn
+         |  FROM dspr),
+         |dsruns AS (SELECT doc_a, doc_b, count(*) + $n - 1 AS run_len,
+         |    min(pa) AS pa_start
+         |  FROM dsrn GROUP BY doc_a, doc_b, diag, pa - rn),
+         |dsper AS (SELECT doc_a AS doc_id, max(run_len) AS longest_run,
+         |    count(DISTINCT doc_b) AS n_bench FROM dsruns GROUP BY 1),
+         |dsrng AS (SELECT doc_a AS doc_id, pa_start AS s,
+         |    pa_start + run_len - 1 AS e FROM dsruns),
+         |dsmx AS (SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM dsrng),
+         |dsgr AS (SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+         |  FROM dsmx),
+         |dsmrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |  FROM dsgr GROUP BY doc_id, grp),
+         |dscov AS (SELECT doc_id, sum(e - s + 1) AS cov
+         |  FROM dsmrg GROUP BY 1)
+         |SELECT p.doc_id,
+         |  CAST(p.longest_run AS BIGINT) AS longest_run,
+         |  CAST(c.cov AS BIGINT) AS contaminated_tokens,
+         |  CAST(p.n_bench AS BIGINT) AS n_bench_docs
+         |FROM dsper p JOIN dscov c USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
+  }
 
   /** MinHash signature + LSH band CTEs (Dedup.minhashSignature/lshBands):
     * one md5 base hash per shingle, then the linear permutation family over
@@ -2869,65 +2952,11 @@ object SparkEntry {
          |           FROM sskeep GROUP BY doc_id) sg USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin
     },
-    "ext_decontaminate_substr" -> {
-      val n = Dedup.SpanN
-      val cap = Dedup.SubstrAnchorCap
-      val pcap = Dedup.SubstrPosCap
-      s"""WITH dsc AS ($PERTURBED_CORPUS),
-         |dstk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM dsc),
-         |dssp AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
-         |      i -> struct_pack(pos := i - 1,
-         |        h := ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
-         |    FROM dstk WHERE len(t) >= $n)),
-         |dsb0 AS (SELECT * FROM dssp
-         |  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
-         |dst0 AS (SELECT * FROM dssp
-         |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
-         |dshot AS (SELECT h FROM dsb0 GROUP BY h
-         |  HAVING count(DISTINCT doc_id) > $cap),
-         |dsb AS (SELECT doc_id, pos, h FROM (
-         |    SELECT *, row_number()
-         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
-         |    FROM dsb0 WHERE h NOT IN (SELECT h FROM dshot))
-         |  WHERE pn <= $pcap),
-         |dst AS (SELECT doc_id, pos, h FROM (
-         |    SELECT *, row_number()
-         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
-         |    FROM dst0 WHERE h NOT IN (SELECT h FROM dshot))
-         |  WHERE pn <= $pcap),
-         |dspr AS (SELECT t.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    t.pos AS pa, t.pos - b.pos AS diag
-         |  FROM dst t JOIN dsb b USING (h)),
-         |dsrn AS (SELECT *, row_number()
-         |    OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rn
-         |  FROM dspr),
-         |dsruns AS (SELECT doc_a, doc_b, count(*) + $n - 1 AS run_len,
-         |    min(pa) AS pa_start
-         |  FROM dsrn GROUP BY doc_a, doc_b, diag, pa - rn),
-         |dsper AS (SELECT doc_a AS doc_id, max(run_len) AS longest_run,
-         |    count(DISTINCT doc_b) AS n_bench FROM dsruns GROUP BY 1),
-         |dsrng AS (SELECT doc_a AS doc_id, pa_start AS s,
-         |    pa_start + run_len - 1 AS e FROM dsruns),
-         |dsmx AS (SELECT doc_id, s, e,
-         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |  FROM dsrng),
-         |dsgr AS (SELECT doc_id, s, e,
-         |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-         |  FROM dsmx),
-         |dsmrg AS (SELECT doc_id, min(s) AS s, max(e) AS e
-         |  FROM dsgr GROUP BY doc_id, grp),
-         |dscov AS (SELECT doc_id, sum(e - s + 1) AS cov
-         |  FROM dsmrg GROUP BY 1)
-         |SELECT p.doc_id,
-         |  CAST(p.longest_run AS BIGINT) AS longest_run,
-         |  CAST(c.cov AS BIGINT) AS contaminated_tokens,
-         |  CAST(p.n_bench AS BIGINT) AS n_bench_docs
-         |FROM dsper p JOIN dscov c USING (doc_id)
-         |ORDER BY p.doc_id""".stripMargin
-    },
+    "ext_decontaminate_substr" -> substrDecontSql,
+    // identical SQL deliberately: the persisted bucketed benchmark index
+    // is a physical layout knob — the oracle IS the proof the stored
+    // path matches one-shot semantics (the ann_lsh_capped precedent)
+    "ext_decontaminate_substr_idx" -> substrDecontSql,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -1792,9 +1792,11 @@ object Dedup {
                           n: Int = SpanN,
                           maxAnchorDocs: Int = SubstrAnchorCap,
                           maxDocPositions: Int = SubstrPosCap): DataFrame = {
-    val (st, _) = checkpointTracked(spanTable(train, n))
+    // only the BENCH spans checkpoint (consumed twice: the hot aggregate
+    // and the capped join side); the train spans flow through one plan
     val (sb, _) = checkpointTracked(spanTable(benchmark, n))
-    substrDecontaminateFrom(st, sb, n, maxAnchorDocs, maxDocPositions)
+    substrDecontaminateFrom(spanTable(train, n), sb, n, maxAnchorDocs,
+      maxDocPositions)
   }
 
   /** [[substrDecontaminate]] over already-materialized [[spanTable]]s. */
@@ -1807,7 +1809,16 @@ object Dedup {
     val okB = cappedSpans(sbH, hot, maxDocPositions)
     val stH = trainSpans.repartition(col("h"))
     val okT = cappedSpans(stH, hot, maxDocPositions)
-    // train doc = doc_a (runs read in TRAIN coordinates), bench = doc_b
+    decontOfCapped(okT, okB, n)
+  }
+
+  /** The shared probe tail of the one-shot and persisted-index
+    * decontamination forms: capped train spans × capped bench spans →
+    * islands → per-train-doc verdicts. Train doc = doc_a (runs read in
+    * TRAIN coordinates), bench = doc_b.
+    */
+  private def decontOfCapped(okT: DataFrame, okB: DataFrame,
+                             n: Int): DataFrame = {
     val pairs = okT
       .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .join(okB.select(col("h"), col("doc_id").as("doc_b"),
@@ -1815,17 +1826,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("pa"),
         (col("pa") - col("pb")).as("diag"))
     val islands = runIslandsOf(pairs, n)
-    val perDoc = islands.groupBy(col("doc_a").as("doc_id"))
+    // ONE aggregation over the islands: longest run and bench-doc count
+    // are plain aggregates, and the interval-union coverage folds over
+    // the doc's SORTED ranges in an expression (each range contributes
+    // its tokens past max(previous end, its start − 1) — the same union
+    // [[mergeRanges]] computes with a window, but without a second
+    // consumption of the islands subtree: two consumers would clone the
+    // whole probe upstream — span scan, anchor join and all — into both
+    // branches of a self-join. Ranges per doc are pair-evidence-sized.
+    islands
+      .groupBy(col("doc_a").as("doc_id"))
       .agg(max("run_len").as("longest_run"),
-        countDistinct(col("doc_b")).as("n_bench_docs"))
-    val coverage = mergeRanges(islands.select(col("doc_a").as("doc_id"),
-        col("pa_start").as("s"),
-        (col("pa_start") + col("run_len") - 1).as("e")))
-      .groupBy("doc_id")
-      .agg(sum(col("e") - col("s") + 1).as("contaminated_tokens"))
-    perDoc.join(coverage, Seq("doc_id"))
+        countDistinct(col("doc_b")).as("n_bench_docs"),
+        sort_array(collect_list(struct(col("pa_start").as("s"),
+          (col("pa_start") + col("run_len") - 1).as("e")))).as("rs"))
+      .withColumn("contaminated_tokens", expr(
+        """aggregate(rs,
+          |  struct(CAST(-1 AS BIGINT) AS e, CAST(0 AS BIGINT) AS tot),
+          |  (a, r) -> struct(greatest(a.e, r.e) AS e,
+          |    a.tot + greatest(CAST(0 AS BIGINT),
+          |      r.e - greatest(a.e, r.s - 1))),
+          |  a -> a.tot)""".stripMargin))
       .select("doc_id", "longest_run", "contaminated_tokens", "n_bench_docs")
       .orderBy("doc_id")
+  }
+
+  /** Persist the benchmark's CAPPED span table bucketed by the anchor
+    * hash — the build-once half of repeated-crawl decontamination: the
+    * eval suite is fixed while crawls keep arriving, so the benchmark's
+    * tokenize/hot-anchor/position-cap work should be a one-time job and
+    * every probe a scan ([[Similarity.buildIvfIndex]]'s posture). Hot
+    * anchors and both caps are BUILD properties baked into the stored
+    * rows; probes see exactly the one-shot candidates (a hot train
+    * anchor simply matches nothing — the inner join IS the anti-join).
+    */
+  def buildSubstrBenchIndex(benchmark: DataFrame, table: String,
+                            n: Int = SpanN,
+                            maxAnchorDocs: Int = SubstrAnchorCap,
+                            maxDocPositions: Int = SubstrPosCap,
+                            buckets: Int = 8): Unit = {
+    val (sb, sbIds) = checkpointTracked(spanTable(benchmark, n))
+    try {
+      val sbH = sb.repartition(col("h"))
+      graft.sources.Bucketing.writeBucketed(
+        cappedSpans(sbH, hotAnchors(sbH, maxAnchorDocs), maxDocPositions),
+        table, "h", buckets)
+    } finally Checkpoints.releaseTracked(sb, sbIds)
+  }
+
+  /** [[substrDecontaminate]] against a persisted [[buildSubstrBenchIndex]]
+    * table: the index side reads co-located off the bucketed layout (no
+    * shuffle — only the train side exchanges, on the anchor hash), and
+    * the train-side position cap is numbering-identical to the one-shot
+    * form (per-(h, doc) ranks are independent across anchors, so the
+    * absence of the build-time hot anti-join on the probe side changes
+    * nothing — hot anchors are not in the index to meet).
+    */
+  def substrDecontaminateAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, train: DataFrame,
+      table: String, n: Int = SpanN,
+      maxDocPositions: Int = SubstrPosCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val okT = spanTable(train, n).repartition(col("h"))
+      .withColumn("pn", row_number().over(
+        Window.partitionBy("h", "doc_id").orderBy("pos")))
+      .where(col("pn") <= maxDocPositions)
+      .drop("pn")
+    decontOfCapped(okT, spark.table(table), n)
   }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

@@ -155,6 +155,39 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("persisted substr bench index: probe matches one-shot, index side unshuffled") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    Dedup.buildSubstrBenchIndex(bench, "substr_bench_idx_test", buckets = 4)
+    try {
+      val train = Dedup.withPerturbedCopies(docs)
+        .filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L))
+      val viaIndex = Dedup.substrDecontaminateAgainstIndex(
+          spark, train, "substr_bench_idx_test")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val oneShot = Dedup.substrDecontaminate(train, bench)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaIndex == oneShot && viaIndex.nonEmpty, viaIndex.toString)
+      // the index side must read co-located off the bucketed layout —
+      // force the non-broadcast path and pin: the probe's anchor
+      // repartition is the ONLY span-sized exchange; everything after
+      // (islands window, per-doc aggs, coverage window) is
+      // candidate-sized, and no exchange may appear for the index side
+      val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = Dedup.substrDecontaminateAgainstIndex(
+            spark, train, "substr_bench_idx_test")
+          .queryExecution.executedPlan.toString
+        assert(p.contains("substr_bench_idx_test"), p)
+        assert("REPARTITION_BY_COL".r.findAllIn(p).length == 1, p)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+        assert(!p.contains("SinglePartition"), p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    } finally spark.sql("DROP TABLE IF EXISTS substr_bench_idx_test")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
