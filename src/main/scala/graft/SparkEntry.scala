@@ -562,9 +562,8 @@ object SparkEntry {
         ""
       }
       val isBench = (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)
-      Dedup.substrDecontaminateAgainstIndex(s,
-        Dedup.withPerturbedCopies(docs(s, d)).filter(!isBench),
-        "graft_substr_bench_idx")
+      Dedup.substrDecontaminateAgainstIndexFrom(s,
+        perturbedSpans(s, d).filter(!isBench), "graft_substr_bench_idx")
     }),
     // incremental dedup: index the corpus once, probe the "new crawl"
     // (the perturbed half) against the persisted band table

@@ -1885,9 +1885,20 @@ object Dedup {
   def substrDecontaminateAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, train: DataFrame,
       table: String, n: Int = SpanN,
+      maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrDecontaminateAgainstIndexFrom(spark, spanTable(train, n), table,
+      n, maxDocPositions)
+
+  /** [[substrDecontaminateAgainstIndex]] over an already-materialized
+    * train [[spanTable]] — index on one side, span artifact on the
+    * other: the probe pays only the capped anchor join.
+    */
+  def substrDecontaminateAgainstIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, trainSpans: DataFrame,
+      table: String, n: Int = SpanN,
       maxDocPositions: Int = SubstrPosCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val okT = spanTable(train, n).repartition(col("h"))
+    val okT = trainSpans.repartition(col("h"))
       .withColumn("pn", row_number().over(
         Window.partitionBy("h", "doc_id").orderBy("pos")))
       .where(col("pn") <= maxDocPositions)
