@@ -1599,13 +1599,6 @@ object Dedup {
     */
   val SubstrPosCap = 8
 
-  /** Maximal shared-run islands between doc pairs — the shared candidate
-    * core of [[substrDups]] (pair evidence) and [[substrApply]] (run
-    * suppression): one row per maximal run, with the run's start position
-    * in EACH doc. Within one (pair, diagonal), pa is unique (pb = pa −
-    * diag), so row_number's islands key (pa − rn) is exact: consecutive
-    * anchors share it, any gap breaks it.
-    */
   /** The anchors shared by more than `maxAnchorDocs` distinct docs in
     * `spansH` — the boilerplate set both substring caps suppress.
     */
@@ -1615,20 +1608,27 @@ object Dedup {
       .where(col("nd") > maxAnchorDocs)
       .select("h")
 
-  /** Hot-anchor anti-join + the keep-first-K per-(anchor, doc) position
-    * cap. Input must already be hash-partitioned on `h` (the subset rule
-    * satisfies the window from that partitioning — see the
-    * [[substrRunIslands]] exchange note).
+  /** The keep-first-K per-(anchor, doc) position cap. Input must already
+    * be hash-partitioned on `h` (the subset rule satisfies the window
+    * from that partitioning — see the [[substrRunIslands]] exchange
+    * note). Shared by every capped form — the one-shot and persisted
+    * decontamination probes depend on NUMBERING-identical caps.
     */
-  private def cappedSpans(spansH: DataFrame, hot: DataFrame,
-                          maxDocPositions: Int): DataFrame = {
+  private def posCapped(spansH: DataFrame, maxDocPositions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spansH.join(hot, Seq("h"), "left_anti")
+    spansH
       .withColumn("pn", row_number().over(
         Window.partitionBy("h", "doc_id").orderBy("pos")))
       .where(col("pn") <= maxDocPositions)
       .drop("pn")
   }
+
+  /** Hot-anchor anti-join + [[posCapped]] (the anti-join removes whole
+    * `h` groups, so it cannot change any other group's numbering).
+    */
+  private def cappedSpans(spansH: DataFrame, hot: DataFrame,
+                          maxDocPositions: Int): DataFrame =
+    posCapped(spansH.join(hot, Seq("h"), "left_anti"), maxDocPositions)
 
   /** Gaps-and-islands over an anchor-pair frame (doc_a, doc_b, pa, diag):
     * one row per maximal run with the run's start in each doc. Within one
@@ -1649,6 +1649,10 @@ object Dedup {
         col("pa_start"), (col("pa_start") - col("diag")).as("pb_start"))
   }
 
+  /** Maximal shared-run islands within ONE corpus — the candidate core
+    * of [[substrDups]] (pair evidence) and [[substrApply]] (run
+    * suppression): capped self-join on the anchor, then [[runIslandsOf]].
+    */
   private def substrRunIslands(spans: DataFrame, n: Int,
                                maxAnchorDocs: Int,
                                maxDocPositions: Int): DataFrame = {
@@ -1891,18 +1895,21 @@ object Dedup {
 
   /** [[substrDecontaminateAgainstIndex]] over an already-materialized
     * train [[spanTable]] — index on one side, span artifact on the
-    * other: the probe pays only the capped anchor join.
+    * other: the probe pays only the capped anchor join. The probe side
+    * repartitions to the INDEX'S OWN bucket count: a session-partition
+    * repartition (e.g. 32 at driver shape vs an 8-bucket index) makes
+    * the planner disable bucketed reading and re-shuffle the stored
+    * spans on every probe — exactly the cost the index pre-pays; at the
+    * bucket count the one exchange serves the cap window (subset rule)
+    * AND co-partitions the join against the bucketed scan.
     */
   def substrDecontaminateAgainstIndexFrom(
       spark: org.apache.spark.sql.SparkSession, trainSpans: DataFrame,
       table: String, n: Int = SpanN,
       maxDocPositions: Int = SubstrPosCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val okT = trainSpans.repartition(col("h"))
-      .withColumn("pn", row_number().over(
-        Window.partitionBy("h", "doc_id").orderBy("pos")))
-      .where(col("pn") <= maxDocPositions)
-      .drop("pn")
+    val buckets = graft.sources.Bucketing.inheritedBucketCount(spark, table)
+    val okT = posCapped(trainSpans.repartition(buckets, col("h")),
+      maxDocPositions)
     decontOfCapped(okT, spark.table(table), n)
   }
 

@@ -158,7 +158,12 @@ class ExtSpec extends SparkSpec {
   test("persisted substr bench index: probe matches one-shot, index side unshuffled") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") % 97 === 0)
-    Dedup.buildSubstrBenchIndex(bench, "substr_bench_idx_test", buckets = 4)
+    // bucket count DELIBERATELY different from the session's shuffle
+    // partitions: the probe must adapt to the index's layout — a
+    // session-partition repartition makes the planner disable bucketed
+    // reading and re-shuffle the stored spans (the regression this pin
+    // exists to catch; it only surfaces under a count mismatch)
+    Dedup.buildSubstrBenchIndex(bench, "substr_bench_idx_test", buckets = 3)
     try {
       val train = Dedup.withPerturbedCopies(docs)
         .filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L))
@@ -168,11 +173,14 @@ class ExtSpec extends SparkSpec {
       val oneShot = Dedup.substrDecontaminate(train, bench)
         .as[(Long, Long, Long, Long)].collect().toSeq
       assert(viaIndex == oneShot && viaIndex.nonEmpty, viaIndex.toString)
-      // the index side must read co-located off the bucketed layout —
-      // force the non-broadcast path and pin: the probe's anchor
-      // repartition is the ONLY span-sized exchange; everything after
-      // (islands window, per-doc aggs, coverage window) is
-      // candidate-sized, and no exchange may appear for the index side
+      // force the non-broadcast path and pin the exchange inventory:
+      // the probe's bucket-count anchor repartition (serves the cap
+      // window AND co-partitions the join), the islands window, and the
+      // two-phase distinct aggregate ((doc_a, doc_b) partial + (doc_a)
+      // final) — EXACTLY four hash exchanges, ONE on the anchor hash
+      // (the probe's), so an EnsureRequirements shuffle of the index
+      // side (a second `h` exchange) fails here, and the index scan
+      // must read bucketed
       val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -180,7 +188,9 @@ class ExtSpec extends SparkSpec {
             spark, train, "substr_bench_idx_test")
           .queryExecution.executedPlan.toString
         assert(p.contains("substr_bench_idx_test"), p)
-        assert("REPARTITION_BY_COL".r.findAllIn(p).length == 1, p)
+        assert("Exchange hashpartitioning".r.findAllIn(p).length == 4, p)
+        assert("Exchange hashpartitioning\\(h".r.findAllIn(p).length == 1, p)
+        assert(p.contains("Bucketed: true"), p)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
         assert(!p.contains("SinglePartition"), p)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
