@@ -1878,8 +1878,31 @@ object Dedup {
     } finally Checkpoints.releaseTracked(sb, sbIds)
   }
 
+  /** [[buildSubstrBenchIndex]] behind the generation-swap lifecycle
+    * ([[graft.sources.IndexLifecycle.buildGeneration]]): eval suites get
+    * REVISED — new tasks added, leaked items retired — and a benchmark
+    * refresh must not stop the crawl probes consuming the index. The
+    * capped span table lands as a numbered generation, one view repoint
+    * cuts over, and the replaced generation survives a cycle for
+    * in-flight probes (the same posture as the other five persisted
+    * families; this index has no delta layer — a benchmark changes by
+    * rebuild, not by append).
+    */
+  def buildSubstrBenchIndexGen(benchmark: DataFrame, table: String,
+                               n: Int = SpanN,
+                               maxAnchorDocs: Int = SubstrAnchorCap,
+                               maxDocPositions: Int = SubstrPosCap,
+                               buckets: Int = 8): Unit = {
+    val spark = benchmark.sparkSession
+    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
+      write = phys => buildSubstrBenchIndex(benchmark, phys.head, n,
+        maxAnchorDocs, maxDocPositions, buckets))
+  }
+
   /** [[substrDecontaminate]] against a persisted [[buildSubstrBenchIndex]]
-    * table: the index side reads co-located off the bucketed layout (no
+    * table (or a [[buildSubstrBenchIndexGen]] view — `spark.table`
+    * resolves it and the bucket count reads off the serving generation):
+    * the index side reads co-located off the bucketed layout (no
     * shuffle — only the train side exchanges, on the anchor hash), and
     * the train-side position cap is numbering-identical to the one-shot
     * form (per-(h, doc) ranks are independent across anchors, so the

@@ -198,6 +198,38 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr bench index rebuild: a benchmark revision swaps under live probes") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench1 = docs.filter(col("doc_id") % 97 === 0)
+    // the revised suite: a different carve — verdicts must follow it
+    val bench2 = docs.filter(col("doc_id") % 89 === 0)
+    val train = Dedup.withPerturbedCopies(docs)
+      .filter(col("doc_id") >= 1000000L)
+    Dedup.buildSubstrBenchIndexGen(bench1, "substr_bench_gen_test", buckets = 3)
+    try {
+      val v1 = Dedup.substrDecontaminateAgainstIndex(
+          spark, train, "substr_bench_gen_test")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(v1 == Dedup.substrDecontaminate(train, bench1)
+        .as[(Long, Long, Long, Long)].collect().toSeq && v1.nonEmpty)
+      // refresh the suite: one swap, probes now see the new verdicts
+      Dedup.buildSubstrBenchIndexGen(bench2, "substr_bench_gen_test", buckets = 3)
+      val v2 = Dedup.substrDecontaminateAgainstIndex(
+          spark, train, "substr_bench_gen_test")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(v2 == Dedup.substrDecontaminate(train, bench2)
+        .as[(Long, Long, Long, Long)].collect().toSeq && v2.nonEmpty)
+      assert(v1 != v2) // the revision is observable, not a no-op
+      // the replaced generation survives one cycle for in-flight probes
+      assert(spark.catalog.tableExists("substr_bench_gen_test__g1"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS substr_bench_gen_test")
+      (1 to 2).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "substr_bench_gen_test", g))
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
