@@ -556,7 +556,10 @@ object SparkEntry {
     // the index side unshuffled
     "ext_decontaminate_substr_idx" -> ((s, d) => {
       TrainedStore.builtOnce("graft_substr_bench_idx", d) {
-        Dedup.buildSubstrBenchIndex(
+        // generation-swap build like the other persisted families — the
+        // probe resolves the serving generation's bucketed table (and
+        // its bucket count) through the view
+        Dedup.buildSubstrBenchIndexGen(
           docs(s, d).filter(col("doc_id") % 97 === 0),
           "graft_substr_bench_idx")
         ""
