@@ -1930,10 +1930,17 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, trainSpans: DataFrame,
       table: String, n: Int = SpanN,
       maxDocPositions: Int = SubstrPosCap): DataFrame = {
-    val buckets = graft.sources.Bucketing.inheritedBucketCount(spark, table)
+    // resolve the generation ONCE and read bucket count AND data off that
+    // single resolution (the dedupAgainstIndexWith discipline): resolving
+    // the view per-read would let a concurrent benchmark rebuild swap
+    // between them — a rebucketed new generation paired with the OLD
+    // bucket count repartitions the probe to a stale count, and the
+    // mismatch re-shuffles the stored spans on every probe
+    val phys = graft.sources.Bucketing.resolvePhysical(spark, table)
+    val buckets = graft.sources.Bucketing.inheritedBucketCount(spark, phys)
     val okT = posCapped(trainSpans.repartition(buckets, col("h")),
       maxDocPositions)
-    decontOfCapped(okT, spark.table(table), n)
+    decontOfCapped(okT, spark.table(phys), n)
   }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

@@ -205,8 +205,8 @@ class ExtSpec extends SparkSpec {
     val bench2 = docs.filter(col("doc_id") % 89 === 0)
     val train = Dedup.withPerturbedCopies(docs)
       .filter(col("doc_id") >= 1000000L)
-    Dedup.buildSubstrBenchIndexGen(bench1, "substr_bench_gen_test", buckets = 3)
     try {
+      Dedup.buildSubstrBenchIndexGen(bench1, "substr_bench_gen_test", buckets = 3)
       val v1 = Dedup.substrDecontaminateAgainstIndex(
           spark, train, "substr_bench_gen_test")
         .as[(Long, Long, Long, Long)].collect().toSeq
@@ -222,6 +222,20 @@ class ExtSpec extends SparkSpec {
       assert(v1 != v2) // the revision is observable, not a no-op
       // the replaced generation survives one cycle for in-flight probes
       assert(spark.catalog.tableExists("substr_bench_gen_test__g1"))
+      // the THROUGH-THE-VIEW probe carries the same plan contract as the
+      // plain-table pin (the driver's shipped path probes the view): one
+      // anchor-hash exchange — the probe's, at the serving generation's
+      // bucket count — and a bucketed index scan
+      val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = Dedup.substrDecontaminateAgainstIndex(
+            spark, train, "substr_bench_gen_test")
+          .queryExecution.executedPlan.toString
+        assert(p.contains("substr_bench_gen_test__g2"), p)
+        assert("Exchange hashpartitioning\\(h".r.findAllIn(p).length == 1, p)
+        assert(p.contains("Bucketed: true"), p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
     } finally {
       spark.sql("DROP VIEW IF EXISTS substr_bench_gen_test")
       (1 to 2).foreach(g =>
