@@ -1943,6 +1943,108 @@ object Dedup {
     decontOfCapped(okT, spark.table(phys), n)
   }
 
+  /** Streaming exact-substring dedup, LSM-style like [[maintainLshDedup]]:
+    * each micro-batch's documents probe their capped spans against the
+    * persisted corpus span index ([[buildSubstrBenchIndexGen]] — a span
+    * index is a span index, whether the stored corpus is an eval suite or
+    * a crawl) plus the `batch_id=`-partitioned delta of earlier batches'
+    * survivors. A doc sharing even ONE anchor with the visible corpus
+    * shares ≥ n consecutive tokens by construction — the drop verdict
+    * needs no islands pass, just the anchor join. Survivor docs land
+    * under `survivorsPath` and their capped spans under
+    * `{deltaDir}/spans`, so later batches dedup against earlier
+    * survivors; [[compactSubstrIndexGen]] periodically folds the delta
+    * (re-applying the hot-anchor cap over the grown corpus — an anchor
+    * that BECAME boilerplate through appends is suppressed at the fold).
+    * Within-batch twins both survive, like the LSH/Jaccard loops.
+    */
+  def maintainSubstrDedup(stream: DataFrame, table: String, deltaDir: String,
+                          checkpointDir: String, survivorsPath: String,
+                          n: Int = SpanN,
+                          maxDocPositions: Int = SubstrPosCap,
+                          autoCompactAt: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processSubstrBatch(_, _, table, deltaDir, survivorsPath,
+        n, maxDocPositions),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        compactSubstrIfNeeded(s, table, deltaDir, maxUnfolded); ()
+      })
+
+  /** One micro-batch of [[maintainSubstrDedup]], factored out so replay
+    * semantics are directly testable — the [[processLshBatch]] discipline:
+    * survivors and their spans each OVERWRITE their own `batch_id=`
+    * partition, the probe excludes the batch's OWN delta partition, and
+    * matches whose corpus side is a CURRENT-batch doc are excluded from
+    * the dup verdict (a replayed batch whose first delivery was already
+    * compacted into the base must not drop a doc for matching itself).
+    */
+  private[graft] def processSubstrBatch(batch: DataFrame, batchId: Long,
+                                        table: String, deltaDir: String,
+                                        survivorsPath: String, n: Int,
+                                        maxDocPositions: Int): Unit = {
+    val session = batch.sparkSession
+    val b = graft.sources.Bucketing
+    // resolve the generation ONCE (bucket count + base read off it — the
+    // single-resolution discipline under a concurrently folding index)
+    val phys = b.resolvePhysical(session, table)
+    val buckets = b.inheritedBucketCount(session, phys)
+    val (basePart, deltaPart) = b.layerParts(session, phys,
+      Some(s"$deltaDir/spans"), Seq("doc_id", "pos", "h"),
+      excludeBatch = Some(batchId))
+    // batch spans consumed twice (probe + survivor-span append)
+    val (bs, bsIds) = Checkpoints.checkpointTracked(
+      posCapped(spanTable(batch, n).repartition(buckets, col("h")),
+        maxDocPositions))
+    try {
+      val probe = bs.select(col("h"), col("doc_id").as("doc_a"))
+      // base joined SEPARATELY from the delta so the bucketed base reads
+      // co-located (the split-parts discipline all the families share)
+      val dupIds =
+        (probe.join(basePart.select(col("h"), col("doc_id").as("doc_b")), "h")
+          +: deltaPart.map(d => probe.join(
+            d.select(col("h"), col("doc_id").as("doc_b")), "h")).toSeq)
+          .reduce(_ unionByName _)
+          .join(batch.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+            "left_anti")
+          .select(col("doc_a").as("doc_id")).distinct()
+      val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      try {
+        b.writeDeltaPartition(survivors, survivorsPath, batchId)
+        b.writeDeltaPartition(
+          bs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
+          s"$deltaDir/spans", batchId)
+      } finally { survivors.unpersist(blocking = false); () }
+    } finally Checkpoints.releaseTracked(bs, bsIds)
+  }
+
+  /** Generation-swap compaction of the streaming span index: the delta
+    * folds into a new bucketed generation with the hot-anchor cap
+    * RE-APPLIED over the unioned corpus — an anchor that crossed the
+    * boilerplate threshold through appends (base counted it at build
+    * time, each delta batch only saw its own docs) is suppressed here,
+    * restoring the build-time invariant for the folded base.
+    */
+  def compactSubstrIndexGen(spark: org.apache.spark.sql.SparkSession,
+                            table: String, deltaDir: String,
+                            buckets: Int = 8,
+                            maxAnchorDocs: Int = SubstrAnchorCap): Unit =
+    graft.sources.Bucketing.compactLayerGen(spark, table,
+      s"$deltaDir/spans", "h", Seq("doc_id", "pos", "h"), buckets,
+      compact = true,
+      fold = u => u.join(hotAnchors(u, maxAnchorDocs), Seq("h"), "left_anti"))
+
+  /** Threshold-gated [[compactSubstrIndexGen]] — the family's cadence
+    * knob. True only when the watermark advanced.
+    */
+  def compactSubstrIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                            table: String, deltaDir: String,
+                            maxUnfolded: Int, buckets: Int = -1): Boolean =
+    graft.sources.IndexLifecycle.compactIfNeeded(spark, table,
+      s"$deltaDir/spans", maxUnfolded, buckets,
+      compactSubstrIndexGen(spark, table, deltaDir, _))
+
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +
     * idOffset) with its first token dropped. The testdata has no natural
     * near-dups, so dedup behavior is exercised against this construction —

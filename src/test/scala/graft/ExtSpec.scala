@@ -244,6 +244,59 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("streaming substring dedup: probes base ∪ delta, replay-idempotent, twins survive") {
+    val run8a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val run8b = "one two three four five six seven eight"
+    val run8c = "red orange yellow green blue indigo violet ultra"
+    val corpus = Seq(
+      (1L, s"$run8a corpus tail here"),
+      (2L, "totally unrelated corpus words that match nothing else now")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_substr_dedup").toString
+    val surv = s"$dir/survivors"
+    val delta = s"$dir/delta"
+    def process(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Dedup.processSubstrBatch(b, id, "substr_dedup_gen_test", delta, surv,
+        Dedup.SpanN, Dedup.SubstrPosCap)
+    def survivors(batch: Long): Set[Long] =
+      spark.read.parquet(surv).filter(col("batch_id") === batch)
+        .select("doc_id").as[Long].collect().toSet
+    try {
+      Dedup.buildSubstrBenchIndexGen(corpus, "substr_dedup_gen_test", buckets = 3)
+      // batch 1: 100 duplicates corpus doc 1's run -> dropped; 101 fresh
+      val b1 = Seq((100L, s"$run8a different ending"),
+        (101L, s"$run8b fresh tail")).toDF("doc_id", "text")
+      process(b1, 1L)
+      assert(survivors(1L) == Set(101L))
+      // batch 2: 200 duplicates SURVIVOR 101's run — caught via the DELTA
+      val b2 = Seq((200L, s"$run8b stolen from a survivor"),
+        (201L, s"$run8c novel content")).toDF("doc_id", "text")
+      process(b2, 2L)
+      assert(survivors(2L) == Set(201L))
+      // replay of batch 2: the probe excludes its own partition and the
+      // corpus-side guard drops self-matches — identical survivors
+      process(b2, 2L)
+      assert(survivors(2L) == Set(201L))
+      // within-batch twins: both survive (the documented contract)
+      val twins = Seq((300L, "t1 t2 t3 t4 t5 t6 t7 t8 twintail1"),
+        (301L, "t1 t2 t3 t4 t5 t6 t7 t8 twintail2")).toDF("doc_id", "text")
+      process(twins, 3L)
+      assert(survivors(3L) == Set(300L, 301L))
+      // fold, then a duplicate of survivor 101 is caught via the BASE
+      assert(Dedup.compactSubstrIfNeeded(spark, "substr_dedup_gen_test",
+        delta, maxUnfolded = 0))
+      val b4 = Seq((400L, s"$run8b after the fold")).toDF("doc_id", "text")
+      process(b4, 4L)
+      assert(survivors(4L) == Set.empty[Long])
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS substr_dedup_gen_test")
+      (1 to 2).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "substr_dedup_gen_test", g))
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
