@@ -568,6 +568,21 @@ object SparkEntry {
       Dedup.substrDecontaminateAgainstIndexFrom(s,
         perturbedSpans(s, d).filter(!isBench), "graft_substr_bench_idx")
     }),
+    // incremental substring dedup: span-index the FULL corpus once
+    // (capped, bucketed, generation-swapped), probe the "new crawl" (the
+    // perturbed copies) against the stored anchors — one shared anchor
+    // proves a ≥8-token run by construction, so the pair verdict is the
+    // capped anchor join alone (the read side of maintainSubstrDedup; the
+    // probe side feeds from the shared span artifact)
+    "ext_substr_incremental" -> ((s, d) => {
+      TrainedStore.builtOnce("graft_substr_idx_q", d) {
+        Dedup.buildSubstrBenchIndexGen(docs(s, d), "graft_substr_idx_q"); ""
+      }
+      Dedup.substrAgainstIndexFrom(s,
+        perturbedSpans(s, d).filter(col("doc_id") >= 1000000L),
+        "graft_substr_idx_q")
+        .orderBy("doc_id_new", "doc_id_corpus")
+    }),
     // incremental dedup: index the corpus once, probe the "new crawl"
     // (the perturbed half) against the persisted band table
     "ext_dedup_incremental" -> ((s, d) => {
@@ -2959,6 +2974,37 @@ object SparkEntry {
     // is a physical layout knob — the oracle IS the proof the stored
     // path matches one-shot semantics (the ann_lsh_capped precedent)
     "ext_decontaminate_substr_idx" -> substrDecontSql,
+    // anchor-sharing pairs probe vs the full-corpus span index: index
+    // side = originals with hot + position caps (hot counted on the
+    // INDEX side only — the stored-index cap placement), probe side =
+    // perturbed copies with the position cap only (hot suppression is
+    // inherited: capped anchors are absent from the index)
+    "ext_substr_incremental" -> {
+      val n = Dedup.SpanN
+      val cap = Dedup.SubstrAnchorCap
+      val pcap = Dedup.SubstrPosCap
+      s"""WITH sic AS ($PERTURBED_CORPUS),
+         |sitk AS (SELECT doc_id, string_split($NORM, ' ') AS t FROM sic),
+         |sisp AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+         |      i -> struct_pack(pos := i - 1,
+         |        h := ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
+         |    FROM sitk WHERE len(t) >= $n)),
+         |sib AS (SELECT doc_id, h FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
+         |    FROM sisp WHERE doc_id < 1000000 AND h NOT IN (
+         |      SELECT h FROM sisp WHERE doc_id < 1000000 GROUP BY h
+         |      HAVING count(DISTINCT doc_id) > $cap))
+         |  WHERE pn <= $pcap),
+         |sit AS (SELECT doc_id, h FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY h, doc_id ORDER BY pos) AS pn
+         |    FROM sisp WHERE doc_id >= 1000000)
+         |  WHERE pn <= $pcap)
+         |SELECT DISTINCT t.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+         |FROM sit t JOIN sib b USING (h) ORDER BY 1, 2""".stripMargin
+    },
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -1943,6 +1943,78 @@ object Dedup {
     decontOfCapped(okT, spark.table(phys), n)
   }
 
+  /** Split anchor-candidate generation over the two span-index parts (the
+    * [[lshCandidates]] discipline): probe ⋈ (base ∪ delta) computed per
+    * part — a union-then-join would erase the base's bucketing and
+    * re-shuffle the stored spans on every probe; only the delta join
+    * shuffles, delta-sized, a cost compaction resets to zero. Output
+    * (doc_id_new, doc_id_corpus), NOT deduplicated.
+    */
+  private def substrCandidates(base: DataFrame, delta: Option[DataFrame])
+                              (probe: DataFrame): DataFrame = {
+    def cand(corpus: DataFrame): DataFrame =
+      probe.join(corpus.select(col("h"), col("doc_id").as("doc_id_corpus")),
+          "h")
+        .select("doc_id_new", "doc_id_corpus")
+    delta.map(d => cand(base).unionByName(cand(d))).getOrElse(cand(base))
+  }
+
+  /** Anchor-sharing pairs between `newDocs` and the stored corpus of a
+    * [[buildSubstrBenchIndexGen]] span index — the read-only pair-evidence
+    * probe of the substring family: sharing ONE stored anchor proves ≥ n
+    * shared consecutive tokens by construction ([[spanTable]] windows), so
+    * the verdict is the capped anchor join alone, no islands pass. Output
+    * one row per (doc_id_new, doc_id_corpus), distinct. The probe side
+    * takes the position cap only; the hot-anchor suppression is inherited
+    * from the index (build-time anchors past the cap are not stored, so a
+    * boilerplate probe anchor matches nothing) — the
+    * [[substrDecontaminateAgainstIndex]] cap placement.
+    */
+  def substrAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         newDocs: DataFrame, table: String, n: Int = SpanN,
+                         maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrProbeParts(spark, spanTable(newDocs, n), table, None,
+      maxDocPositions)
+
+  /** [[substrAgainstIndex]] over base + delta — the read side of the
+    * [[maintainSubstrDedup]] LSM posture: pairs reflect every compacted
+    * batch plus every not-yet-compacted survivor span in the delta. The
+    * generation is resolved once and bucket count + base read off that
+    * single resolution (the [[dedupAgainstIndexWith]] discipline).
+    */
+  def substrAgainstIndexWith(spark: org.apache.spark.sql.SparkSession,
+                             newDocs: DataFrame, table: String,
+                             deltaDir: String, n: Int = SpanN,
+                             maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrProbeParts(spark, spanTable(newDocs, n), table, Some(deltaDir),
+      maxDocPositions)
+
+  /** [[substrAgainstIndex]] over an already-materialized probe-side
+    * [[spanTable]] — the probe pays only the capped anchor join.
+    */
+  def substrAgainstIndexFrom(spark: org.apache.spark.sql.SparkSession,
+                             newSpans: DataFrame, table: String,
+                             maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrProbeParts(spark, newSpans, table, None, maxDocPositions)
+
+  private def substrProbeParts(spark: org.apache.spark.sql.SparkSession,
+                               newSpans: DataFrame, table: String,
+                               deltaDir: Option[String],
+                               maxDocPositions: Int): DataFrame = {
+    val b = graft.sources.Bucketing
+    val phys = b.resolvePhysical(spark, table)
+    val buckets = b.inheritedBucketCount(spark, phys)
+    val (base, delta) = b.layerParts(spark, phys,
+      deltaDir.map(d => s"$d/spans"), Seq("doc_id", "pos", "h"))
+    // bucket-matched probe exchange: satisfies the cap window AND
+    // co-partitions the join against the bucketed scan (see
+    // substrDecontaminateAgainstIndexFrom)
+    val probe = posCapped(newSpans.repartition(buckets, col("h")),
+        maxDocPositions)
+      .select(col("h"), col("doc_id").as("doc_id_new"))
+    substrCandidates(base, delta)(probe).distinct()
+  }
+
   /** Streaming exact-substring dedup, LSM-style like [[maintainLshDedup]]:
     * each micro-batch's documents probe their capped spans against the
     * persisted corpus span index ([[buildSubstrBenchIndexGen]] — a span
@@ -1998,17 +2070,13 @@ object Dedup {
       posCapped(spanTable(batch, n).repartition(buckets, col("h")),
         maxDocPositions))
     try {
-      val probe = bs.select(col("h"), col("doc_id").as("doc_a"))
+      val probe = bs.select(col("h"), col("doc_id").as("doc_id_new"))
       // base joined SEPARATELY from the delta so the bucketed base reads
       // co-located (the split-parts discipline all the families share)
-      val dupIds =
-        (probe.join(basePart.select(col("h"), col("doc_id").as("doc_b")), "h")
-          +: deltaPart.map(d => probe.join(
-            d.select(col("h"), col("doc_id").as("doc_b")), "h")).toSeq)
-          .reduce(_ unionByName _)
-          .join(batch.select(col("doc_id").as("doc_b")), Seq("doc_b"),
-            "left_anti")
-          .select(col("doc_a").as("doc_id")).distinct()
+      val dupIds = substrCandidates(basePart, deltaPart)(probe)
+        .join(batch.select(col("doc_id").as("doc_id_corpus")),
+          Seq("doc_id_corpus"), "left_anti")
+        .select(col("doc_id_new").as("doc_id")).distinct()
       val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
       try {
         b.writeDeltaPartition(survivors, survivorsPath, batchId)
@@ -2044,6 +2112,52 @@ object Dedup {
     graft.sources.IndexLifecycle.compactIfNeeded(spark, table,
       s"$deltaDir/spans", maxUnfolded, buckets,
       compactSubstrIndexGen(spark, table, deltaDir, _))
+
+  /** Streaming decontamination gate over a fixed benchmark span index
+    * ([[buildSubstrBenchIndexGen]]): each micro-batch of crawl documents
+    * splits into CLEAN docs (no ≥ n-token run shared with any benchmark
+    * doc) under `cleanPath` and QUARANTINED docs under `quarantinePath`,
+    * the latter carrying the [[substrDecontaminateAgainstIndex]] verdict
+    * columns (longest_run, contaminated_tokens, n_bench_docs) for audit.
+    * Unlike [[maintainSubstrDedup]] the index never grows — an eval suite
+    * changes by [[buildSubstrBenchIndexGen]] rebuild (picked up by the
+    * next batch through the view), not by append — so this loop has no
+    * delta or compaction half. Both outputs overwrite their own
+    * `batch_id=` partition, so checkpoint replay is idempotent.
+    */
+  def gateSubstrDecontaminated(stream: DataFrame, table: String,
+                               checkpointDir: String, cleanPath: String,
+                               quarantinePath: String, n: Int = SpanN,
+                               maxDocPositions: Int = SubstrPosCap)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processDecontGate(_, _, table, cleanPath, quarantinePath,
+        n, maxDocPositions))
+
+  /** One micro-batch of [[gateSubstrDecontaminated]], factored out so the
+    * split and replay semantics are directly testable. Documents shorter
+    * than n tokens have no spans and pass clean by construction.
+    */
+  private[graft] def processDecontGate(batch: DataFrame, batchId: Long,
+                                       table: String, cleanPath: String,
+                                       quarantinePath: String, n: Int,
+                                       maxDocPositions: Int): Unit = {
+    val session = batch.sparkSession
+    val b = graft.sources.Bucketing
+    // verdicts consumed twice (quarantine join + clean anti-join):
+    // compute once — the probe's anchor join must not run twice
+    val (verdicts, vIds) = Checkpoints.checkpointTracked(
+      substrDecontaminateAgainstIndex(session, batch, table, n,
+        maxDocPositions))
+    try {
+      b.writeDeltaPartition(
+        batch.join(verdicts, Seq("doc_id"), "inner"), quarantinePath,
+        batchId)
+      b.writeDeltaPartition(
+        batch.join(verdicts.select("doc_id"), Seq("doc_id"), "left_anti"),
+        cleanPath, batchId)
+    } finally Checkpoints.releaseTracked(verdicts, vIds)
+  }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +
     * idOffset) with its first token dropped. The testdata has no natural

@@ -297,6 +297,90 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr incremental probe: exact anchor pairs, bucket-matched plan") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "m n o p q r s t u v"),
+      (3L, "these corpus words match nothing in any probe text today")
+    ).toDF("doc_id", "text")
+    try {
+      Dedup.buildSubstrBenchIndexGen(corpus, "substr_inc_idx_test",
+        buckets = 3)
+      val probes = Seq(
+        // contains corpus 1's full run mid-doc → (100, 1)
+        (100L, "x y a b c d e f g h i j"),
+        // 8-token prefix of corpus 2 → (101, 2)
+        (101L, "m n o p q r s t"),
+        (102L, "totally novel probe text with no shared runs at all")
+      ).toDF("doc_id", "text")
+      val got = Dedup.substrAgainstIndex(spark, probes, "substr_inc_idx_test")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 1L), (101L, 2L)), got.toString)
+      // plan pin (the persisted-decontamination contract): ONE
+      // anchor-hash exchange — the probe's, at the index's own bucket
+      // count — and the index scan reads bucketed; the distinct's pair
+      // exchange is not on h
+      val thresholdBefore =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = Dedup.substrAgainstIndex(spark, probes, "substr_inc_idx_test")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning\\(h".r.findAllIn(p).length == 1, p)
+        assert(p.contains("Bucketed: true"), p)
+        assert(!p.contains("SinglePartition"), p)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoop"), p)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS substr_inc_idx_test")
+      (1 to 1).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "substr_inc_idx_test", g))
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("streaming decontamination gate: clean/quarantine split, replay-idempotent") {
+    val bench = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_decont_gate").toString
+    val clean = s"$dir/clean"
+    val quar = s"$dir/quarantine"
+    try {
+      Dedup.buildSubstrBenchIndexGen(bench, "substr_gate_idx_test",
+        buckets = 2)
+      val b1 = Seq(
+        // 10-token benchmark run mid-doc → quarantined with the verdict
+        (100L, "x a b c d e f g h i j y"),
+        (101L, "clean words that overlap no benchmark content at all"),
+        (102L, "too short")             // < n tokens → clean by construction
+      ).toDF("doc_id", "text")
+      Dedup.processDecontGate(b1, 1L, "substr_gate_idx_test", clean, quar,
+        Dedup.SpanN, Dedup.SubstrPosCap)
+      def ids(path: String): Set[Long] =
+        spark.read.parquet(path).filter(col("batch_id") === 1L)
+          .select("doc_id").as[Long].collect().toSet
+      assert(ids(clean) == Set(101L, 102L))
+      val q = spark.read.parquet(quar).filter(col("batch_id") === 1L)
+        .select("doc_id", "longest_run", "contaminated_tokens",
+          "n_bench_docs")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(q == Seq((100L, 10L, 10L, 1L)), q.toString)
+      // quarantined rows keep their text for audit
+      assert(spark.read.parquet(quar).columns.contains("text"))
+      // replay: both outputs overwrite their own partition — identical
+      Dedup.processDecontGate(b1, 1L, "substr_gate_idx_test", clean, quar,
+        Dedup.SpanN, Dedup.SubstrPosCap)
+      assert(ids(clean) == Set(101L, 102L) && ids(quar) == Set(100L))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS substr_gate_idx_test")
+      (1 to 1).foreach(g =>
+        graft.sources.Bucketing.dropGeneration(spark, "substr_gate_idx_test", g))
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")

@@ -1545,11 +1545,11 @@ class RecoverySpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${name}_cnt__g1"))
   }
 
-  test("lifecycle matrix: serve/delta/fold-under-serve/GC/orphan across all five families") {
+  test("lifecycle matrix: serve/delta/fold-under-serve/GC/orphan across all six families") {
     // ONE parametrized run of the generation-swap lifecycle legs over
     // every family that builds on sources.IndexLifecycle — LSH bands,
     // exact-Jaccard prefix, fuzzy dictionary, BM25 postings, IVF
-    // postings. The per-family tests above pin each family's SHARP
+    // postings, substring span anchors. The per-family tests above pin each family's SHARP
     // semantics (watermark holdback, tid renumbering, cap inheritance,
     // radius identity); this matrix pins the shared skeleton's contract
     // uniformly, including the leg none of them covered: CRASH-ORPHAN
@@ -1669,6 +1669,18 @@ class RecoverySpec extends SparkSpec {
             .select(col("vec_id"), col("neighbor_id"))),
           () => Similarity.compactIvfIndexGen(spark, t, d, 8,
             Similarity.InheritMaxBucket))
+      }, {
+        // the sixth family (round 19): the substring span index — batches
+        // append through the streaming loop's batch body, probes read the
+        // anchor-sharing pair evidence over base ∪ delta. The LSH corpora
+        // are reused: each 8-token doc is exactly ONE span anchor
+        val t = "graft_mx_substr"; val d = s"$root/substr"
+        Fam("substr", t, s"$d/spans",
+          () => Dedup.buildSubstrBenchIndexGen(lshDocs, t, buckets = 2),
+          i => Dedup.processSubstrBatch(lshB(i.toInt).toDF("doc_id", "text"),
+            i, t, d, s"$root/substr_sv", Dedup.SpanN, Dedup.SubstrPosCap),
+          () => pairs(Dedup.substrAgainstIndexWith(spark, lshProbes, t, d)),
+          () => Dedup.compactSubstrIndexGen(spark, t, d, buckets = 2))
       })
 
     fams.foreach { f =>
