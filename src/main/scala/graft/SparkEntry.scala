@@ -239,6 +239,18 @@ object SparkEntry {
     "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
+    // UT1-style blocklist verdicts with suffix matching ENGAGED: the ad
+    // hosts (every 5th doc) are blocked via their PARENT domain, site7
+    // (doc_id % 50 == 7) via exact host; the third entry never matches.
+    // The blocklist is a literal dim — broadcast by construction
+    "ext_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      Curation.domainBlocklist(
+        Curation.withAdUrlsInjected(docs(s, d)),
+        Seq("ads.example.net", "site7.example.org", "never.example.io")
+          .toDF("domain"))
+        .orderBy("doc_id")
+    }),
     // co-citation domain PageRank, 2 iterations of exact ppm fixed point
     "ext_domain_rank" -> ((s, d) =>
       Graphs.domainRank(Curation.withUrlsInjected(docs(s, d)))),
@@ -2329,6 +2341,44 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
+    // suffix-chain blocklist: each host explodes into its ≥2-label
+    // suffixes, the blocklist joins on the exact suffix (host-less and
+    // single-label rows keep one NULL-suffix row so link counts survive,
+    // mirroring explode_outer)
+    "ext_domain_blocklist" ->
+      """WITH dbl(domain) AS (SELECT unnest(
+        |    ['ads.example.net', 'site7.example.org', 'never.example.io'])),
+        |dbc AS (SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 50) || '.example.org/p' ||
+        |    (doc_id % 7) || ' and http://mirror' || (doc_id % 3) || '.example.com/x' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ad https://cdn' || (doc_id % 4)
+        |      || '.ads.example.net/t' ELSE '' END AS text
+        |  FROM documents),
+        |dbh AS (SELECT doc_id, o.li AS li, o.host AS host FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(hs) = 0
+        |        THEN [struct_pack(li := CAST(NULL AS BIGINT),
+        |                          host := CAST(NULL AS VARCHAR))]
+        |        ELSE list_transform(range(1, len(hs) + 1),
+        |          i -> struct_pack(li := i, host := hs[i])) END) AS o
+        |    FROM (SELECT doc_id,
+        |        regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1) AS hs
+        |      FROM dbc))),
+        |dbsx AS (SELECT doc_id, li, unnest(
+        |    CASE WHEN host IS NULL OR len(string_split(host, '.')) < 2
+        |      THEN [CAST(NULL AS VARCHAR)]
+        |      ELSE list_transform(range(1, len(string_split(host, '.'))),
+        |        i -> array_to_string(string_split(host, '.')[i:], '.')) END) AS sfx
+        |  FROM dbh),
+        |dbm AS (SELECT s.doc_id, s.li, b.domain
+        |  FROM dbsx s LEFT JOIN dbl b ON s.sfx = b.domain)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT li) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT li) FILTER (WHERE domain IS NOT NULL) AS BIGINT)
+        |    AS n_blocked_urls,
+        |  coalesce(string_agg(DISTINCT domain, ',' ORDER BY domain)
+        |    FILTER (WHERE domain IS NOT NULL), '') AS blocked_domains,
+        |  count(DISTINCT li) FILTER (WHERE domain IS NOT NULL) = 0 AS keep
+        |FROM dbm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // PageRank unrolled to 2 iterations: ppm floor-division fixed point is
     // engine-exact, so the ranks hash-match with no float tolerance
     "ext_domain_rank" ->

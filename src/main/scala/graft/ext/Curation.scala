@@ -862,6 +862,67 @@ object Curation {
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_links"))
 
+  /** UT1-style domain blocklist verdicts (the URL filtering step of
+    * RefinedWeb §3.1 / C4): a document is flagged when ANY URL it cites
+    * resolves to a blocked domain or a SUBDOMAIN of one —
+    * "ads.example.net" blocks "cdn1.ads.example.net". Suffix matching is
+    * expressed as an equi-join, never a LIKE scan: each host explodes
+    * into its ≥2-label suffix chain (bounded by the host's label count,
+    * ≤ ~6 for real hosts) and the blocklist joins on the exact suffix.
+    * Per doc: cited URL count, blocked URL count, the distinct blocked
+    * domains hit (sorted, for the rejection-mix monitoring signal), and
+    * `keep` = no blocked citation. Docs citing no URLs pass clean.
+    *
+    * Scale shape: extraction + suffix explode are one narrow pass;
+    * blocklists are dimension-sized (UT1 ≈ 4M rows), so the match is a
+    * BROADCAST semi-ish join and the corpus shuffles exactly once — the
+    * per-doc aggregate. Link identity rides the posexplode index, so
+    * repeated citations count per citation without a distinct pass over
+    * URL strings.
+    */
+  def domainBlocklist(documents: DataFrame, blocked: DataFrame): DataFrame = {
+    val links = documents.select(col("doc_id"),
+      posexplode_outer(
+        regexp_extract_all(col("text"), lit(UrlDomainRe), lit(1))))
+      .toDF("doc_id", "li", "host")
+    // single-label hosts have no ≥2-label suffix and can never match a
+    // blocklist domain, but their LINK still counts: the guarded branch
+    // keeps explode_outer emitting one null-suffix row (and dodges
+    // sequence(0, -1)'s descending surprise feeding 1-based slice)
+    val chain = links.withColumn("labels", split(col("host"), "\\."))
+      .select(col("doc_id"), col("li"),
+        explode_outer(expr(
+          """CASE WHEN size(labels) >= 2 THEN
+            |  transform(sequence(0, size(labels) - 2),
+            |    i -> array_join(slice(labels, i + 1, size(labels) - i), '.'))
+            |ELSE array() END""".stripMargin)).as("sfx"))
+    chain
+      .join(broadcast(blocked.select(col("domain").as("sfx"))
+        .withColumn("hit", lit(1))), Seq("sfx"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("li")).as("n_urls"),
+        countDistinct(when(col("hit") === 1, col("li"))).as("n_blocked_urls"),
+        // comma-joined sorted string, not an array: engine-portable and
+        // directly greppable in rejection audits
+        concat_ws(",", sort_array(collect_set(when(col("hit") === 1,
+          col("sfx"))))).as("blocked_domains"))
+      .withColumn("keep", col("n_blocked_urls") === 0)
+  }
+
+  /** [[withUrlsInjected]] plus an ad-network citation on every fifth doc —
+    * a host whose BLOCKED domain is its parent (cdn{k}.ads.example.net ⊂
+    * ads.example.net), so blocklist tests exercise suffix matching, not
+    * just host equality.
+    */
+  def withAdUrlsInjected(documents: DataFrame): DataFrame =
+    withUrlsInjected(documents).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ad https://cdn"), (col("doc_id") % 4).cast("string"),
+            lit(".ads.example.net/t"))).otherwise(lit(""))).as("text"))
+
   /** Token-budget packing: per source (the stratum), docs are admitted in
     * doc_id order until the stratum's running token total exceeds the
     * budget — the "cap each domain's contribution" step of corpus mixing.

@@ -381,6 +381,38 @@ class ExtSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("domain blocklist: suffix match exact, link counts, no-URL/single-label edges") {
+    val docs = Seq(
+      // subdomain of a blocked domain → suffix hit; the second URL clean
+      (1L, "see https://cdn1.ads.example.net/x and https://ok.example.org/y"),
+      (2L, "https://site7.example.org/p only"),           // exact host hit
+      (3L, "clean https://plain.example.com/z text"),
+      (4L, "no links at all here"),                       // zero URLs: keep
+      (5L, "http://localhost/x single label host"),       // no ≥2-label sfx
+      // the same blocked host cited twice counts per citation
+      (6L, "https://ads.example.net/a twice https://ads.example.net/b"),
+      // blocked domain as a NON-suffix substring must not match
+      (7L, "https://ads.example.net.evil.com/t not a suffix")
+    ).toDF("doc_id", "text")
+    val blocked = Seq("ads.example.net", "site7.example.org").toDF("domain")
+    val out = graft.ext.Curation.domainBlocklist(docs, blocked)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "ads.example.net", false),
+      (2L, 1L, 1L, "site7.example.org", false),
+      (3L, 1L, 0L, "", true),
+      (4L, 0L, 0L, "", true),
+      (5L, 1L, 0L, "", true),
+      (6L, 2L, 2L, "ads.example.net", false),
+      (7L, 1L, 0L, "", true)), out.toString)
+    // the blocklist side broadcasts; the corpus never sort-merge-joins
+    val p = graft.ext.Curation.domainBlocklist(docs, blocked)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
