@@ -567,16 +567,17 @@ object SparkEntry {
     // table builds ONCE bucketed by anchor, every crawl probes it with
     // the index side unshuffled
     "ext_decontaminate_substr_idx" -> ((s, d) => {
+      val isBench = (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)
       TrainedStore.builtOnce("graft_substr_bench_idx", d) {
         // generation-swap build like the other persisted families — the
         // probe resolves the serving generation's bucketed table (and
-        // its bucket count) through the view
-        Dedup.buildSubstrBenchIndexGen(
-          docs(s, d).filter(col("doc_id") % 97 === 0),
-          "graft_substr_bench_idx")
+        // its bucket count) through the view; the build feeds from the
+        // SHARED span artifact (its benchmark filter), not a fresh
+        // corpus tokenize
+        Dedup.buildSubstrBenchIndexGenFromSpans(
+          perturbedSpans(s, d).filter(isBench), "graft_substr_bench_idx")
         ""
       }
-      val isBench = (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)
       Dedup.substrDecontaminateAgainstIndexFrom(s,
         perturbedSpans(s, d).filter(!isBench), "graft_substr_bench_idx")
     }),
@@ -588,7 +589,12 @@ object SparkEntry {
     // probe side feeds from the shared span artifact)
     "ext_substr_incremental" -> ((s, d) => {
       TrainedStore.builtOnce("graft_substr_idx_q", d) {
-        Dedup.buildSubstrBenchIndexGen(docs(s, d), "graft_substr_idx_q"); ""
+        // both build and probe feed from the shared span artifact: the
+        // original half indexes, the perturbed half probes
+        Dedup.buildSubstrBenchIndexGenFromSpans(
+          perturbedSpans(s, d).filter(col("doc_id") < 1000000L),
+          "graft_substr_idx_q")
+        ""
       }
       Dedup.substrAgainstIndexFrom(s,
         perturbedSpans(s, d).filter(col("doc_id") >= 1000000L),

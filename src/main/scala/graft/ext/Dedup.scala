@@ -1056,10 +1056,23 @@ object Dedup {
     * deduplicated (callers `distinct()` after any further composition).
     */
   private def lshCandidates(base: DataFrame, delta: Option[DataFrame])
-                           (bands: DataFrame): DataFrame = {
+                           (bands: DataFrame): DataFrame =
+    splitPartsCandidates("bkey", base, delta)(bands)
+
+  /** The ONE split-parts probe join behind [[lshCandidates]] and
+    * [[substrCandidates]]: probe ⋈ (base ∪ delta) computed per part — a
+    * union-then-join would erase the base's bucketing and re-shuffle the
+    * stored index on every probe; only the delta join shuffles,
+    * delta-sized, a cost compaction resets to zero. Probe carries
+    * (`key`, doc_id_new); output (doc_id_new, doc_id_corpus), NOT
+    * deduplicated.
+    */
+  private def splitPartsCandidates(key: String, base: DataFrame,
+                                   delta: Option[DataFrame])
+                                  (probe: DataFrame): DataFrame = {
     def cand(corpus: DataFrame): DataFrame =
-      bands.join(corpus.select(col("bkey"), col("doc_id").as("doc_id_corpus")),
-          "bkey")
+      probe.join(corpus.select(col(key), col("doc_id").as("doc_id_corpus")),
+          key)
         .select("doc_id_new", "doc_id_corpus")
     delta.map(d => cand(base).unionByName(cand(d))).getOrElse(cand(base))
   }
@@ -1813,7 +1826,7 @@ object Dedup {
     val okB = cappedSpans(sbH, hot, maxDocPositions)
     val stH = trainSpans.repartition(col("h"))
     val okT = cappedSpans(stH, hot, maxDocPositions)
-    decontOfCapped(okT, okB, n)
+    decontOfCapped(okT, okB, n).orderBy("doc_id")
   }
 
   /** The shared probe tail of the one-shot and persisted-index
@@ -1852,7 +1865,6 @@ object Dedup {
           |      r.e - greatest(a.e, r.s - 1))),
           |  a -> a.tot)""".stripMargin))
       .select("doc_id", "longest_run", "contaminated_tokens", "n_bench_docs")
-      .orderBy("doc_id")
   }
 
   /** Persist the benchmark's CAPPED span table bucketed by the anchor
@@ -1870,12 +1882,23 @@ object Dedup {
                             maxDocPositions: Int = SubstrPosCap,
                             buckets: Int = 8): Unit = {
     val (sb, sbIds) = checkpointTracked(spanTable(benchmark, n))
-    try {
-      val sbH = sb.repartition(col("h"))
-      graft.sources.Bucketing.writeBucketed(
-        cappedSpans(sbH, hotAnchors(sbH, maxAnchorDocs), maxDocPositions),
-        table, "h", buckets)
-    } finally Checkpoints.releaseTracked(sb, sbIds)
+    try buildSubstrBenchIndexFromSpans(sb, table, maxAnchorDocs,
+      maxDocPositions, buckets)
+    finally Checkpoints.releaseTracked(sb, sbIds)
+  }
+
+  /** [[buildSubstrBenchIndex]] over an already-materialized [[spanTable]]
+    * — no internal checkpoint: the caller's artifact is the guard against
+    * the build's double consumption (hot aggregate + capped write side).
+    */
+  def buildSubstrBenchIndexFromSpans(spans: DataFrame, table: String,
+                                     maxAnchorDocs: Int = SubstrAnchorCap,
+                                     maxDocPositions: Int = SubstrPosCap,
+                                     buckets: Int = 8): Unit = {
+    val sbH = spans.repartition(col("h"))
+    graft.sources.Bucketing.writeBucketed(
+      cappedSpans(sbH, hotAnchors(sbH, maxAnchorDocs), maxDocPositions),
+      table, "h", buckets)
   }
 
   /** [[buildSubstrBenchIndex]] behind the generation-swap lifecycle
@@ -1896,6 +1919,20 @@ object Dedup {
     val spark = benchmark.sparkSession
     graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
       write = phys => buildSubstrBenchIndex(benchmark, phys.head, n,
+        maxAnchorDocs, maxDocPositions, buckets))
+  }
+
+  /** [[buildSubstrBenchIndexGen]] over an already-materialized
+    * [[spanTable]] — for callers holding a shared span artifact that
+    * would otherwise be re-tokenized by the build's own corpus scan.
+    */
+  def buildSubstrBenchIndexGenFromSpans(spans: DataFrame, table: String,
+                                        maxAnchorDocs: Int = SubstrAnchorCap,
+                                        maxDocPositions: Int = SubstrPosCap,
+                                        buckets: Int = 8): Unit = {
+    val spark = spans.sparkSession
+    graft.sources.IndexLifecycle.buildGeneration(spark, Seq(table),
+      write = phys => buildSubstrBenchIndexFromSpans(spans, phys.head,
         maxAnchorDocs, maxDocPositions, buckets))
   }
 
@@ -1929,7 +1966,18 @@ object Dedup {
   def substrDecontaminateAgainstIndexFrom(
       spark: org.apache.spark.sql.SparkSession, trainSpans: DataFrame,
       table: String, n: Int = SpanN,
-      maxDocPositions: Int = SubstrPosCap): DataFrame = {
+      maxDocPositions: Int = SubstrPosCap): DataFrame =
+    decontAgainstIndexSpans(spark, trainSpans, table, n, maxDocPositions)
+      .orderBy("doc_id")
+
+  /** The sort-free core of [[substrDecontaminateAgainstIndexFrom]] — the
+    * streaming gate consumes verdicts through hash joins that re-shuffle
+    * anyway, so its per-batch hot path must not pay the public entry
+    * points' deterministic orderBy.
+    */
+  private[graft] def decontAgainstIndexSpans(
+      spark: org.apache.spark.sql.SparkSession, trainSpans: DataFrame,
+      table: String, n: Int, maxDocPositions: Int): DataFrame = {
     // resolve the generation ONCE and read bucket count AND data off that
     // single resolution (the dedupAgainstIndexWith discipline): resolving
     // the view per-read would let a concurrent benchmark rebuild swap
@@ -1943,21 +1991,12 @@ object Dedup {
     decontOfCapped(okT, spark.table(phys), n)
   }
 
-  /** Split anchor-candidate generation over the two span-index parts (the
-    * [[lshCandidates]] discipline): probe ⋈ (base ∪ delta) computed per
-    * part — a union-then-join would erase the base's bucketing and
-    * re-shuffle the stored spans on every probe; only the delta join
-    * shuffles, delta-sized, a cost compaction resets to zero. Output
-    * (doc_id_new, doc_id_corpus), NOT deduplicated.
+  /** Anchor-candidate generation over the two span-index parts — the
+    * substring instance of [[splitPartsCandidates]].
     */
   private def substrCandidates(base: DataFrame, delta: Option[DataFrame])
-                              (probe: DataFrame): DataFrame = {
-    def cand(corpus: DataFrame): DataFrame =
-      probe.join(corpus.select(col("h"), col("doc_id").as("doc_id_corpus")),
-          "h")
-        .select("doc_id_new", "doc_id_corpus")
-    delta.map(d => cand(base).unionByName(cand(d))).getOrElse(cand(base))
-  }
+                              (probe: DataFrame): DataFrame =
+    splitPartsCandidates("h", base, delta)(probe)
 
   /** Anchor-sharing pairs between `newDocs` and the stored corpus of a
     * [[buildSubstrBenchIndexGen]] span index — the read-only pair-evidence
@@ -2145,9 +2184,10 @@ object Dedup {
     val session = batch.sparkSession
     val b = graft.sources.Bucketing
     // verdicts consumed twice (quarantine join + clean anti-join):
-    // compute once — the probe's anchor join must not run twice
+    // compute once — the probe's anchor join must not run twice; the
+    // sort-free core, because both consumers re-shuffle on doc_id
     val (verdicts, vIds) = Checkpoints.checkpointTracked(
-      substrDecontaminateAgainstIndex(session, batch, table, n,
+      decontAgainstIndexSpans(session, spanTable(batch, n), table, n,
         maxDocPositions))
     try {
       b.writeDeltaPartition(

@@ -335,16 +335,14 @@ class ExtSpec extends SparkSpec {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
     } finally {
       spark.sql("DROP VIEW IF EXISTS substr_inc_idx_test")
-      (1 to 1).foreach(g =>
-        graft.sources.Bucketing.dropGeneration(spark, "substr_inc_idx_test", g))
+      graft.sources.Bucketing.dropGeneration(spark, "substr_inc_idx_test", 1)
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
   test("streaming decontamination gate: clean/quarantine split, replay-idempotent") {
     val bench = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_decont_gate").toString
+    val dir = managedTempDir("graft_decont_gate")
     val clean = s"$dir/clean"
     val quar = s"$dir/quarantine"
     try {
@@ -375,8 +373,7 @@ class ExtSpec extends SparkSpec {
       assert(ids(clean) == Set(101L, 102L) && ids(quar) == Set(100L))
     } finally {
       spark.sql("DROP VIEW IF EXISTS substr_gate_idx_test")
-      (1 to 1).foreach(g =>
-        graft.sources.Bucketing.dropGeneration(spark, "substr_gate_idx_test", g))
+      graft.sources.Bucketing.dropGeneration(spark, "substr_gate_idx_test", 1)
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
