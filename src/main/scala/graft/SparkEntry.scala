@@ -40,6 +40,16 @@ object SparkEntry {
     TrainedStore.cached(s, s"substr-spans:$dir:n=${Dedup.SpanN}:perturbed")(
       Dedup.spanTable(Dedup.withPerturbedCopies(docs(s, dir))))
 
+  /** One level up from [[perturbedSpans]]: the capped shared-run islands
+    * over the same corpus, the artifact BOTH `ext_substr_dups` and
+    * `ext_substr_apply` consume (their tails are candidate-sized
+    * aggregates — recomputing the anchor self-join per query was half of
+    * each one's cost, the same story the shared span table closed).
+    */
+  private def perturbedIslands(s: SparkSession, dir: String) =
+    TrainedStore.cached(s, s"substr-islands:$dir:n=${Dedup.SpanN}:perturbed")(
+      Dedup.substrRunIslands(perturbedSpans(s, dir)))
+
   /** Deterministic total sort for CONSTANT-size outputs (O(queries) or
     * O(k×dims) rows, independent of corpus size): coalesce to one
     * partition, then sort within it — row order is identical to
@@ -540,14 +550,15 @@ object SparkEntry {
     // pair shares one long run; boilerplate anchors and within-doc
     // positional repetition are both capped
     "ext_substr_dups" -> ((s, d) =>
-      Dedup.substrDupsFrom(perturbedSpans(s, d))),
+      Dedup.substrDupsFromIslands(perturbedIslands(s, d))),
     // the suppression APPLY step (Lee et al.'s pipeline workhorse): cut
     // every duplicated run from the younger doc of each pair and emit the
     // cleaned corpus — the perturbed copies lose their shared runs, the
-    // originals keep their text
+    // originals keep their text; islands consumed from the shared
+    // artifact, like the pair query above
     "ext_substr_apply" -> ((s, d) =>
-      Dedup.substrApplyFrom(Dedup.withPerturbedCopies(docs(s, d)),
-        perturbedSpans(s, d))),
+      Dedup.substrApplyFromIslands(Dedup.withPerturbedCopies(docs(s, d)),
+        perturbedIslands(s, d))),
     // substring-level decontamination: benchmark = the % 97 originals
     // (the Curation.decontaminate carve), train = everything else incl.
     // each benchmark doc's perturbed twin — the twins are the

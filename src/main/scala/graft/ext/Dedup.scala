@@ -1665,10 +1665,14 @@ object Dedup {
   /** Maximal shared-run islands within ONE corpus — the candidate core
     * of [[substrDups]] (pair evidence) and [[substrApply]] (run
     * suppression): capped self-join on the anchor, then [[runIslandsOf]].
+    * Public because it is the natural per-corpus ARTIFACT between the two
+    * consumers (the [[spanTable]] precedent, one level up): computing the
+    * islands once and feeding both tails halves the shared cost — the
+    * tails are candidate-sized aggregates.
     */
-  private def substrRunIslands(spans: DataFrame, n: Int,
-                               maxAnchorDocs: Int,
-                               maxDocPositions: Int): DataFrame = {
+  def substrRunIslands(spans: DataFrame, n: Int = SpanN,
+                       maxAnchorDocs: Int = SubstrAnchorCap,
+                       maxDocPositions: Int = SubstrPosCap): DataFrame = {
     // ONE corpus-sized exchange, hash on the anchor: the hot aggregate
     // (groupBy h), the anti join, the per-(h, doc) position-cap window
     // (ClusteredDistribution's subset rule — hash(h) co-locates every
@@ -1704,7 +1708,14 @@ object Dedup {
   def substrDupsFrom(spans: DataFrame, n: Int = SpanN,
                      maxAnchorDocs: Int = SubstrAnchorCap,
                      maxDocPositions: Int = SubstrPosCap): DataFrame =
-    substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
+    substrDupsFromIslands(
+      substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions))
+
+  /** [[substrDups]]' aggregate tail over an already-materialized
+    * [[substrRunIslands]] frame.
+    */
+  def substrDupsFromIslands(islands: DataFrame): DataFrame =
+    islands
       .groupBy("doc_a", "doc_b")
       .agg(max("run_len").as("longest_run"),
         count(lit(1)).as("n_runs"),
@@ -1761,8 +1772,15 @@ object Dedup {
   def substrApplyFrom(documents: DataFrame, spans: DataFrame,
                       n: Int = SpanN,
                       maxAnchorDocs: Int = SubstrAnchorCap,
-                      maxDocPositions: Int = SubstrPosCap): DataFrame = {
-    val islands = substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions)
+                      maxDocPositions: Int = SubstrPosCap): DataFrame =
+    substrApplyFromIslands(documents,
+      substrRunIslands(spans, n, maxAnchorDocs, maxDocPositions))
+
+  /** [[substrApply]]'s suppression tail over an already-materialized
+    * [[substrRunIslands]] frame.
+    */
+  def substrApplyFromIslands(documents: DataFrame,
+                             islands: DataFrame): DataFrame = {
     // the younger doc of each pair loses the run: token range
     // [pb_start, pb_start + run_len - 1] in doc_b
     val merged = mergeRanges(islands.select(col("doc_b").as("doc_id"),
