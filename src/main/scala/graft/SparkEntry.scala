@@ -50,6 +50,16 @@ object SparkEntry {
     TrainedStore.cached(s, s"substr-islands:$dir:n=${Dedup.SpanN}:perturbed")(
       Dedup.substrRunIslands(perturbedSpans(s, dir)))
 
+  /** The per-corpus positional token stream (token, doc_id, pos) —
+    * shared by the phrase and hybrid retrieval queries, which otherwise
+    * each re-tokenize the corpus per rep (the production shape is a
+    * persisted positional index; `ext_bm25_topk` / `ext_phrase_capped`
+    * keep pricing full one-shot pipelines per the family policy).
+    */
+  private def positionalStream(s: SparkSession, dir: String) =
+    TrainedStore.cached(s, s"positional:$dir")(
+      Retrieval.positionalPostings(docs(s, dir)))
+
   /** Deterministic total sort for CONSTANT-size outputs (O(queries) or
     * O(k×dims) rows, independent of corpus size): coalesce to one
     * partition, then sort within it — row order is identical to
@@ -306,12 +316,16 @@ object SparkEntry {
       Retrieval.searchBm25Index(s, "graft_bm25_persisted_q",
         Retrieval.bm25Queries(docs(s, d))).orderBy("query_id", "rank")
     }),
-    // hybrid search: BM25 + embedding-cosine lists fused by integer RRF
+    // hybrid search: BM25 + embedding-cosine lists fused by integer RRF;
+    // the lexical side feeds from the shared positional artifact
     "ext_hybrid_rrf" -> ((s, d) =>
-      Retrieval.hybridRrf(docs(s, d), emb(s, d)).orderBy("query_id", "rank")),
-    // exact phrase occurrences via the positional-index re-base algorithm
+      Retrieval.hybridRrfFrom(positionalStream(s, d), docs(s, d), emb(s, d))
+        .orderBy("query_id", "rank")),
+    // exact phrase occurrences via the positional-index re-base
+    // algorithm, over the shared positional artifact
     "ext_phrase_search" -> ((s, d) =>
-      Retrieval.phraseSearchTopDocs(docs(s, d)).orderBy("query_id", "doc_id")),
+      Retrieval.phraseSearchFrom(positionalStream(s, d),
+        Retrieval.phraseQueries(docs(s, d))).orderBy("query_id", "doc_id")),
     // df-ceiling skew guard engaged: the injected corpus-wide stopword's
     // posting list is dropped from the probe (Zipf-head mitigation)
     "ext_bm25_capped" -> ((s, d) =>

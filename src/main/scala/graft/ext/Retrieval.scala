@@ -444,10 +444,31 @@ object Retrieval {
     * (query_id, doc_id, rank) lists).
     */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = TopK,
-                depth: Int = RrfDepth): DataFrame = {
-    val lex = bm25Rank(
-      withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
-      bm25Queries(documents), depth, excludeSelf = true)
+                depth: Int = RrfDepth): DataFrame =
+    hybridRrfWithLex(
+      bm25Rank(
+        withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
+        bm25Queries(documents), depth, excludeSelf = true),
+      embeddings, k, depth)
+
+  /** [[hybridRrf]] with the lexical side fed from a MATERIALIZED
+    * positional stream (the [[bm25PostingsFrom]] discipline the eval
+    * harness uses): callers holding the per-corpus positional artifact
+    * skip the two tokenize scans the direct form pays.
+    */
+  def hybridRrfFrom(positional: DataFrame, documents: DataFrame,
+                    embeddings: DataFrame, k: Int = TopK,
+                    depth: Int = RrfDepth): DataFrame =
+    hybridRrfWithLex(
+      bm25Rank(
+        withBm25Weights(bm25PostingsFrom(positional),
+          bm25StatsFrom(positional)),
+        bm25Queries(documents), depth, excludeSelf = true),
+      embeddings, k, depth)
+
+  private def hybridRrfWithLex(lexRank: DataFrame, embeddings: DataFrame,
+                               k: Int, depth: Int): DataFrame = {
+    val lex = lexRank
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val sem = Similarity
       .bruteForceTopKFor(embeddings, col("vec_id") % QueryEvery === 0, depth)
