@@ -446,9 +446,8 @@ object Retrieval {
   def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = TopK,
                 depth: Int = RrfDepth): DataFrame =
     hybridRrfWithLex(
-      bm25Rank(
-        withBm25Weights(bm25Postings(documents), bm25StatsDelta(documents)),
-        bm25Queries(documents), depth, excludeSelf = true),
+      lexRankOf(bm25Postings(documents), bm25StatsDelta(documents),
+        documents, depth),
       embeddings, k, depth)
 
   /** [[hybridRrf]] with the lexical side fed from a MATERIALIZED
@@ -460,11 +459,18 @@ object Retrieval {
                     embeddings: DataFrame, k: Int = TopK,
                     depth: Int = RrfDepth): DataFrame =
     hybridRrfWithLex(
-      bm25Rank(
-        withBm25Weights(bm25PostingsFrom(positional),
-          bm25StatsFrom(positional)),
-        bm25Queries(documents), depth, excludeSelf = true),
+      lexRankOf(bm25PostingsFrom(positional), bm25StatsFrom(positional),
+        documents, depth),
       embeddings, k, depth)
+
+  /** The fusion's lexical contributor — one scaffold for both postings
+    * sources, so the query carve / depth / excludeSelf choices cannot
+    * drift between the direct and artifact-fed forms.
+    */
+  private def lexRankOf(postings: DataFrame, stats: DataFrame,
+                        documents: DataFrame, depth: Int): DataFrame =
+    bm25Rank(withBm25Weights(postings, stats), bm25Queries(documents),
+      depth, excludeSelf = true)
 
   private def hybridRrfWithLex(lexRank: DataFrame, embeddings: DataFrame,
                                k: Int, depth: Int): DataFrame = {

@@ -128,6 +128,22 @@ class RetrievalSpec extends SparkSpec {
     val hn = Retrieval.hardNegatives(docs, embs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hn.toSeq == Seq((0L, 1L, 1L)), hn.mkString(", "))
+
+    // the artifact-fed form the driver's query path runs (lexical side
+    // through bm25PostingsFrom/bm25StatsFrom over a materialized
+    // positional stream) is row-identical to the direct form
+    val positional = Retrieval.positionalPostings(docs).localCheckpoint(true)
+    val viaArtifact = Retrieval.hybridRrfFrom(positional, docs, embs)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaArtifact.toSeq == out.toSeq, viaArtifact.mkString(", "))
+    // same equivalence for the phrase query path
+    val direct = Retrieval.phraseSearchTopDocs(docs)
+      .orderBy("query_id", "doc_id").collect().map(_.toSeq)
+    val fed = Retrieval.phraseSearchFrom(positional,
+        Retrieval.phraseQueries(docs))
+      .orderBy("query_id", "doc_id").collect().map(_.toSeq)
+    assert(fed.toSeq == direct.toSeq && direct.nonEmpty)
   }
 
   test("bm25 index grows by appends: incremental equals one-shot, restart-safe") {
