@@ -259,6 +259,12 @@ object SparkEntry {
     "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
+    // SFT chat-format QA: parse injected JSON transcripts and screen for
+    // the structural defect classes (assistant-first, alternation break,
+    // empty message, malformed JSON → parse_ok false with NULL verdicts)
+    "ext_chat_validate" -> ((s, d) =>
+      Curation.chatValidate(Curation.withChatsInjected(docs(s, d)))
+        .orderBy("doc_id")),
     // UT1-style blocklist verdicts with suffix matching ENGAGED: the ad
     // hosts (every 5th doc) are blocked via their PARENT domain, site7
     // (doc_id % 50 == 7) via exact host; the third entry never matches.
@@ -2372,6 +2378,55 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM ex GROUP BY 1 ORDER BY domain""".stripMargin,
+    // chat-format QA: the oracle rebuilds the IDENTICAL conversations as
+    // struct lists and computes the verdicts directly (the Spark side
+    // goes through to_json → from_json — the real parse path); the % 17
+    // malformed carve emits parse_ok=false with NULL verdicts, matching
+    // from_json's null on bad input
+    "ext_chat_validate" ->
+      """WITH cvc AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE
+        |      CASE WHEN doc_id % 13 = 0
+        |        THEN [struct_pack(role := 'assistant', content := 'unsolicited')]
+        |        ELSE [] END
+        |      || flatten(list_transform(range(0, doc_id % 3 + 1), j -> [
+        |        struct_pack(role := 'user', content :=
+        |          'question ' || (doc_id % 7) || ' part ' || j),
+        |        struct_pack(role := 'assistant', content := 'answer ' || j)]))
+        |      || CASE WHEN doc_id % 7 = 0 THEN [
+        |        struct_pack(role := 'user', content := 'follow up'),
+        |        struct_pack(role := 'user', content := 'still there')]
+        |        ELSE [] END
+        |      || CASE WHEN doc_id % 11 = 0
+        |        THEN [struct_pack(role := 'assistant', content := '')]
+        |        ELSE [] END END AS conv
+        |  FROM documents),
+        |cvv AS (SELECT doc_id,
+        |    conv IS NOT NULL AS parse_ok,
+        |    CAST(len(conv) AS BIGINT) AS n_turns,
+        |    conv[1].role = 'user' AS starts_with_user,
+        |    CASE WHEN conv IS NULL THEN NULL
+        |         WHEN len(conv) < 2 THEN true
+        |         ELSE len(list_filter(range(2, len(conv) + 1),
+        |           i -> conv[i].role = conv[i - 1].role)) = 0 END AS alternates,
+        |    conv[-1].role = 'assistant' AS ends_with_assistant,
+        |    CAST(len(list_filter(conv, t -> t.content = '')) AS BIGINT) AS n_empty,
+        |    CASE WHEN conv IS NULL THEN NULL ELSE
+        |      CAST(coalesce(list_sum(list_transform(
+        |        list_filter(conv, t -> t.role = 'user'),
+        |        t -> len(list_filter(string_split(t.content, ' '),
+        |          x -> x != '')))), 0) AS BIGINT) END AS n_user_tokens,
+        |    CASE WHEN conv IS NULL THEN NULL ELSE
+        |      CAST(coalesce(list_sum(list_transform(
+        |        list_filter(conv, t -> t.role = 'assistant'),
+        |        t -> len(list_filter(string_split(t.content, ' '),
+        |          x -> x != '')))), 0) AS BIGINT) END AS n_assistant_tokens
+        |  FROM cvc)
+        |SELECT doc_id, parse_ok, n_turns, starts_with_user, alternates,
+        |  ends_with_assistant, n_empty, n_user_tokens, n_assistant_tokens,
+        |  starts_with_user AND alternates AND ends_with_assistant
+        |    AND n_empty = 0 AS valid
+        |FROM cvv ORDER BY doc_id""".stripMargin,
     // suffix-chain blocklist: each host explodes into its ≥2-label
     // suffixes, the blocklist joins on the exact suffix (host-less and
     // single-label rows keep one NULL-suffix row so link counts survive,

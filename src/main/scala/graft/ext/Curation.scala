@@ -910,6 +910,87 @@ object Curation {
       .withColumn("keep", col("n_blocked_urls") === 0)
   }
 
+  /** Synthetic SFT-style chat transcripts as JSON strings, deterministic
+    * per doc_id (the test corpus has no conversation column, so chat-format
+    * QA is exercised against injection — the withPiiInjected pattern):
+    * 1 + doc_id % 3 user/assistant pairs, plus the defect classes
+    * instruction-data QA screens for — every 13th transcript OPENS with an
+    * assistant turn, every 7th gains two consecutive trailing user turns
+    * (alternation break), every 11th an empty assistant message, and every
+    * 17th is MALFORMED JSON (the parse-failure row a real JSONL corpus
+    * always contains).
+    */
+  def withChatsInjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 0, lit("{bad json"))
+        .otherwise(to_json(expr(
+          """concat(
+            |  CASE WHEN doc_id % 13 = 0 THEN
+            |    array(named_struct('role', 'assistant',
+            |                       'content', 'unsolicited'))
+            |  ELSE array() END,
+            |  flatten(transform(sequence(0L, doc_id % 3), j -> array(
+            |    named_struct('role', 'user', 'content',
+            |      concat('question ', doc_id % 7, ' part ', j)),
+            |    named_struct('role', 'assistant', 'content',
+            |      concat('answer ', j))))),
+            |  CASE WHEN doc_id % 7 = 0 THEN array(
+            |    named_struct('role', 'user', 'content', 'follow up'),
+            |    named_struct('role', 'user', 'content', 'still there'))
+            |  ELSE array() END,
+            |  CASE WHEN doc_id % 11 = 0 THEN
+            |    array(named_struct('role', 'assistant', 'content', ''))
+            |  ELSE array() END)""".stripMargin))).as("chat"))
+
+  /** Chat-transcript format QA — the structural screen an SFT/RLHF data
+    * pipeline runs before a JSONL conversation corpus reaches training:
+    * parse each transcript (malformed JSON → `parse_ok` false, every
+    * structural verdict NULL — from_json's null, not an exception, so one
+    * bad row cannot kill a corpus-sized job), then per transcript: turn
+    * count, opens-with-user, strict role alternation, closes-with-
+    * assistant, empty-message count, per-role whitespace token counts, and
+    * `valid` = the conjunction. All verdicts are pure column expressions
+    * over the parsed struct array (higher-order functions, no explode) —
+    * one narrow codegen'd pass, no shuffle, no join; the filter composes
+    * with partition pruning upstream like the Gopher rules.
+    */
+  def chatValidate(chats: DataFrame): DataFrame =
+    chats
+      .withColumn("conv", expr(
+        "from_json(chat, 'array<struct<role:string,content:string>>')"))
+      .select(
+        col("doc_id"),
+        col("conv").isNotNull.as("parse_ok"),
+        size(col("conv")).cast("long").as("n_turns"),
+        expr("element_at(conv, 1).role = 'user'").as("starts_with_user"),
+        // guard the 1-turn case: sequence(2, 1) would DESCEND (the
+        // domainBlocklist lesson) — a single turn alternates vacuously
+        expr(
+          """CASE WHEN size(conv) < 2 THEN true
+            |ELSE size(filter(sequence(2, size(conv)),
+            |  i -> element_at(conv, i).role = element_at(conv, i - 1).role))
+            |  = 0 END""".stripMargin).as("alternates"),
+        expr("element_at(conv, -1).role = 'assistant'")
+          .as("ends_with_assistant"),
+        expr("size(filter(conv, t -> t.content = ''))").cast("long")
+          .as("n_empty"),
+        roleTokens("user").as("n_user_tokens"),
+        roleTokens("assistant").as("n_assistant_tokens"))
+      .withColumn("valid",
+        col("starts_with_user") && col("alternates") &&
+          col("ends_with_assistant") && (col("n_empty") === 0))
+
+  /** Whitespace token total over one role's messages — empty-string
+    * tokens filtered like [[TextAnalysis.tokens]]; NULL conv propagates.
+    */
+  private def roleTokens(role: String): Column =
+    expr(
+      s"""aggregate(filter(conv, t -> t.role = '$role'),
+         |  CAST(0 AS BIGINT),
+         |  (a, t) -> a + size(filter(split(t.content, ' '), x -> x != '')))"""
+        .stripMargin)
+
   /** [[withUrlsInjected]] plus an ad-network citation on every fifth doc —
     * a host whose BLOCKED domain is its parent (cdn{k}.ads.example.net ⊂
     * ads.example.net), so blocklist tests exercise suffix matching, not

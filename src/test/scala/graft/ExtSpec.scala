@@ -410,6 +410,32 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("chat validate: alternation, empty turns, malformed JSON → null verdicts") {
+    val chats = Seq(
+      // well-formed two-turn exchange
+      (1L, """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""),
+      // opens with assistant AND closes with user
+      (2L, """[{"role":"assistant","content":"first"},{"role":"user","content":"hm"}]"""),
+      // consecutive users + an empty assistant message
+      (3L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":""}]"""),
+      (4L, "{bad"),
+      // single turn: alternates vacuously, but no assistant close
+      (5L, """[{"role":"user","content":"only turn"}]""")
+    ).toDF("doc_id", "chat")
+    val out = graft.ext.Curation.chatValidate(chats).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(out == Seq(
+      Seq(1L, true, 2L, true, true, true, 0L, 2L, 1L, true),
+      Seq(2L, true, 2L, false, true, false, 0L, 1L, 1L, false),
+      Seq(3L, true, 3L, true, false, true, 1L, 2L, 0L, false),
+      Seq(4L, false, null, null, null, null, null, null, null, null),
+      Seq(5L, true, 1L, true, true, false, 0L, 2L, 0L, false)), out.toString)
+    // one narrow pass: no exchange of any kind in the plan
+    val p = graft.ext.Curation.chatValidate(chats)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("chunking: windows advance by stride, overlap and tail are exact") {
     val text = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
