@@ -2410,7 +2410,8 @@ object SparkEntry {
         |         ELSE len(list_filter(range(2, len(conv) + 1),
         |           i -> conv[i].role = conv[i - 1].role)) = 0 END AS alternates,
         |    conv[-1].role = 'assistant' AS ends_with_assistant,
-        |    CAST(len(list_filter(conv, t -> t.content = '')) AS BIGINT) AS n_empty,
+        |    CAST(len(list_filter(conv,
+        |      t -> t.content IS NULL OR t.content = '')) AS BIGINT) AS n_empty,
         |    CASE WHEN conv IS NULL THEN NULL ELSE
         |      CAST(coalesce(list_sum(list_transform(
         |        list_filter(conv, t -> t.role = 'user'),

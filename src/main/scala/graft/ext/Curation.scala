@@ -963,7 +963,10 @@ object Curation {
         col("doc_id"),
         col("conv").isNotNull.as("parse_ok"),
         size(col("conv")).cast("long").as("n_turns"),
-        expr("element_at(conv, 1).role = 'user'").as("starts_with_user"),
+        // try_element_at, not element_at: a VALID empty transcript "[]"
+        // must yield NULL verdicts, not an ANSI INVALID_ARRAY_INDEX crash
+        // that kills the corpus job
+        expr("try_element_at(conv, 1).role = 'user'").as("starts_with_user"),
         // guard the 1-turn case: sequence(2, 1) would DESCEND (the
         // domainBlocklist lesson) — a single turn alternates vacuously
         expr(
@@ -971,10 +974,12 @@ object Curation {
             |ELSE size(filter(sequence(2, size(conv)),
             |  i -> element_at(conv, i).role = element_at(conv, i - 1).role))
             |  = 0 END""".stripMargin).as("alternates"),
-        expr("element_at(conv, -1).role = 'assistant'")
+        expr("try_element_at(conv, -1).role = 'assistant'")
           .as("ends_with_assistant"),
-        expr("size(filter(conv, t -> t.content = ''))").cast("long")
-          .as("n_empty"),
+        // a turn with a MISSING content key counts as empty — it must
+        // fail the screen, not slip through as merely-unparsed tokens
+        expr("size(filter(conv, t -> t.content IS NULL OR t.content = ''))")
+          .cast("long").as("n_empty"),
         roleTokens("user").as("n_user_tokens"),
         roleTokens("assistant").as("n_assistant_tokens"))
       .withColumn("valid",
@@ -982,13 +987,16 @@ object Curation {
           col("ends_with_assistant") && (col("n_empty") === 0))
 
   /** Whitespace token total over one role's messages — empty-string
-    * tokens filtered like [[TextAnalysis.tokens]]; NULL conv propagates.
+    * tokens filtered like [[TextAnalysis.tokens]]; NULL conv propagates,
+    * but a single NULL content contributes 0 instead of poisoning the
+    * whole fold (split(NULL) → NULL → a + NULL would NULL the total).
     */
   private def roleTokens(role: String): Column =
     expr(
       s"""aggregate(filter(conv, t -> t.role = '$role'),
          |  CAST(0 AS BIGINT),
-         |  (a, t) -> a + size(filter(split(t.content, ' '), x -> x != '')))"""
+         |  (a, t) -> a + coalesce(
+         |    size(filter(split(t.content, ' '), x -> x != '')), 0))"""
         .stripMargin)
 
   /** [[withUrlsInjected]] plus an ad-network citation on every fifth doc —

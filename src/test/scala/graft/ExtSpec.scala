@@ -420,7 +420,13 @@ class ExtSpec extends SparkSpec {
       (3L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":""}]"""),
       (4L, "{bad"),
       // single turn: alternates vacuously, but no assistant close
-      (5L, """[{"role":"user","content":"only turn"}]""")
+      (5L, """[{"role":"user","content":"only turn"}]"""),
+      // VALID empty transcript: NULL open/close verdicts, never an ANSI
+      // element_at crash (the review-found corpus-killer)
+      (6L, "[]"),
+      // missing content key: counts as empty (fails the screen), its 0
+      // tokens must not NULL-poison the role total
+      (7L, """[{"role":"user"},{"role":"assistant","content":"x"}]""")
     ).toDF("doc_id", "chat")
     val out = graft.ext.Curation.chatValidate(chats).orderBy("doc_id")
       .collect().map(_.toSeq).toSeq
@@ -429,7 +435,9 @@ class ExtSpec extends SparkSpec {
       Seq(2L, true, 2L, false, true, false, 0L, 1L, 1L, false),
       Seq(3L, true, 3L, true, false, true, 1L, 2L, 0L, false),
       Seq(4L, false, null, null, null, null, null, null, null, null),
-      Seq(5L, true, 1L, true, true, false, 0L, 2L, 0L, false)), out.toString)
+      Seq(5L, true, 1L, true, true, false, 0L, 2L, 0L, false),
+      Seq(6L, true, 0L, null, true, null, 0L, 0L, 0L, null),
+      Seq(7L, true, 2L, true, true, true, 1L, 0L, 1L, false)), out.toString)
     // one narrow pass: no exchange of any kind in the plan
     val p = graft.ext.Curation.chatValidate(chats)
       .queryExecution.executedPlan.toString
