@@ -490,6 +490,18 @@ object SparkEntry {
     "ext_jaccard_join" -> ((s, d) =>
       Dedup.jaccardJoin(docs(s, d).filter(col("doc_id") % 7 === 0))
         .orderBy("doc_a", "doc_b")),
+    // dedup-rate-vs-threshold curve: cumulative pair / dropped-doc /
+    // survivor counts per candidate τ — the tuning signal for committing
+    // a dedup threshold. The pair evidence at the sweep floor (= the
+    // ext_jaccard_join τ) is a cached per-corpus artifact; the sweep
+    // prices its own tail, one narrow pass over pair-sized rows
+    "ext_jaccard_sweep" -> ((s, d) => {
+      val m7 = docs(s, d).filter(col("doc_id") % 7 === 0)
+      Dedup.jaccardThresholdSweepFrom(
+        TrainedStore.cached(s, s"jaccard-pairs:$d:m7:850000")(
+          Dedup.jaccardJoin(m7)),
+        m7, Seq(850000L, 900000L, 950000L, 990000L))
+    }),
     // incremental exact-Jaccard: index two thirds of the mod-7 universe,
     // probe the rest against the persisted prefix tables — must equal the
     // one-shot all-pairs result restricted to cross pairs (frozen-vocab
@@ -2039,6 +2051,31 @@ object SparkEntry {
          |FROM jpr JOIN jsz sa ON sa.doc_id = doc_a JOIN jsz sb ON sb.doc_id = doc_b
          |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same naive all-pairs form, swept: every τ keeps its row (zero-match
+    // thresholds emit 0 counts — the LEFT JOIN ON j_ppm >= tau)
+    "ext_jaccard_sweep" ->
+      s"""WITH jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
+         |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
+         |jpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM jtc a JOIN jtc b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jjp AS (SELECT doc_a, doc_b,
+         |    (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
+         |  FROM jpr JOIN jsz sa ON sa.doc_id = doc_a
+         |    JOIN jsz sb ON sb.doc_id = doc_b),
+         |jtau AS (SELECT CAST(unnest([850000, 900000, 950000, 990000]) AS BIGINT)
+         |    AS tau_ppm),
+         |jnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |  WHERE doc_id % 7 = 0)
+         |SELECT t.tau_ppm,
+         |  CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_dropped_docs,
+         |  (SELECT n_docs FROM jnd) - CAST(count(DISTINCT p.doc_b) AS BIGINT)
+         |    AS n_survivors
+         |FROM jtau t LEFT JOIN jjp p ON p.j_ppm >= t.tau_ppm
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same all-pairs form restricted to cross (corpus %3!=0, new %3=0)
     // pairs: the index path's prefix/positional filters and the frozen
     // vocab order are all lossless, so the SETS coincide by construction

@@ -290,6 +290,54 @@ object Dedup {
       .filter(col("j_ppm") >= tauPpm)
   }
 
+  /** Dedup-rate-vs-threshold curve — the τ-tuning signal every dedup
+    * rollout needs before committing a threshold to a 100 TB corpus: ONE
+    * exact [[jaccardJoin]] at the sweep FLOOR (its prefix filter is
+    * lossless at the floor, hence for every τ above it), then each
+    * candidate threshold's qualifying-pair count, dropped-doc count
+    * (keep-elder policy: the younger doc of each qualifying pair is the
+    * casualty) and survivor count. The sweep itself is one narrow pass
+    * over the pair evidence — never one join per threshold — and
+    * thresholds with zero qualifying pairs still emit their row (the
+    * curve's flat tail is information).
+    */
+  def jaccardThresholdSweep(documents: DataFrame,
+                            tausPpm: Seq[Long] =
+                              Seq(850000L, 900000L, 950000L, 990000L),
+                            broadcastVocabMaxRows: Long =
+                              VocabBroadcastMaxRows): DataFrame = {
+    require(tausPpm.nonEmpty, "threshold sweep needs at least one tau")
+    jaccardThresholdSweepFrom(
+      jaccardJoin(documents, tausPpm.min, broadcastVocabMaxRows),
+      documents, tausPpm)
+  }
+
+  /** [[jaccardThresholdSweep]] over already-materialized pair evidence
+    * (a [[jaccardJoin]] run at or below the sweep floor) — the sweep tail
+    * alone: one narrow pass over pair-evidence-sized rows.
+    */
+  def jaccardThresholdSweepFrom(pairs: DataFrame, documents: DataFrame,
+                                tausPpm: Seq[Long]): DataFrame = {
+    val perTau = pairs
+      .select(explode(lit(tausPpm.toArray)).as("tau_ppm"), col("j_ppm"),
+        col("doc_b"))
+      .filter(col("j_ppm") >= col("tau_ppm"))
+      .groupBy("tau_ppm")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped_docs"))
+    // the τ grid rides the one-row corpus count (one explode — no
+    // driver-side count, no separate grid frame)
+    documents.agg(count(lit(1)).cast("long").as("n_docs"))
+      .select(explode(lit(tausPpm.toArray)).as("tau_ppm"), col("n_docs"))
+      .join(perTau, Seq("tau_ppm"), "left")
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped_docs"), lit(0L)).as("n_dropped_docs"),
+        (col("n_docs") - coalesce(col("n_dropped_docs"), lit(0L)))
+          .as("n_survivors"))
+      .orderBy("tau_ppm")
+  }
+
   /** Exact τ-CONTAINMENT join — the asymmetric sibling of [[jaccardJoin]]
     * and the real decontamination primitive: C(A→B) = |A∩B| / |A| ≥ τ
     * flags corpus docs B that CONTAIN most of benchmark doc A regardless

@@ -410,6 +410,24 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("jaccard threshold sweep: cumulative counts, zero-match tail keeps its row") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),   // j(1,2) = 4/6 ≈ 666666 ppm
+      (3L, "a b c d e"),   // j(1,3) = 1.0; j(2,3) = 4/6
+      (4L, "x y z w q")    // matches nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardThresholdSweep(docs,
+        Seq(600000L, 900000L, 1000001L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (600000L, 3L, 2L, 2L),    // pairs (1,2)(1,3)(2,3); docs 2,3 drop
+      (900000L, 1L, 1L, 3L),    // only the identical pair (1,3)
+      (1000001L, 0L, 0L, 4L)),  // unreachable τ: flat-tail row survives
+      out.toString)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("chat validate: alternation, empty turns, malformed JSON → null verdicts") {
     val chats = Seq(
       // well-formed two-turn exchange
