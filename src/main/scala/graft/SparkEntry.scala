@@ -485,6 +485,11 @@ object SparkEntry {
     "ext_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
+    // dedup-method recall harness (the ann_recall posture for near-dup
+    // detection): LSH candidates / verified-LSH / SimHash, each scored
+    // against the planted twins over the same mod-7 universe
+    "ext_dedup_eval" -> ((s, d) =>
+      Dedup.dedupMethodEval(docs(s, d).filter(col("doc_id") % 7 === 0))),
     // exact (no-false-negative) τ-Jaccard join, prefix-filter bounded;
     // mod-7 doc universe keeps the oracle's all-pairs twin tractable
     "ext_jaccard_join" -> ((s, d) =>
@@ -2018,6 +2023,60 @@ object SparkEntry {
     "ext_dedup_minhash" ->
       s"""WITH ${minhashCtes(PERTURBED_CORPUS)}
          |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // the three method pair sets over the carved perturbed corpus, each
+    // scored against the planted twins; empty method frames still emit
+    // their zero row (plain aggregates, no GROUP BY)
+    "ext_dedup_eval" -> {
+      val carved =
+        s"""SELECT doc_id, text FROM ($PERTURBED_CORPUS) dme
+           |WHERE (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+           |       ELSE doc_id END) % 7 = 0""".stripMargin
+      s"""WITH ${minhashCtes(carved)},
+         |${simhashCtes(carved)},
+         |dmex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),
+         |dmsz AS (SELECT doc_id, count(*) AS n FROM dmex GROUP BY 1),
+         |dmcom AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN dmex a ON a.doc_id = c.doc_id_a
+         |  JOIN dmex b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
+         |  GROUP BY 1, 2),
+         |dmver AS (SELECT c.doc_id_a, c.doc_id_b FROM cand c
+         |  LEFT JOIN dmcom m ON m.doc_id_a = c.doc_id_a AND m.doc_id_b = c.doc_id_b
+         |  JOIN dmsz sa ON sa.doc_id = c.doc_id_a
+         |  JOIN dmsz sb ON sb.doc_id = c.doc_id_b
+         |  WHERE (100 * coalesce(m.n_common, 0))
+         |    // (sa.n + sb.n - coalesce(m.n_common, 0)) >= 80),
+         |dmshb AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_byte FROM shsig")
+             .mkString("\n  UNION ALL ")}),
+         |dmshp AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM dmshb a JOIN dmshb b
+         |    ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
+         |      AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |dmpl AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |dmn AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM dmpl),
+         |dmrows AS (
+         |  SELECT 'lsh_candidates' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(*) FILTER (WHERE p.a IS NOT NULL) AS BIGINT) AS n_planted_found
+         |  FROM cand c LEFT JOIN dmpl p ON p.a = c.doc_id_a AND p.b = c.doc_id_b
+         |  UNION ALL
+         |  SELECT 'lsh_verified',
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) FILTER (WHERE p.a IS NOT NULL) AS BIGINT)
+         |  FROM dmver c LEFT JOIN dmpl p ON p.a = c.doc_id_a AND p.b = c.doc_id_b
+         |  UNION ALL
+         |  SELECT 'simhash',
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) FILTER (WHERE p.a IS NOT NULL) AS BIGINT)
+         |  FROM dmshp c LEFT JOIN dmpl p ON p.a = c.doc_id_a AND p.b = c.doc_id_b)
+         |SELECT method, n_pairs, n_planted_found,
+         |  (n_planted_found * 1000000) // (SELECT n_planted FROM dmn) AS recall_ppm,
+         |  n_pairs - n_planted_found AS n_extra_pairs
+         |FROM dmrows ORDER BY method""".stripMargin
+    },
     "ext_ngram_jaccard" ->
       s"""WITH ${minhashCtes(PERTURBED_CORPUS)},
          |ex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),

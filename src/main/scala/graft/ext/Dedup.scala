@@ -2265,6 +2265,49 @@ object Dedup {
     } finally Checkpoints.releaseTracked(verdicts, vIds)
   }
 
+  /** Dedup-method evaluation harness — the ANN recall-harness posture
+    * ([[Similarity]]'s `ann_recall`) applied to near-dup detection: every
+    * method runs over the SAME corpus with planted near-duplicates
+    * ([[withPerturbedCopies]]: each doc's twin at id + 1M, first token
+    * dropped) and is scored against the planted truth. Methods: raw
+    * LSH-banded MinHash candidate pairs, the same candidates VERIFIED at
+    * a shingle-Jaccard floor, and SimHash bands at Hamming ≤ maxHamming.
+    * Per method: pair count, planted pairs recovered, recall (integer
+    * ppm) and extra (unplanted) pairs — the candidate-volume-vs-recall
+    * trade every dedup rollout tunes before committing a method.
+    *
+    * Scale shape: each method runs in its own already-audited posture
+    * (banded equi-joins, never all-pairs); scoring joins each pair set
+    * against the BROADCAST planted table (doc-count-sized) and folds to
+    * one row per method — the harness adds no corpus-sized work of its
+    * own. A planted twin can be legitimately unrecoverable (a 1-token doc
+    * perturbs to empty text), so recall < 100% is signal, not harness
+    * error.
+    */
+  def dedupMethodEval(documents: DataFrame, minJaccardPct: Long = 80L,
+                      maxHamming: Int = 3): DataFrame = {
+    val perturbed = withPerturbedCopies(documents)
+    val planted = documents.select(col("doc_id").as("doc_id_a"),
+      (col("doc_id") + lit(1000000L)).as("doc_id_b"))
+    def score(method: String, pairSet: DataFrame): DataFrame =
+      pairSet.select("doc_id_a", "doc_id_b")
+        .join(broadcast(planted.withColumn("hit", lit(1))),
+          Seq("doc_id_a", "doc_id_b"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("hit")).as("n_planted_found"))
+        .withColumn("method", lit(method))
+    score("lsh_candidates", minhashCandidates(perturbed))
+      .unionByName(score("lsh_verified",
+        ngramJaccard(perturbed).filter(col("jaccard_pct") >= minJaccardPct)))
+      .unionByName(score("simhash", simhashPairs(perturbed, maxHamming)))
+      .crossJoin(broadcast(
+        planted.agg(count(lit(1)).cast("long").as("n_planted"))))
+      .select(col("method"), col("n_pairs"), col("n_planted_found"),
+        expr("(n_planted_found * 1000000L) div n_planted").as("recall_ppm"),
+        (col("n_pairs") - col("n_planted_found")).as("n_extra_pairs"))
+      .orderBy("method")
+  }
+
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +
     * idOffset) with its first token dropped. The testdata has no natural
     * near-dups, so dedup behavior is exercised against this construction —

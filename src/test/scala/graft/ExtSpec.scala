@@ -410,6 +410,23 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup method eval: three scored methods, verified ⊆ candidates, exact accounting") {
+    val out = Dedup.dedupMethodEval(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("lsh_candidates", "lsh_verified", "simhash"))
+    val byM = out.map(r => r._1 -> r).toMap
+    // verification can only shrink the candidate set
+    assert(byM("lsh_verified")._2 <= byM("lsh_candidates")._2)
+    // the planted twins are findable and found by the banded methods
+    assert(byM("lsh_candidates")._3 > 0)
+    out.foreach { case (m, nPairs, found, recall, extra) =>
+      assert(found <= nPairs && extra == nPairs - found, m)
+      assert(recall >= 0L && recall <= 1000000L, m)
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("jaccard threshold sweep: cumulative counts, zero-match tail keeps its row") {
     val docs = Seq(
       (1L, "a b c d e"),
