@@ -502,10 +502,13 @@ object SparkEntry {
     // prices its own tail, one narrow pass over pair-sized rows
     "ext_jaccard_sweep" -> ((s, d) => {
       val m7 = docs(s, d).filter(col("doc_id") % 7 === 0)
+      // ONE floor value feeds the join, the cache key and the sweep's
+      // evidence guard — they cannot drift
+      val floor = 850000L
       Dedup.jaccardThresholdSweepFrom(
-        TrainedStore.cached(s, s"jaccard-pairs:$d:m7:850000")(
-          Dedup.jaccardJoin(m7)),
-        m7, Seq(850000L, 900000L, 950000L, 990000L))
+        TrainedStore.cached(s, s"jaccard-pairs:$d:m7:$floor")(
+          Dedup.jaccardJoin(m7, floor)),
+        m7, Seq(floor, 900000L, 950000L, 990000L), floor)
     }),
     // incremental exact-Jaccard: index two thirds of the mod-7 universe,
     // probe the rest against the persisted prefix tables — must equal the
@@ -1159,6 +1162,52 @@ object SparkEntry {
        |  ${h60("kept_text")} AS kept_hash,
        |  n_boilerplate * 2 > n_sentences AS is_mostly_boilerplate
        |FROM ba ORDER BY doc_id""".stripMargin
+
+  /** Token-set exact-Jaccard pair chain (naive all-pairs — the lossless
+    * prefix filter's twin), shared by `ext_jaccard_join` and
+    * `ext_jaccard_sweep` so the two oracles can never adjudicate the same
+    * Spark primitive against different ground truths:
+    * jjp = (doc_a, doc_b, n_common, j_ppm), UNFILTERED by τ.
+    */
+  private def tokenJaccardPairCtes(corpus: String): String =
+    s"""jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
+       |  FROM ($corpus) jjcorp),
+       |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
+       |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
+       |jpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM jtc a JOIN jtc b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jjp AS (SELECT doc_a, doc_b, n_common,
+       |    (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
+       |  FROM jpr JOIN jsz sa ON sa.doc_id = doc_a
+       |    JOIN jsz sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** MinHash-LSH candidates VERIFIED by exact shingle-hash intersection —
+    * `ext_ngram_jaccard`'s chain, shared with `ext_dedup_eval`: ex/sizes/
+    * com over `minhashCtes`' cand/phcte.
+    */
+  private def ngramVerifyCtes(corpus: String): String =
+    s"""${minhashCtes(corpus)},
+       |ex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |com AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN ex a ON a.doc_id = c.doc_id_a
+       |  JOIN ex b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** SimHash byte-band candidate pairs (4 bands, sims carried for the
+    * Hamming filter) — `ext_simhash_pairs`' chain, shared with
+    * `ext_dedup_eval`. Follows `simhashCtes` (needs shsig).
+    */
+  private def simhashBandPairCtes: String =
+    s"""shbands AS (${(0 until 4).map(b =>
+         s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_byte FROM shsig")
+         .mkString("\n  UNION ALL ")}),
+       |shcand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM shbands a JOIN shbands b
+       |    ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id)""".stripMargin
 
   /** doc corpus -> normalized -> 3-shingle CTE chain (TextAnalysis.shingles) */
   private def shingleCtes(corpus: String) =
@@ -2031,29 +2080,17 @@ object SparkEntry {
         s"""SELECT doc_id, text FROM ($PERTURBED_CORPUS) dme
            |WHERE (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
            |       ELSE doc_id END) % 7 = 0""".stripMargin
-      s"""WITH ${minhashCtes(carved)},
+      s"""WITH ${ngramVerifyCtes(carved)},
          |${simhashCtes(carved)},
-         |dmex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),
-         |dmsz AS (SELECT doc_id, count(*) AS n FROM dmex GROUP BY 1),
-         |dmcom AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN dmex a ON a.doc_id = c.doc_id_a
-         |  JOIN dmex b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
-         |  GROUP BY 1, 2),
+         |$simhashBandPairCtes,
          |dmver AS (SELECT c.doc_id_a, c.doc_id_b FROM cand c
-         |  LEFT JOIN dmcom m ON m.doc_id_a = c.doc_id_a AND m.doc_id_b = c.doc_id_b
-         |  JOIN dmsz sa ON sa.doc_id = c.doc_id_a
-         |  JOIN dmsz sb ON sb.doc_id = c.doc_id_b
+         |  LEFT JOIN com m ON m.doc_id_a = c.doc_id_a AND m.doc_id_b = c.doc_id_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_id_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_id_b
          |  WHERE (100 * coalesce(m.n_common, 0))
          |    // (sa.n + sb.n - coalesce(m.n_common, 0)) >= 80),
-         |dmshb AS (${(0 until 4).map(b =>
-             s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_byte FROM shsig")
-             .mkString("\n  UNION ALL ")}),
-         |dmshp AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM dmshb a JOIN dmshb b
-         |    ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
-         |      AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |dmshp AS (SELECT doc_id_a, doc_id_b FROM shcand
+         |  WHERE bit_count(xor(sim_a, sim_b)) <= 3),
          |dmpl AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
          |  WHERE doc_id % 7 = 0),
          |dmn AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM dmpl),
@@ -2073,19 +2110,13 @@ object SparkEntry {
          |    CAST(count(*) FILTER (WHERE p.a IS NOT NULL) AS BIGINT)
          |  FROM dmshp c LEFT JOIN dmpl p ON p.a = c.doc_id_a AND p.b = c.doc_id_b)
          |SELECT method, n_pairs, n_planted_found,
-         |  (n_planted_found * 1000000) // (SELECT n_planted FROM dmn) AS recall_ppm,
+         |  (n_planted_found * 1000000) // greatest((SELECT n_planted FROM dmn), 1)
+         |    AS recall_ppm,
          |  n_pairs - n_planted_found AS n_extra_pairs
          |FROM dmrows ORDER BY method""".stripMargin
     },
     "ext_ngram_jaccard" ->
-      s"""WITH ${minhashCtes(PERTURBED_CORPUS)},
-         |ex AS (SELECT doc_id, unnest(list_distinct(ph)) AS tok FROM phcte),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
-         |com AS (SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN ex a ON a.doc_id = c.doc_id_a
-         |  JOIN ex b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
-         |  GROUP BY 1, 2)
+      s"""WITH ${ngramVerifyCtes(PERTURBED_CORPUS)}
          |SELECT c.doc_id_a, c.doc_id_b,
          |  coalesce(m.n_common, 0) AS n_common,
          |  sa.n + sb.n - coalesce(m.n_common, 0) AS n_union,
@@ -2098,32 +2129,14 @@ object SparkEntry {
     // oracle uses the naive all-pairs form: the prefix filter is lossless,
     // so the qualifying-pair SET is identical by construction
     "ext_jaccard_join" ->
-      s"""WITH jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
-         |  FROM documents WHERE doc_id % 7 = 0),
-         |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
-         |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
-         |jpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM jtc a JOIN jtc b ON a.token = b.token AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_common,
-         |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
-         |FROM jpr JOIN jsz sa ON sa.doc_id = doc_a JOIN jsz sb ON sb.doc_id = doc_b
-         |WHERE (n_common * 1000000) // (sa.n + sb.n - n_common) >= 850000
+      s"""WITH ${tokenJaccardPairCtes("SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0")}
+         |SELECT doc_a, doc_b, n_common, j_ppm
+         |FROM jjp WHERE j_ppm >= 850000
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // same naive all-pairs form, swept: every τ keeps its row (zero-match
+    // the same shared pair chain, swept: every τ keeps its row (zero-match
     // thresholds emit 0 counts — the LEFT JOIN ON j_ppm >= tau)
     "ext_jaccard_sweep" ->
-      s"""WITH jtk AS (SELECT doc_id, unnest(list_distinct(string_split($NORM, ' '))) AS token
-         |  FROM documents WHERE doc_id % 7 = 0),
-         |jtc AS (SELECT doc_id, token FROM jtk WHERE token != ''),
-         |jsz AS (SELECT doc_id, count(*) AS n FROM jtc GROUP BY 1),
-         |jpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM jtc a JOIN jtc b ON a.token = b.token AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jjp AS (SELECT doc_a, doc_b,
-         |    (n_common * 1000000) // (sa.n + sb.n - n_common) AS j_ppm
-         |  FROM jpr JOIN jsz sa ON sa.doc_id = doc_a
-         |    JOIN jsz sb ON sb.doc_id = doc_b),
+      s"""WITH ${tokenJaccardPairCtes("SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0")},
          |jtau AS (SELECT CAST(unnest([850000, 900000, 950000, 990000]) AS BIGINT)
          |    AS tau_ppm),
          |jnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
@@ -2181,13 +2194,7 @@ object SparkEntry {
          |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin,
     "ext_simhash_pairs" ->
       s"""WITH ${simhashCtes(PERTURBED_CORPUS)},
-         |shbands AS (${(0 until 4).map(b =>
-             s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_byte FROM shsig")
-             .mkString("\n  UNION ALL ")}),
-         |shcand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |    a.simhash AS sim_a, b.simhash AS sim_b
-         |  FROM shbands a JOIN shbands b
-         |    ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id)
+         |$simhashBandPairCtes
          |SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM shcand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,

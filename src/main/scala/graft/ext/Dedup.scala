@@ -309,15 +309,22 @@ object Dedup {
     require(tausPpm.nonEmpty, "threshold sweep needs at least one tau")
     jaccardThresholdSweepFrom(
       jaccardJoin(documents, tausPpm.min, broadcastVocabMaxRows),
-      documents, tausPpm)
+      documents, tausPpm, tausPpm.min)
   }
 
-  /** [[jaccardThresholdSweep]] over already-materialized pair evidence
-    * (a [[jaccardJoin]] run at or below the sweep floor) — the sweep tail
-    * alone: one narrow pass over pair-evidence-sized rows.
+  /** [[jaccardThresholdSweep]] over already-materialized pair evidence —
+    * the sweep tail alone: one narrow pass over pair-evidence-sized rows.
+    * `evidenceFloorPpm` is the τ the pair evidence was BUILT at; a tau
+    * below it would silently undercount (pairs in the gap are absent from
+    * the evidence), so the caller must state the floor and every swept
+    * tau is checked against it.
     */
   def jaccardThresholdSweepFrom(pairs: DataFrame, documents: DataFrame,
-                                tausPpm: Seq[Long]): DataFrame = {
+                                tausPpm: Seq[Long],
+                                evidenceFloorPpm: Long): DataFrame = {
+    require(tausPpm.nonEmpty && tausPpm.min >= evidenceFloorPpm,
+      s"swept taus ${tausPpm.min}+ must not go below the evidence floor " +
+        s"$evidenceFloorPpm — pairs in the gap are absent from the evidence")
     val perTau = pairs
       .select(explode(lit(tausPpm.toArray)).as("tau_ppm"), col("j_ppm"),
         col("doc_b"))
@@ -2280,30 +2287,43 @@ object Dedup {
     * (banded equi-joins, never all-pairs); scoring joins each pair set
     * against the BROADCAST planted table (doc-count-sized) and folds to
     * one row per method — the harness adds no corpus-sized work of its
-    * own. A planted twin can be legitimately unrecoverable (a 1-token doc
-    * perturbs to empty text), so recall < 100% is signal, not harness
-    * error.
+    * own. Sub-100% recall is probabilistic method misses — signal, not
+    * harness error (planted twins are never intrinsically unrecoverable:
+    * a no-space doc's twin is an exact copy, since dropping "the first
+    * token" of a one-token text leaves it unchanged).
     */
   def dedupMethodEval(documents: DataFrame, minJaccardPct: Long = 80L,
-                      maxHamming: Int = 3): DataFrame = {
-    val perturbed = withPerturbedCopies(documents)
+                      maxHamming: Int = 3,
+                      idOffset: Long = 1000000L): DataFrame = {
+    val perturbed = withPerturbedCopies(documents, idOffset)
+    // planted is doc-count-sized (corpus-DERIVED) — no broadcast hint:
+    // the gateBroadcast rule above; AQE picks broadcast when it fits
     val planted = documents.select(col("doc_id").as("doc_id_a"),
-      (col("doc_id") + lit(1000000L)).as("doc_id_b"))
+      (col("doc_id") + lit(idOffset)).as("doc_id_b"))
     def score(method: String, pairSet: DataFrame): DataFrame =
       pairSet.select("doc_id_a", "doc_id_b")
-        .join(broadcast(planted.withColumn("hit", lit(1))),
+        .join(planted.withColumn("hit", lit(1)),
           Seq("doc_id_a", "doc_id_b"), "left")
         .agg(count(lit(1)).as("n_pairs"),
           count(col("hit")).as("n_planted_found"))
         .withColumn("method", lit(method))
-    score("lsh_candidates", minhashCandidates(perturbed))
+    // ngramJaccard emits EVERY LSH candidate with its verification
+    // columns, so one run serves both the raw-candidate row and the
+    // verified row — materialized once (pair-sized; blocks back the
+    // returned 3-row frame, Bench sweeps between queries) instead of
+    // rebuilding the signature/banding pipeline per consumer
+    val (nj, _) = checkpointTracked(ngramJaccard(perturbed))
+    score("lsh_candidates", nj)
       .unionByName(score("lsh_verified",
-        ngramJaccard(perturbed).filter(col("jaccard_pct") >= minJaccardPct)))
+        nj.filter(col("jaccard_pct") >= minJaccardPct)))
       .unionByName(score("simhash", simhashPairs(perturbed, maxHamming)))
       .crossJoin(broadcast(
         planted.agg(count(lit(1)).cast("long").as("n_planted"))))
       .select(col("method"), col("n_pairs"), col("n_planted_found"),
-        expr("(n_planted_found * 1000000L) div n_planted").as("recall_ppm"),
+        // greatest-1 guard: an empty universe reads as 0 recall, not a
+        // NULL that kills typed decodes downstream
+        expr("(n_planted_found * 1000000L) div greatest(n_planted, 1L)")
+          .as("recall_ppm"),
         (col("n_pairs") - col("n_planted_found")).as("n_extra_pairs"))
       .orderBy("method")
   }
