@@ -999,6 +999,47 @@ object Curation {
          |    size(filter(split(t.content, ' '), x -> x != '')), 0))"""
         .stripMargin)
 
+  /** Streaming blocklist gate — the [[Dedup.gateSubstrDecontaminated]]
+    * posture for URL filtering: each micro-batch of crawl documents
+    * splits on the [[domainBlocklist]] verdict into CLEAN docs under
+    * `cleanPath` and FLAGGED docs under `flaggedPath`, the latter
+    * carrying the verdict columns (blocked counts + domains hit) for the
+    * rejection-mix audit. The blocklist frame is fixed for the life of
+    * the query (blocklists change by redeploy, like a benchmark index by
+    * rebuild). Both outputs overwrite their own `batch_id=` partition —
+    * checkpoint replay is idempotent.
+    */
+  def gateBlocklisted(stream: DataFrame, blocked: DataFrame,
+                      checkpointDir: String, cleanPath: String,
+                      flaggedPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processBlocklistGate(_, _, blocked, cleanPath,
+        flaggedPath))
+
+  /** One micro-batch of [[gateBlocklisted]], factored out so the split
+    * and replay semantics are directly testable.
+    */
+  private[graft] def processBlocklistGate(batch: DataFrame, batchId: Long,
+                                          blocked: DataFrame,
+                                          cleanPath: String,
+                                          flaggedPath: String): Unit = {
+    val b = graft.sources.Bucketing
+    // verdicts consumed twice (flagged join + clean semi-join): compute
+    // once — the suffix explode and blocklist join must not run twice
+    val (verdicts, vIds) = graft.ext.Checkpoints.checkpointTracked(
+      domainBlocklist(batch, blocked))
+    try {
+      b.writeDeltaPartition(
+        batch.join(verdicts.filter(!col("keep")), Seq("doc_id"), "inner"),
+        flaggedPath, batchId)
+      b.writeDeltaPartition(
+        batch.join(verdicts.filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        cleanPath, batchId)
+    } finally graft.ext.Checkpoints.releaseTracked(verdicts, vIds)
+  }
+
   /** [[withUrlsInjected]] plus an ad-network citation on every fifth doc —
     * a host whose BLOCKED domain is its parent (cdn{k}.ads.example.net ⊂
     * ads.example.net), so blocklist tests exercise suffix matching, not

@@ -410,6 +410,30 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("streaming blocklist gate: clean/flagged split, replay-idempotent") {
+    val blocked = Seq("ads.example.net").toDF("domain")
+    val dir = managedTempDir("graft_bl_gate")
+    val clean = s"$dir/clean"
+    val flagged = s"$dir/flagged"
+    val b1 = Seq(
+      (1L, "see https://cdn0.ads.example.net/x here"),  // suffix-blocked
+      (2L, "clean https://ok.example.org/y text"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    graft.ext.Curation.processBlocklistGate(b1, 1L, blocked, clean, flagged)
+    def ids(p: String): Set[Long] =
+      spark.read.parquet(p).filter(col("batch_id") === 1L)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(clean) == Set(2L, 3L))
+    val f = spark.read.parquet(flagged).filter(col("batch_id") === 1L)
+      .select("doc_id", "n_blocked_urls", "blocked_domains")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(f == Seq((1L, 1L, "ads.example.net")), f.toString)
+    // replay overwrites its own partitions — identical
+    graft.ext.Curation.processBlocklistGate(b1, 1L, blocked, clean, flagged)
+    assert(ids(clean) == Set(2L, 3L) && ids(flagged) == Set(1L))
+  }
+
   test("dedup method eval: three scored methods, verified ⊆ candidates, exact accounting") {
     val out = Dedup.dedupMethodEval(
         Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0))
