@@ -390,6 +390,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substr apply invariants: token conservation, elder keeps, suppression leaves no pairs") {
+    // wide token alphabet (100k ids): a splice at a cut boundary cannot
+    // accidentally reproduce another doc's 8-gram, so suppressing once
+    // must leave a PAIR-FREE corpus — the Lee-et-al fixed point in one
+    // step; the planted 10-token runs are the only cross-doc runs
+    val rng = new scala.util.Random(11)
+    def tok(): String = "t" + rng.nextInt(100000)
+    val runs = Seq.fill(2)(Seq.fill(10)(tok()).mkString(" "))
+    val texts = (1L to 12L).map { i =>
+      val pre = Seq.fill(3 + rng.nextInt(5))(tok()).mkString(" ")
+      val post = Seq.fill(3 + rng.nextInt(5))(tok()).mkString(" ")
+      val body =
+        if (i % 3 == 0) runs(0)        // docs 3, 6, 9, 12 share run 0
+        else if (i % 4 == 1) runs(1)   // docs 1, 5, 9 share run 1 (9: both)
+        else Seq.fill(10)(tok()).mkString(" ")
+      (i, s"$pre $body $post")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val out = graft.ext.Dedup.substrApply(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    // accounting: every doc exactly once
+    assert(out.map(_._1) == (1L to 12L))
+    val byId = texts.toMap
+    out.foreach { case (id, nCut, clean) =>
+      // conservation: removed tokens are counted exactly
+      val orig = byId(id).split(" ").length
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(orig - kept == nCut, s"doc $id: $orig - $kept != $nCut")
+    }
+    // the ELDER of each run keeps its text (docs 3 and 1 are the younger
+    // bound of nothing — nothing cut)
+    assert(out.find(_._1 == 3L).get._2 == 0L)
+    assert(out.find(_._1 == 1L).get._2 == 0L)
+    // every younger run-carrier lost at least the run
+    Seq(6L, 9L, 12L, 5L).foreach { id =>
+      assert(out.find(_._1 == id).get._2 >= 10L, id.toString)
+    }
+    // one suppression pass leaves a corpus with NO cross-doc runs
+    val cleaned = out.map { case (id, _, clean) => (id, clean) }
+      .toDF("doc_id", "text")
+    assert(graft.ext.Dedup.substrDups(cleaned).count() == 0L)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("ANN kernels: NaN/Inf/short vectors are partition-order invariant") {
     // pins the kernel guard contracts (beats()'s NaN total order, PqEncode's
     // short-vector null, length-mismatch skips, SQ8's non-finite sanitize):
