@@ -434,6 +434,64 @@ class PropertySpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("substr decontaminate equals a brute window-match reference on random plants") {
+    // random 30-token train docs over a wide alphabet, with 0-2 bench
+    // runs PLANTED by overwriting positions (overlapping plants clobber
+    // each other — the reference recomputes from the final arrays, so
+    // partial clobbers are handled by construction). The reference is
+    // computed token-wise in Scala with no shared code: a train window
+    // matches iff some bench doc contains its 8-gram contiguously;
+    // coverage = union of matching windows' token spans (equal to the
+    // operator's island interval-union — every island is a union of its
+    // consecutive matching windows); longest_run = the longest common
+    // contiguous token run ≥ 8 over all (train, bench) pairs, brute
+    // extended from every (i, j) start.
+    val rng = new scala.util.Random(23)
+    def tok(): String = "u" + rng.nextInt(100000)
+    val n = graft.ext.Dedup.SpanN
+    val bench = (1L to 3L).map(i => (i, Array.fill(12)(tok())))
+    val train = (100L to 107L).map { i =>
+      val arr = Array.fill(30)(tok())
+      (0 until rng.nextInt(3)).foreach { _ =>
+        val b = bench(rng.nextInt(bench.length))._2
+        val p = rng.nextInt(arr.length - b.length)
+        Array.copy(b, 0, arr, p, b.length)
+      }
+      (i, arr)
+    }
+    // reference verdicts
+    val expected = train.flatMap { case (id, t) =>
+      val benchGrams = bench.flatMap(_._2.sliding(n).map(_.toSeq)).toSet
+      val matching = (0 to t.length - n)
+        .filter(w => benchGrams.contains(t.slice(w, w + n).toSeq))
+      if (matching.isEmpty) None
+      else {
+        val covered = matching.flatMap(w => w until w + n).toSet.size.toLong
+        var longest = 0
+        var hit = Set.empty[Long]
+        bench.foreach { case (bid, b) =>
+          var found = false
+          for (i <- t.indices; j <- b.indices) {
+            var k = 0
+            while (i + k < t.length && j + k < b.length && t(i + k) == b(j + k))
+              k += 1
+            if (k >= n) { found = true; if (k > longest) longest = k }
+          }
+          if (found) hit += bid
+        }
+        Some((id, longest.toLong, covered, hit.size.toLong))
+      }
+    }
+    val out = graft.ext.Dedup.substrDecontaminate(
+        train.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text"),
+        bench.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == expected.sortBy(_._1), s"got $out\nexpected $expected")
+    // the randomized corpus must actually exercise the operator
+    assert(expected.nonEmpty)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("ANN kernels: NaN/Inf/short vectors are partition-order invariant") {
     // pins the kernel guard contracts (beats()'s NaN total order, PqEncode's
     // short-vector null, length-mismatch skips, SQ8's non-finite sanitize):
