@@ -221,6 +221,12 @@ object SparkEntry {
     "ext_quota_sample" -> ((s, d) => Curation.quotaSample(docs(s, d)).orderBy("source", "rk")),
     // incremental-refresh audit: added/removed/changed/unchanged between
     // two corpus snapshots, one full-outer join of narrow hash tables
+    // vocabulary drift between the corpus and its next crawl: top movers
+    // by absolute ppm delta (the rev2 token appears from nothing; every
+    // removed doc's tokens shift the rest) — deterministic tie-break
+    "ext_vocab_drift" -> ((s, d) =>
+      Curation.vocabDrift(docs(s, d), Curation.withNextCrawl(docs(s, d)),
+        topK = 40)),
     "ext_corpus_diff" -> ((s, d) =>
       Curation.corpusDiff(docs(s, d), Curation.withNextCrawl(docs(s, d))).orderBy("doc_id")),
     "ext_token_budget" -> ((s, d) => Curation.tokenBudget(docs(s, d)).orderBy("doc_id")),
@@ -2254,6 +2260,33 @@ object SparkEntry {
          |            FROM documents))
          |WHERE rk <= ${graft.ext.Curation.QuotaPerStratum}
          |ORDER BY source, rk""".stripMargin,
+    "ext_vocab_drift" ->
+      s"""WITH vdcur AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |vdp AS (SELECT tok AS token, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split($NORM, ' '), t -> t != '')) AS tok
+         |    FROM documents) GROUP BY 1),
+         |vdc AS (SELECT tok AS token, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split($NORM, ' '), t -> t != '')) AS tok
+         |    FROM vdcur) GROUP BY 1),
+         |vtp AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vdp),
+         |vtc AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vdc),
+         |vdj AS (SELECT coalesce(p.token, c.token) AS token,
+         |    CAST(coalesce(p.cnt, 0) AS BIGINT) AS cnt_prev,
+         |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt_cur
+         |  FROM vdp p FULL OUTER JOIN vdc c ON p.token = c.token),
+         |vdr AS (SELECT token, cnt_prev, cnt_cur,
+         |    (cnt_prev * 1000000) // greatest((SELECT tot FROM vtp), 1) AS ppm_prev,
+         |    (cnt_cur * 1000000) // greatest((SELECT tot FROM vtc), 1) AS ppm_cur
+         |  FROM vdj WHERE cnt_prev >= 5 OR cnt_cur >= 5)
+         |SELECT token, cnt_prev, cnt_cur, ppm_prev, ppm_cur,
+         |  ppm_cur - ppm_prev AS delta_ppm
+         |FROM vdr
+         |ORDER BY abs(ppm_cur - ppm_prev) DESC, token LIMIT 40""".stripMargin,
     "ext_corpus_diff" ->
       s"""WITH cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
          |curv AS (SELECT doc_id,

@@ -283,6 +283,43 @@ object Curation {
       .unionByName(documents.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + idOffset).as("doc_id"), col("text")))
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * vocabulary monitoring signal between recurring crawls (a tokenizer,
+    * extraction or source-mix change shows up here before it shows up in
+    * model metrics): per-token frequency in each snapshot as integer ppm
+    * of that snapshot's token total, the movers ranked by absolute ppm
+    * delta with a deterministic token tie-break. `minCount` floors the
+    * long-tail noise (a token must reach the count in at least one
+    * snapshot); appeared/disappeared tokens read as drift from/to 0.
+    *
+    * Scale shape: each side is one tokenize pass + one token aggregate;
+    * the full-outer join is vocab-sized on the token key (at web scale,
+    * dictionary-encode first — the [[graft.ext.Dedup.jaccardJoin]] tid
+    * discipline); each total is a 1-row broadcast; top-k plans as
+    * TakeOrderedAndProject over the vocab rows — no single-task window.
+    */
+  def vocabDrift(prev: DataFrame, cur: DataFrame, topK: Int = 50,
+                 minCount: Long = 5L): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tp = counts(prev).agg(sum("cnt").cast("long").as("tot_prev"))
+    val tc = counts(cur).agg(sum("cnt").cast("long").as("tot_cur"))
+    counts(prev).withColumnRenamed("cnt", "cnt_prev")
+      .join(counts(cur).withColumnRenamed("cnt", "cnt_cur"),
+        Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_prev", "cnt_cur"))
+      .filter(col("cnt_prev") >= minCount || col("cnt_cur") >= minCount)
+      .crossJoin(broadcast(tp)).crossJoin(broadcast(tc))
+      .select(col("token"), col("cnt_prev"), col("cnt_cur"),
+        expr("(cnt_prev * 1000000) div greatest(tot_prev, 1)").as("ppm_prev"),
+        expr("(cnt_cur * 1000000) div greatest(tot_cur, 1)").as("ppm_cur"))
+      .withColumn("delta_ppm", col("ppm_cur") - col("ppm_prev"))
+      .orderBy(abs(col("delta_ppm")).desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Post-curation source-mix report: per source, kept docs/tokens and the
     * source's share of the final corpus in integer ppm (the mixing-weights
     * table a data curator actually reads). The share divides by a
