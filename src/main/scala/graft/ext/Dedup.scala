@@ -984,11 +984,12 @@ object Dedup {
 
   /** One micro-batch of [[maintainJaccardDedup]], factored out so replay
     * semantics are directly testable (call twice with the same batchId).
-    * The probe excludes the batch's OWN delta partitions (a redelivery
-    * sees exactly the first delivery's state), and verdicts whose corpus
-    * side is a current-batch doc are dropped — a replayed batch whose
-    * first delivery was already COMPACTED into the base must not drop a
-    * doc for matching itself or a within-batch twin.
+    * The replay invariants live ONCE in
+    * [[graft.sources.IndexLifecycle.dedupBatchStep]] (shared with
+    * [[processLshBatch]] / [[processSubstrBatch]]); this body owns the
+    * family's probe (the tracked prefix-filter probe, its pair columns
+    * normalized to the skeleton's `doc_id_new`/`doc_id_corpus` contract)
+    * and its index increment ([[appendJaccardDelta]]).
     */
   private[graft] def processJaccardBatch(batch: DataFrame, batchId: Long,
                                          name: String, deltaDir: String,
@@ -998,20 +999,13 @@ object Dedup {
     val (pairs, probeIds) = jaccardAgainstIndexTracked(session, batch, name,
       tauPpm, Some(deltaDir), Some(batchId))
     try {
-      val dupIds = pairs
-        // replay after compaction: the batch's own partitions are excluded
-        // from the probe, but rows its first delivery contributed may
-        // already sit in the BASE — drop verdicts whose corpus side is a
-        // current-batch doc (self-matches AND within-batch twins)
-        .join(batch.select(col("doc_id").as("doc_corpus")),
-          Seq("doc_corpus"), "left_anti")
-        .select(col("doc_new").as("doc_id")).distinct()
-      val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
-      try {
-        graft.sources.Bucketing.writeDeltaPartition(
-          survivors, survivorsPath, batchId)
-        appendJaccardDelta(session, survivors, name, deltaDir, batchId, tauPpm)
-      } finally survivors.unpersist()
+      graft.sources.IndexLifecycle.dedupBatchStep(batch, batchId,
+        survivorsPath,
+        probePairs = pairs.select(col("doc_new").as("doc_id_new"),
+          col("doc_corpus").as("doc_id_corpus")),
+        appendIndex = survivors =>
+          appendJaccardDelta(session, survivors, name, deltaDir, batchId,
+            tauPpm))
     } finally Checkpoints.releaseTracked(pairs, probeIds)
   }
 
@@ -1224,22 +1218,19 @@ object Dedup {
       })
 
   /** One micro-batch of [[maintainLshDedup]], factored out so replay
-    * semantics are directly testable — same discipline as
-    * [[processJaccardBatch]]: survivors and the batch's bands each
-    * OVERWRITE their own `batch_id=` partition (dynamic partition
-    * overwrite — a redelivered batch replaces its own rows, never
-    * double-appends, with no missing-doc gate and therefore no per-batch
-    * table scan), the probe excludes the batch's OWN delta partition
-    * (first-delivery bands of a replayed batch), and matches against any
-    * CURRENT-batch doc are excluded from the dup verdict — a replayed
-    * batch whose first delivery was already COMPACTED into the base must
-    * not drop a doc for matching itself or a within-batch twin
-    * (both-survive is the documented within-batch contract).
+    * semantics are directly testable. The replay invariants — own-batch
+    * delta exclusion pairing with the corpus-side current-batch verdict
+    * guard, the dup→survivor derivation, the survivors-before-index write
+    * order — live ONCE in [[graft.sources.IndexLifecycle.dedupBatchStep]]
+    * (shared with [[processJaccardBatch]] / [[processSubstrBatch]]); this
+    * body owns only the family's probe (bands against the visible band
+    * layers) and its index increment (the survivors' bands).
     */
   private[graft] def processLshBatch(batch: DataFrame, batchId: Long,
                                      table: String, deltaDir: String,
                                      survivorsPath: String): Unit = {
     val session = batch.sparkSession
+    // bands consumed twice (probe + survivor-band append): compute once
     val bands = lshBands(batch)
       .select(concat_ws(":", col("band_idx"), col("band_key")).as("bkey"),
         col("doc_id"))
@@ -1248,20 +1239,13 @@ object Dedup {
       val (base, delta) = graft.sources.Bucketing.layerParts(session, table,
         Some(s"$deltaDir/bands"), Seq("bkey", "doc_id"),
         excludeBatch = Some(batchId))
-      val dupIds = bands.select(col("bkey"), col("doc_id").as("doc_id_new"))
-        .transform(lshCandidates(base, delta))
-        // replay after compaction: the batch's own partition is excluded
-        // above, but bands its first delivery contributed may already sit
-        // in the BASE — drop verdicts whose corpus side is a current-batch
-        // doc (self-matches AND within-batch twins)
-        .join(batch.select(col("doc_id").as("doc_id_corpus")),
-          Seq("doc_id_corpus"), "left_anti")
-        .select(col("doc_id_new").as("doc_id")).distinct()
-      graft.sources.Bucketing.writeDeltaPartition(
-        batch.join(dupIds, Seq("doc_id"), "left_anti"), survivorsPath, batchId)
-      graft.sources.Bucketing.writeDeltaPartition(
-        bands.join(dupIds, Seq("doc_id"), "left_anti"),
-        s"$deltaDir/bands", batchId)
+      graft.sources.IndexLifecycle.dedupBatchStep(batch, batchId,
+        survivorsPath,
+        probePairs = bands.select(col("bkey"), col("doc_id").as("doc_id_new"))
+          .transform(lshCandidates(base, delta)),
+        appendIndex = survivors => graft.sources.Bucketing.writeDeltaPartition(
+          bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
+          s"$deltaDir/bands", batchId))
     } finally bands.unpersist()
   }
 
@@ -2157,12 +2141,11 @@ object Dedup {
       })
 
   /** One micro-batch of [[maintainSubstrDedup]], factored out so replay
-    * semantics are directly testable — the [[processLshBatch]] discipline:
-    * survivors and their spans each OVERWRITE their own `batch_id=`
-    * partition, the probe excludes the batch's OWN delta partition, and
-    * matches whose corpus side is a CURRENT-batch doc are excluded from
-    * the dup verdict (a replayed batch whose first delivery was already
-    * compacted into the base must not drop a doc for matching itself).
+    * semantics are directly testable. The replay invariants live ONCE in
+    * [[graft.sources.IndexLifecycle.dedupBatchStep]] (shared with
+    * [[processLshBatch]] / [[processJaccardBatch]]); this body owns the
+    * family's probe (capped batch spans against the visible span layers)
+    * and its index increment (the survivors' spans).
     */
   private[graft] def processSubstrBatch(batch: DataFrame, batchId: Long,
                                         table: String, deltaDir: String,
@@ -2182,20 +2165,15 @@ object Dedup {
       posCapped(spanTable(batch, n).repartition(buckets, col("h")),
         maxDocPositions))
     try {
-      val probe = bs.select(col("h"), col("doc_id").as("doc_id_new"))
       // base joined SEPARATELY from the delta so the bucketed base reads
       // co-located (the split-parts discipline all the families share)
-      val dupIds = substrCandidates(basePart, deltaPart)(probe)
-        .join(batch.select(col("doc_id").as("doc_id_corpus")),
-          Seq("doc_id_corpus"), "left_anti")
-        .select(col("doc_id_new").as("doc_id")).distinct()
-      val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
-      try {
-        b.writeDeltaPartition(survivors, survivorsPath, batchId)
-        b.writeDeltaPartition(
+      graft.sources.IndexLifecycle.dedupBatchStep(batch, batchId,
+        survivorsPath,
+        probePairs = substrCandidates(basePart, deltaPart)(
+          bs.select(col("h"), col("doc_id").as("doc_id_new"))),
+        appendIndex = survivors => b.writeDeltaPartition(
           bs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
-          s"$deltaDir/spans", batchId)
-      } finally { survivors.unpersist(blocking = false); () }
+          s"$deltaDir/spans", batchId))
     } finally Checkpoints.releaseTracked(bs, bsIds)
   }
 
@@ -2309,23 +2287,31 @@ object Dedup {
         .withColumn("method", lit(method))
     // ngramJaccard emits EVERY LSH candidate with its verification
     // columns, so one run serves both the raw-candidate row and the
-    // verified row — materialized once (pair-sized; blocks back the
-    // returned 3-row frame, Bench sweeps between queries) instead of
-    // rebuilding the signature/banding pipeline per consumer
-    val (nj, _) = checkpointTracked(ngramJaccard(perturbed))
-    score("lsh_candidates", nj)
-      .unionByName(score("lsh_verified",
-        nj.filter(col("jaccard_pct") >= minJaccardPct)))
-      .unionByName(score("simhash", simhashPairs(perturbed, maxHamming)))
-      .crossJoin(broadcast(
-        planted.agg(count(lit(1)).cast("long").as("n_planted"))))
-      .select(col("method"), col("n_pairs"), col("n_planted_found"),
-        // greatest-1 guard: an empty universe reads as 0 recall, not a
-        // NULL that kills typed decodes downstream
-        expr("(n_planted_found * 1000000L) div greatest(n_planted, 1L)")
-          .as("recall_ppm"),
-        (col("n_pairs") - col("n_planted_found")).as("n_extra_pairs"))
-      .orderBy("method")
+    // verified row — materialized once (pair-sized) instead of rebuilding
+    // the signature/banding pipeline per consumer. The returned frame is
+    // |methods| rows, so it is materialized EAGERLY and the checkpoint
+    // blocks released before returning (try/finally, the gate discipline)
+    // — a lazy return would pin the pair-sized blocks for the session
+    // with no handle for the caller to release them
+    val (nj, njIds) = checkpointTracked(ngramJaccard(perturbed))
+    try {
+      val out = score("lsh_candidates", nj)
+        .unionByName(score("lsh_verified",
+          nj.filter(col("jaccard_pct") >= minJaccardPct)))
+        .unionByName(score("simhash", simhashPairs(perturbed, maxHamming)))
+        .crossJoin(broadcast(
+          planted.agg(count(lit(1)).cast("long").as("n_planted"))))
+        .select(col("method"), col("n_pairs"), col("n_planted_found"),
+          // greatest-1 guard: an empty universe reads as 0 recall, not a
+          // NULL that kills typed decodes downstream
+          expr("(n_planted_found * 1000000L) div greatest(n_planted, 1L)")
+            .as("recall_ppm"),
+          (col("n_pairs") - col("n_planted_found")).as("n_extra_pairs"))
+        .orderBy("method")
+      val session = documents.sparkSession
+      import scala.jdk.CollectionConverters._
+      session.createDataFrame(out.collect().toList.asJava, out.schema)
+    } finally releaseTracked(nj, njIds)
   }
 
   /** A corpus with synthetic near-duplicates: each doc re-appears (id +

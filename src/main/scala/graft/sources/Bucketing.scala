@@ -166,7 +166,21 @@ object Bucketing {
     * operation a swap consists of.
     */
   def swapView(spark: SparkSession, view: String, physTable: String): Unit = {
-    spark.sql(s"CREATE OR REPLACE VIEW `$view` AS SELECT * FROM `$physTable`")
+    // ALTER VIEW ... AS, not CREATE OR REPLACE VIEW: Spark implements the
+    // persisted-view REPLACE as catalog drop + create, which opens a
+    // window where a concurrent reader's `spark.table(view)` resolves
+    // NOTHING and throws TABLE_OR_VIEW_NOT_FOUND — observed as a
+    // fold-under-serve probe failure in the RecoverySpec lifecycle
+    // matrix. ALTER VIEW AS is one catalog alterTable (atomic in the
+    // session catalog), so the serving cutover is the single atomic step
+    // the generation-swap design requires. The not-exists branch only
+    // runs on a family's FIRST build (no readers can hold the name yet);
+    // concurrent swappers of one family don't exist by design (one
+    // maintainer per index — the maintainLoop contract).
+    if (spark.catalog.tableExists(view))
+      spark.sql(s"ALTER VIEW `$view` AS SELECT * FROM `$physTable`")
+    else
+      spark.sql(s"CREATE VIEW `$view` AS SELECT * FROM `$physTable`")
     ()
   }
 

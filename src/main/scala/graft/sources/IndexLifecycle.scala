@@ -151,6 +151,55 @@ object IndexLifecycle {
     } else false
   }
 
+  /** The ONE replay-safe dedup micro-batch skeleton behind the three
+    * index-GROWING dedup loops (LSH bands, exact Jaccard, substring
+    * spans — `Dedup.processLshBatch` / `processJaccardBatch` /
+    * `processSubstrBatch`). Each family owns its probe (candidate pairs
+    * against the batch-excluded visible state) and its index increment
+    * (the survivors' delta rows); everything BETWEEN those two — the
+    * exact code region where the r15–r17 reviews kept finding bugs —
+    * exists once here:
+    *
+    *  1. the replay-after-compaction guard: verdicts whose CORPUS side is
+    *     a current-batch doc are dropped — a replayed batch whose first
+    *     delivery was already folded into the base must not drop a doc
+    *     for matching itself or a within-batch twin (both-survive is the
+    *     documented within-batch contract; on a first run such pairs
+    *     cannot exist, so first-run semantics are unchanged);
+    *  2. the dup→survivor derivation (distinct ids, one anti-join);
+    *  3. the write ORDER — survivors land before the index increment, so
+    *     a crash between the two writes leaves the index missing rows a
+    *     replay re-derives, never survivor rows the index already
+    *     advertises;
+    *  4. survivor reuse — the frame is consumed by both writes, persisted
+    *     across them and released in a finally.
+    *
+    * @param probePairs candidate pairs from the batch against base ∪
+    *                   delta EXCLUDING the batch's own partition
+    *                   ([[Bucketing.layerParts]]' `excludeBatch`), as
+    *                   (`doc_id_new`, `doc_id_corpus`) — the family
+    *                   normalizes its pair column names to this contract
+    * @param appendIndex writes the SURVIVORS' index increment(s) into the
+    *                   family's delta layer(s)
+    *                   ([[Bucketing.writeDeltaPartition]]-based)
+    */
+  def dedupBatchStep(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+                     survivorsPath: String,
+                     probePairs: org.apache.spark.sql.DataFrame,
+                     appendIndex: org.apache.spark.sql.DataFrame => Unit)
+      : Unit = {
+    import org.apache.spark.sql.functions.col
+    val dupIds = probePairs
+      .join(batch.select(col("doc_id").as("doc_id_corpus")),
+        Seq("doc_id_corpus"), "left_anti")
+      .select(col("doc_id_new").as("doc_id")).distinct()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").persist()
+    try {
+      Bucketing.writeDeltaPartition(survivors, survivorsPath, batchId)
+      appendIndex(survivors)
+    } finally { survivors.unpersist(blocking = false); () }
+  }
+
   /** The ONE streaming maintenance-loop shape behind every family's
     * `maintain*` surface (BM25, IVF, LSH, Jaccard, fuzzy): an Append-mode
     * foreachBatch stream that applies the family's delta step per
