@@ -28,6 +28,18 @@ object SparkEntry {
     Tables.embeddings(s, dir)
   }
 
+  /** ONE τ definition and ONE persisted pair-evidence artifact per corpus
+    * for the exact-Jaccard family: `ext_jaccard_join` serves the evidence
+    * directly and `ext_jaccard_sweep` sweeps its tail over the same frame
+    * — the floor value feeds the join, the cache key and the sweep's
+    * evidence guard from one place, so they cannot drift.
+    */
+  private val JaccardFloorPpm = 850000L
+  private def jaccardPairsM7(s: SparkSession, d: String) =
+    TrainedStore.cached(s, s"jaccard-pairs:$d:m7:$JaccardFloorPpm")(
+      Dedup.jaccardJoin(docs(s, d).filter(col("doc_id") % 7 === 0),
+        JaccardFloorPpm))
+
   /** ONE persisted span-table artifact per corpus dir, shared by the three
     * span consumers (`ext_span_dups` / `ext_substr_dups` /
     * `ext_substr_apply`): each used to checkpoint its own copy of the same
@@ -235,6 +247,31 @@ object SparkEntry {
     "ext_quality_classifier" -> ((s, d) =>
       TextAnalysis.qualityClassifier(docs(s, d)).orderBy("doc_id")),
     "ext_pipeline_keep" -> ((s, d) => Curation.pipelineKeep(docs(s, d)).orderBy("doc_id")),
+    // the COMPOSED crawl-ingest pipeline (blocklist → substring
+    // decontamination → substring dedup → quality/quota) over the crawl
+    // construction (near-dup twins + injected URLs/ads), with per-stage
+    // drop accounting — the production first job the standalone gates
+    // exist for. Bench side = the %97 originals' spans, read off the
+    // SHARED per-corpus span artifact
+    "ext_crawl_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val crawl = Curation.withCrawlCorpus(docs(s, d))
+      // the crawl's distinct (doc, anchor) projection is a per-corpus
+      // artifact like perturbedSpans — recurring intakes share one span
+      // scan across the substring family (parquet-backed, so it survives
+      // the harness's persist sweeps)
+      val anch = TrainedStore.cached(s,
+        s"crawl-anchors:$d:n=${Dedup.SpanN}")(
+        Dedup.spanTable(crawl, Dedup.SpanN)
+          .select(col("doc_id"), col("h")).distinct())
+      Curation.crawlPipelineFrom(
+        crawl,
+        Seq("ads.example.net", "site7.example.org", "never.example.io")
+          .toDF("domain"),
+        perturbedSpans(s, d).filter(
+          (col("doc_id") % 97 === 0) && (col("doc_id") < 1000000L)),
+        anch)
+    }),
     "ext_seq_pack" -> ((s, d) => Curation.sequencePack(docs(s, d)).orderBy("doc_id")),
     // RAG/pretraining sliding-window chunker (32-token windows, stride 24)
     "ext_chunk_overlap" -> ((s, d) =>
@@ -497,25 +534,20 @@ object SparkEntry {
     "ext_dedup_eval" -> ((s, d) =>
       Dedup.dedupMethodEval(docs(s, d).filter(col("doc_id") % 7 === 0))),
     // exact (no-false-negative) τ-Jaccard join, prefix-filter bounded;
-    // mod-7 doc universe keeps the oracle's all-pairs twin tractable
+    // mod-7 doc universe keeps the oracle's all-pairs twin tractable.
+    // Reads the SAME cached per-corpus pair artifact the sweep below
+    // consumes — one join, one τ definition for the family
     "ext_jaccard_join" -> ((s, d) =>
-      Dedup.jaccardJoin(docs(s, d).filter(col("doc_id") % 7 === 0))
-        .orderBy("doc_a", "doc_b")),
+      jaccardPairsM7(s, d).orderBy("doc_a", "doc_b")),
     // dedup-rate-vs-threshold curve: cumulative pair / dropped-doc /
     // survivor counts per candidate τ — the tuning signal for committing
     // a dedup threshold. The pair evidence at the sweep floor (= the
-    // ext_jaccard_join τ) is a cached per-corpus artifact; the sweep
-    // prices its own tail, one narrow pass over pair-sized rows
-    "ext_jaccard_sweep" -> ((s, d) => {
-      val m7 = docs(s, d).filter(col("doc_id") % 7 === 0)
-      // ONE floor value feeds the join, the cache key and the sweep's
-      // evidence guard — they cannot drift
-      val floor = 850000L
+    // ext_jaccard_join τ) is the shared cached per-corpus artifact; the
+    // sweep prices its own tail, one narrow pass over pair-sized rows
+    "ext_jaccard_sweep" -> ((s, d) =>
       Dedup.jaccardThresholdSweepFrom(
-        TrainedStore.cached(s, s"jaccard-pairs:$d:m7:$floor")(
-          Dedup.jaccardJoin(m7, floor)),
-        m7, Seq(floor, 900000L, 950000L, 990000L), floor)
-    }),
+        jaccardPairsM7(s, d), docs(s, d).filter(col("doc_id") % 7 === 0),
+        Seq(JaccardFloorPpm, 900000L, 950000L, 990000L), JaccardFloorPpm)),
     // incremental exact-Jaccard: index two thirds of the mod-7 universe,
     // probe the rest against the persisted prefix tables — must equal the
     // one-shot all-pairs result restricted to cross pairs (frozen-vocab
@@ -1268,6 +1300,107 @@ object SparkEntry {
     * twins; islands per (train, bench, diagonal), interval-union
     * coverage per train doc.
     */
+  /** Oracle for the composed crawl-ingest pipeline: the stage SEMANTICS
+    * are each pinned by their standalone rows (ext_domain_blocklist,
+    * ext_decontaminate_substr, ext_substr_dups, ext_pipeline_keep), so
+    * this twin verifies the COMPOSITION — sequential survivor carving and
+    * the per-stage accounting. Verdict membership is position-cap-free by
+    * construction (a doc's FIRST occurrence of an anchor always survives
+    * the per-(anchor, doc) keep-first-K cap, and the hot-anchor cap drops
+    * whole anchors), so the drop sets reduce to anchor-membership joins —
+    * no runs machinery needed for counts.
+    */
+  private def crawlPipelineSql: String = {
+    val n = Dedup.SpanN
+    val cap = Dedup.SubstrAnchorCap
+    val spanOf = (src: String, out: String) =>
+      s"""$out AS (SELECT DISTINCT doc_id, o.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+         |      i -> struct_pack(h :=
+         |        ${h60(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS o
+         |    FROM $src WHERE len(t) >= $n))""".stripMargin
+    s"""WITH cpl(domain) AS (SELECT unnest(
+       |    ['ads.example.net', 'site7.example.org', 'never.example.io'])),
+       |cp0 AS (SELECT doc_id, source, lang,
+       |    text || ' see https://site' || (doc_id % 50) || '.example.org/p' ||
+       |    (doc_id % 7) || ' and http://mirror' || (doc_id % 3) ||
+       |    '.example.com/x' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' ad https://cdn' || (doc_id % 4)
+       |      || '.ads.example.net/t' ELSE '' END AS text
+       |  FROM (SELECT doc_id, source, lang, text FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 1000000, source, lang,
+       |      substr(text, position(' ' IN text) + 1) FROM documents)),
+       |cph AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1)) AS host
+       |  FROM cp0),
+       |cpblk AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |        range(1, len(string_split(host, '.'))),
+       |        i -> array_to_string(string_split(host, '.')[i:], '.'))) AS sfx
+       |    FROM cph WHERE len(string_split(host, '.')) >= 2) s
+       |  JOIN cpl b ON s.sfx = b.domain),
+       |cpk1 AS (SELECT doc_id FROM cp0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cpblk)),
+       |cpt AS (SELECT c.doc_id, string_split($NORM, ' ') AS t
+       |  FROM cp0 c JOIN cpk1 USING (doc_id)),
+       |${spanOf("cpt", "cpsp")},
+       |cpbt AS (SELECT doc_id, string_split($NORM, ' ') AS t
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |${spanOf("cpbt", "cpbsp")},
+       |cphot AS (SELECT h FROM cpbsp GROUP BY h
+       |  HAVING count(DISTINCT doc_id) > $cap),
+       |cpcon AS (SELECT DISTINCT t.doc_id FROM cpsp t JOIN cpbsp b USING (h)
+       |  WHERE h NOT IN (SELECT h FROM cphot)),
+       |cpk2 AS (SELECT doc_id FROM cpk1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cpcon)),
+       |cpsp2 AS (SELECT s.doc_id, s.h FROM cpsp s JOIN cpk2 USING (doc_id)),
+       |cphot2 AS (SELECT h FROM cpsp2 GROUP BY h
+       |  HAVING count(DISTINCT doc_id) > $cap),
+       |cpok2 AS (SELECT doc_id, h FROM cpsp2
+       |  WHERE h NOT IN (SELECT h FROM cphot2)),
+       |cpdup AS (SELECT DISTINCT b.doc_id
+       |  FROM cpok2 a JOIN cpok2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |cpk3 AS (SELECT doc_id FROM cpk2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cpdup)),
+       |cpc3 AS (SELECT c.* FROM cp0 c JOIN cpk3 USING (doc_id)),
+       |cpq AS (SELECT doc_id,
+       |    len(string_split($NORM, ' ')) >= 10 AND len(string_split($NORM, ' ')) <= 100000
+       |      AND len(list_filter(string_split($NORM, ' '),
+       |            w -> list_contains(['the','a','of','and','to','in','is'], w))) > 0
+       |      AND length(replace($NORM, ' ', '')) < len(string_split($NORM, ' ')) * 12 AS is_quality
+       |  FROM cpc3),
+       |cph4 AS (SELECT doc_id, ${h60(NORM)} AS content_hash FROM cpc3),
+       |cpg AS (SELECT content_hash, min(doc_id) AS keep_id
+       |  FROM cph4 GROUP BY 1),
+       |cpsv AS (SELECT d.doc_id, d.source, d.text
+       |  FROM cpc3 d
+       |  JOIN cpq ON cpq.doc_id = d.doc_id
+       |  JOIN cph4 h ON h.doc_id = d.doc_id
+       |  JOIN cpg g ON g.content_hash = h.content_hash
+       |  WHERE cpq.is_quality AND h.doc_id = g.keep_id
+       |    AND d.lang IN ('en', 'de')),
+       |cpcum AS (SELECT doc_id,
+       |    CAST(sum(CAST(len(string_split($NORM, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM cpsv),
+       |cpcnt AS (SELECT
+       |    (SELECT count(*) FROM cp0) AS n0,
+       |    (SELECT count(*) FROM cpk1) AS n1,
+       |    (SELECT count(*) FROM cpk2) AS n2,
+       |    (SELECT count(*) FROM cpk3) AS n3,
+       |    (SELECT count(*) FROM cpcum WHERE cum_tokens <= 150) AS n4)
+       |SELECT stage_idx, stage, n_in, n_dropped, n_out FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'blocklist' AS stage,
+       |    CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_dropped,
+       |    CAST(n1 AS BIGINT) AS n_out FROM cpcnt
+       |  UNION ALL SELECT 2, 'decontaminate', n1, n1 - n2, n2 FROM cpcnt
+       |  UNION ALL SELECT 3, 'dedup', n2, n2 - n3, n3 FROM cpcnt
+       |  UNION ALL SELECT 4, 'quality_quota', n3, n3 - n4, n4 FROM cpcnt)
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   private def substrDecontSql: String = {
     val n = Dedup.SpanN
     val cap = Dedup.SubstrAnchorCap
@@ -3242,6 +3375,7 @@ object SparkEntry {
          |           FROM sskeep GROUP BY doc_id) sg USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin
     },
+    "ext_crawl_pipeline" -> crawlPipelineSql,
     "ext_decontaminate_substr" -> substrDecontSql,
     // identical SQL deliberately: the persisted bucketed benchmark index
     // is a physical layout knob — the oracle IS the proof the stored

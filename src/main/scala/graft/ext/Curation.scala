@@ -1106,4 +1106,247 @@ object Curation {
         col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budgetPerSource).as("in_budget"))
   }
+
+  /** The crawl-corpus construction for [[crawlPipeline]]'s verification:
+    * [[graft.ext.Dedup.withPerturbedCopies]]' near-dup twins with the
+    * original's source/lang INHERITED (a mirrored page keeps its site
+    * metadata — and the quality stage needs both columns), then the
+    * [[withAdUrlsInjected]] URL pattern applied over the UNIONED id space
+    * (a twin's links derive from its own doc_id, like any crawled page).
+    * The oracle applies the same construction.
+    */
+  def withCrawlCorpus(documents: DataFrame,
+                      idOffset: Long = 1000000L): DataFrame = {
+    val perturbed = documents
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .unionByName(documents.select(
+        (col("doc_id") + lit(idOffset)).as("doc_id"),
+        col("source"), col("lang"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    perturbed.select(col("doc_id"), col("source"), col("lang"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org/p"), (col("doc_id") % 7).cast("string"),
+        lit(" and http://mirror"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/x"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ad https://cdn"), (col("doc_id") % 4).cast("string"),
+            lit(".ads.example.net/t"))).otherwise(lit(""))).as("text"))
+  }
+
+  /** The composed crawl-ingest pipeline — a training-data crawl intake's
+    * first production job, chaining the four standalone gates in their
+    * deployment order over ONE batch: (1) URL/domain blocklist
+    * ([[domainBlocklist]]), (2) substring-level benchmark decontamination
+    * ([[graft.ext.Dedup.substrDecontaminateFrom]] against a fixed
+    * eval-suite span table), (3) cross-document substring dedup
+    * ([[graft.ext.Dedup.substrDupsFrom]] — the younger doc of every
+    * duplicated-run pair drops, the elder keeps), (4) quality/language/
+    * exact-canonical/per-source-quota keep ([[pipelineKeep]]). Emits
+    * per-stage drop accounting — the rejection-mix report a curator reads
+    * after every crawl: one row per stage,
+    * (stage_idx, stage, n_in, n_dropped, n_out).
+    *
+    * SEQUENTIAL semantics: each stage evaluates on the SURVIVORS of the
+    * previous one. The dedup stage's pair graph in particular is computed
+    * WITHIN stage-2 survivors — a duplicate whose elder was blocked or
+    * decontaminated upstream becomes the keeper, exactly as if the
+    * dropped doc never crawled.
+    *
+    * The substring stages run MEMBERSHIP-ONLY cores — the accounting
+    * needs who drops, not the run evidence, and membership is
+    * position-cap-free by construction (a doc's FIRST occurrence of an
+    * anchor always survives the per-(anchor, doc) keep-first-K cap, and
+    * the hot-anchor cap removes whole anchors): a doc is contaminated iff
+    * it shares ANY non-hot anchor with the benchmark (one anchor join —
+    * no runs machinery), and a doc is dedup-dropped iff some anchor it
+    * carries has a SMALLER doc_id holder (per-anchor min — one aggregate
+    * + one join, never the pair self-join). The run-evidence forms stay
+    * the standalone operators ([[graft.ext.Dedup.substrDecontaminateFrom]]
+    * / [[graft.ext.Dedup.substrDups]]) for audits that need them.
+    *
+    * Scale shape — and the launch-latency shape that actually priced
+    * this row: exactly FOUR actions regardless of corpus size. (1) the
+    * distinct (doc, anchor) projection of one span scan over the WHOLE
+    * crawl (blocked docs' anchors included — the sequential accounting
+    * is set algebra over per-doc flags, which is one corpus scan cheaper
+    * than materializing each survivor set); (2) the per-doc stage-flag
+    * frame (blocklist verdict ⋈ benchmark-anchor membership —
+    * doc-count-sized); (3) the dedup-dropped ids (per-anchor min over
+    * stage-2 survivors' anchors); (4) ONE combined count over the flag
+    * frame crossed with the stage-4 keep count. Every stage verdict is a
+    * doc-count-sized or smaller frame, checkpointed and released on
+    * return; every join is doc-id- or anchor-keyed. A staged
+    * semi-join-per-stage form measured ~10× this wall at equal executor
+    * work — all of it serialized driver/launch latency.
+    */
+  def crawlPipeline(crawl: DataFrame, blocked: DataFrame,
+                    benchSpans: DataFrame, n: Int = Dedup.SpanN,
+                    maxAnchorDocs: Int = Dedup.SubstrAnchorCap,
+                    langs: Seq[String] = Seq("en", "de"),
+                    budgetPerSource: Long = 150L): DataFrame = {
+    val ck = Checkpoints
+    // action 1: ONE tokenize pass; positions dropped at the scan — the
+    // membership cores are position-cap-free by construction
+    val (anch, aIds) = ck.checkpointTracked(
+      Dedup.spanTable(crawl, n).select("doc_id", "h").distinct())
+    try crawlPipelineFrom(crawl, blocked, benchSpans, anch, n,
+      maxAnchorDocs, langs, budgetPerSource)
+    finally ck.releaseTracked(anch, aIds)
+  }
+
+  /** [[crawlPipeline]] over an already-materialized DISTINCT
+    * (doc_id, anchor-hash) projection of the crawl's span table — the
+    * [[graft.ext.Dedup.substrDupsFrom]] precedent: recurring intakes
+    * share one span scan across the whole substring family, so the
+    * pipeline should consume the artifact, not re-derive it.
+    */
+  def crawlPipelineFrom(crawl: DataFrame, blocked: DataFrame,
+                        benchSpans: DataFrame, anch: DataFrame,
+                        n: Int = Dedup.SpanN,
+                        maxAnchorDocs: Int = Dedup.SubstrAnchorCap,
+                        langs: Seq[String] = Seq("en", "de"),
+                        budgetPerSource: Long = 150L): DataFrame = {
+    val spark = crawl.sparkSession
+    val ck = Checkpoints
+    locally {
+      // stage-2 core: benchmark anchors minus the benchmark-side hot set
+      // (suite boilerplate; > cap distinct bench docs). Benchmark-sized —
+      // broadcastable at corpus scale
+      val benchSet = benchSpans.select("doc_id", "h").distinct()
+        .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") <= maxAnchorDocs).select("h")
+      val contamIds = anch.join(benchSet, Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      // action 2: the per-doc stage flags — every doc has a blocklist
+      // verdict row (explode_outer keeps URL-less docs), so this frame IS
+      // the crawl id space
+      val (flags, fIds) = ck.checkpointTracked(
+        domainBlocklist(crawl, blocked)
+          .select(col("doc_id"), (!col("keep")).as("blocked"))
+          .join(contamIds.withColumn("contam", lit(true)),
+            Seq("doc_id"), "left")
+          .na.fill(false, Seq("contam")))
+      try {
+        // stage-3 core: per-anchor min doc over stage-2 survivors — a doc
+        // drops iff ANY anchor it carries has a smaller surviving holder
+        // (exactly younger-side-of-any-pair membership); the same
+        // aggregate excludes the survivor-side hot anchors
+        val surv2 = flags.where(!col("blocked") && !col("contam"))
+          .select("doc_id")
+        val anch2 = anch.join(surv2, Seq("doc_id"), "left_semi")
+        val perAnchor = anch2.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            min(col("doc_id")).as("mn"))
+          .where(col("nd") <= maxAnchorDocs && col("nd") >= 2)
+        // action 3 (consumed twice below: the count and the stage-4 carve)
+        val (dups, dIds) = ck.checkpointTracked(
+          anch2.join(perAnchor, Seq("h"))
+            .where(col("doc_id") > col("mn"))
+            .select("doc_id").distinct())
+        try {
+          // action 4: ONE combined count — stage tallies off the flag
+          // frame, the stage-4 keep count crossed in as a 1-row agg
+          val s3 = crawl.join(surv2.join(dups, Seq("doc_id"), "left_anti"),
+            Seq("doc_id"), "left_semi")
+          val row = flags
+            .join(dups.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+            .agg(count(lit(1)).as("n0"),
+              sum(when(!col("blocked"), 1L).otherwise(0L)).as("n1"),
+              sum(when(!col("blocked") && !col("contam"), 1L)
+                .otherwise(0L)).as("n2"),
+              sum(when(!col("blocked") && !col("contam")
+                  && col("dup").isNull, 1L).otherwise(0L)).as("n3"))
+            .crossJoin(broadcast(pipelineKeep(s3, langs, budgetPerSource)
+              .agg(count(lit(1)).as("n4"))))
+            .head()
+          val (n0, n1, n2, n3, n4) = (row.getLong(0), row.getLong(1),
+            row.getLong(2), row.getLong(3), row.getLong(4))
+          import spark.implicits._
+          Seq(
+            (1L, "blocklist", n0, n0 - n1, n1),
+            (2L, "decontaminate", n1, n1 - n2, n2),
+            (3L, "dedup", n2, n2 - n3, n3),
+            (4L, "quality_quota", n3, n3 - n4, n4))
+            .toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
+        } finally ck.releaseTracked(dups, dIds)
+      } finally ck.releaseTracked(flags, fIds)
+    }
+  }
+
+  /** The STREAMING twin of [[crawlPipeline]] — the three existing gate
+    * loops composed into ONE topology: each micro-batch of crawl
+    * documents runs (1) the blocklist split ([[gateBlocklisted]]'s body —
+    * flagged docs land under `flaggedPath` with their verdict columns),
+    * (2) the substring-decontamination split against a FIXED benchmark
+    * span index ([[graft.ext.Dedup.gateSubstrDecontaminated]]'s body —
+    * quarantined docs land under `quarantinePath` with the audit
+    * columns), then (3) substring dedup against the GROWING corpus index
+    * ([[graft.ext.Dedup.maintainSubstrDedup]]'s body — survivors land
+    * under `survivorsPath` AND their spans append to the index delta, so
+    * later batches dedup against earlier survivors). With
+    * `autoCompactAt > 0` the dedup index self-compacts at the threshold
+    * cadence, exactly like the standalone loop.
+    *
+    * Replay-idempotent end to end: every stage's output overwrites its
+    * own `batch_id=` partition, stage verdicts recompute
+    * deterministically, and the dedup stage runs through the shared
+    * [[graft.sources.IndexLifecycle.dedupBatchStep]] skeleton (own-batch
+    * delta exclusion + current-batch corpus-side verdict guard), so a
+    * redelivered batch reproduces its first delivery bit for bit.
+    */
+  def maintainCrawlIngest(stream: DataFrame, blocked: DataFrame,
+                          benchTable: String, dedupTable: String,
+                          deltaDir: String, checkpointDir: String,
+                          flaggedPath: String, quarantinePath: String,
+                          survivorsPath: String, n: Int = Dedup.SpanN,
+                          maxDocPositions: Int = Dedup.SubstrPosCap,
+                          autoCompactAt: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.IndexLifecycle.maintainLoop(stream, checkpointDir,
+      applyBatch = processCrawlIngest(_, _, blocked, benchTable, dedupTable,
+        deltaDir, flaggedPath, quarantinePath, survivorsPath, n,
+        maxDocPositions),
+      autoCompactAt = autoCompactAt,
+      compact = (s, maxUnfolded) => {
+        Dedup.compactSubstrIfNeeded(s, dedupTable, deltaDir, maxUnfolded); ()
+      })
+
+  /** One micro-batch of [[maintainCrawlIngest]], factored out so the
+    * chained split and replay semantics are directly testable — the
+    * stage bodies are the gates' own (verdict shapes, checkpoint
+    * hygiene, partition-overwrite writes), sequenced so each stage only
+    * sees the previous stage's survivors.
+    */
+  private[graft] def processCrawlIngest(batch: DataFrame, batchId: Long,
+                                        blocked: DataFrame,
+                                        benchTable: String,
+                                        dedupTable: String, deltaDir: String,
+                                        flaggedPath: String,
+                                        quarantinePath: String,
+                                        survivorsPath: String, n: Int,
+                                        maxDocPositions: Int): Unit = {
+    val session = batch.sparkSession
+    val b = graft.sources.Bucketing
+    val ck = Checkpoints
+    val (verdicts, vIds) = ck.checkpointTracked(
+      domainBlocklist(batch, blocked))
+    try {
+      b.writeDeltaPartition(
+        batch.join(verdicts.filter(!col("keep")), Seq("doc_id"), "inner"),
+        flaggedPath, batchId)
+      val s1 = batch.join(verdicts.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val (dec, decIds) = ck.checkpointTracked(
+        Dedup.decontAgainstIndexSpans(session, Dedup.spanTable(s1, n),
+          benchTable, n, maxDocPositions))
+      try {
+        b.writeDeltaPartition(
+          s1.join(dec, Seq("doc_id"), "inner"), quarantinePath, batchId)
+        val s2 = s1.join(dec.select("doc_id"), Seq("doc_id"), "left_anti")
+        Dedup.processSubstrBatch(s2, batchId, dedupTable, deltaDir,
+          survivorsPath, n, maxDocPositions)
+      } finally ck.releaseTracked(dec, decIds)
+    } finally ck.releaseTracked(verdicts, vIds)
+  }
 }

@@ -410,6 +410,89 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("crawl pipeline: sequential stage accounting, one known drop per stage") {
+    val bench = Seq((60L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      // stage 1: blocked by the ad host's parent-domain suffix
+      (1L, "s", "en", "the ad https://cdn0.ads.example.net/t page with plenty of the usual words here"),
+      // stage 2: carries the benchmark's >= n-token run
+      (2L, "s", "en", "x q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 y"),
+      // stage 3 pair: 4 shares doc 3's full >= n run -> the YOUNGER drops
+      (3L, "s", "en", "the quick brown fox jumps over a lazy dog tonight"),
+      (4L, "s", "en", "the quick brown fox jumps over a lazy dog tonight and then some more words follow"),
+      // stage 4: under the 10-token quality floor
+      (5L, "s", "en", "too short here"),
+      // stage 4: quality but wrong language
+      (6L, "s", "fr", "le renard brun a saute par dessus le chien paresseux maintenant"),
+      // keeper
+      (7L, "s", "en", "a completely different story about the sea and many gentle waves")
+    ).toDF("doc_id", "source", "lang", "text")
+    val blocked = Seq("ads.example.net").toDF("domain")
+    val out = Curation.crawlPipeline(crawl, blocked, Dedup.spanTable(bench))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "blocklist", 7L, 1L, 6L),
+      (2L, "decontaminate", 6L, 1L, 5L),
+      (3L, "dedup", 5L, 1L, 4L),
+      (4L, "quality_quota", 4L, 2L, 2L)), out.toString)
+    // nothing leaks: the eager accounting released every checkpoint block
+    // this call created (the shared session may hold other operators')
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("crawl ingest loop: chained gates split per stage, dedup index grows, replay-idempotent") {
+    val dir = managedTempDir("graft_crawl_ingest")
+    val (flagged, quar, surv) = (s"$dir/flagged", s"$dir/quar", s"$dir/surv")
+    val delta = s"$dir/delta"
+    val blocked = Seq("ads.example.net").toDF("domain")
+    try {
+      Dedup.buildSubstrBenchIndexGen(
+        Seq((60L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+        "crawl_bench_idx_test", buckets = 2)
+      Dedup.buildSubstrBenchIndexGen(
+        Seq((50L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10")).toDF("doc_id", "text"),
+        "crawl_dedup_idx_test", buckets = 2)
+      def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        Curation.processCrawlIngest(b, id, blocked, "crawl_bench_idx_test",
+          "crawl_dedup_idx_test", delta, flagged, quar, surv,
+          Dedup.SpanN, Dedup.SubstrPosCap)
+      def ids(path: String, batch: Long): Set[Long] =
+        spark.read.parquet(path).filter(col("batch_id") === batch)
+          .select("doc_id").as[Long].collect().toSet
+      val b1 = Seq(
+        (201L, "novel words one https://cdn0.ads.example.net/t two three four five six seven"),
+        (202L, "x q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 y"),     // bench run
+        (203L, "pre s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 post"), // index run
+        (204L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")           // survivor
+      ).toDF("doc_id", "text")
+      run(b1, 1L)
+      assert(ids(flagged, 1L) == Set(201L))
+      assert(ids(quar, 1L) == Set(202L))
+      assert(ids(surv, 1L) == Set(204L))
+      // batch 2: a dup of batch 1's SURVIVOR drops through the live delta;
+      // a doc both blocked AND contaminated stops at the FIRST gate
+      val b2 = Seq(
+        (205L, "w0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 w1"),
+        (206L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),
+        (207L, "k q1 q2 q3 q4 q5 q6 q7 q8 q9 k2 see https://ads.example.net/x page")
+      ).toDF("doc_id", "text")
+      run(b2, 2L)
+      assert(ids(flagged, 2L) == Set(207L), "chain order: first gate wins")
+      assert(ids(quar, 2L) == Set.empty[Long])
+      assert(ids(surv, 2L) == Set(206L))
+      // replay of batch 2 overwrites its own partitions — identical
+      run(b2, 2L)
+      assert(ids(flagged, 2L) == Set(207L) && ids(surv, 2L) == Set(206L))
+    } finally {
+      Seq("crawl_bench_idx_test", "crawl_dedup_idx_test").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        graft.sources.Bucketing.dropGeneration(spark, t, 1)
+      }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("streaming blocklist gate: clean/flagged split, replay-idempotent") {
     val blocked = Seq("ads.example.net").toDF("domain")
     val dir = managedTempDir("graft_bl_gate")
