@@ -304,10 +304,18 @@ object Curation {
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val tp = counts(prev).agg(sum("cnt").cast("long").as("tot_prev"))
-    val tc = counts(cur).agg(sum("cnt").cast("long").as("tot_cur"))
-    counts(prev).withColumnRenamed("cnt", "cnt_prev")
-      .join(counts(cur).withColumnRenamed("cnt", "cnt_cur"),
+    // each side's counts frame exists ONCE and feeds both its join side
+    // and its 1-row total: the total's plan contains the identical
+    // token-hash exchange, so within the single final action Spark's
+    // ReuseExchange serves both consumers from ONE tokenize+aggregate
+    // pass per side (pinned in ExtSpec — the docstring's "one tokenize
+    // pass per side" is a plan property, not an intention)
+    val cp = counts(prev)
+    val cc = counts(cur)
+    val tp = cp.agg(sum("cnt").cast("long").as("tot_prev"))
+    val tc = cc.agg(sum("cnt").cast("long").as("tot_cur"))
+    cp.withColumnRenamed("cnt", "cnt_prev")
+      .join(cc.withColumnRenamed("cnt", "cnt_cur"),
         Seq("token"), "full_outer")
       .na.fill(0L, Seq("cnt_prev", "cnt_cur"))
       .filter(col("cnt_prev") >= minCount || col("cnt_cur") >= minCount)

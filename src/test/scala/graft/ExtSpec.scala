@@ -410,6 +410,24 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("vocab drift: one tokenize pass per side — totals reuse the counts exchange") {
+    val prev = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a b b e"), (2L, "e e f")).toDF("doc_id", "text")
+    val out = Curation.vocabDrift(prev, cur, topK = 10, minCount = 1L)
+    out.collect()
+    // each side's token-hash exchange materializes once and its 1-row
+    // total READS THE SAME STAGE — AQE stage reuse on the canonically
+    // identical subplan: the final adaptive plan carries a reused stage
+    // marker instead of four independent token exchanges
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(plan.contains("ReusedExchange"), plan)
+    // and the values: totals are per-snapshot token counts (7 each)
+    val r = out.filter(col("token") === "a")
+      .select("ppm_prev", "ppm_cur").as[(Long, Long)].head()
+    assert(r == ((2L * 1000000L / 7L, 1000000L / 7L)), r.toString)
+  }
+
   test("crawl pipeline: sequential stage accounting, one known drop per stage") {
     val bench = Seq((60L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"))
       .toDF("doc_id", "text")

@@ -1084,6 +1084,66 @@ class RecoverySpec extends SparkSpec {
     assert(caught.contains(100L))
   }
 
+  test("crawl ingest loop wired end-to-end: gates split, index grows and self-compacts") {
+    import graft.ext.{Curation, Dedup}
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("crawlingest")
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val deltaDir = s"$root/delta"
+    val (flagged, quar, surv) = (s"$root/flagged", s"$root/quar", s"$root/surv")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val blocked = Seq("ads.example.net").toDF("domain")
+    try {
+      Dedup.buildSubstrBenchIndexGen(
+        Seq((60L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+        "crawl_loop_bench_test", buckets = 2)
+      Dedup.buildSubstrBenchIndexGen(
+        Seq((50L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10")).toDF("doc_id", "text"),
+        "crawl_loop_idx_test", buckets = 2)
+      Seq(
+        (201L, "novel words one https://cdn0.ads.example.net/t two three four five six seven"),
+        (202L, "x q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 y"),
+        (204L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      // threshold 1: the dedup index folds after every batch — the fully
+      // automated composed-intake posture
+      val q = Curation.maintainCrawlIngest(
+        spark.readStream.schema(schema).parquet(srcDir),
+        blocked, "crawl_loop_bench_test", "crawl_loop_idx_test",
+        deltaDir, s"$root/ckpt", flagged, quar, surv, autoCompactAt = 1)
+      try {
+        q.processAllAvailable()
+        def ids(p: String): Set[Long] =
+          spark.read.parquet(p).select("doc_id").as[Long].collect().toSet
+        assert(ids(flagged) == Set(201L))
+        assert(ids(quar) == Set(202L))
+        assert(ids(surv) == Set(204L))
+        // the loop folded batch 0's spans itself, preserving the build's
+        // bucket count
+        assert(Bucketing.unfoldedBatchCount(
+          spark, "crawl_loop_idx_test", s"$deltaDir/spans") == 0)
+        assert(Bucketing.bucketCountOf(spark, "crawl_loop_idx_test", -1) == 2)
+        // batch 1: a twin of the FOLDED survivor drops off the base; a
+        // fresh doc survives
+        Seq((205L, "w0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 w1"),
+            (206L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+          .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        assert(ids(surv) == Set(204L, 206L),
+          "twin of the folded survivor must drop")
+        assert(ids(flagged) == Set(201L) && ids(quar) == Set(202L))
+      } finally q.stop()
+    } finally {
+      Seq("crawl_loop_bench_test", "crawl_loop_idx_test").foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        (1 to 3).foreach(Bucketing.dropGeneration(spark, t, _))
+      }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("self-compacting jaccard loop: vocab extension survives the mid-stream fold") {
     import graft.ext.Dedup
     import graft.sources.Bucketing
