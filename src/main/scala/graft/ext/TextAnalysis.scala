@@ -517,25 +517,36 @@ object TextAnalysis {
     * harness sweep releases the checkpoint blocks after consumption.)
     */
   def collocations(documents: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = toks
-      .select(explode(col("toks")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val nTok = uni.agg(coalesce(sum("c"), lit(0L)).as("n"))
-    val pairs = toks.where(size(col("toks")) >= 2)
+    // ONE corpus scan and ONE corpus-sized shuffle: every token emits
+    // exactly one (token, successor-or-"" sentinel) row, so the bigram
+    // aggregate — which a pair count pays anyway — also CONTAINS the
+    // unigram counts (uni(a) = Σ_b cnt(a, b), the sentinel row carrying
+    // each position with no successor). The former two-subtree form
+    // scanned and tokenized the corpus once per granularity; everything
+    // below the checkpoint is bigram-vocabulary-sized. Empty tokens
+    // cannot occur ([[tokens]] never emits them mid-array for normalized
+    // text), and "" as the no-successor sentinel cannot collide with a
+    // real token for the same reason.
+    val bi = documents
+      .select(tokens(col("text")).as("toks"))
       .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "j -> named_struct('a', toks[j], 'b', toks[j + 1]))")).as("p"))
+        // try_element_at (1-based), not toks[j + 1]: ANSI mode throws on
+        // an out-of-range array index, and the LAST position's successor
+        // is exactly that — the sentinel must come from a null, not an
+        // error (the ext_chat_validate precedent)
+        "transform(sequence(0, size(toks) - 1), " +
+          "j -> named_struct('a', toks[j], " +
+          "'b', coalesce(try_element_at(toks, j + 2), '')))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") =!= "" && col("b") =!= "")
+      .filter(col("a") =!= "")
       .groupBy("a", "b").agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minCount)
-    pairs
-      .join(uni.select(col("token").as("a"), col("c").as("ca")), "a")
-      .join(uni.select(col("token").as("b"), col("c").as("cb")), "b")
+      .localCheckpoint(true)
+    val uni = bi.groupBy("a").agg(sum("pair_n").as("c"))
+    val nTok = uni.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    bi
+      .filter(col("b") =!= "" && col("pair_n") >= minCount)
+      .join(uni.select(col("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("a").as("b"), col("c").as("cb")), "b")
       .crossJoin(broadcast(nTok))
       .select(col("a"), col("b"), col("pair_n"),
         expr("(pair_n * n * 1000000L) div (ca * cb)").as("score_ppm"))
