@@ -779,6 +779,150 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crawl pipeline accounting equals a brute sequential reference on random corpora") {
+    // Random raw docs (short no-span docs, empty text, random lang/source,
+    // stopword sprinkles) with PLANTED structure per stage: bench content
+    // copied into train docs (decontamination), a shared 9-token block
+    // across ALL bench docs (the > maxAnchorDocs hot-anchor suppression),
+    // train windows copied across train docs (dedup pairs), one window
+    // into 4 docs (survivor-side hot suppression). The reference
+    // recomputes every stage token-wise in Scala with no shared code,
+    // applying the SEQUENTIAL semantics directly: blocked by URL-suffix
+    // chain, contaminated = shares any non-hot bench 8-gram, dedup-
+    // dropped = some shared non-hot 8-gram has a smaller surviving
+    // holder, then quality/lang/exact-canonical/source-quota.
+    val n = graft.ext.Dedup.SpanN
+    val cap = 2 // hot-anchor cap small enough for 3 bench docs to trip it
+    val langsKeep = Set("en", "de")
+    val budget = 200L
+    val blockSet = Set("ads.example.net", "site7.example.org")
+    (1 to 3).foreach { round =>
+      val rng = new scala.util.Random(400 + round)
+      def tok(): String = "u" + rng.nextInt(50000)
+      val shared = Array.fill(9)(tok()) // in EVERY bench doc -> hot
+      val bench = (1L to 3L).map { i =>
+        val own = Array.fill(11)(tok())
+        (i, own.take(5) ++ shared ++ own.drop(5))
+      }
+      val raw = (1L to 60L).map { i =>
+        val len = rng.nextInt(4) match {
+          case 0 => rng.nextInt(4) + 1 // short: no spans even with tails
+          case _ => rng.nextInt(20) + 10
+        }
+        val arr = Array.fill(len)(
+          if (rng.nextInt(5) == 0) Seq("the", "a", "of")(rng.nextInt(3))
+          else tok())
+        (i, arr)
+      }.toMap ++ Map(61L -> Array.empty[String])
+      val planted = scala.collection.mutable.Map(raw.toSeq: _*)
+      def plantInto(id: Long, block: Array[String]): Unit = {
+        val t = planted(id)
+        if (t.length >= block.length) {
+          val p = rng.nextInt(t.length - block.length + 1)
+          val c = t.clone(); Array.copy(block, 0, c, p, block.length)
+          planted(id) = c
+        }
+      }
+      // bench leakage: own-window plants (contaminating) and the shared
+      // block (hot -> NOT contaminating on its own)
+      (1 to 4).foreach { _ =>
+        plantInto(rng.nextInt(60) + 1L, bench(rng.nextInt(3))._2.take(n))
+      }
+      plantInto(rng.nextInt(60) + 1L, shared)
+      // train-train dup plants + one 4-doc boilerplate window
+      (1 to 3).foreach { _ =>
+        val src = planted(rng.nextInt(60) + 1L)
+        if (src.length >= n) plantInto(rng.nextInt(60) + 1L, src.take(n))
+      }
+      val boiler = Array.fill(n)(tok())
+      (1 to 4).foreach(_ => plantInto(rng.nextInt(60) + 1L, boiler))
+      val langs = Seq("en", "fr", "de")
+      val srcs = Seq("s0", "s1")
+      val meta = planted.keys.map(i =>
+        i -> (srcs(rng.nextInt(2)), langs(rng.nextInt(3)))).toMap
+
+      // ---- reference: replicate withCrawlCorpus token-wise ----
+      def tailOf(id: Long): Array[String] = {
+        val base = Array("see", s"https://site${id % 50}.example.org/p${id % 7}",
+          "and", s"http://mirror${id % 3}.example.com/x")
+        if (id % 5 == 0) base ++ Array("ad", s"https://cdn${id % 4}.ads.example.net/t")
+        else base
+      }
+      val crawlRef: Seq[(Long, Array[String], String, String)] =
+        planted.toSeq.flatMap { case (i, t) =>
+          val (src, lg) = meta(i)
+          val twin = if (t.isEmpty) t else t.drop(1) // no-space doc: twin = copy
+          // a ONE-token doc has no space either -> twin keeps the token
+          val twinArr = if (t.length <= 1) t else twin
+          Seq((i, t ++ tailOf(i), src, lg),
+            (i + 1000000L, twinArr ++ tailOf(i + 1000000L), src, lg))
+        }.sortBy(_._1)
+      def hosts(toks: Array[String]): Seq[String] =
+        toks.toSeq.flatMap(w =>
+          "https?://([a-z0-9.-]+)/".r.findAllMatchIn(w).map(_.group(1)))
+      def blockedRef(toks: Array[String]): Boolean =
+        hosts(toks).exists { h =>
+          val ls = h.split("\\.")
+          (0 to ls.length - 2).exists(k => blockSet(ls.drop(k).mkString(".")))
+        }
+      def grams(t: Array[String]): Set[Seq[String]] =
+        if (t.length < n) Set.empty else t.sliding(n).map(_.toSeq).toSet
+      val benchGramDocs = bench.flatMap { case (bid, b) =>
+        grams(b).map(_ -> bid)
+      }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val benchOk = benchGramDocs.filter(_._2 <= cap).keySet
+      val n0 = crawlRef.size.toLong
+      val s1 = crawlRef.filterNot(d => blockedRef(d._2))
+      val s2 = s1.filterNot(d => grams(d._2).exists(benchOk))
+      val gramHolders = s2.flatMap(d => grams(d._2).map(_ -> d._1))
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.sorted }
+        .filter { case (_, hs) => hs.size >= 2 && hs.size <= cap }
+      val dropped = gramHolders.values.flatMap(_.drop(1)).toSet
+      val s3 = s2.filterNot(d => dropped(d._1))
+      def nrm(t: Array[String]): String = t.mkString(" ")
+      val canonical = s3.groupBy(d => nrm(d._2))
+        .map { case (_, ds) => ds.map(_._1).min }.toSet
+      val q = s3.filter { case (id, t, _, lg) =>
+        val nt = t.length
+        nt >= 10 && nt <= 100000 &&
+          t.exists(Set("the", "a", "of", "and", "to", "in", "is")) &&
+          nrm(t).replace(" ", "").length < nt * 12 &&
+          langsKeep(lg) && canonical(id)
+      }
+      val kept = q.groupBy(_._3).values.flatMap { ds =>
+        var cum = 0L
+        ds.sortBy(_._1).flatMap { d =>
+          cum += d._2.length; if (cum <= budget) Some(d._1) else None
+        }
+      }
+      val n1 = s1.size.toLong; val n2 = s2.size.toLong
+      val n3 = s3.size.toLong; val n4 = kept.size.toLong
+      val expected = Seq(
+        (1L, "blocklist", n0, n0 - n1, n1),
+        (2L, "decontaminate", n1, n1 - n2, n2),
+        (3L, "dedup", n2, n2 - n3, n3),
+        (4L, "quality_quota", n3, n3 - n4, n4))
+
+      // ---- the operator over the SAME raw docs ----
+      val rawDf = planted.toSeq.sortBy(_._1).map { case (i, t) =>
+        val (src, lg) = meta(i)
+        (i, t.mkString(" "), src, lg)
+      }.toDF("doc_id", "text", "source", "lang")
+      val out = graft.ext.Curation.crawlPipeline(
+          graft.ext.Curation.withCrawlCorpus(rawDf),
+          blockSet.toSeq.sorted.toDF("domain"),
+          graft.ext.Dedup.spanTable(
+            bench.map { case (i, b) => (i, b.mkString(" ")) }
+              .toDF("doc_id", "text"), n),
+          n, cap, langsKeep.toSeq.sorted, budget)
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      assert(out == expected, s"round $round\ngot      $out\nexpected $expected")
+      // every stage must actually fire across the rounds' constructions
+      assert(expected.forall(_._4 >= 0) && n0 > n4)
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("histogram quantile bins are monotone and consistent with a reference histogram") {
     sampleFrames(5).foreach { evs =>
       val got = graft.ext.Sketches.histQuantiles(evs.toDF())
