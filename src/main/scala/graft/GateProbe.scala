@@ -94,6 +94,32 @@ object GateProbe {
         ext.Dedup.SpanN, ext.Dedup.SubstrPosCap)
     }
 
+    // 5. ("pipeline" arg) the BATCH pipeline's action-count invariance:
+    // the self-contained form (span scan included — no cached artifact)
+    // per SF dir, median-of-3 wall. Walls should move far less than the
+    // 10× data steps — the four-actions-regardless-of-size design
+    if (args.contains("pipeline")) {
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1").foreach { dir =>
+        val raw = try Tables.documents(spark, dir)
+          catch { case _: Throwable => null }
+        if (raw != null) {
+          val c = ext.Curation.withCrawlCorpus(raw)
+          val bench = ext.Dedup.spanTable(raw.filter(col("doc_id") % 97 === 0))
+          val nDocs = c.count()
+          val walls = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            ext.Curation.crawlPipeline(c,
+              Seq("ads.example.net", "site7.example.org").toDF("domain"),
+              bench).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"pipeline ${dir.split('/').last}%-8s docs=$nDocs%-7d " +
+            f"median=${walls(1)}%.2f s  walls=[${walls.map(x => f"$x%.2f").mkString(" ")}]")
+        }
+      }
+    }
+
     spark.stop()
   }
 }
