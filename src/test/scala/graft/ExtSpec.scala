@@ -410,6 +410,72 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("url dedup: canonical variants collapse, significant differences do not") {
+    val docs = Seq(
+      // case/default-port/utm/trailing-slash variants of ONE page
+      (1L, "a https://Site.Example.ORG:443/page/?utm_source=a&utm_campaign=x b"),
+      (2L, "x https://site.example.org/page y"),
+      (3L, "see https://site.example.org/page/#frag end"),
+      // utm stripped mid-query, the real param kept, default port dropped
+      (4L, "z http://Host.Example.com:80/a?id=3&utm_medium=e w"),
+      // path case IS significant; a non-default port IS significant
+      (5L, "p https://site.example.org/Page q"),
+      (6L, "r https://site.example.org:8080/page s")
+    ).toDF("doc_id", "text")
+    val out = Curation.urlDedup(docs)
+      .orderBy("canonical_url")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("http://host.example.com/a?id=3", 1L, 1L, 4L),
+      ("https://site.example.org/Page", 1L, 1L, 5L),
+      ("https://site.example.org/page", 3L, 3L, 1L),
+      ("https://site.example.org:8080/page", 1L, 1L, 6L)
+    ), out.toString)
+  }
+
+  test("split assign/audit equal a brute salted-hash reference; salts re-randomize") {
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def splitOf(salt: String, id: Long): String = {
+      val b = md5h60(s"$salt:$id") % 1000
+      if (b < 900) "train" else if (b < 950) "val" else "test"
+    }
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 400L).map { i =>
+      (i, Seq.fill(rng.nextInt(6) + 1)("w" + rng.nextInt(100)).mkString(" "),
+        if (i % 2 == 0) "s0" else "s1")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val assigned = Curation.splitAssign(df, "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // exact agreement with the independent reference, doc by doc
+    docs.foreach { case (i, _, _) =>
+      assert(assigned(i) == splitOf("v1", i), s"doc $i")
+    }
+    // the audit partitions the corpus: doc and token totals are exact
+    val audit = Curation.splitAudit(df, "v1")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(audit.map(_._3).sum == 400L)
+    assert(audit.map(_._4).sum ==
+      docs.map(_._2.split(" ").length.toLong).sum)
+    // determinism: the same salt reproduces the assignment bit for bit
+    val again = Curation.splitAssign(df, "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == assigned)
+    // a new salt re-randomizes: some doc must move (400 docs — the
+    // all-identical outcome has probability ~(0.9^400-scale) ≈ 0)
+    val salted = Curation.splitAssign(df, "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(salted != assigned)
+    // and v2 agrees with the reference too — salt composes, not appends
+    docs.take(50).foreach { case (i, _, _) =>
+      assert(salted(i) == splitOf("v2", i))
+    }
+  }
+
   test("vocab drift: one tokenize pass per side — totals reuse the counts exchange") {
     val prev = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val cur = Seq((1L, "a b b e"), (2L, "e e f")).toDF("doc_id", "text")
