@@ -1084,6 +1084,63 @@ class RecoverySpec extends SparkSpec {
     assert(caught.contains(100L))
   }
 
+  test("blocklist and decontamination gates wired: streams split across batches") {
+    import graft.ext.{Curation, Dedup}
+    import org.apache.spark.sql.types._
+    val root = managedTempDir("gateswired")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def ids(p: String): Set[Long] =
+      spark.read.parquet(p).select("doc_id").as[Long].collect().toSet
+    // gateBlocklisted: the wired split keeps splitting as batches arrive
+    val bsrc = s"$root/bsrc"; new java.io.File(bsrc).mkdirs()
+    Seq((1L, "see https://cdn0.ads.example.net/x here"),
+        (2L, "clean https://ok.example.org/y text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(bsrc)
+    val qb = Curation.gateBlocklisted(
+      spark.readStream.schema(schema).parquet(bsrc),
+      Seq("ads.example.net").toDF("domain"),
+      s"$root/bckpt", s"$root/bclean", s"$root/bflag")
+    try {
+      qb.processAllAvailable()
+      assert(ids(s"$root/bclean") == Set(2L) && ids(s"$root/bflag") == Set(1L))
+      Seq((3L, "no urls"), (4L, "https://ads.example.net/a direct"))
+        .toDF("doc_id", "text").write.mode("append").parquet(bsrc)
+      qb.processAllAvailable()
+      assert(ids(s"$root/bclean") == Set(2L, 3L))
+      assert(ids(s"$root/bflag") == Set(1L, 4L))
+    } finally qb.stop()
+    // gateSubstrDecontaminated: fixed bench index, wired split
+    try {
+      Dedup.buildSubstrBenchIndexGen(
+        Seq((60L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text"),
+        "gates_wired_bench_test", buckets = 2)
+      val dsrc = s"$root/dsrc"; new java.io.File(dsrc).mkdirs()
+      Seq((100L, "x q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 y"),
+          (101L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+        .toDF("doc_id", "text").write.mode("append").parquet(dsrc)
+      val qd = Dedup.gateSubstrDecontaminated(
+        spark.readStream.schema(schema).parquet(dsrc),
+        "gates_wired_bench_test", s"$root/dckpt", s"$root/dclean",
+        s"$root/dquar")
+      try {
+        qd.processAllAvailable()
+        assert(ids(s"$root/dclean") == Set(101L))
+        assert(ids(s"$root/dquar") == Set(100L))
+        Seq((102L, "k q2 q3 q4 q5 q6 q7 q8 q9 q10 k2"),
+            (103L, "short"))
+          .toDF("doc_id", "text").write.mode("append").parquet(dsrc)
+        qd.processAllAvailable()
+        assert(ids(s"$root/dclean") == Set(101L, 103L))
+        assert(ids(s"$root/dquar") == Set(100L, 102L))
+      } finally qd.stop()
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS gates_wired_bench_test")
+      graft.sources.Bucketing.dropGeneration(spark, "gates_wired_bench_test", 1)
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("crawl ingest loop wired end-to-end: gates split, index grows and self-compacts") {
     import graft.ext.{Curation, Dedup}
     import graft.sources.Bucketing
