@@ -94,23 +94,31 @@ object Retrieval {
       .distinct()
 
   /** The postings relation: one row per (token, doc_id) with term frequency
-    * `tf` and doc length `dl` (non-empty tokens). ONE corpus scan: tf is
-    * the explode + count, dl rides a doc_id window over the tf rows (no
-    * second tokenize pass). Everything here is per-doc knowledge — fully
-    * known the moment a doc arrives — which is what makes the persisted
-    * index APPEND-ONLY under corpus growth: df and the global stats are
+    * `tf` and doc length `dl` (non-empty tokens). ONE corpus scan and ONE
+    * tf-agg exchange: dl is a per-doc scalar, so it is computed from the
+    * token ARRAY before the explode — the former doc_id-window derivation
+    * paid a full postings exchange just to re-discover a number the scan
+    * already knew (3 exchanges → 2 with [[withBm25Weights]]' df window).
+    * The tf aggregate deliberately KEEPS its (doc_id, token) keys: a
+    * token-keyed repartition here would save the df window's exchange but
+    * ships raw occurrence rows with no map-side partial aggregation and
+    * lands every occurrence of a Zipf-head term in one partition —
+    * measured as a net executor-time regression (r21), exactly the skew
+    * §2.5 warns about. Everything here is per-doc knowledge — fully known the
+    * moment a doc arrives — which is what makes the persisted index
+    * APPEND-ONLY under corpus growth: df and the global stats are
     * deliberately NOT stored per row (df is derived from the posting lists
     * at search time, so it is exact under appends for free; the one-row
     * stats are additive batch deltas in a side table).
     */
-  def bm25Postings(documents: DataFrame): DataFrame = {
-    val tf = documents
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    tf.withColumn("dl",
-      sum(col("tf")).over(Window.partitionBy("doc_id")).cast("long"))
-  }
+  def bm25Postings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        filter(TextAnalysis.tokens(col("text")), t => t =!= "").as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("token"))
+      .groupBy("doc_id", "token", "dl").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "token", "tf", "dl")
 
   /** One-row additive stats delta for a doc batch: docs with ≥ 1 token and
     * their total token count. Summing deltas across batches reproduces the
@@ -186,8 +194,17 @@ object Retrieval {
     val joined = postings.join(broadcast(queries), "token")
     val candidates =
       if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id")) else joined
+    // ONE probe-side exchange: contrib rows are projected narrow and
+    // hash-partitioned by query_id, so the (query, doc) sum AND the rank
+    // window both ride it (query_id ⊆ {query_id, doc_id}). The former
+    // shape exchanged on (query_id, doc_id) for the agg and AGAIN on
+    // query_id for the window; the rows this one carries are query-batch-
+    // scoped (Σ df over the query's terms, ceiling-bounded), never corpus-
+    // sized, so the dropped map-side partial agg costs at most
+    // phrase-length× bytes on a frame orders below the corpus.
     val scored = candidates
-      .withColumn("contrib", contribExpr)
+      .select(col("query_id"), col("doc_id"), contribExpr.as("contrib"))
+      .repartition(col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib")).cast("long").as("score_fp"))
     val w = Window.partitionBy("query_id")
@@ -314,9 +331,17 @@ object Retrieval {
     */
   def positionalPostings(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        // per-doc non-empty token count, free at scan time — carried so
+        // [[bm25PostingsFrom]] never needs a doc-keyed window/exchange to
+        // re-derive it (positions stay indices into the RAW array, as
+        // before: the posexplode runs over _toks, the filter after)
+        size(filter(col("_toks"), t => t =!= "")).cast("long").as("dl"),
+        posexplode(col("_toks")))
       .filter(col("col") =!= "")
-      .select(col("col").as("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .select(col("col").as("token"), col("doc_id"),
+        col("pos").cast("long").as("pos"), col("dl"))
 
   /** [[bm25Postings]] derived from a MATERIALIZED positional stream instead
     * of a fresh corpus scan — tf is the per-(doc, token) occurrence count,
@@ -326,9 +351,9 @@ object Retrieval {
     */
   def bm25PostingsFrom(positional: DataFrame): DataFrame =
     positional
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("dl",
-        sum(col("tf")).over(Window.partitionBy("doc_id")).cast("long"))
+      .select("doc_id", "token", "dl")
+      .groupBy("doc_id", "token", "dl").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "token", "tf", "dl")
 
   /** [[bm25StatsDelta]] from the positional stream: per-doc counts then the
     * one-row totals — no tokenize re-scan.
@@ -380,6 +405,11 @@ object Retrieval {
     val probeQueries =
       if (maxDfPpm >= DfCeilOff) queries
       else {
+        // the (token, doc) distinct keeps its own keys: its map-side
+        // partial dedup collapses a hot term's occurrence rows BEFORE the
+        // exchange (a token-keyed repartition here measured slower — it
+        // shipped every raw occurrence of the injected stopword into one
+        // partition)
         val perDoc = positional.select("token", "doc_id").distinct()
         val nDocs = perDoc.select("doc_id").distinct()
           .agg(count(lit(1)).cast("long").as("n_docs"))
@@ -400,6 +430,10 @@ object Retrieval {
       .select(col("query_id"), col("idx"), col("doc_id"),
         (col("pos") - col("idx")).as("base"))
       .filter(col("base") >= 0)
+      // one probe-side exchange serves both aggregates and any downstream
+      // per-query window (the bm25Rank discipline): match rows are
+      // query-scoped, and query_id ⊆ both agg key sets
+      .repartition(col("query_id"))
       .groupBy("query_id", "doc_id", "base")
       // count(1), NOT count(distinct idx): for a fixed (query, doc, base)
       // each phrase offset idx contributes at most one row (the occurrence

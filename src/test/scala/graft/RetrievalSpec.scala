@@ -513,13 +513,16 @@ class RetrievalSpec extends SparkSpec {
       l.contains("FileScan") && l.contains("graft_bm25_splitplan__g1["))
     assert(baseScans.length == 2, p)
     assert(baseScans.forall(_.contains("Bucketed: true")), p)
-    // exactly five hashpartitioning exchanges, all probe/delta-sized:
+    // exactly four hashpartitioning exchanges, all probe/delta-sized:
     // the delta's own df window, the delta df-count feeding each
-    // broadcast adjustment (2), the candidate (query, doc) groupBy, and
-    // the rank window's query_id exchange. The union-windowed form added
-    // a SIXTH carrying base + delta — the corpus-sized one this plan
-    // exists to avoid.
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 5, p)
+    // broadcast adjustment (2), and ONE query_id exchange serving both
+    // the candidate (query, doc) groupBy and the rank window (r21: the
+    // probe repartitions by query_id before the agg, so the window rides
+    // the same partitioning — the former shape paid a separate
+    // (query, doc) exchange). The union-windowed form added a FIFTH
+    // carrying base + delta — the corpus-sized one this plan exists to
+    // avoid.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 4, p)
     // the token-keyed exchanges all hang off delta scans, never the base
     assert("delta/postings".r.findAllIn(p).length >= 2, p)
     // and answers are unchanged (delta doc retrievable)
