@@ -58,6 +58,48 @@ private[graft] object Ranks {
       .drop("_graft_mid", "_graft_pid", "_graft_offset")
   }
 
+  /** Per-group [[globalRank]]: numbers rows 1..N_g within each value of
+    * `groupCol`, all groups in ONE range exchange — the multi-axis rank
+    * for callers that need several independent global orderings of the
+    * same frame (RFM's three quartile axes): instead of one
+    * range-exchange + offsets-broadcast + join PER axis, the caller
+    * explodes to (axis, key) rows and ranks every axis in a single pass.
+    * Same two-pass stamp as [[globalRank]], with the offsets keyed
+    * (group, partition): a group's rows are CONTIGUOUS within each
+    * range-sorted partition (group leads the sort key), so the row's
+    * in-group local index is `mid − min(mid | group, partition)` and its
+    * global in-group rank adds the exclusive prefix of the group's
+    * per-partition counts. The offsets frame is groups × partitions rows
+    * — broadcast scale — and its prefix window partitions by group, so
+    * nothing funnels the data through one task. Exact row_number
+    * semantics under the same precondition as [[globalRank]]:
+    * (sortCols) must totally order rows WITHIN each group.
+    */
+  def globalRankPerGroup(df: DataFrame, groupCol: String, rankCol: String,
+                         sortCols: Column*): DataFrame = {
+    val keys = col(groupCol) +: sortCols
+    val withMid = df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_graft_mid", monotonically_increasing_id())
+    val offsets = withMid
+      .groupBy(col(groupCol).as("_graft_g"),
+        shiftright(col("_graft_mid"), 33).as("_graft_pid"))
+      .agg(count(lit(1)).as("_graft_cnt"), min(col("_graft_mid")).as("_graft_min"))
+      .withColumn("_graft_offset",
+        coalesce(sum("_graft_cnt").over(Window.partitionBy("_graft_g")
+          .orderBy("_graft_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_graft_g", "_graft_pid", "_graft_offset", "_graft_min")
+    withMid
+      .join(broadcast(offsets),
+        col(groupCol) === col("_graft_g") &&
+          shiftright(col("_graft_mid"), 33) === col("_graft_pid"))
+      .withColumn(rankCol,
+        col("_graft_offset") + (col("_graft_mid") - col("_graft_min")) + 1L)
+      .drop("_graft_mid", "_graft_g", "_graft_pid", "_graft_offset", "_graft_min")
+  }
+
   /** The shuffle+sort stage under [[globalRank]], factored so PlanSpec can
     * pin its shape (range partitioning, never a SinglePartition exchange).
     */

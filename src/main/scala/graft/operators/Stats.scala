@@ -669,17 +669,23 @@ object Stats {
     *
     * Shape: one corpus-filtered user aggregation (the only corpus-sized
     * exchange — pushed `event_type = 'purchase'` filter feeds a user-keyed
-    * agg with map-side combine), checkpointed once at USER size, then
-    * three independent [[graft.ext.Ranks.globalRank]] passes joined back
-    * on user_id — distributed range exchanges, never a SinglePartition
-    * window, which is what a global `ntile` would plan and the reason
-    * this avoids it: at 10⁹ users a single-partition sort is one task.
-    * The checkpoint matters structurally: globalRank's offsets branch
-    * recomputes its input subtree, so CHAINING the three ranks doubles
-    * the upstream plan per level (2³ corpus scans by the third); off the
-    * checkpoint each recompute re-reads a user-sized in-memory leaf
-    * instead. The anchor (max purchase ts, user count) is a 1-row
-    * broadcast.
+    * agg with map-side combine), checkpointed once at USER size, then ONE
+    * [[graft.ext.Ranks.globalRankPerGroup]] pass over the 3×-exploded
+    * (axis, key) frame ranks all three quartile axes in a single range
+    * exchange — never a SinglePartition window, which is what a global
+    * `ntile` would plan and the reason this avoids it: at 10⁹ users a
+    * single-partition sort is one task. (The r20 form ran three
+    * independent globalRank passes — three range exchanges, three offset
+    * broadcasts, three user-keyed joins, 36 jobs; the fused pass measured
+    * it down to ~1/3 with identical output.) Each axis's sort key is
+    * normalized to ASCENDING decimal — recency as-is, frequency and
+    * monetary negated — so one composite (axis, key, user) range order
+    * embeds all three per-axis total orders; the per-user codes pivot
+    * back in one user-keyed agg and join the checkpointed base. The
+    * checkpoint matters structurally: the rank's offsets branch re-reads
+    * its input, and off the checkpoint that is a user-sized in-memory
+    * leaf, not a corpus rescan. The anchor (max purchase ts, user count)
+    * is a 1-row broadcast.
     */
   def rfm(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
@@ -693,18 +699,27 @@ object Stats {
       .withColumn("recency_days",
         datediff(col("t_max"), col("last_ts")).cast("long"))
       .localCheckpoint(true)
-    val R = graft.ext.Ranks
-    def axis(rank: String, out: String, sort: Column*): DataFrame =
-      R.globalRank(base, rank, sort: _*)
-        .select(col("user_id"),
-          expr(s"($rank - 1L) * 4L div n_users + 1L").as(out))
+    // decimal(38,4) holds every axis key exactly (longs and the
+    // DECIMAL(18,4) money sum), and negation flips desc axes to asc
+    val axes = base.select(col("user_id"), col("n_users"),
+      explode(array(
+        struct(lit(0L).as("axis"),
+          col("recency_days").cast("decimal(38,4)").as("k")),
+        struct(lit(1L).as("axis"),
+          (-col("n_purchases")).cast("decimal(38,4)").as("k")),
+        struct(lit(2L).as("axis"),
+          (-col("monetary")).cast("decimal(38,4)").as("k")))).as("a"))
+      .select(col("user_id"), col("n_users"),
+        col("a.axis").as("axis"), col("a.k").as("k"))
+    val codes = graft.ext.Ranks
+      .globalRankPerGroup(axes, "axis", "_rk", col("k"), col("user_id"))
+      .withColumn("q", expr("(_rk - 1L) * 4L div n_users + 1L"))
+      .groupBy("user_id").agg(
+        max(when(col("axis") === 0L, col("q"))).as("r_q"),
+        max(when(col("axis") === 1L, col("q"))).as("f_q"),
+        max(when(col("axis") === 2L, col("q"))).as("m_q"))
     base
-      .join(axis("_r", "r_q", col("recency_days").asc, col("user_id").asc),
-        "user_id")
-      .join(axis("_f", "f_q", col("n_purchases").desc, col("user_id").asc),
-        "user_id")
-      .join(axis("_m", "m_q", col("monetary").desc, col("user_id").asc),
-        "user_id")
+      .join(codes, "user_id")
       .select(col("user_id"), col("recency_days"), col("n_purchases"),
         col("monetary"), col("r_q"), col("f_q"), col("m_q"),
         (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_code"))

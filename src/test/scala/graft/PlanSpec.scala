@@ -120,6 +120,31 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"globalRank diverged from row_number on ${got.size} tokens")
   }
 
+  test("globalRankPerGroup equals per-group row_number, one range exchange for all groups") {
+    // the fused multi-axis rank under rfm: every group's numbering must
+    // equal the unpartitioned per-group row_number, including groups whose
+    // rows split across range partitions and groups that share a partition
+    val dfreq = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(split(col("text"), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("g", pmod(length(col("token")), lit(3)).cast("long"))
+    val got = Ranks.globalRankPerGroup(dfreq, "g", "rk",
+        col("df").asc, col("token").asc)
+      .select("g", "token", "rk").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val want = dfreq.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("df").asc, col("token").asc)).cast("long"))
+      .select("g", "token", "rk").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want, s"globalRankPerGroup diverged on ${got.size} rows")
+    val p = plan(Ranks.globalRankPerGroup(dfreq, "g", "rk",
+      col("df").asc, col("token").asc))
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("jaccard index probe: both index tables read co-located, zero index-side shuffles") {
     val docs = Tables.documents(spark, sfDir)
     Dedup.buildJaccardIndex(docs.filter(col("doc_id") % 2 === 0), "jac_plan_test",
@@ -474,22 +499,23 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
-  test("rfm: three range-partitioned rank passes off one checkpointed base") {
+  test("rfm: ONE fused range-partitioned rank pass off one checkpointed base") {
     val df = graft.operators.Stats.rfm(Tables.events(spark, sfDir))
     val p = plan(df)
     // the corpus was consumed ONCE at construction (purchase-filtered agg
     // into the eager checkpoint); the returned plan ranks the user-sized
     // in-memory leaf — no parquet rescans anywhere downstream
     assert(!p.contains("FileScan parquet"), p)
-    // each quartile axis is a distributed globalRank — BOUNDS, not exact
-    // node counts (the exact 6/3 encoded plan-shape details AQE or a Spark
-    // bump can legally change): every axis must show at least one range
-    // exchange (a global ntile window would instead drag the user frame
-    // through Exchange SinglePartition, the 10⁹-user straggler), and the
-    // only SinglePartition exchanges allowed are the per-axis offsets
-    // windows over PARTITION-COUNT-sized frames (32 rows at driver shape)
-    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 3, p)
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 3, p)
+    // all three quartile axes rank in ONE globalRankPerGroup pass over the
+    // 3×-exploded (axis, key) frame (r21 — the former three independent
+    // globalRank passes planned three range exchanges and 36 jobs): the
+    // range exchange appears once per consumer branch of the rank subtree
+    // (offsets + stamp, deduped by AQE exchange reuse at runtime), and
+    // NOTHING plans Exchange SinglePartition — the offsets prefix window
+    // partitions by axis, and a global ntile (the 10⁹-user straggler this
+    // shape exists to avoid) would show up exactly there
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("ab lift: one corpus scan, lift from the 2-row window, no self-join") {
