@@ -229,33 +229,41 @@ object Stats {
     * who entered step 1: the step timestamps (null once the funnel
     * stalls) and the reached depth.
     *
-    * Shape: one filtered min-aggregation per step joined back on
-    * `user_id` — every exchange is user-keyed and post-aggregation
-    * (funnel-entrant-sized after step 1, shrinking with each step), never
-    * a per-user event-array gather, so a 100 TB event log funnels at the
-    * cost of k filtered scans (or one scan + k aggs when the source is
-    * columnar-pruned on event_type). The per-step strict-inequality join
-    * is the sequential-min recurrence; ties in event time break toward
-    * NOT completing (strict `>`), identically in the oracle.
+    * Shape: ONE corpus scan and ONE user-keyed exchange. The sequential-
+    * min recurrence t_k = min{ts : type = step_k, ts > t_{k−1}} is a
+    * stack of UNORDERED user-partition windows — each step's window min
+    * references the previous step's window column, so all k levels ride
+    * the same partitioning with no sort and no join — followed by a
+    * per-user dedup aggregate on that same partitioning. (The r20 form
+    * ran one filtered corpus scan + strict-inequality join + min-agg +
+    * join-back PER step: k corpus scans and ~3k exchanges, 13 jobs at
+    * k = 4; this shape measured it to one scan / one exchange with
+    * identical rows.) Ties in event time break toward NOT completing
+    * (strict `>`, null-propagating through an unset t_{k−1}),
+    * identically in the oracle; only users who entered step 1 emit.
     */
   def funnel(events: DataFrame,
              steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
       : DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val full = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
-      val prev = s"t${i + 1}"
-      val cur = s"t${i + 2}"
-      val nxt = events.filter(col("event_type") === st)
-        .join(acc.select(col("user_id").as("u"), col(prev)),
-          col("user_id") === col("u") && col("ts") > col(prev))
-        .groupBy("user_id").agg(min("ts").as(cur))
-      acc.join(nxt, Seq("user_id"), "left")
+    val w = Window.partitionBy("user_id")
+    val types = steps.toSet.toSeq
+    val withSteps = steps.zipWithIndex.foldLeft(
+      events.filter(col("event_type").isin(types: _*))
+        .select("user_id", "event_type", "ts")) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("ts") > col(s"t$i")
+      acc.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(w))
     }
-    full.withColumn("depth",
-      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
-        .reduce(_ + _))
+    withSteps
+      .filter(col("t1").isNotNull)
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"),
+        steps.indices.tail.map(i => max(s"t${i + 1}").as(s"t${i + 1}")): _*)
+      .withColumn("depth",
+        steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
   }
 
   /** Weekly cohort retention: users cohorted by signup week, one row per
