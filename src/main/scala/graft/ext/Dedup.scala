@@ -1582,13 +1582,21 @@ object Dedup {
         when(col("prev").isNull || col("pos") - col("prev") > n - 1, 1L).otherwise(0L))
       .withColumn("run_id", sum("runflag").over(w))
       .withColumn("isl_id", sum("islflag").over(w))
-    val perRun = marked.groupBy("doc_id", "run_id")
-      .agg(count(lit(1)).as("rlen"))
-    val perIsl = marked.groupBy("doc_id", "isl_id")
-      .agg((max("pos") - min("pos") + n).cast("long").as("cov"), count(lit(1)).as("cnt"))
-    val dupStats = perRun.groupBy("doc_id").agg(max("rlen").as("longest_run"))
-      .join(perIsl.groupBy("doc_id")
-        .agg(sum("cov").as("n_dup_tokens"), sum("cnt").as("n_dup_spans")), Seq("doc_id"))
+    // runs NEST within islands (runflag fires on every gap > 1, islflag
+    // only on gaps > n-1), so run and island stats roll up as ONE nested
+    // aggregation chain riding the window's doc partitioning — the former
+    // two-consumer form evaluated the window subtree twice and joined the
+    // halves back (r21: one window pass, one fewer doc-keyed join)
+    val perRun = marked.groupBy("doc_id", "isl_id", "run_id")
+      .agg(count(lit(1)).as("rlen"),
+        min("pos").as("p0"), max("pos").as("p1"))
+    val perIsl = perRun.groupBy("doc_id", "isl_id")
+      .agg(max("rlen").as("max_rlen"),
+        (max("p1") - min("p0") + n).cast("long").as("cov"),
+        sum("rlen").as("cnt"))
+    val dupStats = perIsl.groupBy("doc_id")
+      .agg(max("max_rlen").as("longest_run"),
+        sum("cov").as("n_dup_tokens"), sum("cnt").as("n_dup_spans"))
     documents.select("doc_id")
       .join(spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "left")
       .join(dupStats, Seq("doc_id"), "left")
