@@ -372,11 +372,16 @@ object TextAnalysis {
               |                      element_at(toks, j + 2)))""".stripMargin)))
           .as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
-    val model = docBg
-      .filter(col("doc_id") % 2 === 0)
-      .groupBy("bg").agg(sum("occ").as("mcount"))
+    // model counts ride a bigram-partition window instead of a separate
+    // half-corpus aggregate joined back (r21): the join form shuffled
+    // docBg on bg for the join ANYWAY, so the window has identical
+    // colocation — minus the model branch, its groupBy exchange, and the
+    // join. A bigram absent from the even-doc model half sums to NULL,
+    // exactly the left-join miss the unseen test keys on.
     val scored = docBg
-      .join(model, Seq("bg"), "left")
+      .withColumn("mcount",
+        sum(when(col("doc_id") % 2 === 0, col("occ")))
+          .over(Window.partitionBy("bg")))
       .groupBy("doc_id")
       .agg(
         sum("occ").as("n_bigrams"),
