@@ -124,7 +124,7 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
     "a2_last_seen" -> ((s, d) => Stats.lastSeen(ev(s, d)).orderBy("user_id", "event_type")),
-    "a3_event_counts" -> ((s, d) => Stats.eventTypeCounts(ev(s, d)).orderBy("event_type")),
+    "a3_event_counts" -> ((s, d) => sorted1(Stats.eventTypeCounts(ev(s, d)), "event_type")),
     "a4_daily_role_counts" -> ((s, d) =>
       Stats.dailyRoleCounts(ev(s, d), cust(s, d)).orderBy("day", "user_role", "event_type")),
     "a5_streaks" -> ((s, d) => Streaks.sessions(ev(s, d)).orderBy("user_id", "streak_start")),
@@ -172,16 +172,16 @@ object SparkEntry {
       s.sql(oracleSql("q6_corr_sub"))
     }),
     "w1_top_spenders" -> ((s, d) =>
-      Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3).orderBy("user_role", "rank")),
+      sorted1(Stats.topSpendersPerSegment(ev(s, d), cust(s, d), 3), "user_role", "rank")),
     "w5_quartiles" -> ((s, d) =>
       Stats.spendQuartiles(ev(s, d), cust(s, d)).orderBy("user_role", "user_id")),
     "w6_pivot" -> ((s, d) =>
-      Relational.eventTypePivot(ev(s, d), cust(s, d)).orderBy("user_role")),
+      sorted1(Relational.eventTypePivot(ev(s, d), cust(s, d)), "user_role")),
     "w7_unpivot" -> ((s, d) =>
-      Relational.sourceStatsUnpivot(TextAnalysis.sourceStats(docs(s, d)))
-        .orderBy("source", "metric")),
+      sorted1(Relational.sourceStatsUnpivot(TextAnalysis.sourceStats(docs(s, d))),
+        "source", "metric")),
     "q1_pricing" -> ((s, d) =>
-      Relational.pricingSummary(Tables.lineitem(s, d)).orderBy("l_returnflag", "l_linestatus")),
+      sorted1(Relational.pricingSummary(Tables.lineitem(s, d)), "l_returnflag", "l_linestatus")),
     // same query through the spark.sql surface (SQL-dialect parity: this
     // exact string runs on both engines)
     "q1_sql" -> ((s, d) => {
@@ -190,14 +190,14 @@ object SparkEntry {
     }),
     "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
     // z-order layout audit: per-quadtree-cell occupancy + bounding boxes
-    "ext_zorder" -> ((s, d) => Layout.zorderCells(Tables.lineitem(s, d)).orderBy("cell")),
-    "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d).orderBy("n_name")),
+    "ext_zorder" -> ((s, d) => sorted1(Layout.zorderCells(Tables.lineitem(s, d)), "cell")),
+    "q5_nation_revenue" -> ((s, d) => sorted1(Relational.nationRevenue(s, d), "n_name")),
 
     // ---- ext: text analysis ----
     "ext_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
     "ext_lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "ext_lang_confusion" -> ((s, d) =>
-      TextAnalysis.langConfusion(docs(s, d)).orderBy("labeled_lang", "predicted_lang")),
+      sorted1(TextAnalysis.langConfusion(docs(s, d)), "labeled_lang", "predicted_lang")),
     // both fingerprinting audits share one materialized shingle-hash
     // stream (tokenize → shingle → md5 is their common dominant cost;
     // the artifact is deterministic, so each oracle check still covers
@@ -209,10 +209,10 @@ object SparkEntry {
     "ext_winnowing" -> ((s, d) => TextAnalysis.winnowingFrom(
       TrainedStore.cached(s, s"$d-shingle-hashes")(
         TextAnalysis.shingleHashStream(docs(s, d)))).orderBy("doc_id")),
-    "ext_source_stats" -> ((s, d) => TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
+    "ext_source_stats" -> ((s, d) => sorted1(TextAnalysis.sourceStats(docs(s, d)), "source")),
     "ext_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(docs(s, d)).orderBy("doc_id")),
     "ext_length_quantiles" -> ((s, d) =>
-      TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+      sorted1(TextAnalysis.lengthQuantiles(docs(s, d)), "source")),
     // the BPE training inner loop: next merge candidates by pair frequency
     "ext_bpe_merge" -> ((s, d) =>
       TextAnalysis.bpeMergeStep(docs(s, d)).orderBy("rank")),
@@ -284,9 +284,9 @@ object SparkEntry {
       Curation.splitAudit(docs(s, d)).orderBy("source", "split")),
     // single-pass ingest-batch profile: null/distinct/min/max per column
     "ext_profile" -> ((s, d) =>
-      Curation.profile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))
-        .orderBy("column_name")),
-    "ext_source_mix" -> ((s, d) => Curation.sourceMix(docs(s, d)).orderBy("source")),
+      sorted1(Curation.profile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars")),
+        "column_name")),
+    "ext_source_mix" -> ((s, d) => sorted1(Curation.sourceMix(docs(s, d)), "source")),
     "ext_decontaminate" -> ((s, d) => Curation.decontaminate(docs(s, d)).orderBy("doc_id")),
     // bloom-PRUNED exact decontamination: the sketch probe is a lossless
     // pre-filter (no false negatives) ahead of the exact adjudication join,
@@ -397,7 +397,7 @@ object SparkEntry {
     "ext_funnel" -> ((s, d) => Stats.funnel(ev(s, d)).orderBy("user_id")),
     // weekly signup-cohort retention, exact integer ppm
     "ext_retention" -> ((s, d) =>
-      Stats.cohortRetention(ev(s, d)).orderBy("cohort_week", "week_offset")),
+      sorted1(Stats.cohortRetention(ev(s, d)), "cohort_week", "week_offset")),
     // fixed-interval OHLC downsample: one exchange, total-order open/close
     "ext_ts_resample" -> ((s, d) =>
       TimeSeries.resampleOhlc(ev(s, d)).orderBy("event_type", "h")),
@@ -412,20 +412,20 @@ object SparkEntry {
       TimeSeries.hourlyAnomalies(ev(s, d)).orderBy("event_type", "h")),
     // (user, day)-basket event-type affinity with the hub-cap guard
     "ext_cooccur" -> ((s, d) =>
-      Stats.cooccurrence(ev(s, d)).orderBy("type_a", "type_b")),
+      sorted1(Stats.cooccurrence(ev(s, d)), "type_a", "type_b")),
     // 30-min-gap sessionization: per-user session/bounce/duration profile
     "ext_sessions" -> ((s, d) =>
       Stats.sessionStats(ev(s, d)).orderBy("user_id")),
     // first-order event-type Markov matrix, exact integer ppm
     "ext_transitions" -> ((s, d) =>
-      Stats.transitions(ev(s, d)).orderBy("src", "dst")),
+      sorted1(Stats.transitions(ev(s, d)), "src", "dst")),
     // mergeable equi-width histogram sketch -> p50/p90/p99 bin quantiles
     "ext_quantile_hist" -> ((s, d) =>
-      Sketches.histQuantiles(ev(s, d)).orderBy("event_type")),
+      sorted1(Sketches.histQuantiles(ev(s, d)), "event_type")),
     // RFM user segmentation: exact type-1 quartile codes, distributed rank
     "ext_rfm" -> ((s, d) => Stats.rfm(ev(s, d)).orderBy("user_id")),
     // A/B conversion lift over the deterministic user_id % 2 hash split
-    "ext_ab_lift" -> ((s, d) => Stats.abLift(ev(s, d)).orderBy("variant")),
+    "ext_ab_lift" -> ((s, d) => sorted1(Stats.abLift(ev(s, d)), "variant")),
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
@@ -498,18 +498,18 @@ object SparkEntry {
     // retrieval-quality harness: exact MRR of bm25/phrase at finding each
     // query's planted near-duplicate in the perturbed union
     "ext_retrieval_eval" -> ((s, d) =>
-      Retrieval.retrievalEval(docs(s, d)).orderBy("method")),
+      sorted1(Retrieval.retrievalEval(docs(s, d)), "method")),
     // DPR-style hard negatives: lexical top-k minus semantic neighbors
     "ext_hard_negatives" -> ((s, d) =>
       Retrieval.hardNegatives(docs(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
-    "ext_distinct_kmv" -> ((s, d) => Sketches.distinctKmv(docs(s, d)).orderBy("lang")),
+    "ext_distinct_kmv" -> ((s, d) => sorted1(Sketches.distinctKmv(docs(s, d)), "lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
     // Misra-Gries two-pass heavy hitters: the injected footers are the
     // φ-heavy phrases the sketch must surface
     "ext_heavy_shingles" -> ((s, d) =>
-      Sketches.heavyShingles(Curation.withBoilerplateInjected(docs(s, d)))
-        .orderBy("shingle")),
+      sorted1(Sketches.heavyShingles(Curation.withBoilerplateInjected(docs(s, d))),
+        "shingle")),
     // windowed trending tokens, sketch-then-verified: deterministic event
     // times derived from doc_id spread the corpus over four hourly windows
     "ext_trending" -> ((s, d) =>
@@ -608,10 +608,10 @@ object SparkEntry {
         .orderBy("cluster_id")),
     // the dedup-audit report: cluster-size histogram incl. singletons
     "ext_dedup_sizes" -> ((s, d) =>
-      Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docs(s, d)),
+      sorted1(Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docs(s, d)),
         TrainedStore.cached(s, s"$d-dedup-clusters")(
-          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d)))))
-        .orderBy("cluster_size")),
+          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))))),
+        "cluster_size")),
     // substring-granularity dedup (Lee et al. ACL 2022): perturbed copies
     // share all but their first token with the original, so every doc pair
     // (d, d+1M) has long duplicated runs — the construction the span
