@@ -600,7 +600,6 @@ object Retrieval {
     val carve = documents.filter(col("doc_id") % QueryEvery === 0)
     val corpus = documents.select("doc_id", "text").unionByName(
       Dedup.withPerturbedCopies(carve).filter(col("doc_id") >= 1000000L))
-    val queries = bm25Queries(documents)
     // both retrievers consume ONE materialized positional token stream —
     // tokenize+explode over the corpus is their shared dominant cost; the
     // stream's blocks are released in the finally below once the tiny
@@ -608,22 +607,75 @@ object Retrieval {
     // operator is self-cleaning as a library API too
     val pos = positionalPostings(corpus).localCheckpoint(true)
     try {
-      val lex = bm25Rank(
-        withBm25Weights(bm25PostingsFrom(pos), bm25StatsFrom(pos)),
-        queries, k, excludeSelf = true)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-        .withColumn("method", lit("bm25"))
-      val phw = Window.partitionBy("query_id")
-        .orderBy(col("n_matches").desc, col("doc_id").asc)
-      val ph = phraseSearchFrom(pos, phraseQueries(documents))
+      // BOTH query carves derive from the checkpointed stream instead of
+      // two more tokenize scans of the carve docs: positions are indices
+      // into the RAW token array (empties dropped after posexplode), so
+      // the slice(tokens, QueryTokFrom, QueryTokLen) carve both
+      // [[bm25Queries]] and [[phraseQueries]] take is exactly the rows
+      // with pos in [QueryTokFrom-1, QueryTokFrom+QueryTokLen-2], and the
+      // phrase idx re-bases as pos - (QueryTokFrom-1). The planted
+      // variants (doc_id = carve + 1e6) never leak into the carve —
+      // 1e6 % 97 = 27 ≠ 0 — but the id floor is asserted explicitly so
+      // the derivation cannot silently drift if the perturbation offset
+      // ever changes.
+      val carvePos = pos.filter(col("doc_id") % QueryEvery === 0 &&
+        col("doc_id") < 1000000L &&
+        col("pos").between(QueryTokFrom - 1, QueryTokFrom + QueryTokLen - 2))
+      val queries = carvePos
+        .select(col("doc_id").as("query_id"), col("token")).distinct()
+      val phraseQ = carvePos.select(col("doc_id").as("query_id"),
+        (col("pos") - lit(QueryTokFrom - 1).cast("long")).as("idx"), col("token"))
+      val qlen = phraseQ.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+      // FUSED probe: the bm25 contrib rows and the phrase base rows ride
+      // ONE query_id exchange (the bm25Rank/phraseProbe discipline, taken
+      // one step further): both per-method aggregation chains and the
+      // per-method rank window key on supersets of {query_id}, so a
+      // single repartition serves the whole tail — r21's shape paid the
+      // probe exchange + window once PER METHOD plus a two-branch union
+      // shuffle for the metric agg. Per-method arithmetic is unchanged:
+      //  - bm25 rows carry base = NULL, v = contrib; the (method, query,
+      //    doc, base) agg sums them to score_fp in one group per doc and
+      //    the qlen filter passes them through untouched;
+      //  - phrase rows carry v = 1 per (doc, base) occurrence-alignment;
+      //    the same agg counts aligned offsets per base, the qlen filter
+      //    keeps full-phrase bases, and the second agg counts them into
+      //    n_matches (count(1) = count(distinct idx) — each offset
+      //    contributes at most one row per (query, doc, base)).
+      // excludeSelf moves BEFORE the aggregation on the phrase side —
+      // dropping a doc's raw rows drops exactly its aggregated rows.
+      val postings = withBm25Weights(bm25PostingsFrom(pos), bm25StatsFrom(pos))
+      val lexCand = postings.join(broadcast(queries), "token")
         .filter(col("doc_id") =!= col("query_id"))
-        .withColumn("rank", row_number().over(phw).cast("long"))
+        .select(lit("bm25").as("method"), col("query_id"), col("doc_id"),
+          lit(null).cast("long").as("base"), contribExpr.as("v"))
+      val phCand = pos.join(broadcast(phraseQ), "token")
+        .select(col("query_id"), col("doc_id"),
+          (col("pos") - col("idx")).as("base"))
+        .filter(col("base") >= 0 && col("doc_id") =!= col("query_id"))
+        .select(lit("phrase").as("method"), col("query_id"), col("doc_id"),
+          col("base"), lit(1L).as("v"))
+      // every query_id in either branch has ≥1 phrase row (same carve,
+      // same non-empty filter), so the qlen join is a safe inner join
+      val perBase = lexCand.unionByName(phCand)
+        .repartition(col("query_id"))
+        .groupBy("method", "query_id", "doc_id", "base")
+        .agg(sum(col("v")).cast("long").as("v"))
+        .join(broadcast(qlen), "query_id")
+        .filter(col("method") === "bm25" || col("v") === col("qlen"))
+      val perDoc = perBase
+        .groupBy("method", "query_id", "doc_id")
+        .agg(count(lit(1)).cast("long").as("cnt"), max(col("v")).as("mv"))
+        .select(col("method"), col("query_id"), col("doc_id"),
+          when(col("method") === "bm25", col("mv")).otherwise(col("cnt"))
+            .as("key"))
+      val w = Window.partitionBy("method", "query_id")
+        .orderBy(col("key").desc, col("doc_id").asc)
+      val ranked = perDoc
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-        .withColumn("method", lit("phrase"))
       val nq = queries.select("query_id").distinct()
         .agg(count(lit(1)).cast("long").as("n_queries"))
-      val found = lex.unionByName(ph)
+      val found = ranked
         .filter(col("doc_id") === col("query_id") + lit(1000000L))
         .groupBy("method")
         .agg(
