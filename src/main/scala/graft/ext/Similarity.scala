@@ -1494,45 +1494,42 @@ object Similarity {
       .agg(min(struct(col("adc"), col("vid"))).as("m"))
       .select(col("method"), col("query_id").as("vec_id"),
         col("m.vid").as("neighbor_id"))
-    // FOUR (broadcast join, agg) tails — down from nine (round 11) via the
-    // method-keyed fusions above. The per-tail broadcast is kept
-    // deliberately: each broadcast exchange materializes its branch
-    // pipeline on its OWN thread, so the four remaining families (bucket
-    // search, ADC, ivfpq, sq8) still execute concurrently; fusing
-    // WITHIN a family removes its serial stages without serializing the
-    // families against each other.
+    // ONE metric tail for all ten methods — down from four per-family
+    // (broadcast, left join, agg) tails (r11 had nine): every family's
+    // answers are method-tagged, so truth × the method list left-joins the
+    // UNION of answer frames once and one groupBy(method) scores
+    // everything. Each former tail priced its own broadcast job plus an
+    // agg stage chain; the fused tail prices them once. The union's
+    // branches are still independent subtrees, and AQE materializes their
+    // shuffle stages concurrently inside the single broadcast job, so the
+    // four families keep overlapping (the round-11 concern the per-tail
+    // broadcasts addressed) without the per-tail launches. Per-method
+    // values are identical: the left join on (method, vec_id) against a
+    // method-disjoint union is exactly the per-family join, and n_queries
+    // stays numQueries per method via the truth × methods cross.
     // explicit broadcast: checkpointed frames carry no size stats, so the
-    // planner cannot see that both join sides are ≤numQueries rows.
-    def hits(method: String, ann: DataFrame) =
-      truth.join(broadcast(ann.filter(col("vec_id") < numQueries)), Seq("vec_id"), "left")
-        .agg(
-          count(lit(1)).as("n_queries"),
-          count(col("neighbor_id")).as("n_answered"),
-          count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
-        .withColumn("method", lit(method))
-    // method-tagged flavor for the fused families: truth × the family's
-    // method list (tiny local relation), one left join on (method, vec_id),
-    // one groupBy(method) — n_queries stays numQueries per method
-    def hitsMulti(methods: Seq[String], ann: DataFrame) = {
-      val spark = truth.sparkSession
-      import spark.implicits._
-      truth.crossJoin(broadcast(methods.toDF("method")))
-        .join(broadcast(ann.filter(col("vec_id") < numQueries)),
-          Seq("method", "vec_id"), "left")
-        .groupBy("method")
-        .agg(
-          count(lit(1)).as("n_queries"),
-          count(col("neighbor_id")).as("n_answered"),
-          count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
-    }
-    val union = hitsMulti(
-      Seq("lsh", "lsh_multi", "ivf", "ivf_probe2", "ivf_trained", "ivf_hier"),
-      bucketAnswers)
-      .unionByName(hitsMulti(Seq("pq_adc", "pq_adc_trained"), adcAnswers))
-      .unionByName(hits("ivfpq", ivfPqTop1(emb, numQueries, codes = ivfPqCodesTbl)
-        .select(col("query_id").as("vec_id"), col("neighbor_id"))))
-      .unionByName(hits("sq8", sq8TopK(emb, numQueries, 1)
-        .select(col("query_id").as("vec_id"), col("neighbor_id"))))
+    // planner cannot see that the answer side is ≤ methods × numQueries
+    // rows.
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val answers = bucketAnswers.select("method", "vec_id", "neighbor_id")
+      .unionByName(adcAnswers.select("method", "vec_id", "neighbor_id"))
+      .unionByName(ivfPqTop1(emb, numQueries, codes = ivfPqCodesTbl)
+        .select(lit("ivfpq").as("method"), col("query_id").as("vec_id"),
+          col("neighbor_id")))
+      .unionByName(sq8TopK(emb, numQueries, 1)
+        .select(lit("sq8").as("method"), col("query_id").as("vec_id"),
+          col("neighbor_id")))
+    val methodNames = Seq("lsh", "lsh_multi", "ivf", "ivf_probe2",
+      "ivf_trained", "ivf_hier", "pq_adc", "pq_adc_trained", "ivfpq", "sq8")
+    val union = truth.crossJoin(broadcast(methodNames.toDF("method")))
+      .join(broadcast(answers.filter(col("vec_id") < numQueries)),
+        Seq("method", "vec_id"), "left")
+      .groupBy("method")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        count(col("neighbor_id")).as("n_answered"),
+        count(when(col("neighbor_id") === col("true_neighbor"), 1)).as("n_correct"))
       .select("method", "n_queries", "n_answered", "n_correct")
     // materialize the one-row-per-method result, then release the big shared
     // blocks immediately — only the tiny final frame stays resident (same
