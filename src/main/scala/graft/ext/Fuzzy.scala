@@ -134,6 +134,19 @@ object Fuzzy {
     * Output `(doc_id, q_term, dict_term, dist)` — the exact set the
     * all-pairs `levenshtein <= 1` twin produces over the same universes.
     */
+  // Join keys throughout the family are the xxhash64 of the delete-
+  // neighborhood strings, not the strings themselves (~13-byte avg keys →
+  // 8-byte longs: narrower exchanges/broadcasts, long-keyed hash probes
+  // instead of per-row string hashing, and a long-sorted bucket layout
+  // for the persisted index). LOSSLESS for the final answer set: two
+  // terms within the edit radius share a REAL key (FastSS), hence its
+  // hash — no false negatives — and a hash collision only adds a
+  // candidate pair that the exact `levenshtein` verify already removes
+  // (a colliding pair within the radius would have shared a real key
+  // anyway, so verified answers are identical, not merely probably so).
+  // Every producer hashes right after its del_keys explode, so query and
+  // index keys cannot disagree.
+
   def fuzzyMatch(queries: DataFrame, dict: DataFrame): DataFrame = {
     graft.functions.DeleteNeighborhoodKeys.register(queries.sparkSession)
     // del_keys kernel, not the SQL transform: the HOF form evaluates its
@@ -141,10 +154,12 @@ object Fuzzy {
     // dictionary scale that interpretation overhead IS the explode cost
     val qk = queries
       .select(col("doc_id"), col("q_term"),
-        explode(expr("del_keys(q_term, 1)")).as("k"))
+        explode(expr("del_keys(q_term, 1)")).as("k0"))
+      .select(col("doc_id"), col("q_term"), xxhash64(col("k0")).as("k"))
     val dk = dict
       .select(col("term").as("dict_term"),
-        explode(expr("del_keys(term, 1)")).as("k"))
+        explode(expr("del_keys(term, 1)")).as("k0"))
+      .select(col("dict_term"), xxhash64(col("k0")).as("k"))
     qk.join(dk, "k")
       .select("doc_id", "q_term", "dict_term")
       .distinct()
@@ -188,7 +203,8 @@ object Fuzzy {
       // per-term work
       .repartition(dict.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("term").as("dict_term"),
-        explode(expr("del_keys(term, 2)")).as("k"))
+        explode(expr("del_keys(term, 2)")).as("k0"))
+      .select(col("dict_term"), xxhash64(col("k0")).as("k"))
   }
 
   /** Probe half of [[fuzzyMatch2]]: query-side del≤2 explode, candidate
@@ -199,7 +215,8 @@ object Fuzzy {
     val qk = queries
       .filter(length(col("q_term")) >= MinTermLen2)
       .select(col("doc_id"), col("q_term"),
-        explode(expr("del_keys(q_term, 2)")).as("k"))
+        explode(expr("del_keys(q_term, 2)")).as("k0"))
+      .select(col("doc_id"), col("q_term"), xxhash64(col("k0")).as("k"))
     qk.join(dictKeys, "k")
       .select("doc_id", "q_term", "dict_term")
       .distinct()
@@ -394,8 +411,8 @@ object Fuzzy {
     val base = if (maxEdits >= 2)
       cnt.filter(length(col("term")) >= MinTermLen2) else cnt
     base.select(col("term"),
-        explode(expr(s"del_keys(term, $maxEdits)")).as("k"))
-      .select("k", "term")
+        explode(expr(s"del_keys(term, $maxEdits)")).as("k0"))
+      .select(xxhash64(col("k0")).as("k"), col("term"))
   }
 
   /** Append one micro-batch to the delta layers (`{deltaDir}/keys`,
@@ -448,7 +465,8 @@ object Fuzzy {
     val q0 = if (maxEdits >= 2)
       queries.filter(length(col("q_term")) >= MinTermLen2) else queries
     val qk = q0.select(col("doc_id"), col("q_term"),
-      explode(expr(s"del_keys(q_term, $maxEdits)")).as("k"))
+        explode(expr(s"del_keys(q_term, $maxEdits)")).as("k0"))
+      .select(col("doc_id"), col("q_term"), xxhash64(col("k0")).as("k"))
     val cand = (qk.join(baseK, "k") +: deltaK.map(qk.join(_, "k")).toSeq)
       .reduce(_ unionByName _)
       .select("doc_id", "q_term", "term").distinct()
