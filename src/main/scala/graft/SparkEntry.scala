@@ -23,6 +23,27 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def cust(s: SparkSession, dir: String) = Tables.customer(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Corpus reader for the TOKENIZE-HEAVY operators (guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after the
+    * read"): the testdata tables are single-file, SINGLE-ROW-GROUP parquet,
+    * so every scan plans exactly one non-empty task and the per-doc text
+    * kernels (regex tokenize, shingling, minhash, del-key explode) run
+    * serially no matter how many cores the session has — measured as
+    * wall ≈ stage-exec on the text family at local[32]. Spreading the raw
+    * rows across the default parallelism BEFORE the kernels costs one
+    * corpus-bytes exchange and buys a cores-wide map phase. Scale-adaptive,
+    * not local-tuned: when the source already scans wide (a real
+    * partitioned corpus — more splits than cores), this is a no-op, which
+    * is why it is applied per heavy call site rather than session config.
+    * Kept OFF the cheap map-only/floor queries: their scan work is trivial
+    * and the extra exchange would only add a scheduler launch.
+    */
+  private def docsW(s: SparkSession, dir: String) = {
+    val df = docs(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
   private def emb(s: SparkSession, dir: String) = {
     CosineSimilarity.register(s)
     Tables.embeddings(s, dir)
@@ -215,10 +236,10 @@ object SparkEntry {
       sorted1(TextAnalysis.lengthQuantiles(docs(s, d)), "source")),
     // the BPE training inner loop: next merge candidates by pair frequency
     "ext_bpe_merge" -> ((s, d) =>
-      TextAnalysis.bpeMergeStep(docs(s, d)).orderBy("rank")),
+      TextAnalysis.bpeMergeStep(docsW(s, d)).orderBy("rank")),
     // one full BPE iteration: apply the corpus argmax merge leftmost-greedy
     "ext_bpe_apply" -> ((s, d) =>
-      TextAnalysis.bpeApplyStep(docs(s, d)).orderBy("doc_id")),
+      TextAnalysis.bpeApplyStep(docsW(s, d)).orderBy("doc_id")),
     "ext_embed_quantize" -> ((s, d) => Similarity.quantizeStats(emb(s, d)).orderBy("vec_id")),
     // SQ8 search: integer dot products over int8 codes — exact on any engine
     "ann_sq8_topk" -> ((s, d) =>
@@ -296,10 +317,10 @@ object SparkEntry {
     // (decontaminateBloom) stays sbt-pinned via the superset invariant.
     "ext_decontaminate_bloom" -> ((s, d) =>
       Curation.decontaminateBloomExact(docs(s, d)).orderBy("doc_id")),
-    "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docsW(s, d)).orderBy("doc_id")),
     // bigram-LM novelty filter (integer-exact CCNet-perplexity analog);
     // model slice = even doc_ids, probe = whole corpus
-    "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docs(s, d)).orderBy("doc_id")),
+    "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docsW(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
     // SFT chat-format QA: parse injected JSON transcripts and screen for
@@ -347,11 +368,11 @@ object SparkEntry {
       TextAnalysis.collocations(docs(s, d))
         .orderBy(col("score_ppm").desc, col("a"), col("b"))),
     "ext_tfidf_keywords" -> ((s, d) =>
-      TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
+      TextAnalysis.tfidfKeywords(docsW(s, d)).orderBy("doc_id", "rank")),
     // BM25 lexical retrieval (exact integer fixed point): every 97th doc
     // queries with its own interior 4-token phrase
     "ext_bm25_topk" -> ((s, d) =>
-      Retrieval.bm25TopK(docs(s, d)).orderBy("query_id", "rank")),
+      Retrieval.bm25TopK(docsW(s, d)).orderBy("query_id", "rank")),
     // same answers served from the persisted token-bucketed inverted index
     // (build + probe; the probe never rescans the corpus)
     "ext_bm25_persisted" -> ((s, d) => {
@@ -378,11 +399,11 @@ object SparkEntry {
     // df-ceiling skew guard engaged: the injected corpus-wide stopword's
     // posting list is dropped from the probe (Zipf-head mitigation)
     "ext_bm25_capped" -> ((s, d) =>
-      Retrieval.bm25TopK(Retrieval.withHotTermInjected(docs(s, d)),
+      Retrieval.bm25TopK(Retrieval.withHotTermInjected(docsW(s, d)),
         maxDfPpm = Retrieval.DfCapPpm).orderBy("query_id", "rank")),
     // positional analog: the hot phrase term becomes a don't-care position
     "ext_phrase_capped" -> ((s, d) => {
-      val injected = Retrieval.withHotTermInjected(docs(s, d))
+      val injected = Retrieval.withHotTermInjected(docsW(s, d))
       Retrieval.phraseSearch(injected, Retrieval.phraseQueries(injected),
         Retrieval.DfCapPpm).orderBy("query_id", "doc_id")
     }),
@@ -429,7 +450,7 @@ object SparkEntry {
     // SymSpell delete-neighborhood fuzzy join: lossless candidates at d<=1,
     // exact levenshtein verify — oracle twin is brute-force all-pairs
     "ext_fuzzy_match" -> ((s, d) =>
-      Fuzzy.spellMatch(docs(s, d)).orderBy("doc_id", "dict_term")),
+      Fuzzy.spellMatch(docsW(s, d)).orderBy("doc_id", "dict_term")),
     // distance-2 (del<=2 FastSS keys): twice-edited queries, lev<=2 verify.
     // The d2 key index (the ~len²/2-inflated side) persists through
     // TrainedStore — in production it builds once per dictionary snapshot
@@ -439,8 +460,8 @@ object SparkEntry {
     // answers bit-identically — the oracle gates the whole probe path)
     "ext_fuzzy_match2" -> ((s, d) => {
       val dk = TrainedStore.cached(s, s"$d-fuzzy2-keys")(
-        Fuzzy.dictionaryKeys2(Fuzzy.dict2(docs(s, d))))
-      Fuzzy.fuzzyMatch2Against(Fuzzy.typoQueries2(docs(s, d)), dk)
+        Fuzzy.dictionaryKeys2(Fuzzy.dict2(docsW(s, d))))
+      Fuzzy.fuzzyMatch2Against(Fuzzy.typoQueries2(docsW(s, d)), dk)
         .orderBy("doc_id", "dict_term")
     }),
     // the persisted-dictionary lifecycle END-TO-END under the oracle:
@@ -450,7 +471,7 @@ object SparkEntry {
     // admission counts sum across layers (a term below DictMinCount in
     // each layer alone must still match when the total crosses it)
     "ext_fuzzy_incremental" -> ((s, d) => {
-      val all = docs(s, d)
+      val all = docsW(s, d)
       // build-once-per-corpus (TrainedStore.builtOnce, see ext_jaccard_incremental):
       // the first invocation runs the whole lifecycle — generation build
       // on 2/3 of the corpus, one LIVE delta batch appended — and later
@@ -474,7 +495,7 @@ object SparkEntry {
     // twice-edited queries — answers must equal one-shot spellMatch2,
     // which only holds if admission counts sum across layers at radius 2
     "ext_fuzzy_incremental2" -> ((s, d) => {
-      val all = docs(s, d)
+      val all = docsW(s, d)
       val dir = TrainedStore.builtOnce("graft_fuzzy2_idx_q", d) {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_fuzzy2_delta").toString
@@ -498,17 +519,17 @@ object SparkEntry {
     // retrieval-quality harness: exact MRR of bm25/phrase at finding each
     // query's planted near-duplicate in the perturbed union
     "ext_retrieval_eval" -> ((s, d) =>
-      sorted1(Retrieval.retrievalEval(docs(s, d)), "method")),
+      sorted1(Retrieval.retrievalEval(docsW(s, d)), "method")),
     // DPR-style hard negatives: lexical top-k minus semantic neighbors
     "ext_hard_negatives" -> ((s, d) =>
-      Retrieval.hardNegatives(docs(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
+      Retrieval.hardNegatives(docsW(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
     "ext_distinct_kmv" -> ((s, d) => sorted1(Sketches.distinctKmv(docs(s, d)), "lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
-    "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docs(s, d))),
+    "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docsW(s, d))),
     // Misra-Gries two-pass heavy hitters: the injected footers are the
     // φ-heavy phrases the sketch must surface
     "ext_heavy_shingles" -> ((s, d) =>
-      sorted1(Sketches.heavyShingles(Curation.withBoilerplateInjected(docs(s, d))),
+      sorted1(Sketches.heavyShingles(Curation.withBoilerplateInjected(docsW(s, d))),
         "shingle")),
     // windowed trending tokens, sketch-then-verified: deterministic event
     // times derived from doc_id spread the corpus over four hourly windows
@@ -521,12 +542,12 @@ object SparkEntry {
     // ---- ext: dedup ----
     "ext_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
     "ext_minhash_bands" -> ((s, d) =>
-      Dedup.lshBands(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id", "band_idx")),
+      Dedup.lshBands(Dedup.withPerturbedCopies(docsW(s, d))).orderBy("doc_id", "band_idx")),
     "ext_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashCandidates(Dedup.withPerturbedCopies(docs(s, d)))
+      Dedup.minhashCandidates(Dedup.withPerturbedCopies(docsW(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Dedup.withPerturbedCopies(docs(s, d)))
+      Dedup.ngramJaccard(Dedup.withPerturbedCopies(docsW(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     // dedup-method recall harness (the ann_recall posture for near-dup
     // detection): LSH candidates / verified-LSH / SimHash, each scored
@@ -588,10 +609,10 @@ object SparkEntry {
     }),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "ext_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
+      Dedup.simhashPairs(Dedup.withPerturbedCopies(docsW(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_dedup_clusters" -> ((s, d) =>
-      Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))).orderBy("doc_id")),
+      Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d))).orderBy("doc_id")),
     // keepbest and sizes are AUDITS over the clustering: in production the
     // CC fixpoint runs once and persists (ext_dedup_clusters is that build
     // job, priced as the full fixpoint every run), and every audit consumes
@@ -602,15 +623,15 @@ object SparkEntry {
     // (dedupClustersKeepBest / dedupClusterSizes) stay in the API and are
     // equivalence-pinned by ExtSpec.
     "ext_dedup_keepbest" -> ((s, d) =>
-      Dedup.keepBestFrom(Dedup.withPerturbedCopies(docs(s, d)),
+      Dedup.keepBestFrom(Dedup.withPerturbedCopies(docsW(s, d)),
         TrainedStore.cached(s, s"$d-dedup-clusters")(
-          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d)))))
+          Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d)))))
         .orderBy("cluster_id")),
     // the dedup-audit report: cluster-size histogram incl. singletons
     "ext_dedup_sizes" -> ((s, d) =>
-      sorted1(Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docs(s, d)),
+      sorted1(Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docsW(s, d)),
         TrainedStore.cached(s, s"$d-dedup-clusters")(
-          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))))),
+          Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d))))),
         "cluster_size")),
     // substring-granularity dedup (Lee et al. ACL 2022): perturbed copies
     // share all but their first token with the original, so every doc pair
@@ -620,7 +641,7 @@ object SparkEntry {
     // corpus (the containment precedent: each used to checkpoint its own
     // copy of the same scan per bench rep — half their cost was shared)
     "ext_span_dups" -> ((s, d) =>
-      Dedup.spanDupsFrom(Dedup.withPerturbedCopies(docs(s, d)),
+      Dedup.spanDupsFrom(Dedup.withPerturbedCopies(docsW(s, d)),
         perturbedSpans(s, d)).orderBy("doc_id")),
     // cross-doc exact common-substring pairs: which document PAIRS share
     // which maximal ≥8-token runs (the suppression-side view of the same
