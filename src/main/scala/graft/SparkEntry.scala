@@ -368,11 +368,11 @@ object SparkEntry {
       TextAnalysis.collocations(docs(s, d))
         .orderBy(col("score_ppm").desc, col("a"), col("b"))),
     "ext_tfidf_keywords" -> ((s, d) =>
-      TextAnalysis.tfidfKeywords(docsW(s, d)).orderBy("doc_id", "rank")),
+      TextAnalysis.tfidfKeywords(docs(s, d)).orderBy("doc_id", "rank")),
     // BM25 lexical retrieval (exact integer fixed point): every 97th doc
     // queries with its own interior 4-token phrase
     "ext_bm25_topk" -> ((s, d) =>
-      Retrieval.bm25TopK(docsW(s, d)).orderBy("query_id", "rank")),
+      Retrieval.bm25TopK(docs(s, d)).orderBy("query_id", "rank")),
     // same answers served from the persisted token-bucketed inverted index
     // (build + probe; the probe never rescans the corpus)
     "ext_bm25_persisted" -> ((s, d) => {
@@ -399,7 +399,7 @@ object SparkEntry {
     // df-ceiling skew guard engaged: the injected corpus-wide stopword's
     // posting list is dropped from the probe (Zipf-head mitigation)
     "ext_bm25_capped" -> ((s, d) =>
-      Retrieval.bm25TopK(Retrieval.withHotTermInjected(docsW(s, d)),
+      Retrieval.bm25TopK(Retrieval.withHotTermInjected(docs(s, d)),
         maxDfPpm = Retrieval.DfCapPpm).orderBy("query_id", "rank")),
     // positional analog: the hot phrase term becomes a don't-care position
     "ext_phrase_capped" -> ((s, d) => {
@@ -522,7 +522,7 @@ object SparkEntry {
       sorted1(Retrieval.retrievalEval(docsW(s, d)), "method")),
     // DPR-style hard negatives: lexical top-k minus semantic neighbors
     "ext_hard_negatives" -> ((s, d) =>
-      Retrieval.hardNegatives(docsW(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
+      Retrieval.hardNegatives(docs(s, d), emb(s, d)).orderBy("query_id", "lex_rank")),
     "ext_distinct_kmv" -> ((s, d) => sorted1(Sketches.distinctKmv(docs(s, d)), "lang")),
     // Count-Min point estimates for the top-20 tokens (est_freq >= exact_freq)
     "ext_freq_cms" -> ((s, d) => Sketches.freqCms(docsW(s, d))),
@@ -623,15 +623,15 @@ object SparkEntry {
     // (dedupClustersKeepBest / dedupClusterSizes) stay in the API and are
     // equivalence-pinned by ExtSpec.
     "ext_dedup_keepbest" -> ((s, d) =>
-      Dedup.keepBestFrom(Dedup.withPerturbedCopies(docsW(s, d)),
+      Dedup.keepBestFrom(Dedup.withPerturbedCopies(docs(s, d)),
         TrainedStore.cached(s, s"$d-dedup-clusters")(
-          Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d)))))
+          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d)))))
         .orderBy("cluster_id")),
     // the dedup-audit report: cluster-size histogram incl. singletons
     "ext_dedup_sizes" -> ((s, d) =>
-      sorted1(Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docsW(s, d)),
+      sorted1(Dedup.clusterSizesFrom(Dedup.withPerturbedCopies(docs(s, d)),
         TrainedStore.cached(s, s"$d-dedup-clusters")(
-          Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d))))),
+          Dedup.dedupClusters(Dedup.withPerturbedCopies(docs(s, d))))),
         "cluster_size")),
     // substring-granularity dedup (Lee et al. ACL 2022): perturbed copies
     // share all but their first token with the original, so every doc pair
@@ -641,7 +641,7 @@ object SparkEntry {
     // corpus (the containment precedent: each used to checkpoint its own
     // copy of the same scan per bench rep — half their cost was shared)
     "ext_span_dups" -> ((s, d) =>
-      Dedup.spanDupsFrom(Dedup.withPerturbedCopies(docsW(s, d)),
+      Dedup.spanDupsFrom(Dedup.withPerturbedCopies(docs(s, d)),
         perturbedSpans(s, d)).orderBy("doc_id")),
     // cross-doc exact common-substring pairs: which document PAIRS share
     // which maximal ≥8-token runs (the suppression-side view of the same
