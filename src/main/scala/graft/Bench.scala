@@ -236,6 +236,27 @@ object Bench {
         (if (unknownJson == "[]") "" else s""","unknown":$unknownJson""")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"ds","nq":${results.size},"$key":$qs$extras,"sf":"$sfName"}"""
     }
+    // Sidecar artifact (VERDICT r21 #2): the driver's stdout tail keeps
+    // only 2,000 chars, which forced per-query times into the positional
+    // `qds` array and left PERF comparisons joining noisy totals. The SAME
+    // timed results are therefore also written as a NAMED map with full
+    // telemetry to bench_perquery.json (cwd, overridable via
+    // SPARK_GRAFT_PERQUERY_OUT). The stdout line below is byte-for-byte
+    // the same contract as before; the file is best-effort and can never
+    // fail the bench.
+    try {
+      val pq = results.sortBy(_._1).map { case (k, v, ok) =>
+        val vals = if (ok)
+          s"[${num(v.wall)},${v.execMs / 100},${v.gcMs / 100},${v.jobs},${v.jobWallMs / 100}]"
+        else "[-1,0,0,0,0]"
+        "\"" + k + "\":" + vals
+      }.mkString("{", ",", "}")
+      val out = sys.env.getOrElse("SPARK_GRAFT_PERQUERY_OUT", "bench_perquery.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(
+        f"""{"total":$total%.2f,"unit":"sec","qunit":"ds","cpus":"$cpus","sf":"$sfName","cols":["wall_ds","stage_exec_ds","gc_ds","n_jobs","job_wall_ds"],"queries":$pq}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     var keep = slowEntries
     var line = assemble(keep)
     while (line.length > 1950 && keep.nonEmpty) {
