@@ -1568,6 +1568,15 @@ object Dedup {
     */
   def spanDupsFrom(documents: DataFrame, spans: DataFrame,
                    n: Int = SpanN): DataFrame = {
+    // the nested run/island roll-up below assumes runs nest within
+    // islands, which holds only for n >= 2 (islflag fires on gap > n-1,
+    // runflag on gap > 1; at n == 1 islands would be FINER than runs and
+    // the (doc, isl, run) grouping would split runs, underestimating
+    // longest_run) — guard the precondition instead of silently
+    // mis-aggregating (ADVICE r21). n == 1 spans are single tokens, for
+    // which the span-dedup semantics are meaningless anyway.
+    require(n >= 2, s"spanDupsFrom needs span width n >= 2 (got $n): " +
+      "the run/island roll-up assumes runs nest within islands")
     import org.apache.spark.sql.expressions.Window
     val dup = spans.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))

@@ -73,7 +73,10 @@ private[graft] object Ranks {
     * — broadcast scale — and its prefix window partitions by group, so
     * nothing funnels the data through one task. Exact row_number
     * semantics under the same precondition as [[globalRank]]:
-    * (sortCols) must totally order rows WITHIN each group.
+    * (sortCols) must totally order rows WITHIN each group. The offsets
+    * join is NULL-SAFE on the group key, so rows whose group is NULL rank
+    * as their own group instead of silently dropping (ADVICE r21; the rfm
+    * caller uses non-null axis literals, but the helper is generic).
     */
   def globalRankPerGroup(df: DataFrame, groupCol: String, rankCol: String,
                          sortCols: Column*): DataFrame = {
@@ -93,7 +96,7 @@ private[graft] object Ranks {
       .select("_graft_g", "_graft_pid", "_graft_offset", "_graft_min")
     withMid
       .join(broadcast(offsets),
-        col(groupCol) === col("_graft_g") &&
+        col(groupCol) <=> col("_graft_g") &&
           shiftright(col("_graft_mid"), 33) === col("_graft_pid"))
       .withColumn(rankCol,
         col("_graft_offset") + (col("_graft_mid") - col("_graft_min")) + 1L)

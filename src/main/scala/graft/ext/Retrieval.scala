@@ -198,10 +198,13 @@ object Retrieval {
     // hash-partitioned by query_id, so the (query, doc) sum AND the rank
     // window both ride it (query_id ⊆ {query_id, doc_id}). The former
     // shape exchanged on (query_id, doc_id) for the agg and AGAIN on
-    // query_id for the window; the rows this one carries are query-batch-
-    // scoped (Σ df over the query's terms, ceiling-bounded), never corpus-
-    // sized, so the dropped map-side partial agg costs at most
-    // phrase-length× bytes on a frame orders below the corpus.
+    // query_id for the window. The rows this one carries are bounded by
+    // Σ df over the query's terms — at most phrase-length × corpus docs
+    // per query, a bound that holds even UNCAPPED (bm25TopK runs with
+    // DfCeilOff): a query containing a Zipf-head term ships up to that
+    // term's full df into its query partition with no map-side partial
+    // aggregation, which is the capped variants' motivation for the df
+    // ceiling; the ceiling, where enabled, shrinks this frame further.
     val scored = candidates
       .select(col("query_id"), col("doc_id"), contribExpr.as("contrib"))
       .repartition(col("query_id"))
