@@ -320,7 +320,7 @@ object SparkEntry {
     "ext_repetition" -> ((s, d) => TextAnalysis.repetition(docsW(s, d)).orderBy("doc_id")),
     // bigram-LM novelty filter (integer-exact CCNet-perplexity analog);
     // model slice = even doc_ids, probe = whole corpus
-    "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docsW(s, d)).orderBy("doc_id")),
+    "ext_lm_novelty" -> ((s, d) => TextAnalysis.lmNovelty(docs(s, d)).orderBy("doc_id")),
     "ext_domain_stats" -> ((s, d) =>
       Curation.domainStats(Curation.withUrlsInjected(docs(s, d))).orderBy("domain")),
     // SFT chat-format QA: parse injected JSON transcripts and screen for
@@ -609,7 +609,7 @@ object SparkEntry {
     }),
     "ext_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "ext_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Dedup.withPerturbedCopies(docsW(s, d)))
+      Dedup.simhashPairs(Dedup.withPerturbedCopies(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
     "ext_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.withPerturbedCopies(docsW(s, d))).orderBy("doc_id")),
