@@ -320,6 +320,39 @@ class RetrievalSpec extends SparkSpec {
     assert(cap(10L) == unc(10L) - unc(11L), (cap(10L), unc(10L), unc(11L)).toString)
   }
 
+  test("retrieval eval: pos-derived query carve equals the slice carve on degenerate docs") {
+    // r22 derives BOTH query carves from the checkpointed positional
+    // stream (pos-range filter) instead of re-tokenizing; this pins the
+    // equivalence on the degenerate shapes: a carve doc with tokens only
+    // PARTIALLY covering slots 3..6 (3-token doc → one query term), an
+    // empty-text carve doc (contributes NO query), and a non-carve doc.
+    val docs = Seq(
+      (0L, "a b c"), // carve; slice(toks,3,4) = ["c"] → 1 query term
+      (97L, ""), // carve; tokens("") = [""] → no query rows
+      (194L, "u0 u1 t3 t4 t5 t6 tail"), // carve; 4 query terms
+      (5L, "x y z w v u")) // not a carve doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the reference carve, computed by the original slice formulas
+    val refQ = Retrieval.bm25Queries(docs)
+      .as[(Long, String)].collect().toSet
+    assert(refQ == Set((0L, "c"), (194L, "t3"), (194L, "t4"),
+      (194L, "t5"), (194L, "t6")))
+    // n_queries in the harness output must equal the reference carve's
+    // distinct query docs (2 — the empty-text carve doc contributes none),
+    // and both methods must find the planted variants of both real queries
+    val out = Retrieval.retrievalEval(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("bm25")._1 == 2L, out.toString) // n_queries
+    assert(out("phrase")._1 == 2L, out.toString)
+    // doc 0's variant is "b c" (first token dropped): holds the 1-term
+    // phrase ["c"] and the bm25 term; doc 194's variant holds all four —
+    // hits_at_k = 2 per method
+    assert(out("bm25")._2 == 2L, out.toString)
+    assert(out("phrase")._2 == 2L, out.toString)
+  }
+
   test("phrase df ceiling: hot term becomes a don't-care position") {
     // phrase = tokens 3..6 of doc 0 = "a stopx b c"; stopx is in every doc
     val docs = Seq(
